@@ -11,12 +11,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.RefOps.joinInnerEqui(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline operators (dedup / similarity / text /
+    * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.RefOps.queries
+    ops.RefOps.queries ++ ops.TextOps.queries ++ ops.DedupOps.queries ++
+      ops.SimOps.queries ++ ops.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.RefOps.oracles
+    ops.RefOps.oracles ++ ops.TextOps.oracles ++ ops.DedupOps.oracles ++
+      ops.SimOps.oracles ++ ops.MultimodalOps.oracles
 }

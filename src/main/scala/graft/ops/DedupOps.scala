@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Functions._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every variant is expressed as scan → (explode) →
+  * hash-aggregate / hash-join, i.e. shuffles only on content-derived keys
+  * (hash, shingle, band, bucket) that distribute uniformly. Nothing is
+  * pairwise over the corpus except where an LSH/band bucket has already
+  * bounded the candidate set; the one exact-pairwise operator
+  * (dedup_embedding_cosine) is the small-reference-set baseline and
+  * documents its LSH-bucketed scale path (sim_lsh_topk).
+  *
+  * All content hashes are md5 (hex string) — engine-portable, stable
+  * across Spark/DuckDB/anything, unlike murmur/xxhash seeds.
+  */
+object DedupOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup: hash-groupBy on md5(text). Keeper = min doc_id.
+    * One shuffle on the 128-bit hash — uniform by construction. */
+  val exact: Q = (s, d) =>
+    documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  /** Distinct word-3-gram shingles per document (shared by jaccard +
+    * minhash). explode keeps this fully distributed. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+      .distinct()
+
+  /** N-gram Jaccard near-dup via inverted index: explode shingles,
+    * self-join on shingle (pair intersection counts), |A∪B| = |A|+|B|−|∩|,
+    * keep pairs ≥ 0.3. Integer output (inter/union) — engine-exact.
+    * This is the scalable formulation: no doc×doc cross join; work is
+    * proportional to Σ df(shingle)², controllable by pruning hot shingles
+    * (df cap) at higher scale. */
+  val ngramJaccard: Q = (s, d) => {
+    val sh = docShingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+      .where(col("inter") * 10 >= col("union_sz") * 3) // jaccard >= 0.3, integer math
+      .select("doc_a", "doc_b", "inter", "union_sz")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val NumHashes = 9
+  private val BandSize = 3 // 3 bands × 3 rows
+
+  /** MinHash signatures: min over shingles of seeded md5, string-min —
+    * portable across engines (no integer hash seeds needed). */
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val aggs = (0 until NumHashes).map(i => min(seededMd5(col("sh"), i)).as(s"s$i"))
+    docShingles(s, d).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: 9 hashes, 3 bands of 3; docs sharing any band
+    * key are candidate near-dups. Shuffles on (band, bandkey) — the
+    * classic sub-quadratic dedup at corpus scale. */
+  val minhashLsh: Q = (s, d) => {
+    val sig = minhashSignatures(s, d)
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      val key = concat((0 until BandSize).map(r => col(s"s${b * BandSize + r}")): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 64-bit fingerprint; bit b = sign of Σ_tokens (±1 from bit b
+    * of md5(token)). Emitted as a 64-char bitstring. Distributed as
+    * explode(tokens) × 64 bit-positions → two hash aggregations. */
+  val simhash: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(normalizeText(col("text")), " "))).as("tok"))
+    val bits = toks
+      .withColumn("b", explode(sequence(lit(0), lit(63))))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substring(md5(tok), b div 4 + 1, 1)) - 1"))
+      .withColumn("contrib", expr("2 * (shiftright(nib, 3 - b % 4) & 1) - 1"))
+      .groupBy("doc_id", "b")
+      .agg(sum("contrib").as("sc"))
+      .withColumn("bit", when(col("sc") > 0, "1").otherwise("0"))
+    bits.groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("b"), col("bit")))),
+          x => x.getField("bit")), "").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding-cosine near-dup pairs (threshold 0.3). Exact pairwise
+    * baseline: broadcast nested-loop over the smaller side; at corpus
+    * scale the same threshold query runs over sim_lsh buckets instead
+    * (sub-quadratic). Dot products accumulate left-to-right in double —
+    * bit-reproducible. */
+  val embeddingCosine: Q = (s, d) => {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosineSim(col("ea"), col("eb")))
+      .where(col("sim") > 0.3)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> exact,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_simhash" -> simhash,
+    "dedup_embedding_cosine" -> embeddingCosine,
+  )
+
+  /** Shared SQL fragments for the oracles (DuckDB dialect). */
+  private val NormSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private val ShinglesSql =
+    s"""norm AS (SELECT doc_id, $NormSql AS t FROM documents),
+        words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM words),
+        sh AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(w) >= 3 THEN array_to_string(w[i:i+2], ' ')
+                      ELSE array_to_string(w, ' ') END AS sh
+               FROM idx)"""
+
+  private val sigSelect = (0 until NumHashes)
+    .map(i => s"min(md5(sh || '#$i')) AS s$i").mkString(", ")
+  private val bandSelects = (0 until NumHashes / BandSize).map { b =>
+    val key = (0 until BandSize).map(r => s"s${b * BandSize + r}").mkString(" || ")
+    s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+  }.mkString(" UNION ALL ")
+
+  private val DotSql = (a: String, b: String) =>
+    s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
+         COUNT(*) AS n_copies FROM documents
+         GROUP BY content_hash ORDER BY content_hash""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH $ShinglesSql,
+          sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b, inter, sa.n_sh + sb.n_sh - inter AS union_sz
+          FROM pairs
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b
+          WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3
+          ORDER BY doc_a, doc_b""",
+    "dedup_minhash_lsh" ->
+      s"""WITH $ShinglesSql,
+          sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+          bands AS ($bandSelects)
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+          ORDER BY doc_a, doc_b""",
+    "dedup_simhash" ->
+      s"""WITH norm AS (SELECT doc_id, $NormSql AS t FROM documents),
+          toks AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+          bits AS (SELECT doc_id, tok, unnest(generate_series(0, 63)) AS b FROM toks),
+          c AS (SELECT doc_id, b,
+                  2 * (((strpos('0123456789abcdef', substr(md5(tok), b // 4 + 1, 1)) - 1)
+                       >> (3 - b % 4)) & 1) - 1 AS contrib
+                FROM bits),
+          sc AS (SELECT doc_id, b, SUM(contrib) AS s FROM c GROUP BY doc_id, b)
+          SELECT doc_id,
+            string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_embedding_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            round(${DotSql("a.embedding", "b.embedding")} /
+              (sqrt(${DotSql("a.embedding", "a.embedding")}) *
+               sqrt(${DotSql("b.embedding", "b.embedding")})), 6) AS sim_r
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE ${DotSql("a.embedding", "b.embedding")} /
+              (sqrt(${DotSql("a.embedding", "a.embedding")}) *
+               sqrt(${DotSql("b.embedding", "b.embedding")})) > 0.3
+          ORDER BY vec_a, vec_b""",
+  )
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, fingerprinting. All are
+  * pure column expressions (whole-stage codegen, no UDFs), so they run as
+  * a single scan + map over 100 TB of documents — no shuffle at all except
+  * where a groupBy is the point.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace token count + a BPE-ish subword count (runs of letters,
+    * runs of digits, single punctuation). One projection over the scan. */
+  val tokenCount: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+        .as("subword_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring from length / alphabetic ratio / stopword ratio.
+    * Integer arithmetic end-to-end so results are engine-exact. */
+  val qualityScore: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("len"),
+      length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digit"),
+      expr("size(filter(split(lower(text), '\\\\s+'), x -> x IN ('the','a','and','of','to','in','is')))")
+        .as("n_stop"))
+      .withColumn("alpha_pct", expr("n_alpha * 100 div len"))
+      .withColumn("quality",
+        when(col("len") >= 100 && col("alpha_pct") >= 70 && col("n_stop") >= 1, "good")
+          .when(col("len") >= 30, "ok")
+          .otherwise("junk"))
+      .orderBy("doc_id")
+
+  /** Heuristic language ID: argmax of per-language stopword hits over the
+    * token stream, deterministic priority on ties. The lexicons are tiny
+    * and inlined into the generated code — no broadcast needed. */
+  val langId: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("sc_en", expr("size(filter(toks, x -> x IN ('the','and','of','to','in')))"))
+      .withColumn("sc_de", expr("size(filter(toks, x -> x IN ('der','die','und','ist','nicht')))"))
+      .withColumn("sc_es", expr("size(filter(toks, x -> x IN ('el','los','las','una','por')))"))
+      .withColumn("sc_fr", expr("size(filter(toks, x -> x IN ('le','les','des','dans','avec')))"))
+      .withColumn("predicted_lang",
+        when(col("sc_en") >= col("sc_de") && col("sc_en") >= col("sc_es") && col("sc_en") >= col("sc_fr"), "en")
+          .when(col("sc_de") >= col("sc_es") && col("sc_de") >= col("sc_fr"), "de")
+          .when(col("sc_es") >= col("sc_fr"), "es")
+          .otherwise("fr"))
+      .select("doc_id", "sc_en", "sc_de", "sc_es", "sc_fr", "predicted_lang")
+      .orderBy("doc_id")
+
+  /** Canonical-form document fingerprint: md5 of the normalized text
+    * (lowercase, punctuation stripped, whitespace collapsed). The basis
+    * for near-exact dedup across formatting variants. */
+  val fingerprint: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), md5(normalizeText(col("text"))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "text_token_count" -> tokenCount,
+    "text_quality_score" -> qualityScore,
+    "text_lang_id" -> langId,
+    "text_fingerprint" -> fingerprint,
+  )
+
+  private val Norm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      raw"""SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS subword_tokens
+           FROM documents ORDER BY doc_id""",
+    "text_quality_score" ->
+      raw"""WITH b AS (SELECT doc_id,
+             CAST(length(text) AS INT) AS len,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INT) AS n_alpha,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digit,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  x -> x IN ('the','a','and','of','to','in','is'))) AS INT) AS n_stop
+           FROM documents)
+           SELECT doc_id, len, n_alpha, n_digit, n_stop,
+             CAST(n_alpha * 100 // len AS INT) AS alpha_pct,
+             CASE WHEN len >= 100 AND n_alpha * 100 // len >= 70 AND n_stop >= 1 THEN 'good'
+                  WHEN len >= 30 THEN 'ok' ELSE 'junk' END AS quality
+           FROM b ORDER BY doc_id""",
+    "text_lang_id" ->
+      raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') toks FROM documents),
+           sc AS (SELECT doc_id,
+             CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS INT) sc_en,
+             CAST(len(list_filter(toks, x -> x IN ('der','die','und','ist','nicht'))) AS INT) sc_de,
+             CAST(len(list_filter(toks, x -> x IN ('el','los','las','una','por'))) AS INT) sc_es,
+             CAST(len(list_filter(toks, x -> x IN ('le','les','des','dans','avec'))) AS INT) sc_fr
+           FROM t)
+           SELECT doc_id, sc_en, sc_de, sc_es, sc_fr,
+             CASE WHEN sc_en >= sc_de AND sc_en >= sc_es AND sc_en >= sc_fr THEN 'en'
+                  WHEN sc_de >= sc_es AND sc_de >= sc_fr THEN 'de'
+                  WHEN sc_es >= sc_fr THEN 'es' ELSE 'fr' END AS predicted_lang
+           FROM sc ORDER BY doc_id""",
+    "text_fingerprint" ->
+      s"SELECT doc_id, md5($Norm) AS fingerprint FROM documents ORDER BY doc_id",
+  )
+}
