@@ -26,16 +26,26 @@ object SimOps {
   private val K = 5
   private val NQueries = 8
 
-  private def qset(s: SparkSession, d: String): DataFrame =
+  private def qset(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
     embeddings(s, d).where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("q_nrm"))
+  }
 
-  /** Brute-force exact cosine top-k per query vector. */
+  private def corpusWithNorm(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(expr("float_dot(embedding, embedding)")).as("c_nrm"))
+  }
+
+  /** Brute-force exact cosine top-k per query vector. Norms precomputed
+    * per side; dot via the codegen'd float_dot expression. */
   val bruteTopK: Q = (s, d) => {
-    val corpus = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    corpus.join(broadcast(qset(s, d)), col("vec_id") =!= col("q_id"))
-      .withColumn("sim", cosineSim(col("q_emb"), col("embedding")))
+    corpusWithNorm(s, d).join(broadcast(qset(s, d)), col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
@@ -53,13 +63,13 @@ object SimOps {
   /** LSH-bucketed ANN: candidates share the query's bucket; exact cosine
     * top-3 within the bucket. */
   val lshTopK: Q = (s, d) => {
-    val corpus = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), bucketExpr("embedding").as("bucket"))
+    val corpus = corpusWithNorm(s, d).withColumn("bucket", bucketExpr("embedding"))
     val q = qset(s, d).withColumn("q_bucket", bucketExpr("q_emb"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     corpus.join(broadcast(q),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .withColumn("sim", cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("sim",
+        expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
