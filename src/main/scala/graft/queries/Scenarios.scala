@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Functions._
+import graft.model.Pizzeria.PizzeriaTables
+
+/** The reference's six scenario transforms as DataFrame programs over the
+  * pizzeria tables (batch forms; the streaming variants compose these with
+  * graft.streaming). Each mirrors one `statement` from the reference's
+  * flink-applications JSON files — WHAT it computes, not how Flink ran it.
+  */
+object Scenarios {
+
+  /** The enriched-order shape shared by scenarios 1/2/6:
+    * (order_id, client_name, table_name, order_time, pizzas JSON array).
+    * UNNEST semantics — duplicates in `pizzas` preserved
+    * (01-basic-jdbc.json:30; FIXTURES.md §2a). */
+  def enrichedOrdersUnnest(t: PizzeriaTables): DataFrame = {
+    val exploded = t.orders.select(
+      col("id").as("order_id"),
+      col("table_assignment_id"),
+      col("order_time"),
+      explode(col("pizzas")).as("pizza_id"))
+    exploded
+      .join(t.assignments.select(col("id").as("ta_id"), col("client_id"), col("table_id")),
+        col("table_assignment_id") === col("ta_id"))
+      .join(t.clients.select(col("id").as("c_id"), col("name").as("client_name")),
+        col("client_id") === col("c_id"))
+      .join(t.tables.select(col("id").as("t_id"), col("name").as("table_name")),
+        col("table_id") === col("t_id"))
+      .join(t.pizzas.select(col("id").as("p_id"), col("name").as("pizza"), col("price")),
+        col("pizza_id") === col("p_id"))
+      .groupBy("order_id", "client_name", "table_name", "order_time")
+      .agg(jsonArrayAggSorted(struct(col("pizza"), col("price"))).as("pizzas"))
+  }
+
+  /** PG view variant: `= ANY(array)` set semantics — duplicate array
+    * elements collapse (README.md:86, how-to-aiven/02-view-based-jdbc.md:25;
+    * FIXTURES.md §2b). Implemented as explode(array_distinct) to stay an
+    * equi-join (array_contains would force a nested loop at scale). */
+  def enrichedOrdersAny(t: PizzeriaTables): DataFrame = {
+    val exploded = t.orders.select(
+      col("id").as("order_id"),
+      col("table_assignment_id"),
+      col("order_time"),
+      explode(array_distinct(col("pizzas"))).as("pizza_id"))
+    exploded
+      .join(t.assignments.select(col("id").as("ta_id"), col("client_id"), col("table_id")),
+        col("table_assignment_id") === col("ta_id"))
+      .join(t.clients.select(col("id").as("c_id"), col("name").as("client_name")),
+        col("client_id") === col("c_id"))
+      .join(t.tables.select(col("id").as("t_id"), col("name").as("table_name")),
+        col("table_id") === col("t_id"))
+      .join(t.pizzas.select(col("id").as("p_id"), col("name").as("pizza"), col("price")),
+        col("pizza_id") === col("p_id"))
+      .groupBy("order_id", "client_name", "table_name", "order_time")
+      .agg(jsonArrayAggSorted(struct(col("pizza"), col("price"))).as("pizzas"))
+  }
+
+  /** Scenario 1 — hourly batch job (01-basic-jdbc.json:30): the UNNEST
+    * join+agg, filtered to the previous full hour of an injected clock. */
+  def q01BasicJoin(t: PizzeriaTables, evalTime: Column): DataFrame =
+    enrichedOrdersUnnest(t)
+      .where(hourWindowFilter(col("order_time"), evalTime))
+
+  /** Scenario 2 — view-based (02-view-based-jdbc copy.json:14): the join
+    * lives in a "view" (here: the ANY-semantics query), the hourly filter
+    * applies on top. */
+  def q02ViewFilter(t: PizzeriaTables, evalTime: Column): DataFrame =
+    enrichedOrdersAny(t)
+      .where(hourWindowFilter(col("order_time"), evalTime))
+
+  /** Scenario 4 — outbox passthrough (04-flink-cdc-outbox.json:14):
+    * `SELECT *` from the outbox stream. */
+  def q04OutboxPassthrough(outbox: DataFrame): DataFrame = outbox.select("*")
+
+  /** Scenario 5 — logical-decoding messages
+    * (05-kafka-logical-msg-flink.json:14): FROM_BASE64 the message content,
+    * then JSON_VALUE/JSON_QUERY the payload fields. */
+  def q05LogicalDecode(messages: DataFrame): DataFrame = {
+    val payload = fromBase64(col("message.content"))
+    messages.select(
+      jsonValue(payload, "$.order_id", "int").as("order_id"),
+      jsonValue(payload, "$.client_name").as("client_name"),
+      jsonValue(payload, "$.table_name").as("table_name"),
+      jsonQuery(payload, "$.pizzas").as("pizzas"))
+  }
+
+  /** Vestigial demo (scripts/pipeline_evolution.md:4-6): hourly session
+    * counts per user. */
+  def q07HourlySessions(users: DataFrame, sessions: DataFrame): DataFrame =
+    sessions.join(users, sessions("user_id") === users("id"))
+      .groupBy(col("username"), hour(col("session_time")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time temporal (as-of) join over changelog dimensions — the
+  * `FOR SYSTEM_TIME AS OF probe.event_time` of
+  * flink-applications/06-flink-cdc-temporal-join.json:30, the one
+  * operator Spark SQL lacks for streams (SURVEY.md §7.3).
+  *
+  * Design (stream-correct, scale-aware):
+  * - Both sides are tagged and unioned, then grouped by join key:
+  *   ONE shuffle; per-key state instead of a pairwise join.
+  * - State per key: the dimension's version history + probes still
+  *   waiting for the watermark. A probe emits only once the global
+  *   watermark passes its event time, guaranteeing every dim version
+  *   ≤ that time has been seen (the reference's min-watermark gating,
+  *   README.md:526-534).
+  * - State GC: versions superseded before the watermark can never match
+  *   a future probe, so only the latest version ≤ watermark plus all
+  *   newer versions are kept — bounding the "possibly large state"
+  *   concern (README.md:559).
+  * - Late probes (ts < watermark on arrival) still emit — matched
+  *   against retained history — rather than silently dropping.
+  * - Works in batch mode too (no watermark ⇒ everything flushes),
+  *   which is how the DuckDB ASOF-join oracle checks it.
+  */
+object AsOfJoin {
+
+  /** One tagged input row: join key, event time (this column carries the
+    * stream's watermark — do not project it away before the stateful op),
+    * side, payload (a JSON-encoded row — keeps the operator
+    * schema-generic). */
+  case class AsOfEvent(k: String, eventTime: java.sql.Timestamp,
+      isProbe: Boolean, payload: String) {
+    def ts: Long = eventTime.getTime
+  }
+
+  /** Output: probe row + the dim version in effect at probe.ts (None if
+    * no version existed yet). */
+  case class AsOfJoined(k: String, probeTs: Long, probePayload: String,
+      buildTs: Option[Long], buildPayload: Option[String])
+
+  case class AsOfState(builds: List[(Long, String)], probes: List[(Long, String)])
+
+  private def flush(key: String, st: AsOfState, watermark: Long):
+      (List[AsOfJoined], AsOfState) = {
+    val sortedBuilds = st.builds.sortBy(identity)
+    val (ready, pending) = st.probes.partition(_._1 <= watermark)
+    val out = ready.sorted.map { case (pts, ppay) =>
+      val m = sortedBuilds.takeWhile(_._1 <= pts).lastOption
+      AsOfJoined(key, pts, ppay, m.map(_._1), m.map(_._2))
+    }
+    // GC: keep the newest version at-or-before the watermark + all after.
+    val cutoffIdx = sortedBuilds.lastIndexWhere(_._1 <= watermark)
+    val kept = if (cutoffIdx <= 0) sortedBuilds else sortedBuilds.drop(cutoffIdx)
+    (out, AsOfState(kept, pending))
+  }
+
+  private def updateFn(streaming: Boolean)(key: String, rows: Iterator[AsOfEvent],
+      state: GroupState[AsOfState]): Iterator[AsOfJoined] = {
+    // Batch mode = complete input: flush everything. (Some Spark versions
+    // report watermark 0 rather than throwing in batch, so an explicit
+    // flag is safer than Try.)
+    val wm =
+      if (!streaming) Long.MaxValue
+      else scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+    val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
+    val (newBuilds, newProbes) = rows.toList.partition(!_.isProbe)
+    val st = AsOfState(
+      prev.builds ++ newBuilds.map(e => (e.ts, e.payload)),
+      prev.probes ++ newProbes.map(e => (e.ts, e.payload)))
+    val (out, next) = flush(key, st, wm)
+    if (next.builds.isEmpty && next.probes.isEmpty) {
+      state.remove()
+    } else {
+      state.update(next)
+      if (next.probes.nonEmpty && wm != Long.MaxValue) {
+        // wake up when the watermark passes the earliest pending probe
+        state.setTimeoutTimestamp(math.max(next.probes.map(_._1).min, wm + 1))
+      }
+    }
+    out.iterator
+  }
+
+  /** Join a tagged event stream (see [[tag]]) as-of event time.
+    * For streaming input the caller must have applied a watermark to the
+    * event-time column before tagging. */
+  def join(events: Dataset[AsOfEvent]): Dataset[AsOfJoined] = {
+    import events.sparkSession.implicits._
+    val timeout =
+      if (events.isStreaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(updateFn(events.isStreaming))
+  }
+
+  /** Tag a DataFrame side for the union: key col, event-time col (must be
+    * TimestampType; keep the same column the watermark was set on), and
+    * the full row JSON-encoded as payload. */
+  def tag(df: DataFrame, keyCol: String, tsCol: String, isProbe: Boolean): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("k"),
+      col(tsCol).as("eventTime"),
+      lit(isProbe).as("isProbe"),
+      to_json(struct(df.columns.map(col): _*)).as("payload"))
+
+  /** Convenience: full as-of join of two DataFrames on a key + event-time
+    * column. `delay` is the watermark for streaming inputs (ignored for
+    * batch). Output: key, probe/build event times + JSON payloads. */
+  def joinDataFrames(probe: DataFrame, build: DataFrame, keyCol: String,
+      tsCol: String, delay: String = "0 seconds"): Dataset[AsOfJoined] = {
+    val spark = probe.sparkSession
+    import spark.implicits._
+    val tagged = tag(build, keyCol, tsCol, isProbe = false)
+      .unionByName(tag(probe, keyCol, tsCol, isProbe = true))
+    val withWm =
+      if (tagged.isStreaming) tagged.withWatermark("eventTime", delay) else tagged
+    join(withWm.as[AsOfEvent])
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Functions._
+
+/** Property-style tests (seeded random inputs) for the scalar function
+  * layer and the custom expressions' equivalence to their declarative
+  * forms. */
+class FunctionsSpec extends SparkSpec {
+
+  import java.sql.Timestamp
+  private val rnd = new scala.util.Random(42)
+
+  test("ceilToHour: fixpoint on exact hours, else next hour boundary") {
+    import spark.implicits._
+    val tss = Seq.fill(200)(new Timestamp(math.abs(rnd.nextLong() % 2_000_000_000L) * 1000)) ++
+      Seq(new Timestamp(3600L * 1000 * 500000)) // exact hour
+    val got = tss.toDF("ts")
+      .select(col("ts"), ceilToHour(col("ts")).as("c"))
+      .collect()
+    got.foreach { r =>
+      val ts = r.getTimestamp(0).getTime
+      val c = r.getTimestamp(1).getTime
+      assert(c >= ts, "ceil must be >= input")
+      assert(c - ts < 3600 * 1000, "ceil within one hour")
+      assert(c % (3600 * 1000) == 0, "ceil lands on an hour boundary")
+      if (ts % (3600 * 1000) == 0) assert(c == ts, "exact hour is a fixpoint")
+    }
+  }
+
+  test("TextShingles expression == declarative normalize+slide pipeline") {
+    import spark.implicits._
+    graft.expressions.TextShingles.register(spark)
+    val words = Array("the", "Fast", "key!", "a", "12", "zz-9", "", "  ", "Row", "scan;SCAN")
+    val texts = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.length))).mkString(" "))
+    val df = texts.toDF("text")
+    val got = df.selectExpr("array_sort(text_shingles(text, 3)) s")
+      .collect().map(_.getSeq[String](0))
+    val want = df.select(array_sort(array_distinct(shingles(col("text"), 3))).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(got.toSeq == want.toSeq)
+    // n = 1 degenerates to the distinct token set
+    val got1 = df.selectExpr("array_sort(text_shingles(text, 1)) s")
+      .collect().map(_.getSeq[String](0))
+    val want1 = df.select(array_sort(array_distinct(shingles(col("text"), 1))).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(got1.toSeq == want1.toSeq)
+  }
+
+  test("FloatDotProduct expression == interpreted zip_with/aggregate form (bit-identical)") {
+    import spark.implicits._
+    graft.expressions.VectorExpressions.register(spark)
+    val pairs = Seq.fill(100)((
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = pairs.toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+    val got = df.selectExpr("float_dot(a, b) d").collect().map(_.getDouble(0))
+    val want = df.select(dotProduct(col("a"), col("b")).as("d")).collect().map(_.getDouble(0))
+    assert(got.toSeq == want.toSeq) // exact equality, not tolerance
+  }
+
+  test("explode+join round-trip preserves the (order, pizza) multiset") {
+    import spark.implicits._
+    val arrays = Seq.fill(50)(Seq.fill(rnd.nextInt(8))(1 + rnd.nextInt(4)))
+    val orders = arrays.zipWithIndex.map { case (a, i) => (i, a) }.toDF("id", "pizzas")
+    val exploded = orders.select(col("id"), explode(col("pizzas")).as("p"))
+    val back = exploded.groupBy("id").agg(sort_array(collect_list("p")).as("ps"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    arrays.zipWithIndex.foreach { case (a, i) =>
+      if (a.nonEmpty) assert(back(i) == a.sorted)
+      else assert(!back.contains(i)) // explode drops empty arrays
+    }
+  }
+
+  test("jsonValue / jsonQuery / fromBase64 round-trips") {
+    import spark.implicits._
+    val df = Seq(("""{"k": 42, "s": "héllo", "arr": [1,2]}""", "pay load"))
+      .toDF("j", "raw")
+    val r = df.select(
+      jsonValue(col("j"), "$.k", "int").as("k"),
+      jsonValue(col("j"), "$.s").as("s"),
+      jsonQuery(col("j"), "$.arr").as("arr"),
+      fromBase64(base64(col("raw"))).as("b64rt")).collect().head
+    assert(r.getInt(0) == 42)
+    assert(r.getString(1) == "héllo")
+    assert(r.getString(2) == "[1,2]")
+    assert(r.getString(3) == "pay load")
+  }
+
+  test("hourWindowFilter is a half-open (lo, hi] window one hour wide") {
+    import spark.implicits._
+    val eval = lit("2024-01-15 12:34:56").cast("timestamp")
+    val tss = Seq(
+      "2024-01-15 12:00:00", // == lo -> excluded
+      "2024-01-15 12:00:01", // in
+      "2024-01-15 13:00:00", // == hi -> included
+      "2024-01-15 13:00:01", // out
+      "2024-01-15 11:59:59") // out
+    val got = tss.toDF("s").select(col("s").cast("timestamp").as("ts"))
+      .where(hourWindowFilter(col("ts"), eval))
+      .collect().map(_.getTimestamp(0).toString).toSet
+    assert(got == Set("2024-01-15 12:00:01.0", "2024-01-15 13:00:00.0"))
+  }
+}
