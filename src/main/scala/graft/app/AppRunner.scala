@@ -1,0 +1,62 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Executes an [[AppSpec]]: resolve each source DDL to a DataFrame,
+  * register temp views, shim the statement, run it through spark.sql,
+  * and hand the result + parsed sink DDL back (the caller writes it via
+  * graft.streaming.UpsertSink for upsert-kafka sinks, or any batch
+  * writer).
+  *
+  * Source resolution is pluggable: the offline harness maps
+  * `'table-name'` to parquet/seed DataFrames; a deployment maps
+  * `'connector'='jdbc'` to spark.read.jdbc and the kafka connectors to
+  * readStream — the spec shape stays identical (SURVEY.md §3.1).
+  */
+object AppRunner {
+
+  /** Resolve a parsed source table to its raw DataFrame (before computed/
+    * metadata columns). */
+  type SourceResolver = FlinkDdl.TableDef => DataFrame
+
+  case class AppResult(sink: Option[FlinkDdl.TableDef], df: DataFrame)
+
+  /** Apply DDL-derived columns: computed columns (through the dialect
+    * macros), metadata columns (expects the resolver to expose Debezium
+    * metadata as `_source_ts`, as graft.streaming.Debezium.decode does),
+    * and the watermark for streaming inputs. */
+  private[app] def applyDerived(df0: DataFrame, td: FlinkDdl.TableDef): DataFrame = {
+    var df = df0
+    td.computed.foreach { c =>
+      df = df.withColumn(c.name, expr(FlinkSqlShim.rewriteExpression(c.flinkExpr)))
+    }
+    td.metadata.foreach { mc =>
+      if (df.columns.contains("_source_ts"))
+        df = df.withColumn(mc.name, col("_source_ts").cast(mc.sparkType.toLowerCase))
+      // else: resolver already provided the column (batch fixtures)
+    }
+    td.watermark.foreach { wm =>
+      if (df.isStreaming) df = df.withWatermark(wm.col, wm.delay)
+    }
+    df
+  }
+
+  def run(spark: SparkSession, spec: AppSpec, resolve: SourceResolver,
+      evalTime: Option[String] = None): AppResult = {
+    SqlMacros.register(spark)
+    spec.sources.foreach { src =>
+      val td = FlinkDdl.parse(src.createTable)
+      applyDerived(resolve(td), td).createOrReplaceTempView(td.name)
+    }
+    val sink = spec.sinks.headOption.map(s => FlinkDdl.parse(s.createTable))
+    val shimmed = FlinkSqlShim.rewrite(spec.statement, evalTime)
+    var df = spark.sql(shimmed.selectSql)
+    // INSERT INTO maps SELECT columns to the sink positionally (Flink
+    // semantics); adopt the sink DDL's column names.
+    sink.filter(_.cols.length == df.columns.length).foreach { t =>
+      df = df.toDF(t.cols.map(_.name): _*)
+    }
+    AppResult(sink, df)
+  }
+}

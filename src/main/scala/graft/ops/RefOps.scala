@@ -393,6 +393,42 @@ object RefOps {
       .orderBy("kafka_key")
   }
 
+  /** JSON_OBJECT as a standalone scalar (01-basic-jdbc.json:30). */
+  val fnJsonObject: Q = (s, d) =>
+    orders(s, d)
+      .select(col("o_orderkey"),
+        to_json(struct(col("o_orderstatus").as("status"),
+          col("o_custkey").as("cust"))).as("obj"))
+      .orderBy("o_orderkey")
+
+  /** Flink integer division `x/1000` (03-kafka-cdc-flink-jdbc.json:8). */
+  val fnDiv: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(expr("l_orderkey div 100").as("okey_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("okey_bucket")
+
+  /** Debezium transaction metadata (README.md:486): group changelog rows
+    * by source.txId for transaction-consistent consumption. Envelope
+    * synthesized from events, decoded, then grouped — the same grouping a
+    * transaction-buffered emit does in streaming. */
+  val txnMetadata: Q = (s, d) => {
+    val txSchema = StructType(Seq(
+      StructField("source", StructType(Seq(
+        StructField("txId", LongType), StructField("ts_ms", LongType)))),
+      StructField("event_id", LongType)))
+    val env = events(s, d).select(to_json(struct(
+      struct(expr("event_id div 20").as("txId"),
+        unix_millis(col("ts")).as("ts_ms")).as("source"),
+      col("event_id"))).as("value"))
+    env.select(from_json(col("value"), txSchema).as("e"))
+      .groupBy(col("e.source.txId").as("tx_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("e.source.ts_ms")).as("first_ms"),
+        max(col("e.source.ts_ms")).as("last_ms"))
+      .orderBy("tx_id")
+  }
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
@@ -426,6 +462,9 @@ object RefOps {
     "src_meta_col" -> srcMetaCol,
     "changelog_upsert" -> changelogUpsert,
     "snk_upsert_kafka" -> snkUpsertKeyed,
+    "fn_json_object" -> fnJsonObject,
+    "fn_div" -> fnDiv,
+    "txn_metadata" -> txnMetadata,
   )
 
   val oracles: Map[String, String] = Map(
@@ -565,5 +604,16 @@ object RefOps {
                       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) t
          WHERE rn = 1 ORDER BY kafka_key""",
+    "fn_json_object" ->
+      """SELECT o_orderkey,
+         json_object('status', o_orderstatus, 'cust', o_custkey)::VARCHAR AS obj
+         FROM orders ORDER BY o_orderkey""",
+    "fn_div" ->
+      """SELECT l_orderkey // 100 AS okey_bucket, COUNT(*) AS n
+         FROM lineitem GROUP BY okey_bucket ORDER BY okey_bucket""",
+    "txn_metadata" ->
+      """SELECT event_id // 20 AS tx_id, COUNT(*) AS n_events,
+         MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms
+         FROM events GROUP BY tx_id ORDER BY tx_id""",
   )
 }

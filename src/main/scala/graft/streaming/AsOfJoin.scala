@@ -66,6 +66,8 @@ object AsOfJoin {
     val wm =
       if (!streaming) Long.MaxValue
       else scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+    if (sys.env.contains("GRAFT_ASOF_DEBUG"))
+      System.err.println(s"[asof] key=$key wm=$wm timedOut=${state.hasTimedOut} hasState=${state.exists}")
     val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
     val (newBuilds, newProbes) = rows.toList.partition(!_.isProbe)
     val st = AsOfState(

@@ -159,6 +159,40 @@ class StreamingSpec extends SparkSpec {
     assert(joined2 == Set(1, 2))
   }
 
+  test("idle-source heartbeat advances the watermark so held probes flush (wm_idle)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Boolean, String)]
+    // The data stream goes idle after one probe; without the heartbeat the
+    // watermark would stall at 0 and the probe would be held forever
+    // (the reference's idle-watermark problem, README.md:526-545).
+    val raw = input.toDF().toDF("k", "tsMs", "isProbe", "payload")
+      .select(col("k"), timestamp_millis(col("tsMs")).as("eventTime"),
+        col("isProbe"), col("payload"))
+    val withHb = graft.streaming.Heartbeats
+      .withIdleHeartbeat(raw, "eventTime", "0 seconds", rowsPerSecond = 5)
+      .as[AsOfJoin.AsOfEvent]
+    val out = AsOfJoin.join(withHb)
+    val q = out.writeStream.format("memory").queryName("hb_out")
+      .outputMode("append").start()
+    try {
+      // historical event times (long past) — only the heartbeat can push
+      // the watermark beyond them
+      input.addData(("k1", 1000L, false, "v1"), ("k1", 2000L, true, "p1"))
+      val deadline = System.currentTimeMillis() + 30000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        done = !spark.table("hb_out").isEmpty
+        if (!done) Thread.sleep(500)
+      }
+      val rows = spark.table("hb_out").collect()
+        .map(r => (r.getAs[Long]("probeTs"), r.getAs[String]("buildPayload")))
+      assert(rows.contains((2000L, "v1")),
+        s"heartbeat should flush the probe; got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("upsert stream end-to-end: changelog -> decode -> foreachBatch upsert") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
