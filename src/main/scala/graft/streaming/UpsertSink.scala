@@ -30,25 +30,38 @@ object UpsertSink {
       path: String, deleteCol: Option[String] = None,
       tiebreakCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
+    // latest-wins ACROSS batch and existing table: CDC delivery is
+    // at-least-once and may replay old events, so an image (or tombstone)
+    // only applies if its version is >= what the table already holds.
+    // Ties prefer the batch (the result-table use case carries a constant
+    // version and must take the fresh recompute).
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy((col(versionCol).desc +: tiebreakCols.map(col(_).desc)): _*)
-    val latest = batch
-      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+      .orderBy((col(versionCol).desc +: col("_from_batch").desc
+        +: tiebreakCols.map(col(_).desc)): _*)
+    val delCol = deleteCol.getOrElse("_no_delete")
+    val batchTagged = (deleteCol match {
+      case Some(c) => batch.withColumn(c, coalesce(col(c), lit(false)))
+      case None => batch.withColumn(delCol, lit(false))
+    }).withColumn("_from_batch", lit(1))
 
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing: Option[DataFrame] =
       if (fs.exists(new Path(path))) Some(spark.read.parquet(path)) else None
 
-    val survivors = deleteCol match {
-      case Some(c) => latest.where(!coalesce(col(c), lit(false))).drop(c)
-      case None => latest
-    }
     val merged = existing match {
       case Some(ex) =>
-        // old rows whose key is untouched this batch + the new images
-        ex.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
-          .unionByName(survivors.select(ex.columns.map(col): _*))
-      case None => survivors
+        val touchedKeys = batchTagged.select(keyCols.map(col): _*).distinct()
+        val exTouched = ex.join(touchedKeys, keyCols, "left_semi")
+          .withColumn(delCol, lit(false)).withColumn("_from_batch", lit(0))
+        val winners = exTouched
+          .unionByName(batchTagged.select(exTouched.columns.map(col): _*))
+          .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+          .where(!col(delCol)).drop("_rn", delCol, "_from_batch")
+        ex.join(touchedKeys, keyCols, "left_anti").unionByName(winners)
+      case None =>
+        batchTagged
+          .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+          .where(!col(delCol)).drop("_rn", delCol, "_from_batch")
     }
     val tmp = path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)

@@ -73,6 +73,20 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1 -> "v1c", 3 -> "v3"))
   }
 
+  test("upsert sink ignores replayed stale versions (at-least-once CDC delivery)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("upsert_stale").toString + "/table"
+    UpsertSink.mergeBatch(Seq((1, "current", 10L, false)).toDF("id", "v", "ver", "del"),
+      Seq("id"), "ver", dir, deleteCol = Some("del"))
+    // replay of an OLD image and an OLD tombstone: both must be no-ops
+    UpsertSink.mergeBatch(Seq((1, "stale", 3L, false), (1, "gone", 4L, true))
+      .toDF("id", "v", "ver", "del"),
+      Seq("id"), "ver", dir, deleteCol = Some("del"))
+    val got = spark.read.parquet(dir).select("id", "v")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "current"))
+  }
+
   test("as-of join (batch): probe matches the version in effect at its event time") {
     import spark.implicits._
     // dim versions: price 8 at t=1000, price 9 at t=3000
@@ -193,6 +207,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changelog-through-aggregation: updates retract, deletes empty a group, moves recompute both groups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("chagg").toString
+    val input = MemoryStream[(Int, String, Int, String, Long)] // id, grp, v, op, ver
+    val decoded = input.toDF().toDF("id", "grp", "v", "_op", "ver")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    input.addData((1, "gA", 1, "c", 1L), (2, "gA", 2, "c", 2L), (3, "gB", 5, "c", 3L))
+    val q = graft.streaming.ChangelogAgg.run(decoded, Seq("id"), "ver", Seq("grp"),
+      agg, dir + "/state", dir + "/result", dir + "/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val r1 = spark.read.parquet(dir + "/result").select("grp", "n", "sv")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r1 == Map("gA" -> (2L, 3L), "gB" -> (1L, 5L)))
+    // batch 2: id2 value update; id3 deleted (gB empties); id1 MOVES gA->gC
+    input.addData((2, "gA", 10, "u", 4L), (3, "gB", 5, "d", 5L), (1, "gC", 1, "u", 6L))
+    val q2 = graft.streaming.ChangelogAgg.run(decoded, Seq("id"), "ver", Seq("grp"),
+      agg, dir + "/state", dir + "/result", dir + "/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+    val r2 = spark.read.parquet(dir + "/result").select("grp", "n", "sv")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r2 == Map("gA" -> (1L, 10L), "gC" -> (1L, 1L)),
+      s"got $r2") // gB tombstoned away
+  }
+
   test("upsert stream end-to-end: changelog -> decode -> foreachBatch upsert") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -200,13 +242,13 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[String]
     val decoded = Debezium.decode(input.toDF().toDF("value"), orderRow)
       .withColumn("_deleted", col("_op") === "d")
-    val q = UpsertSink.writeUpsertStream(decoded, Seq("id"), "_tx_id",
-      dir + "/table", dir + "/ckpt", deleteCol = Some("_deleted"))
     input.addData(
       env("c", 1, Seq(1, 2), 1000L, 1),
       env("c", 2, Seq(3), 1100L, 2),
       env("u", 1, Seq(9), 1200L, 3),
       env("d", 2, Seq(3), 1300L, 4))
+    val q = UpsertSink.writeUpsertStream(decoded, Seq("id"), "_tx_id",
+      dir + "/table", dir + "/ckpt", deleteCol = Some("_deleted"))
     q.processAllAvailable()
     q.stop()
     val got = spark.read.parquet(dir + "/table")
