@@ -25,6 +25,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *   against retained history — rather than silently dropping.
   * - Works in batch mode too (no watermark ⇒ everything flushes),
   *   which is how the DuckDB ASOF-join oracle checks it.
+  *
+  * Chaining (scenario 6 runs FOUR of these back to back,
+  * 06-flink-cdc-temporal-join.json:30): use [[joinDataFramesWide]] per
+  * hop. Rows emit at the watermark boundary, so Spark's global-watermark
+  * correctness check flags the downstream op — disable
+  * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled` for
+  * the chained query. That is sound for THIS operator because late
+  * probes are matched against the retained version history rather than
+  * dropped; the residual effect is bounded staleness when a dim version
+  * between a late probe's time and the watermark was already GC'd.
   */
 object AsOfJoin {
 
@@ -108,6 +118,27 @@ object AsOfJoin {
       col(tsCol).as("eventTime"),
       lit(isProbe).as("isProbe"),
       to_json(struct(df.columns.map(col): _*)).as("payload"))
+
+  /** Wide as-of join: like [[joinDataFrames]] but decodes the payloads
+    * back to columns — probe columns as-is, build columns prefixed — and
+    * re-exposes the probe's event time under its original column name, so
+    * the output can feed ANOTHER as-of join (scenario 6 chains four,
+    * 06-flink-cdc-temporal-join.json:30). Left-join semantics: unmatched
+    * probes keep null build columns. */
+  def joinDataFramesWide(probe: DataFrame, build: DataFrame, keyCol: String,
+      tsCol: String, buildPrefix: String,
+      delay: String = "0 seconds"): DataFrame = {
+    val joined = joinDataFrames(probe, build, keyCol, tsCol, delay)
+    val pCols = probe.schema.fieldNames
+    val bCols = build.schema.fieldNames
+    joined
+      .select(
+        from_json(col("probePayload"), probe.schema).as("_p"),
+        from_json(col("buildPayload"), build.schema).as("_b"))
+      .select(
+        pCols.map(c => col(s"_p.$c").as(c)) ++
+          bCols.filterNot(_ == tsCol).map(c => col(s"_b.$c").as(buildPrefix + c)): _*)
+  }
 
   /** Convenience: full as-of join of two DataFrames on a key + event-time
     * column. `delay` is the watermark for streaming inputs (ignored for

