@@ -429,6 +429,28 @@ object RefOps {
       .orderBy("tx_id")
   }
 
+  /** Gap-based sessionization (30-minute inactivity gap): the classic
+    * clickstream operator the vestigial datagen demo points at
+    * (scripts/datagen.py sessions table). Two window passes over one
+    * shuffle on user_id: flag gap-starts with lag, number sessions with a
+    * running sum — O(n log n) per user partition, no self-join. */
+  val eventsSessionize: Q = (s, d) => {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 30L * 60 * 1000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"),
+        max("event_id").as("last_event"))
+      .orderBy("user_id", "session_id")
+  }
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
@@ -465,6 +487,7 @@ object RefOps {
     "fn_json_object" -> fnJsonObject,
     "fn_div" -> fnDiv,
     "txn_metadata" -> txnMetadata,
+    "events_sessionize" -> eventsSessionize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -615,5 +638,22 @@ object RefOps {
       """SELECT event_id // 20 AS tx_id, COUNT(*) AS n_events,
          MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms
          FROM events GROUP BY tx_id ORDER BY tx_id""",
+    "events_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30 * 60 * 1000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, event_id,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(event_id) AS first_event, MAX(event_id) AS last_event
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
   )
 }

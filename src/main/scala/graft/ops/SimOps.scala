@@ -76,9 +76,50 @@ object SimOps {
       .orderBy("q_id", "rank")
   }
 
+  private val NCentroids = 16
+  private val NProbe = 2
+
+  /** IVF-style ANN: one-shot coarse quantization. Centroids are a fixed
+    * deterministic sample (vec_id < 16 — a real deployment runs k-means;
+    * the partitioning/search shape is identical). Every corpus vector is
+    * assigned to its nearest centroid (the inverted list); a query scores
+    * only the lists of its nprobe=2 nearest centroids. At 100 TB the
+    * corpus scan is a bucketed/partitioned-by-centroid table, so a query
+    * touches nprobe partitions instead of the full corpus. */
+  val ivfTopK: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
+    val cents = embeddings(s, d).where(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    def nearestCentroids(df: DataFrame, idCol: String, embCol: String,
+        n: Int, outCol: String): DataFrame = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("c_dist").asc, col("c_id").asc)
+      df.join(broadcast(cents), lit(true))
+        .withColumn("c_dist",
+          expr(s"float_dot($embCol, $embCol) + float_dot(c_emb, c_emb) - 2 * float_dot($embCol, c_emb)"))
+        .withColumn("c_rank", row_number().over(w))
+        .where(col("c_rank") <= n)
+        .withColumn(outCol, col("c_id"))
+        .drop("c_id", "c_emb", "c_dist", "c_rank")
+    }
+    val corpus = nearestCentroids(
+      corpusWithNorm(s, d), "vec_id", "embedding", 1, "list_id")
+    val q = nearestCentroids(qset(s, d), "q_id", "q_emb", NProbe, "probe_list")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(broadcast(q),
+        col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_brute_topk" -> bruteTopK,
     "sim_lsh_topk" -> lshTopK,
+    "sim_ivf_topk" -> ivfTopK,
   )
 
   private def dot(a: String, b: String) =
@@ -109,6 +150,30 @@ object SimOps {
           scored AS (SELECT q.q_id, c.vec_id,
                        ${cos("q.q_emb", "c.embedding")} AS sim
                      FROM c JOIN q ON c.bucket = q.q_bucket AND c.vec_id <> q.q_id),
+          ranked AS (SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+          FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
+    "sim_ivf_topk" ->
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NCentroids),
+          corpus_d AS (SELECT e.vec_id, e.embedding, c.c_id,
+                         ${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")}
+                           - 2 * ${dot("e.embedding", "c.c_emb")} AS c_dist
+                       FROM embeddings e CROSS JOIN cents c),
+          corpus AS (SELECT vec_id, embedding, c_id AS list_id FROM
+                       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_dist, c_id) rn
+                        FROM corpus_d) t WHERE rn = 1),
+          q_d AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id,
+                    ${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")}
+                      - 2 * ${dot("e.embedding", "c.c_emb")} AS c_dist
+                  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < $NQueries),
+          q AS (SELECT q_id, q_emb, c_id AS probe_list FROM
+                  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_dist, c_id) rn
+                   FROM q_d) t WHERE rn <= $NProbe),
+          scored AS (SELECT q.q_id, c.vec_id,
+                       ${cos("q.q_emb", "c.embedding")} AS sim
+                     FROM corpus c JOIN q ON c.list_id = q.probe_list AND c.vec_id <> q.q_id),
           ranked AS (SELECT q_id, vec_id,
                        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
                      FROM scored)
