@@ -87,6 +87,48 @@ object Scenarios {
       jsonQuery(payload, "$.pizzas").as("pizzas"))
   }
 
+  /** Scenario 6 — the full event-time temporal pipeline
+    * (06-flink-cdc-temporal-join.json:30) over five changelog streams:
+    * unnest orders.pizzas, then four chained as-of joins (each dimension
+    * at the ORDER's event time), then the JSON aggregation. Works on
+    * batch DataFrames too (as-of degenerates to latest-version match).
+    *
+    * Inputs carry their own `event_time` column (the Debezium source
+    * timestamp metadata column); for streaming inputs the caller disables
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
+    * (see graft.streaming.AsOfJoin's chaining note).
+    */
+  def q06TemporalJoin(orders: DataFrame, pizzas: DataFrame,
+      assignments: DataFrame, clients: DataFrame, tables: DataFrame,
+      delay: String = "0 seconds"): DataFrame = {
+    import graft.streaming.AsOfJoin.joinDataFramesWide
+    val exploded = orders.select(
+      col("id").as("order_id"), col("table_assignment_id"),
+      explode(col("pizzas")).as("pizza_id"), col("event_time"))
+    val withPizza = joinDataFramesWide(
+      exploded, pizzas.select(col("id").as("pizza_id"), col("name"), col("price"),
+        col("event_time")),
+      "pizza_id", "event_time", "pz_", delay)
+    val withAssign = joinDataFramesWide(
+      withPizza.withColumnRenamed("table_assignment_id", "ta_id"),
+      assignments.select(col("id").as("ta_id"), col("client_id"), col("table_id"),
+        col("event_time")),
+      "ta_id", "event_time", "ta_", delay)
+    val withClient = joinDataFramesWide(
+      withAssign.withColumnRenamed("ta_client_id", "client_id"),
+      clients.select(col("id").as("client_id"), col("name"), col("event_time")),
+      "client_id", "event_time", "cl_", delay)
+    val withTable = joinDataFramesWide(
+      withClient.withColumnRenamed("ta_table_id", "table_id"),
+      tables.select(col("id").as("table_id"), col("name"), col("event_time")),
+      "table_id", "event_time", "tb_", delay)
+    withTable
+      .groupBy(col("order_id"), col("cl_name").as("client_name"),
+        col("tb_name").as("table_name"))
+      .agg(jsonArrayAggSorted(
+        struct(col("pz_name").as("pizza"), col("pz_price").as("price"))).as("pizzas"))
+  }
+
   /** Vestigial demo (scripts/pipeline_evolution.md:4-6): hourly session
     * counts per user. */
   def q07HourlySessions(users: DataFrame, sessions: DataFrame): DataFrame =

@@ -72,6 +72,45 @@ class PizzeriaGoldensSpec extends SparkSpec {
     assert(w4 == Set.empty[Int])
   }
 
+  test("scenario 6 batch: full temporal pipeline equals the UNNEST enrichment on single-version dims") {
+    import org.apache.spark.sql.DataFrame
+    val et = (df: DataFrame) =>
+      df.withColumn("event_time", lit("2023-09-23 19:00:00").cast("timestamp"))
+    val orders6 = t.orders
+      .withColumn("event_time", col("order_time").cast("timestamp"))
+    val got = Scenarios.q06TemporalJoin(orders6, et(t.pizzas), et(t.assignments),
+        et(t.clients), et(t.tables))
+      .select("order_id", "client_name", "table_name", "pizzas")
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(3))).toMap
+    val want = Scenarios.enrichedOrdersUnnest(t)
+      .select("order_id", "client_name", "pizzas")
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (client, pizzas)) =>
+      assert((client, pizzas) == want(id), s"order $id")
+    }
+  }
+
+  test("scenario 6 batch: temporal versioning picks the dim version at the order's event time") {
+    import spark.implicits._
+    // pizza 1 price 8 until 21:00, then 9
+    val pizzas2 = Seq(
+      (1, "Master Splinter", 8, "2023-09-23 19:00:00"),
+      (1, "Master Splinter", 9, "2023-09-23 21:00:00")).toDF("id", "name", "price", "et")
+      .select(col("id"), col("name"), col("price"), col("et").cast("timestamp").as("event_time"))
+    val et = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("event_time", lit("2023-09-23 19:00:00").cast("timestamp"))
+    val orders6 = t.orders.withColumn("event_time", col("order_time").cast("timestamp"))
+    val got = Scenarios.q06TemporalJoin(orders6, pizzas2, et(t.assignments),
+        et(t.clients), et(t.tables))
+      .select("order_id", "pizzas").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    // order 1 (20:05, pizzas [1,3,2]) -> price 8; order 2 (21:04, [1,1,1,1]) -> price 9
+    assert(got(1).contains("\"price\":8"))
+    assert(got(2) ==
+      """[{"pizza":"Master Splinter","price":9},{"pizza":"Master Splinter","price":9},{"pizza":"Master Splinter","price":9},{"pizza":"Master Splinter","price":9}]""")
+  }
+
   test("scenario 5: logical-decoding message decode (FIXTURES.md 3b)") {
     import spark.implicits._
     val payload =

@@ -227,6 +227,60 @@ class StreamingSpec extends SparkSpec {
     assert(joined2 == Set(1, 2))
   }
 
+  test("native windowed streaming aggregation: closed hourly windows emit in append mode (wm_bounded)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Int)] // tsMs, value
+    val agg = input.toDF().toDF("tsMs", "v")
+      .select(timestamp_millis(col("tsMs")).as("ts"), col("v"))
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      val h = 3600L * 1000
+      input.addData((h + 1000, 1), (h + 2000, 2), (2 * h + 1000, 10))
+      q.processAllAvailable()
+      // watermark = 2h+1s-5s: hour-1 window [1h,2h) is closed and emits
+      input.addData((3 * h, 0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .selectExpr("window.start", "n", "sv").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((h, 2L, 3L)), s"hour-1 window must have emitted; got ${rows.mkString(",")}")
+      assert(!rows.exists(_._1 == 3 * h), "still-open window must not emit in append mode")
+    } finally q.stop()
+  }
+
+  test("late rows beyond the watermark are dropped by the windowed aggregation (late_data)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Int)]
+    val agg = input.toDF().toDF("tsMs", "v")
+      .select(timestamp_millis(col("tsMs")).as("ts"), col("v"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      val h = 3600L * 1000
+      input.addData((h + 1000, 1))
+      q.processAllAvailable() // watermark -> h+1s
+      input.addData((10 * h, 1)) // watermark -> 10h; closes hour-1 window
+      q.processAllAvailable()
+      input.addData((h + 2000, 99)) // LATE: hour-1 window already closed
+      q.processAllAvailable()
+      input.addData((20 * h, 1))
+      q.processAllAvailable()
+      val rows = spark.table("late_out")
+        .selectExpr("window.start", "n").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+      assert(rows(h) == 1L, s"late row must NOT be counted; got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("idle-source heartbeat advances the watermark so held probes flush (wm_idle)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
