@@ -26,10 +26,12 @@ object AppRunner {
     * macros), metadata columns (expects the resolver to expose Debezium
     * metadata as `_source_ts`, as graft.streaming.Debezium.decode does),
     * and the watermark for streaming inputs. */
-  private[app] def applyDerived(df0: DataFrame, td: FlinkDdl.TableDef): DataFrame = {
+  private[app] def applyDerived(df0: DataFrame, td: FlinkDdl.TableDef,
+      evalTime: Option[String] = None): DataFrame = {
     var df = df0
     td.computed.foreach { c =>
-      df = df.withColumn(c.name, expr(FlinkSqlShim.rewriteExpression(c.flinkExpr)))
+      df = df.withColumn(c.name,
+        expr(FlinkSqlShim.rewriteExpression(c.flinkExpr, evalTime)))
     }
     td.metadata.foreach { mc =>
       if (df.columns.contains("_source_ts"))
@@ -47,7 +49,9 @@ object AppRunner {
     SqlMacros.register(spark)
     spec.sources.foreach { src =>
       val td = FlinkDdl.parse(src.createTable)
-      applyDerived(resolve(td), td).createOrReplaceTempView(td.name)
+      // evalTime pins LOCALTIMESTAMP in computed columns too, not just the
+      // statement — determinism must cover the whole app.
+      applyDerived(resolve(td), td, evalTime).createOrReplaceTempView(td.name)
     }
     val sink = spec.sinks.headOption.map(s => FlinkDdl.parse(s.createTable))
     val shimmed = FlinkSqlShim.rewrite(spec.statement, evalTime)

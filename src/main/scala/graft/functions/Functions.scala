@@ -27,13 +27,6 @@ object Functions {
     ts > windowEnd - expr("INTERVAL 1 HOUR") && ts <= windowEnd
   }
 
-  /** `JSON_OBJECT('k' VALUE v, …)` — kept as a struct until final
-    * serialization so Catalyst can prune/push; `to_json` at the edge.
-    * Reference: 01-basic-jdbc.json:30 (JSON_OBJECT).
-    */
-  def jsonObject(fields: (String, Column)*): Column =
-    to_json(struct(fields.map { case (n, c) => c.as(n) }: _*))
-
   /** `JSON_ARRAYAGG(JSON_OBJECT(…))` — aggregate rows into one JSON array
     * string. Element order in the reference is nondeterministic
     * (FIXTURES.md §2); this variant sorts elements (binary struct order)
@@ -68,9 +61,6 @@ object Functions {
   // md5 hex is identical in every engine, unlike murmur/xxhash seeds.
   // ---------------------------------------------------------------------
 
-  /** Stable 64-bit-ish hash as hex string: md5 truncated to 16 hex chars. */
-  def stableHashHex(c: Column): Column = substring(md5(c), 1, 16)
-
   /** k-th independent hash of a string (seeded by suffixing the seed). */
   def seededMd5(c: Column, seed: Int): Column =
     md5(concat(c, lit("#" + seed)))
@@ -94,13 +84,11 @@ object Functions {
 
   /** Dot product of two numeric array columns, computed in double with
     * strict left-to-right accumulation (bit-reproducible across engines).
-    */
+    * The declarative reference form for graft.expressions.FloatDotProduct
+    * (which the hot paths use) — their bit-identity is pinned by
+    * FunctionsSpec. */
   def dotProduct(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
-
-  /** Cosine similarity in double precision. */
-  def cosineSim(a: Column, b: Column): Column =
-    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
 }

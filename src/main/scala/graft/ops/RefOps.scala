@@ -306,18 +306,11 @@ object RefOps {
     StructField("o_orderkey", LongType),
     StructField("o_custkey", LongType),
     StructField("o_orderstatus", StringType)))
-  private val envelopeSchema = StructType(Seq(
-    StructField("before", afterSchema),
-    StructField("after", afterSchema),
-    StructField("source", StructType(Seq(
-      StructField("table", StringType), StructField("ts_ms", LongType)))),
-    StructField("op", StringType)))
 
   /** Debezium envelope decode (`'value.format'='debezium-json'`,
     * 03-kafka-cdc-flink-jdbc.json:8): build the envelope JSON, then decode
-    * it with from_json and op-dispatch (after for c/u/r, before for d) —
-    * the exact transform the streaming path uses, exercised end-to-end in
-    * batch. */
+    * through graft.streaming.Debezium — the SAME decode the streaming
+    * path uses, exercised end-to-end in batch against the oracle. */
   val fmtDebeziumDecode: Q = (s, d) => {
     val env = orders(s, d).select(to_json(struct(
       lit(null).cast(afterSchema).as("before"),
@@ -325,11 +318,8 @@ object RefOps {
       struct(lit("orders").as("table"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("ts_ms")).as("source"),
       lit("c").as("op"))).as("value"))
-    env.select(from_json(col("value"), envelopeSchema).as("e"))
-      .select(
-        when(col("e.op") === "d", col("e.before")).otherwise(col("e.after")).as("row"),
-        col("e.op"))
-      .select("row.o_orderkey", "row.o_custkey", "row.o_orderstatus")
+    graft.streaming.Debezium.decode(env, afterSchema)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
       .orderBy("o_orderkey")
   }
 
@@ -342,23 +332,27 @@ object RefOps {
         to_json(struct(col("o_orderkey"), col("o_orderstatus"))).as("kafka_value"))
       .orderBy("kafka_key")
 
+  private val eventRowSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_type", StringType)))
+
+  /** Synthesize a Debezium envelope stream from events (txId derived from
+    * the event id so transactions group ~20 rows). */
+  private def eventEnvelopes(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(to_json(struct(
+      lit(null).cast(eventRowSchema).as("before"),
+      struct(col("event_id"), col("event_type")).as("after"),
+      struct(lit("events").as("table"), unix_millis(col("ts")).as("ts_ms"),
+        expr("event_id div 20").as("txId")).as("source"),
+      lit("c").as("op"))).as("value"))
+
   /** Metadata column (`METADATA FROM 'value.source.timestamp'`,
     * 06-flink-cdc-temporal-join.json:4): surface the envelope's source
-    * timestamp as an event-time column. */
-  val srcMetaCol: Q = (s, d) => {
-    val metaSchema = StructType(Seq(
-      StructField("source", StructType(Seq(
-        StructField("ts_ms", LongType), StructField("table", StringType)))),
-      StructField("event_id", LongType),
-      StructField("event_type", StringType)))
-    val env = events(s, d).select(to_json(struct(
-      struct(unix_millis(col("ts")).as("ts_ms"), lit("events").as("table")).as("source"),
-      col("event_id"), col("event_type"))).as("value"))
-    env.select(from_json(col("value"), metaSchema).as("e"))
-      .select(col("e.event_id").as("event_id"),
-        toTimestampLtz(col("e.source.ts_ms")).as("event_time"))
+    * timestamp as an event-time column — Debezium.decode's `_source_ts`. */
+  val srcMetaCol: Q = (s, d) =>
+    graft.streaming.Debezium.decode(eventEnvelopes(s, d), eventRowSchema)
+      .select(col("event_id"), col("_source_ts").as("event_time"))
       .orderBy("event_id")
-  }
 
   // -- §2.6 changelog / upsert (batch forms; streaming in graft.streaming) --
 
@@ -409,25 +403,15 @@ object RefOps {
       .orderBy("okey_bucket")
 
   /** Debezium transaction metadata (README.md:486): group changelog rows
-    * by source.txId for transaction-consistent consumption. Envelope
-    * synthesized from events, decoded, then grouped — the same grouping a
-    * transaction-buffered emit does in streaming. */
-  val txnMetadata: Q = (s, d) => {
-    val txSchema = StructType(Seq(
-      StructField("source", StructType(Seq(
-        StructField("txId", LongType), StructField("ts_ms", LongType)))),
-      StructField("event_id", LongType)))
-    val env = events(s, d).select(to_json(struct(
-      struct(expr("event_id div 20").as("txId"),
-        unix_millis(col("ts")).as("ts_ms")).as("source"),
-      col("event_id"))).as("value"))
-    env.select(from_json(col("value"), txSchema).as("e"))
-      .groupBy(col("e.source.txId").as("tx_id"))
+    * by source.txId for transaction-consistent consumption — the same
+    * `_tx_id` Debezium.decode carries for the streaming path. */
+  val txnMetadata: Q = (s, d) =>
+    graft.streaming.Debezium.decode(eventEnvelopes(s, d), eventRowSchema)
+      .groupBy(col("_tx_id").as("tx_id"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("e.source.ts_ms")).as("first_ms"),
-        max(col("e.source.ts_ms")).as("last_ms"))
+        min(unix_millis(col("_source_ts"))).as("first_ms"),
+        max(unix_millis(col("_source_ts"))).as("last_ms"))
       .orderBy("tx_id")
-  }
 
   /** Gap-based sessionization (30-minute inactivity gap): the classic
     * clickstream operator the vestigial datagen demo points at

@@ -12,17 +12,16 @@ import graft.model.Pizzeria.PizzeriaTables
   */
 object Scenarios {
 
-  /** The enriched-order shape shared by scenarios 1/2/6:
-    * (order_id, client_name, table_name, order_time, pizzas JSON array).
-    * UNNEST semantics — duplicates in `pizzas` preserved
-    * (01-basic-jdbc.json:30; FIXTURES.md §2a). */
-  def enrichedOrdersUnnest(t: PizzeriaTables): DataFrame = {
-    val exploded = t.orders.select(
-      col("id").as("order_id"),
-      col("table_assignment_id"),
-      col("order_time"),
-      explode(col("pizzas")).as("pizza_id"))
-    exploded
+  /** The enrichment shared by scenarios 1/2/6: explode the pizzas array
+    * (per `arrayElems` — this is where UNNEST vs `= ANY` semantics
+    * diverge), join the three dims, aggregate one sorted JSON array per
+    * order. */
+  private def enrichedOrders(t: PizzeriaTables, arrayElems: Column): DataFrame =
+    t.orders.select(
+        col("id").as("order_id"),
+        col("table_assignment_id"),
+        col("order_time"),
+        explode(arrayElems).as("pizza_id"))
       .join(t.assignments.select(col("id").as("ta_id"), col("client_id"), col("table_id")),
         col("table_assignment_id") === col("ta_id"))
       .join(t.clients.select(col("id").as("c_id"), col("name").as("client_name")),
@@ -33,30 +32,18 @@ object Scenarios {
         col("pizza_id") === col("p_id"))
       .groupBy("order_id", "client_name", "table_name", "order_time")
       .agg(jsonArrayAggSorted(struct(col("pizza"), col("price"))).as("pizzas"))
-  }
+
+  /** UNNEST semantics — duplicates in `pizzas` preserved
+    * (01-basic-jdbc.json:30; FIXTURES.md §2a). */
+  def enrichedOrdersUnnest(t: PizzeriaTables): DataFrame =
+    enrichedOrders(t, col("pizzas"))
 
   /** PG view variant: `= ANY(array)` set semantics — duplicate array
     * elements collapse (README.md:86, how-to-aiven/02-view-based-jdbc.md:25;
-    * FIXTURES.md §2b). Implemented as explode(array_distinct) to stay an
-    * equi-join (array_contains would force a nested loop at scale). */
-  def enrichedOrdersAny(t: PizzeriaTables): DataFrame = {
-    val exploded = t.orders.select(
-      col("id").as("order_id"),
-      col("table_assignment_id"),
-      col("order_time"),
-      explode(array_distinct(col("pizzas"))).as("pizza_id"))
-    exploded
-      .join(t.assignments.select(col("id").as("ta_id"), col("client_id"), col("table_id")),
-        col("table_assignment_id") === col("ta_id"))
-      .join(t.clients.select(col("id").as("c_id"), col("name").as("client_name")),
-        col("client_id") === col("c_id"))
-      .join(t.tables.select(col("id").as("t_id"), col("name").as("table_name")),
-        col("table_id") === col("t_id"))
-      .join(t.pizzas.select(col("id").as("p_id"), col("name").as("pizza"), col("price")),
-        col("pizza_id") === col("p_id"))
-      .groupBy("order_id", "client_name", "table_name", "order_time")
-      .agg(jsonArrayAggSorted(struct(col("pizza"), col("price"))).as("pizzas"))
-  }
+    * FIXTURES.md §2b). explode(array_distinct) keeps it an equi-join
+    * (array_contains would force a nested loop at scale). */
+  def enrichedOrdersAny(t: PizzeriaTables): DataFrame =
+    enrichedOrders(t, array_distinct(col("pizzas")))
 
   /** Scenario 1 — hourly batch job (01-basic-jdbc.json:30): the UNNEST
     * join+agg, filtered to the previous full hour of an injected clock. */
@@ -94,9 +81,17 @@ object Scenarios {
     * batch DataFrames too (as-of degenerates to latest-version match).
     *
     * Inputs carry their own `event_time` column (the Debezium source
-    * timestamp metadata column); for streaming inputs the caller disables
-    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
-    * (see graft.streaming.AsOfJoin's chaining note).
+    * timestamp metadata column).
+    *
+    * STREAMING CALLERS: the chained as-of joins stream (disable
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`,
+    * see graft.streaming.AsOfJoin's chaining note), but the final
+    * groupBy/collect_list does NOT — the join output has no watermark
+    * attribute, so append-mode aggregation is rejected and update mode
+    * would emit growing partial arrays. Run the chain with this
+    * function's pre-aggregation shape and do the aggregation in
+    * foreachBatch keyed by order_id (graft.streaming.ChangelogAgg is the
+    * ready-made pattern); q06TemporalJoin as-is is the batch form.
     */
   def q06TemporalJoin(orders: DataFrame, pizzas: DataFrame,
       assignments: DataFrame, clients: DataFrame, tables: DataFrame,

@@ -35,6 +35,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * probes are matched against the retained version history rather than
   * dropped; the residual effect is bounded staleness when a dim version
   * between a late probe's time and the watermark was already GC'd.
+  *
+  * Scale note: payloads travel as JSON strings (schema-generic), so each
+  * chained hop pays a whole-row to_json/from_json round-trip and state
+  * holds text rows. Fine for dimension-sized streams; for very wide/hot
+  * probes a typed-payload variant (binary row encoder instead of JSON)
+  * is the planned optimization.
   */
 object AsOfJoin {
 
@@ -57,7 +63,11 @@ object AsOfJoin {
   private def flush(key: String, st: AsOfState, watermark: Long):
       (List[AsOfJoined], AsOfState) = {
     val sortedBuilds = st.builds.sortBy(identity)
-    val (ready, pending) = st.probes.partition(_._1 <= watermark)
+    // STRICTLY below the watermark: Spark admits rows with ts == watermark
+    // as on-time, so a build row at exactly wm may still arrive — a probe
+    // at wm must keep waiting or it could miss an equal-timestamp version
+    // (at-or-before semantics include equality).
+    val (ready, pending) = st.probes.partition(_._1 < watermark)
     val out = ready.sorted.map { case (pts, ppay) =>
       val m = sortedBuilds.takeWhile(_._1 <= pts).lastOption
       AsOfJoined(key, pts, ppay, m.map(_._1), m.map(_._2))

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -53,27 +52,31 @@ object ChangelogAgg {
       versionCol: String, groupCols: Seq[String], agg: DataFrame => DataFrame,
       statePath: String, resultPath: String): Unit = {
     val spark = batch.sparkSession
-    val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     // groups touched by the new images...
     val newGroups = batch.select(groupCols.map(col): _*).distinct()
     // ...plus the groups the touched keys belonged to before the upsert
     // (handles group-moving updates and deletes)
-    val oldGroups =
-      if (fs.exists(new Path(statePath)))
-        spark.read.parquet(statePath)
-          .join(batch.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+    val oldGroups = UpsertSink.readKeyedTable(spark, statePath) match {
+      case Some(state) =>
+        state.join(batch.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
           .select(groupCols.map(col): _*).distinct()
-      else newGroups.limit(0)
-    val affected = newGroups.unionByName(oldGroups).distinct().cache()
-    affected.count() // materialize BEFORE the upsert swaps the state files
+      case None => newGroups.limit(0)
+    }
+    // Materialize to the DRIVER before the upsert swaps the state files:
+    // a lazily-cached plan would recompute against deleted files on cache
+    // loss. Bounded by groups-touched-per-batch, not table size.
+    val affectedRows = newGroups.unionByName(oldGroups).distinct().collect()
+    val affected = spark.createDataFrame(
+      spark.sparkContext.parallelize(affectedRows.toSeq), newGroups.schema)
 
     // 1. upsert latest images (deletes drop the key)
     UpsertSink.mergeBatch(batch.withColumn("_deleted", col("_op") === "d"),
       keyCols, versionCol, statePath, deleteCol = Some("_deleted"))
 
     // 2. recompute affected groups from post-upsert state
-    val state = spark.read.parquet(statePath)
+    val state = UpsertSink.readKeyedTable(spark, statePath)
+      .getOrElse(sys.error(s"state table missing after merge: $statePath"))
     val recomputed = agg(state.join(affected, groupCols, "left_semi"))
 
     // 3. upsert recomputed groups into the result; groups that vanished
@@ -86,6 +89,5 @@ object ChangelogAgg {
             .map(c => lit(null).as(c)): _*), allowMissingColumns = true)
     UpsertSink.mergeBatch(upserts.withColumn("_v", lit(0L)), groupCols, "_v",
       resultPath, deleteCol = Some("_gone"))
-    affected.unpersist()
   }
 }

@@ -13,9 +13,16 @@ import org.apache.spark.sql.functions._
   * event-time column) and are filtered out right AFTER the watermark
   * node, so they contribute no data.
   *
-  * Trade-off (same as Flink's idle timeout): while a source idles, its
-  * watermark follows processing time, so a genuinely late row from that
-  * source after the idle period may be treated as late data.
+  * Trade-offs:
+  * - While a source idles, its watermark follows processing time, so a
+  *   genuinely late row arriving after the idle period may be treated as
+  *   late data (same as Flink's idle timeout).
+  * - Unlike Flink's idle timeout, the heartbeat is ALWAYS on — the
+  *   watermark tracks wall clock from the first trigger. This is correct
+  *   for live tail-reading sources (the intended use: CDC topics where
+  *   "now" is ahead of every event) but WRONG for backfills/replays of
+  *   historical data, where it would mark the entire replay late. Don't
+  *   wrap a backfill; bound the replay first, or run it in batch mode.
   */
 object Heartbeats {
 

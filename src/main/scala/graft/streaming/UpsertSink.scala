@@ -44,9 +44,7 @@ object UpsertSink {
       case None => batch.withColumn(delCol, lit(false))
     }).withColumn("_from_batch", lit(1))
 
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing: Option[DataFrame] =
-      if (fs.exists(new Path(path))) Some(spark.read.parquet(path)) else None
+    val existing: Option[DataFrame] = readKeyedTable(spark, path)
 
     val merged = existing match {
       case Some(ex) =>
@@ -63,11 +61,30 @@ object UpsertSink {
           .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
           .where(!col(delCol)).drop("_rn", delCol, "_from_batch")
     }
-    val tmp = path + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    // Crash-safe swap: the previous table is renamed to .bak (not deleted)
+    // before the new one moves in, so at every instant either the target
+    // or the backup holds a complete table; readKeyedTable falls back to
+    // the backup. (A production deployment uses a table format with
+    // atomic commits — Delta/Iceberg — or a compacted Kafka topic; this
+    // keeps the parquet harness honest about crashes.)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".tmp")
+    val bak = new Path(path + ".bak")
     val target = new Path(path)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(new Path(tmp), target)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(target)) fs.rename(target, bak)
+    fs.rename(tmp, target)
+    if (fs.exists(bak)) fs.delete(bak, true)
+  }
+
+  /** Read a keyed table written by [[mergeBatch]], falling back to the
+    * .bak copy if a crash happened mid-swap. */
+  def readKeyedTable(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(path))) Some(spark.read.parquet(path))
+    else if (fs.exists(new Path(path + ".bak"))) Some(spark.read.parquet(path + ".bak"))
+    else None
   }
 
   /** Attach the upsert sink to a streaming changelog. */
