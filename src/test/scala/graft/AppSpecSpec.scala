@@ -103,6 +103,20 @@ class AppSpecSpec extends SparkSpec {
     }
   }
 
+  test("scenario 2 app spec: view scan + hourly window (clock 21:30 -> orders {2,3,4})") {
+    loadSpec("02-view-based-jdbc copy.json") match {
+      case None => cancel("reference not available")
+      case Some(spec) =>
+        val view = graft.queries.Scenarios.enrichedOrdersAny(seed)
+          .select(col("order_id"), col("client_name"), col("table_name"),
+            col("order_time"), col("pizzas").as("json_agg"))
+        val res = AppRunner.run(spark, spec, _ => view,
+          evalTime = Some("2023-09-23 21:30:00"))
+        val got = res.df.select("order_id").collect().map(_.getInt(0)).toSet
+        assert(got == Set(2, 3, 4))
+    }
+  }
+
   test("scenario 5 app spec: base64 + JSON_VALUE/JSON_QUERY decode") {
     loadSpec("05-kafka-logical-msg-flink.json") match {
       case None => cancel("reference not available")
