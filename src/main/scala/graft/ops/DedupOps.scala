@@ -137,8 +137,47 @@ object DedupOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Near-dup cluster assignment: connected components over the jaccard
+    * pair graph, each document labeled with the min doc_id reachable from
+    * it (the cluster's canonical keeper). Iterative min-label propagation
+    * — O(component diameter) joined passes, each a hash join + aggregate;
+    * the fixpoint (min reachable id) is iteration-order independent, so
+    * the result is deterministic and engine-portable. Only docs that
+    * appear in some pair are emitted (singletons are their own keeper
+    * trivially). */
+  val cluster: Q = (s, d) => {
+    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).cache()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 50) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src").withColumnRenamed("lbl", "src_lbl"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("src_lbl").as("nbr_lbl"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("lbl", "old_lbl"), "doc_id")
+        .where(col("lbl") =!= col("old_lbl")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    val out = labels.select(col("doc_id"), col("lbl").as("cluster_keeper"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
+    "dedup_cluster" -> cluster,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
@@ -172,6 +211,26 @@ object DedupOps {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
          COUNT(*) AS n_copies FROM documents
          GROUP BY content_hash ORDER BY content_hash""",
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $ShinglesSql,
+          sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          jpairs AS (SELECT doc_a, doc_b FROM jp
+                     JOIN sz sa ON sa.doc_id = doc_a
+                     JOIN sz sb ON sb.doc_id = doc_b
+                     WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3),
+          edges AS (SELECT doc_a AS s, doc_b AS t FROM jpairs
+                    UNION ALL SELECT doc_b, doc_a FROM jpairs),
+          reach(s, t) AS (
+            SELECT s, t FROM edges
+            UNION
+            SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+          nodes AS (SELECT DISTINCT s AS doc_id FROM edges)
+          SELECT n.doc_id, LEAST(n.doc_id, MIN(r.t)) AS cluster_keeper
+          FROM nodes n JOIN reach r ON r.s = n.doc_id
+          GROUP BY n.doc_id ORDER BY n.doc_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $ShinglesSql,
           sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

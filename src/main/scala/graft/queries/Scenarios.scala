@@ -95,6 +95,18 @@ object Scenarios {
     */
   def q06TemporalJoin(orders: DataFrame, pizzas: DataFrame,
       assignments: DataFrame, clients: DataFrame, tables: DataFrame,
+      delay: String = "0 seconds"): DataFrame =
+    q06Aggregate(q06Enriched(orders, pizzas, assignments, clients, tables, delay))
+
+  /** The streaming-safe part of scenario 6: unnest + the four chained
+    * as-of joins, one output row per (order, pizza occurrence). Streaming
+    * callers run this, then apply [[q06Aggregate]] per micro-batch in
+    * foreachBatch (all rows of an order share its event time, so they
+    * flush in the same micro-batch and each batch holds complete order
+    * groups) and upsert keyed by order_id — see the StreamingSpec
+    * end-to-end test. */
+  def q06Enriched(orders: DataFrame, pizzas: DataFrame,
+      assignments: DataFrame, clients: DataFrame, tables: DataFrame,
       delay: String = "0 seconds"): DataFrame = {
     import graft.streaming.AsOfJoin.joinDataFramesWide
     val exploded = orders.select(
@@ -113,16 +125,19 @@ object Scenarios {
       withAssign.withColumnRenamed("ta_client_id", "client_id"),
       clients.select(col("id").as("client_id"), col("name"), col("event_time")),
       "client_id", "event_time", "cl_", delay)
-    val withTable = joinDataFramesWide(
+    joinDataFramesWide(
       withClient.withColumnRenamed("ta_table_id", "table_id"),
       tables.select(col("id").as("table_id"), col("name"), col("event_time")),
       "table_id", "event_time", "tb_", delay)
-    withTable
+  }
+
+  /** Scenario 6's GROUP BY + JSON_ARRAYAGG over the enriched rows. */
+  def q06Aggregate(enriched: DataFrame): DataFrame =
+    enriched
       .groupBy(col("order_id"), col("cl_name").as("client_name"),
         col("tb_name").as("table_name"))
       .agg(jsonArrayAggSorted(
         struct(col("pz_name").as("pizza"), col("pz_price").as("price"))).as("pizzas"))
-  }
 
   /** Vestigial demo (scripts/pipeline_evolution.md:4-6): hourly session
     * counts per user. */

@@ -208,6 +208,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("scenario 6 STREAMING end-to-end: five streams -> chain -> foreachBatch agg -> keyed result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("s6full").toString
+    val orders = MemoryStream[(Int, Int, Seq[Int], Long)]
+    val pizzas = MemoryStream[(Int, String, Int, Long)]
+    val assigns = MemoryStream[(Int, Int, Int, Long)]
+    val clients = MemoryStream[(Int, String, Long)]
+    val tabs = MemoryStream[(Int, String, Long)]
+    def ts(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("event_time", timestamp_millis(col("tsMs"))).drop("tsMs")
+    val ordersDf = ts(orders.toDF().toDF("id", "table_assignment_id", "pizzas", "tsMs"))
+    val pizzasDf = ts(pizzas.toDF().toDF("id", "name", "price", "tsMs"))
+    val assignsDf = ts(assigns.toDF().toDF("id", "client_id", "table_id", "tsMs"))
+    val clientsDf = ts(clients.toDF().toDF("id", "name", "tsMs"))
+    val tabsDf = ts(tabs.toDF().toDF("id", "name", "tsMs"))
+
+    val enriched = graft.queries.Scenarios.q06Enriched(
+      ordersDf, pizzasDf, assignsDf, clientsDf, tabsDf)
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // dims (versioned: pizza 1 price 8@1000 then 9@6000), order at t=5000
+    pizzas.addData((1, "Master Splinter", 8, 1000L), (1, "Master Splinter", 9, 6000L))
+    assigns.addData((2, 3, 4, 1000L))
+    clients.addData((3, "Wall Smith", 1000L))
+    tabs.addData((4, "Leonardo", 1000L))
+    orders.addData((1, 2, Seq(1, 1), 5000L))
+    // watermark bumps so every source's watermark passes 5000 twice
+    // (once to flush hop 1, once more to push rows through hops 2-4)
+    for (bump <- Seq(100000L, 200000L, 300000L, 400000L)) {
+      orders.addData((99, 99, Seq.empty[Int], bump))
+      pizzas.addData((99, "x", 0, bump))
+      assigns.addData((99, 0, 0, bump))
+      clients.addData((99, "x", bump))
+      tabs.addData((99, "x", bump))
+    }
+    val q = enriched.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", dir + "/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val agg = graft.queries.Scenarios.q06Aggregate(batch)
+          graft.streaming.UpsertSink.mergeBatch(
+            agg.withColumn("_v", lit(0L)), Seq("order_id"), "_v", dir + "/result")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+    val got = spark.read.parquet(dir + "/result")
+      .where(col("order_id") === 1)
+      .select("client_name", "table_name", "pizzas").collect()
+    assert(got.length == 1, s"expected order 1 aggregated once, got ${got.length}")
+    assert(got.head.getString(0) == "Wall Smith")
+    assert(got.head.getString(1) == "Leonardo")
+    // order@5000 sees price 8 (version@1000), duplicates preserved
+    assert(got.head.getString(2) ==
+      """[{"pizza":"Master Splinter","price":8},{"pizza":"Master Splinter","price":8}]""")
+  }
+
   test("processing-time lookup join reproduces the documented race (README.md:268-301)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("lookup").toString + "/dim"
