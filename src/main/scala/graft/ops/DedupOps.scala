@@ -150,8 +150,11 @@ object DedupOps {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
+    // localCheckpoint (not cache) per iteration: it truncates the plan
+    // lineage, which otherwise grows by one join+agg per pass and makes
+    // later iterations replan/recompute the whole history.
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).cache()
+      .withColumn("lbl", col("doc_id")).localCheckpoint()
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 50) {
@@ -162,10 +165,9 @@ object DedupOps {
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .cache()
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("lbl", "old_lbl"), "doc_id")
         .where(col("lbl") =!= col("old_lbl")).count()
-      labels.unpersist()
       labels = next
       iters += 1
     }
