@@ -113,8 +113,13 @@ object RefOps {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
+      // Sum exactly in DECIMAL (partition-order-independent), then one final
+      // deterministic rounding to DOUBLE. DuckDB hands any decimal wider than
+      // 18 digits to pandas as float64, so emitting decimal128 here fails the
+      // driver's dtype-sensitive hash even when every value matches; a single
+      // exact-decimal -> double cast on BOTH sides is bit-identical.
       .agg(
-        sum("disc_price").cast(DecimalType(38, 4)).as("revenue"),
+        sum("disc_price").cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -508,7 +513,7 @@ object RefOps {
       """SELECT r_name, n_name,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-              AS DECIMAL(38,4)) AS revenue,
+              AS DOUBLE) AS revenue,
          COUNT(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -520,13 +525,13 @@ object RefOps {
       """WITH arrs AS (SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
                        FROM lineitem GROUP BY l_orderkey),
          ex AS (SELECT l_orderkey, unnest(parts) AS pk FROM arrs)
-         SELECT p_brand, COUNT(*) AS n, SUM(p_size) AS total_size
+         SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS total_size
          FROM ex JOIN part ON p_partkey = pk
          GROUP BY p_brand ORDER BY p_brand""",
     "join_any_array" ->
       """WITH arrs AS (SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
                        FROM lineitem GROUP BY l_orderkey)
-         SELECT p_brand, COUNT(*) AS n, SUM(p_size) AS total_size
+         SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS total_size
          FROM arrs JOIN part ON list_contains(parts, p_partkey)
          GROUP BY p_brand ORDER BY p_brand""",
     "join_lookup_proctime" ->

@@ -43,14 +43,27 @@ def main(sf_dir: str, out_dir: str):
             print(f"FAIL {name}: no spark output at {pdir}")
             n_fail += 1
             continue
-        got = norm(con.execute(
-            f"SELECT * FROM '{pdir}/*.parquet'").df())
+        # Read spark output with pandas directly (NOT through duckdb): the
+        # driver's hash compare is dtype-sensitive, and routing the spark
+        # side through duckdb would launder dtype differences (e.g. spark
+        # decimal128 vs duckdb float64) that the driver flags.
+        got = norm(pd.read_parquet(pdir))
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_fail += 1
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        # dtype-kind mismatch (int64 vs float64, object/Decimal vs float64,
+        # ...) fails the driver's hash even when values are equal.
+        kind_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+                    for c in got.columns
+                    if got[c].dtype.kind != want[c].dtype.kind]
+        if kind_bad:
+            c, g, w = kind_bad[0]
+            print(f"FAIL {name}: dtype col={c} spark={g} oracle={w}")
             n_fail += 1
             continue
         bad = None
