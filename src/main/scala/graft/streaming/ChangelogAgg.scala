@@ -48,7 +48,7 @@ object ChangelogAgg {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  private[streaming] def processBatch(batch: DataFrame, keyCols: Seq[String],
+  private[graft] def processBatch(batch: DataFrame, keyCols: Seq[String],
       versionCol: String, groupCols: Seq[String], agg: DataFrame => DataFrame,
       statePath: String, resultPath: String): Unit = {
     val spark = batch.sparkSession
@@ -63,12 +63,16 @@ object ChangelogAgg {
           .select(groupCols.map(col): _*).distinct()
       case None => newGroups.limit(0)
     }
-    // Materialize to the DRIVER before the upsert swaps the state files:
-    // a lazily-cached plan would recompute against deleted files on cache
-    // loss. Bounded by groups-touched-per-batch, not table size.
-    val affectedRows = newGroups.unionByName(oldGroups).distinct().collect()
-    val affected = spark.createDataFrame(
-      spark.sparkContext.parallelize(affectedRows.toSeq), newGroups.schema)
+    // Materialize BEFORE the upsert swaps the state files — a lazy plan
+    // would recompute against deleted files. Materialize DISTRIBUTED, to a
+    // scratch parquet dir next to the state table, never to the driver: a
+    // CDC burst can touch millions of groups, and a driver collect() of
+    // that set is an OOM. The scratch write is proportional to
+    // groups-touched-per-batch and is overwritten every batch.
+    val affectedPath = statePath + ".affected"
+    newGroups.unionByName(oldGroups).distinct()
+      .write.mode("overwrite").parquet(affectedPath)
+    val affected = spark.read.parquet(affectedPath)
 
     // 1. upsert latest images (deletes drop the key)
     UpsertSink.mergeBatch(batch.withColumn("_deleted", col("_op") === "d"),

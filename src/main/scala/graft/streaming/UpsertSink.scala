@@ -12,23 +12,52 @@ import org.apache.spark.sql.Row
   * a null/tombstone marker deletes the key.
   *
   * Local/test materialization is a parquet "keyed table" merged per
-  * micro-batch via foreachBatch. At cluster scale the same merge logic
-  * targets a compacted Kafka topic (append with key bytes; compaction
-  * collapses) or a MERGE-capable table format — the per-batch dedup
-  * (latest image per key) is the part that must be correct either way.
+  * micro-batch via foreachBatch. The table is laid out in hash buckets
+  * of the key (`graft_bucket=K/` partition dirs) so a merge rewrites
+  * ONLY the buckets containing batch keys — per-batch write cost is
+  * O(touched buckets), not O(table), which is what survives a 100 TB
+  * result table. At cluster scale the same merge logic targets a
+  * compacted Kafka topic (append with key bytes; compaction collapses)
+  * or a MERGE-capable table format — the per-batch dedup (latest image
+  * per key) is the part that must be correct either way.
   */
 object UpsertSink {
+
+  /** Bucket count for the keyed-table layout. Each bucket is swapped as a
+    * unit, so this bounds both merge parallelism and rewrite granularity;
+    * at larger table sizes raise it so a single bucket stays well under
+    * executor memory. Changing it on an existing table is safe only via a
+    * full rewrite (the layout migration branch in mergeBatch). */
+  val DefaultBuckets = 64
+
+  private val BucketCol = "graft_bucket"
+
+  private def bucketOf(keyCols: Seq[String], n: Int) =
+    pmod(hash(keyCols.map(col): _*), lit(n))
 
   /** Merge one (micro-)batch into the keyed parquet table at `path`.
     * - batch rows are deduped to latest-per-key by (versionCol, tiebreak);
     * - rows with `deleteCol = true` act as tombstones;
-    * - existing keys not in the batch are preserved.
-    * The swap is write-to-tmp + rename so a concurrent reader never sees
-    * a half-written table.
+    * - existing keys not in the batch are preserved;
+    * - only buckets containing batch keys are rewritten (untouched bucket
+    *   files are not opened, let alone rewritten).
+    *
+    * Crash story (parquet harness; production = Delta/Iceberg MERGE or a
+    * compacted topic): each bucket flips old→new atomically via rename,
+    * and a crash mid-swap leaves every bucket complete (old or new) with
+    * displaced old buckets parked in `path.bak` for [[readKeyedTable]]'s
+    * recovery. Cross-bucket atomicity is NOT claimed: after a crash some
+    * buckets may be new and some restored-old, and correctness instead
+    * comes from replay — the streaming checkpoint re-delivers the batch
+    * and the version-gated latest-wins merge is idempotent, so the retry
+    * converges every bucket to the new state. Concurrent readers of the
+    * raw directory may transiently miss a mid-rename bucket; single-writer
+    * single-reader-after-batch is the supported harness mode.
     */
   def mergeBatch(batch: DataFrame, keyCols: Seq[String], versionCol: String,
       path: String, deleteCol: Option[String] = None,
-      tiebreakCols: Seq[String] = Nil): Unit = {
+      tiebreakCols: Seq[String] = Nil,
+      nBuckets: Int = DefaultBuckets): Unit = {
     val spark = batch.sparkSession
     // latest-wins ACROSS batch and existing table: CDC delivery is
     // at-least-once and may replay old events, so an image (or tombstone)
@@ -43,47 +72,121 @@ object UpsertSink {
       case Some(c) => batch.withColumn(c, coalesce(col(c), lit(false)))
       case None => batch.withColumn(delCol, lit(false))
     }).withColumn("_from_batch", lit(1))
+      .withColumn(BucketCol, bucketOf(keyCols, nBuckets))
 
-    val existing: Option[DataFrame] = readKeyedTable(spark, path)
+    val existing: Option[DataFrame] = readKeyedTableRaw(spark, path)
+
+    // Buckets the batch touches — at most nBuckets values, so the driver
+    // collect here is bounded by the layout constant, never by data size.
+    val touched: Seq[Int] = batchTagged.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
 
     val merged = existing match {
-      case Some(ex) =>
+      case Some(ex) if ex.columns.contains(BucketCol) =>
+        // Partition-pruned read: only touched bucket dirs are scanned.
+        val exTouchedBuckets = ex.where(col(BucketCol).isin(touched: _*))
         val touchedKeys = batchTagged.select(keyCols.map(col): _*).distinct()
-        val exTouched = ex.join(touchedKeys, keyCols, "left_semi")
+        val exTouched = exTouchedBuckets.join(touchedKeys, keyCols, "left_semi")
           .withColumn(delCol, lit(false)).withColumn("_from_batch", lit(0))
         val winners = exTouched
           .unionByName(batchTagged.select(exTouched.columns.map(col): _*))
           .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
           .where(!col(delCol)).drop("_rn", delCol, "_from_batch")
-        ex.join(touchedKeys, keyCols, "left_anti").unionByName(winners)
+        // Bucket-resident keys NOT in the batch ride along unchanged —
+        // the bucket is the rewrite unit.
+        exTouchedBuckets.join(touchedKeys, keyCols, "left_anti")
+          .unionByName(winners)
+      case Some(ex) =>
+        // Layout migration: a pre-bucketing flat table — merge the old way
+        // and rewrite everything once into the bucketed layout.
+        val touchedKeys = batchTagged.select(keyCols.map(col): _*).distinct()
+        val exTouched = ex.join(touchedKeys, keyCols, "left_semi")
+          .withColumn(delCol, lit(false)).withColumn("_from_batch", lit(0))
+          .withColumn(BucketCol, bucketOf(keyCols, nBuckets))
+        val winners = exTouched
+          .unionByName(batchTagged.select(exTouched.columns.map(col): _*))
+          .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+          .where(!col(delCol)).drop("_rn", delCol, "_from_batch")
+        ex.join(touchedKeys, keyCols, "left_anti")
+          .withColumn(BucketCol, bucketOf(keyCols, nBuckets))
+          .unionByName(winners)
       case None =>
         batchTagged
           .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
           .where(!col(delCol)).drop("_rn", delCol, "_from_batch")
     }
-    // Crash-safe swap: the previous table is renamed to .bak (not deleted)
-    // before the new one moves in, so at every instant either the target
-    // or the backup holds a complete table; readKeyedTable falls back to
-    // the backup. (A production deployment uses a table format with
-    // atomic commits — Delta/Iceberg — or a compacted Kafka topic; this
-    // keeps the parquet harness honest about crashes.)
+
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + ".tmp")
-    val bak = new Path(path + ".bak")
     val target = new Path(path)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(target)) fs.rename(target, bak)
-    fs.rename(tmp, target)
-    if (fs.exists(bak)) fs.delete(bak, true)
+    val isBucketedMerge = existing.exists(_.columns.contains(BucketCol))
+    val fullRewrite = !isBucketedMerge // fresh table or layout migration
+
+    val tmp = new Path(path + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+
+    if (fullRewrite) {
+      // Whole-table swap (first write / migration): same protocol, with
+      // the entire table as the single swap unit.
+      val bak = new Path(path + ".bak")
+      if (fs.exists(bak)) fs.delete(bak, true)
+      if (fs.exists(target)) fs.rename(target, bak)
+      fs.rename(tmp, target)
+      if (fs.exists(bak)) fs.delete(bak, true)
+    } else {
+      // Per-bucket swap: park old buckets in .bak, move new ones in.
+      val bakRoot = new Path(path + ".bak")
+      if (fs.exists(bakRoot)) fs.delete(bakRoot, true)
+      fs.mkdirs(bakRoot)
+      touched.foreach { b =>
+        val dir = s"$BucketCol=$b"
+        val tgtB = new Path(target, dir)
+        val tmpB = new Path(tmp, dir)
+        if (fs.exists(tgtB)) fs.rename(tgtB, new Path(bakRoot, dir))
+        // A bucket emptied by tombstones has no tmp dir — absence IS the
+        // new state.
+        if (fs.exists(tmpB)) fs.rename(tmpB, tgtB)
+      }
+      fs.delete(bakRoot, true)
+      fs.delete(tmp, true)
+    }
   }
 
-  /** Read a keyed table written by [[mergeBatch]], falling back to the
-    * .bak copy if a crash happened mid-swap. */
-  def readKeyedTable(spark: SparkSession, path: String): Option[DataFrame] = {
+  /** Read a keyed table written by [[mergeBatch]] (bucket column hidden). */
+  def readKeyedTable(spark: SparkSession, path: String): Option[DataFrame] =
+    readKeyedTableRaw(spark, path).map { df =>
+      if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+    }
+
+  /** Read including the layout's bucket column, recovering from a crashed
+    * swap first: any bucket parked in `.bak` whose target dir is missing
+    * is restored (safe — the interrupted micro-batch replays and the
+    * version-gated merge converges it forward). */
+  private def readKeyedTableRaw(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(path))) Some(spark.read.parquet(path))
-    else if (fs.exists(new Path(path + ".bak"))) Some(spark.read.parquet(path + ".bak"))
+    val target = new Path(path)
+    val bakRoot = new Path(path + ".bak")
+    // Recovery first, so every later read (and the next merge) sees a
+    // complete table AT THE TARGET path and never holds a lazy plan over
+    // .bak files a subsequent swap would delete:
+    // - whole-table swap died after target->bak: restore by rename;
+    // - per-bucket swap died mid-loop: restore each parked bucket whose
+    //   target dir is missing (safe — the interrupted micro-batch replays
+    //   and the version-gated merge converges it forward).
+    if (fs.exists(bakRoot)) {
+      if (!fs.exists(target)) fs.rename(bakRoot, target)
+      else {
+        fs.listStatus(bakRoot).foreach { st =>
+          val tgtB = new Path(target, st.getPath.getName)
+          if (st.getPath.getName.startsWith(s"$BucketCol=") && !fs.exists(tgtB))
+            fs.rename(st.getPath, tgtB)
+        }
+        fs.delete(bakRoot, true)
+      }
+    }
+    if (fs.exists(target) && fs.listStatus(target).exists(s =>
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")))
+      Some(spark.read.parquet(path))
     else None
   }
 

@@ -73,6 +73,57 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1 -> "v1c", 3 -> "v3"))
   }
 
+  test("bucketed merge rewrites only touched buckets; untouched files byte-identical") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("bucketed").toString + "/table"
+    UpsertSink.mergeBatch(
+      spark.range(1000).selectExpr("CAST(id AS INT) AS id", "concat('v', id) AS v", "id AS ver"),
+      Seq("id"), "ver", dir)
+    def snapshot(): Map[String, String] =
+      JFiles.walk(JPaths.get(dir)).iterator().asScala
+        .filter(p => JFiles.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          p.toString -> md.digest(JFiles.readAllBytes(p)).map("%02x".format(_)).mkString
+        }.toMap
+    val before = snapshot()
+    assert(before.keys.map(_.split("/").init.last).toSet.size > 1,
+      "table should span multiple bucket dirs")
+    UpsertSink.mergeBatch(Seq((5, "V5NEW", 5000L)).toDF("id", "v", "ver"),
+      Seq("id"), "ver", dir)
+    val after = snapshot()
+    // exactly one bucket dir changed; every surviving file outside it is
+    // byte-identical (same path, same md5)
+    val changedDirs = ((before.keySet diff after.keySet) ++ (after.keySet diff before.keySet) ++
+      before.keySet.intersect(after.keySet).filter(k => before(k) != after(k)))
+      .map(_.split("/").init.last)
+    assert(changedDirs.size == 1, s"expected 1 touched bucket dir, got $changedDirs")
+    val got = spark.read.parquet(dir).select("id", "v")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got.size == 1000 && got(5) == "V5NEW" && got(6) == "v6")
+  }
+
+  test("keyed-table read recovers a bucket parked in .bak by a crashed swap") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("bucketrec").toString + "/table"
+    UpsertSink.mergeBatch(
+      spark.range(100).selectExpr("CAST(id AS INT) AS id", "concat('v', id) AS v", "id AS ver"),
+      Seq("id"), "ver", dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between rename(target->bak) and rename(tmp->target)
+    // for one bucket: park it in .bak and remove it from the table
+    val bucketDir = fs.listStatus(new Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("graft_bucket=")).head
+    fs.mkdirs(new Path(dir + ".bak"))
+    fs.rename(bucketDir, new Path(dir + ".bak/" + bucketDir.getName))
+    val restored = UpsertSink.readKeyedTable(spark, dir).get
+    assert(restored.count() == 100, "parked bucket should be restored on read")
+    assert(!fs.exists(new Path(dir + ".bak")))
+  }
+
   test("upsert sink ignores replayed stale versions (at-least-once CDC delivery)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("upsert_stale").toString + "/table"
@@ -405,6 +456,28 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(r2 == Map("gA" -> (1L, 10L), "gC" -> (1L, 1L)),
       s"got $r2") // gB tombstoned away
+  }
+
+  test("changelog agg: a batch touching 1e5 distinct groups stays off the driver") {
+    // Regression for the old driver-side collect() of affected groups: a
+    // wide CDC burst (here every row its own group) must flow through the
+    // distributed scratch-path materialization, not driver memory.
+    val dir = Files.createTempDirectory("chaggwide").toString
+    val batch = spark.range(100000).selectExpr(
+      "CAST(id AS INT) AS id", "concat('g', id) AS grp",
+      "CAST(id % 7 AS INT) AS v", "'c' AS _op", "id AS ver")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    graft.streaming.ChangelogAgg.processBatch(batch, Seq("id"), "ver",
+      Seq("grp"), agg, dir + "/state", dir + "/result")
+    assert(spark.read.parquet(dir + "/result").count() === 100000L)
+    // second batch: delete half the keys -> half the groups tombstone away
+    val dels = spark.range(50000).selectExpr(
+      "CAST(id AS INT) AS id", "concat('g', id) AS grp",
+      "CAST(id % 7 AS INT) AS v", "'d' AS _op", "id + 200000 AS ver")
+    graft.streaming.ChangelogAgg.processBatch(dels, Seq("id"), "ver",
+      Seq("grp"), agg, dir + "/state", dir + "/result")
+    assert(spark.read.parquet(dir + "/result").count() === 50000L)
   }
 
   test("upsert stream end-to-end: changelog -> decode -> foreachBatch upsert") {
