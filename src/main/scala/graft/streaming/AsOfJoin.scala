@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.expressions.RowCodec
 
 /** Event-time temporal (as-of) join over changelog dimensions — the
   * `FOR SYSTEM_TIME AS OF probe.event_time` of
@@ -20,7 +21,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * - State GC: versions superseded before the watermark can never match
   *   a future probe, so only the latest version ≤ watermark plus all
   *   newer versions are kept — bounding the "possibly large state"
-  *   concern (README.md:559).
+  *   concern (README.md:559). Keys holding only versions re-GC on an
+  *   event-time timeout, so idle keys prune as the watermark advances
+  *   instead of retaining history until their next event.
+  * - Event times compare at MICROSECOND precision (Spark timestamps are
+  *   µs): two versions inside the same millisecond order correctly,
+  *   matching the batch form and DuckDB ASOF semantics. Only the
+  *   watermark gate itself is millisecond-granular (Spark's watermark
+  *   unit).
   * - Late probes (ts < watermark on arrival) still emit — matched
   *   against retained history — rather than silently dropping.
   * - Works in batch mode too (no watermark ⇒ everything flushes),
@@ -36,44 +44,54 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * dropped; the residual effect is bounded staleness when a dim version
   * between a late probe's time and the watermark was already GC'd.
   *
-  * Scale note: payloads travel as JSON strings (schema-generic), so each
-  * chained hop pays a whole-row to_json/from_json round-trip and state
-  * holds text rows. Fine for dimension-sized streams; for very wide/hot
-  * probes a typed-payload variant (binary row encoder instead of JSON)
-  * is the planned optimization.
+  * Payloads travel as Spark's own UnsafeRow bytes
+  * ([[graft.expressions.StructToBinary]]) — schema-generic like JSON,
+  * but encode is one unsafe projection and decode is pointer assignment,
+  * so a chained hop no longer pays a text format/parse round-trip per
+  * row and state holds compact binary rows.
   */
 object AsOfJoin {
 
+  /** Re-GC cadence for keys left holding only dimension versions: the
+    * state wakes up this many ms past the watermark to prune superseded
+    * versions even if the key never sees another event. */
+  private val IdleGcIntervalMs = 60000L
+
   /** One tagged input row: join key, event time (this column carries the
     * stream's watermark — do not project it away before the stateful op),
-    * side, payload (a JSON-encoded row — keeps the operator
+    * side, payload (an UnsafeRow-encoded row — keeps the operator
     * schema-generic). */
   case class AsOfEvent(k: String, eventTime: java.sql.Timestamp,
-      isProbe: Boolean, payload: String) {
-    def ts: Long = eventTime.getTime
+      isProbe: Boolean, payload: Array[Byte]) {
+    /** Microsecond event time: getTime carries ms, getNanos the full
+      * sub-second — combine without double-counting the ms part. */
+    def ts: Long = eventTime.getTime * 1000L + (eventTime.getNanos / 1000L) % 1000L
   }
 
   /** Output: probe row + the dim version in effect at probe.ts (None if
-    * no version existed yet). */
-  case class AsOfJoined(k: String, probeTs: Long, probePayload: String,
-      buildTs: Option[Long], buildPayload: Option[String])
+    * no version existed yet). Times are µs since epoch. */
+  case class AsOfJoined(k: String, probeTs: Long, probePayload: Array[Byte],
+      buildTs: Option[Long], buildPayload: Option[Array[Byte]])
 
-  case class AsOfState(builds: List[(Long, String)], probes: List[(Long, String)])
+  case class AsOfState(builds: List[(Long, Array[Byte])], probes: List[(Long, Array[Byte])])
 
-  private def flush(key: String, st: AsOfState, watermark: Long):
+  /** `wm` in µs (watermark ms × 1000). */
+  private def flush(key: String, st: AsOfState, wm: Long):
       (List[AsOfJoined], AsOfState) = {
-    val sortedBuilds = st.builds.sortBy(identity)
+    val sortedBuilds = st.builds.sortBy(_._1)
     // STRICTLY below the watermark: Spark admits rows with ts == watermark
     // as on-time, so a build row at exactly wm may still arrive — a probe
     // at wm must keep waiting or it could miss an equal-timestamp version
-    // (at-or-before semantics include equality).
-    val (ready, pending) = st.probes.partition(_._1 < watermark)
-    val out = ready.sorted.map { case (pts, ppay) =>
+    // (at-or-before semantics include equality). In µs terms every ts in
+    // [wm, wm+999] shares the watermark's millisecond, so the strict gate
+    // also holds probes in that not-yet-safe tail.
+    val (ready, pending) = st.probes.partition(_._1 < wm)
+    val out = ready.sortBy(_._1).map { case (pts, ppay) =>
       val m = sortedBuilds.takeWhile(_._1 <= pts).lastOption
       AsOfJoined(key, pts, ppay, m.map(_._1), m.map(_._2))
     }
     // GC: keep the newest version at-or-before the watermark + all after.
-    val cutoffIdx = sortedBuilds.lastIndexWhere(_._1 <= watermark)
+    val cutoffIdx = sortedBuilds.lastIndexWhere(_._1 <= wm)
     val kept = if (cutoffIdx <= 0) sortedBuilds else sortedBuilds.drop(cutoffIdx)
     (out, AsOfState(kept, pending))
   }
@@ -83,9 +101,10 @@ object AsOfJoin {
     // Batch mode = complete input: flush everything. (Some Spark versions
     // report watermark 0 rather than throwing in batch, so an explicit
     // flag is safer than Try.)
-    val wm =
+    val wmMs =
       if (!streaming) Long.MaxValue
       else scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+    val wm = if (wmMs == Long.MaxValue) Long.MaxValue else wmMs * 1000L
     if (sys.env.contains("GRAFT_ASOF_DEBUG"))
       System.err.println(s"[asof] key=$key wm=$wm timedOut=${state.hasTimedOut} hasState=${state.exists}")
     val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
@@ -98,9 +117,19 @@ object AsOfJoin {
       state.remove()
     } else {
       state.update(next)
-      if (next.probes.nonEmpty && wm != Long.MaxValue) {
-        // wake up when the watermark passes the earliest pending probe
-        state.setTimeoutTimestamp(math.max(next.probes.map(_._1).min, wm + 1))
+      if (wm != Long.MaxValue) {
+        if (next.probes.nonEmpty) {
+          // wake up when the watermark passes the earliest pending probe
+          // (timeouts are in watermark ms; probe times are µs)
+          state.setTimeoutTimestamp(
+            math.max(next.probes.map(_._1).min / 1000L + 1, wmMs + 1))
+        } else if (next.builds.size > 1) {
+          // builds-only key with prunable history: re-run GC later even
+          // if no further event ever arrives for this key, so superseded
+          // versions don't outlive the watermark (single-version keys
+          // need no wakeup — one retained version IS the steady state).
+          state.setTimeoutTimestamp(wmMs + IdleGcIntervalMs)
+        }
       }
     }
     out.iterator
@@ -121,13 +150,16 @@ object AsOfJoin {
 
   /** Tag a DataFrame side for the union: key col, event-time col (must be
     * TimestampType; keep the same column the watermark was set on), and
-    * the full row JSON-encoded as payload. */
-  def tag(df: DataFrame, keyCol: String, tsCol: String, isProbe: Boolean): DataFrame =
+    * the full row UnsafeRow-encoded as payload. */
+  def tag(df: DataFrame, keyCol: String, tsCol: String, isProbe: Boolean): DataFrame = {
+    RowCodec.register(df.sparkSession)
     df.select(
       col(keyCol).cast("string").as("k"),
       col(tsCol).as("eventTime"),
       lit(isProbe).as("isProbe"),
-      to_json(struct(df.columns.map(col): _*)).as("payload"))
+      call_function("struct_to_binary",
+        struct(df.columns.map(col): _*)).as("payload"))
+  }
 
   /** Wide as-of join: like [[joinDataFrames]] but decodes the payloads
     * back to columns — probe columns as-is, build columns prefixed — and
@@ -139,12 +171,15 @@ object AsOfJoin {
       tsCol: String, buildPrefix: String,
       delay: String = "0 seconds"): DataFrame = {
     val joined = joinDataFrames(probe, build, keyCol, tsCol, delay)
+    RowCodec.register(probe.sparkSession)
     val pCols = probe.schema.fieldNames
     val bCols = build.schema.fieldNames
     joined
       .select(
-        from_json(col("probePayload"), probe.schema).as("_p"),
-        from_json(col("buildPayload"), build.schema).as("_b"))
+        call_function("binary_to_struct",
+          col("probePayload"), lit(probe.schema.toDDL)).as("_p"),
+        call_function("binary_to_struct",
+          col("buildPayload"), lit(build.schema.toDDL)).as("_b"))
       .select(
         pCols.map(c => col(s"_p.$c").as(c)) ++
           bCols.filterNot(_ == tsCol).map(c => col(s"_b.$c").as(buildPrefix + c)): _*)
@@ -152,7 +187,7 @@ object AsOfJoin {
 
   /** Convenience: full as-of join of two DataFrames on a key + event-time
     * column. `delay` is the watermark for streaming inputs (ignored for
-    * batch). Output: key, probe/build event times + JSON payloads. */
+    * batch). Output: key, probe/build event times (µs) + binary payloads. */
   def joinDataFrames(probe: DataFrame, build: DataFrame, keyCol: String,
       tsCol: String, delay: String = "0 seconds"): Dataset[AsOfJoined] = {
     val spark = probe.sparkSession

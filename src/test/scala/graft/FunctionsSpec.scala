@@ -89,6 +89,23 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(3) == "pay load")
   }
 
+  test("RowCodec: struct_to_binary -> binary_to_struct round-trips mixed types exactly") {
+    import spark.implicits._
+    graft.expressions.RowCodec.register(spark)
+    val df = Seq(
+      (1, "héllo wörld", Seq(1, 2, 3), Some(2.5), 1723450000123456L),
+      (2, null.asInstanceOf[String], Seq.empty[Int], None, 0L))
+      .toDF("id", "s", "arr", "d", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val ddl = df.schema.toDDL
+    val back = df
+      .select(call_function("struct_to_binary", struct(df.columns.map(col): _*)).as("b"))
+      .select(call_function("binary_to_struct", col("b"), lit(ddl)).as("r"))
+      .select(df.columns.map(c => col(s"r.$c").as(c)): _*)
+    val (orig, rt) = (df.orderBy("id").collect(), back.orderBy("id").collect())
+    assert(orig.toSeq == rt.toSeq, s"round trip mismatch:\n${orig.toSeq}\n${rt.toSeq}")
+  }
+
   test("hourWindowFilter is a half-open (lo, hi] window one hour wide") {
     import spark.implicits._
     val eval = lit("2024-01-15 12:34:56").cast("timestamp")

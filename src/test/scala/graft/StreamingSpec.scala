@@ -149,8 +149,23 @@ class StreamingSpec extends SparkSpec {
       .select(col("key"), col("tag"), timestamp_millis(col("ts")).as("ts"))
     val got = AsOfJoin.joinDataFrames(probe, build, "key", "ts")
       .collect().map(j => (j.probeTs, j.buildTs)).toSet
+    // emitted times are µs since epoch
     assert(got == Set(
-      (500L, None), (2000L, Some(1000L)), (3000L, Some(3000L)), (4000L, Some(3000L))))
+      (500000L, None), (2000000L, Some(1000000L)),
+      (3000000L, Some(3000000L)), (4000000L, Some(3000000L))))
+  }
+
+  test("as-of join distinguishes versions within the same millisecond (µs precision)") {
+    import spark.implicits._
+    // two versions and two probes all inside millisecond 1000 — only
+    // µs-precision comparison pairs them correctly
+    val build = Seq((1, 8, 1000100L), (1, 9, 1000700L)).toDF("key", "price", "us")
+      .select(col("key"), col("price"), timestamp_micros(col("us")).as("ts"))
+    val probe = Seq((1, "a", 1000400L), (1, "b", 1000900L)).toDF("key", "tag", "us")
+      .select(col("key"), col("tag"), timestamp_micros(col("us")).as("ts"))
+    val got = AsOfJoin.joinDataFrames(probe, build, "key", "ts")
+      .collect().map(j => (j.probeTs, j.buildTs)).toSet
+    assert(got == Set((1000400L, Some(1000100L)), (1000900L, Some(1000700L))))
   }
 
   test("as-of join (streaming): dim update arriving AFTER the probe still joins the right version") {
@@ -159,7 +174,7 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(String, Long, Boolean, String)]
     val tagged = input.toDF().toDF("k", "tsMs", "isProbe", "payload")
       .select(col("k"), timestamp_millis(col("tsMs")).as("eventTime"),
-        col("isProbe"), col("payload"))
+        col("isProbe"), col("payload").cast("binary").as("payload"))
       .withWatermark("eventTime", "10 seconds")
       .as[AsOfJoin.AsOfEvent]
     val out = AsOfJoin.join(tagged)
@@ -184,9 +199,10 @@ class StreamingSpec extends SparkSpec {
       input.addData(("k1", 40000L, false, "bump"))
       q.processAllAvailable()
       val rows = spark.table("asof_out").collect()
-        .map(r => (r.getAs[Long]("probeTs"), r.getAs[String]("buildPayload")))
+        .map(r => (r.getAs[Long]("probeTs"),
+          Option(r.getAs[Array[Byte]]("buildPayload")).map(new String(_)).orNull))
       // the probe at 2000 must see v1.5 (version as of 1500), NOT v1 or v2
-      assert(rows.contains((2000L, "v1.5")),
+      assert(rows.contains((2000000L, "v1.5")),
         s"expected probe@2000 -> v1.5, got ${rows.mkString(",")}")
     } finally q.stop()
   }
@@ -202,7 +218,7 @@ class StreamingSpec extends SparkSpec {
       .select(col("key"), col("tag"), timestamp_millis(col("ts")).as("ts"))
     val got = AsOfJoin.joinDataFrames(probe, build, "key", "ts")
       .collect().map(j => (j.probeTs, j.buildTs)).toSet
-    assert(got == Set((99L, None), (1000000L, Some(300L))))
+    assert(got == Set((99000L, None), (1000000000L, Some(300000L))))
   }
 
   test("scenario 6 chain: two as-of joins back to back in one streaming query") {
@@ -405,7 +421,7 @@ class StreamingSpec extends SparkSpec {
     // (the reference's idle-watermark problem, README.md:526-545).
     val raw = input.toDF().toDF("k", "tsMs", "isProbe", "payload")
       .select(col("k"), timestamp_millis(col("tsMs")).as("eventTime"),
-        col("isProbe"), col("payload"))
+        col("isProbe"), col("payload").cast("binary").as("payload"))
     val withHb = graft.streaming.Heartbeats
       .withIdleHeartbeat(raw, "eventTime", "0 seconds", rowsPerSecond = 5)
       .as[AsOfJoin.AsOfEvent]
@@ -424,8 +440,9 @@ class StreamingSpec extends SparkSpec {
         if (!done) Thread.sleep(500)
       }
       val rows = spark.table("hb_out").collect()
-        .map(r => (r.getAs[Long]("probeTs"), r.getAs[String]("buildPayload")))
-      assert(rows.contains((2000L, "v1")),
+        .map(r => (r.getAs[Long]("probeTs"),
+          Option(r.getAs[Array[Byte]]("buildPayload")).map(new String(_)).orNull))
+      assert(rows.contains((2000000L, "v1")),
         s"heartbeat should flush the probe; got ${rows.mkString(",")}")
     } finally q.stop()
   }
