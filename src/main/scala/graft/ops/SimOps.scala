@@ -39,18 +39,61 @@ object SimOps {
       sqrt(expr("float_dot(embedding, embedding)")).as("c_nrm"))
   }
 
-  /** Brute-force exact cosine top-k per query vector. Norms precomputed
-    * per side; dot via the codegen'd float_dot expression. */
-  val bruteTopK: Q = (s, d) => {
+  /** Partition-local exact top-k per query under the final total order
+    * (sim DESC, vec_id ASC), applied BEFORE the per-query rank window.
+    *
+    * Without this, the window shuffles every scored row to |Q| partitions
+    * — invisible at 8 queries, a straggler factory for a real query
+    * batch. With it, each input partition forwards at most |Q|·k rows
+    * (a bounded in-memory selection, no sort of the partition), so the
+    * final window sees ≤ |partitions|·k rows per query no matter how big
+    * the corpus is. Lossless: a row outside its partition's top-k can
+    * never be in the global top-k under the same total order.
+    * Memory bound per partition: |Q|·k entries — fine while the query
+    * set is broadcast-sized (the same assumption the join already makes). */
+  private def partitionTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // rank order: better = higher sim, ties to the smaller vec_id
+    val rankOrd: Ordering[(Double, Long)] =
+      Ordering.by { case (sim, id) => (-sim, id) }
+    scored.select(col("q_id"), col("vec_id"), col("sim"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val best = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.TreeSet[(Double, Long)]]
+        it.foreach { case (q, v, s) =>
+          val set = best.getOrElseUpdate(q,
+            scala.collection.mutable.TreeSet.empty[(Double, Long)](rankOrd))
+          set.add((s, v))
+          if (set.size > k) set.remove(set.last)
+        }
+        best.iterator.flatMap { case (q, set) =>
+          set.iterator.map { case (s, v) => (q, v, s) }
+        }
+      }
+      .toDF("q_id", "vec_id", "sim")
+  }
+
+  /** Shared tail: partial top-k, then the per-query rank over the bounded
+    * survivor set. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    corpusWithNorm(s, d).join(broadcast(qset(s, d)), col("vec_id") =!= col("q_id"))
-      .withColumn("sim",
-        expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm")))
+    partitionTopK(scored, k)
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
+      .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
       .orderBy("q_id", "rank")
   }
+
+  /** Brute-force exact cosine top-k per query vector. Norms precomputed
+    * per side; dot via the codegen'd float_dot expression. */
+  val bruteTopK: Q = (s, d) =>
+    rankTopK(
+      corpusWithNorm(s, d).join(broadcast(qset(s, d)), col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
+      K)
 
   /** Sign-bit bucket of an embedding: 4 axis-aligned hyperplanes
     * (dims 1, 17, 33, 49) → 16 buckets. A real deployment derives many
@@ -65,15 +108,12 @@ object SimOps {
   val lshTopK: Q = (s, d) => {
     val corpus = corpusWithNorm(s, d).withColumn("bucket", bucketExpr("embedding"))
     val q = qset(s, d).withColumn("q_bucket", bucketExpr("q_emb"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    corpus.join(broadcast(q),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .withColumn("sim",
-        expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
-      .orderBy("q_id", "rank")
+    rankTopK(
+      corpus.join(broadcast(q),
+          col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
+      3)
   }
 
   private val NCentroids = 16
@@ -90,30 +130,35 @@ object SimOps {
     graft.expressions.VectorExpressions.register(s)
     val cents = embeddings(s, d).where(col("vec_id") < NCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    def nearestCentroids(df: DataFrame, idCol: String, embCol: String,
-        n: Int, outCol: String): DataFrame = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(col("c_dist").asc, col("c_id").asc)
+    def withCentDist(df: DataFrame, embCol: String): DataFrame =
       df.join(broadcast(cents), lit(true))
         .withColumn("c_dist",
           expr(s"float_dot($embCol, $embCol) + float_dot(c_emb, c_emb) - 2 * float_dot($embCol, c_emb)"))
-        .withColumn("c_rank", row_number().over(w))
-        .where(col("c_rank") <= n)
-        .withColumn(outCol, col("c_id"))
-        .drop("c_id", "c_emb", "c_dist", "c_rank")
-    }
-    val corpus = nearestCentroids(
-      corpusWithNorm(s, d), "vec_id", "embedding", 1, "list_id")
-    val q = nearestCentroids(qset(s, d), "q_id", "q_emb", NProbe, "probe_list")
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    corpus.join(broadcast(q),
-        col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
-      .withColumn("sim",
-        expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
-      .orderBy("q_id", "rank")
+    // Corpus assignment is rank-1-of-NCentroids: min_by aggregates the
+    // nearest centroid with map-side partial aggregation (the ×NCentroids
+    // candidate blowup collapses before the exchange), where a window
+    // row_number would shuffle and sort every candidate row.
+    val corpus = withCentDist(corpusWithNorm(s, d), "embedding")
+      .groupBy("vec_id")
+      .agg(min_by(
+        struct(col("embedding"), col("c_nrm"), col("c_id")),
+        struct(col("c_dist"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.c_nrm").as("c_nrm"), col("m.c_id").as("list_id"))
+    // Queries probe nprobe lists — rank-n needs the window, but only over
+    // |Q|·NCentroids rows (the broadcast-small side).
+    val wq = Window.partitionBy("q_id").orderBy(col("c_dist").asc, col("c_id").asc)
+    val q = withCentDist(qset(s, d), "q_emb")
+      .withColumn("c_rank", row_number().over(wq))
+      .where(col("c_rank") <= NProbe)
+      .withColumn("probe_list", col("c_id"))
+      .drop("c_id", "c_emb", "c_dist", "c_rank")
+    rankTopK(
+      corpus.join(broadcast(q),
+          col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
+      3)
   }
 
   val queries: Map[String, Q] = Map(
