@@ -35,7 +35,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ANN quality: recall@3 of the bucketed variants against the exact
+    // brute-force top-3, so an index change that silently tanks quality is
+    // visible next to its speedup.
+    val recallJson = try {
+      import org.apache.spark.sql.functions.col
+      def topSet(name: String): Map[Long, Set[Long]] =
+        SparkEntry.queries(name)(spark, sfDir).where(col("rank") <= 3).collect()
+          .groupBy(_.getAs[Long]("q_id"))
+          .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      val truth = topSet("sim_brute_topk")
+      val entries = Seq("sim_lsh_topk", "sim_ivf_topk").map { n =>
+        val approx = topSet(n)
+        val per = truth.toSeq.map { case (q, t) =>
+          (approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size) }
+        val r = if (per.nonEmpty) per.sum / per.size else 0.0
+        "\"" + n + "\":" + r
+      }
+      entries.mkString(",\"recall_at_3\":{", ",", "}")
+    } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$recallJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
