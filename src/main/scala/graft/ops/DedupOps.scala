@@ -162,13 +162,16 @@ object DedupOps {
         .join(labels.withColumnRenamed("doc_id", "src").withColumnRenamed("lbl", "src_lbl"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min("src_lbl").as("nbr_lbl"))
+      // Carry the old label through the propagation join so convergence is
+      // read off the SAME materialized result — the old separate
+      // next-vs-labels join doubled the per-iteration job count; the
+      // where-count below only rescans the checkpointed blocks.
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old_lbl"), "doc_id")
-        .where(col("lbl") =!= col("old_lbl")).count()
-      labels = next
+      changed = next.where(col("lbl") =!= col("old_lbl")).count()
+      labels = next.select("doc_id", "lbl")
       iters += 1
     }
     val out = labels.select(col("doc_id"), col("lbl").as("cluster_keeper"))
