@@ -48,8 +48,7 @@ object DedupOps {
     * This is the scalable formulation: no doc×doc cross join; work is
     * proportional to Σ df(shingle)², controllable by pruning hot shingles
     * (df cap) at higher scale. */
-  val ngramJaccard: Q = (s, d) => {
-    val sh = docShingles(s, d)
+  private def jaccardFromShingles(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -62,6 +61,30 @@ object DedupOps {
       .where(col("inter") * 10 >= col("union_sz") * 3) // jaccard >= 0.3, integer math
       .select("doc_a", "doc_b", "inter", "union_sz")
       .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccard: Q = (s, d) => jaccardFromShingles(docShingles(s, d))
+
+  /** Document-frequency cap for the capped jaccard variant: shingles seen
+    * in more than this many documents are dropped before pair generation.
+    * The self-join's work is Σ df(shingle)², so one boilerplate shingle
+    * shared by 1M docs would alone generate 10¹² candidate pairs — the cap
+    * bounds every shingle's contribution at DfCap². */
+  private val DfCap = 100
+
+  /** Jaccard near-dup with hot shingles pruned — the 100 TB-safe form of
+    * [[ngramJaccard]]. Semantics: jaccard over the df≤cap shingle space
+    * (sizes AND intersections both exclude hot shingles, so the ratio is
+    * consistent). Recall trade, stated: a pair similar ONLY through
+    * ubiquitous shingles (boilerplate, headers) is missed — at threshold
+    * 0.3 such pairs are dominated by shared boilerplate, which is usually
+    * exactly what dedup should NOT fire on. The hot list is tiny by
+    * construction (few shingles can exceed df > cap), so it broadcasts. */
+  val ngramJaccardCapped: Q = (s, d) => {
+    val sh = docShingles(s, d)
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > DfCap).select("sh")
+    jaccardFromShingles(sh.join(broadcast(hot), Seq("sh"), "left_anti"))
   }
 
   private val NumHashes = 9
@@ -95,26 +118,40 @@ object DedupOps {
   }
 
   /** SimHash: 64-bit fingerprint; bit b = sign of Σ_tokens (±1 from bit b
-    * of md5(token)). Emitted as a 64-char bitstring. Distributed as
-    * explode(tokens) × 64 bit-positions → two hash aggregations. */
+    * of md5(token)). Emitted as a 64-char bitstring.
+    *
+    * Packed-bit formulation: the first 16 hex digits of md5(token) are
+    * parsed into two 32-bit longs ONCE per token, and the per-bit ±1 sums
+    * become 64 codegen'd `sum((h >> k) & 1)` aggregates in a single hash
+    * aggregation — sign(2·S_b − N) replaces sign(Σ±1). One shuffle of one
+    * row per (doc, token) where the old explode(0..63) form shuffled 64×
+    * that; no collect_list reassembly pass either. */
   val simhash: Q = (s, d) => {
     graft.expressions.TextShingles.register(s)
     val toks = documents(s, d)
       .select(col("doc_id"), explode(expr("text_shingles(text, 1)")).as("tok"))
-    val bits = toks
-      .withColumn("b", explode(sequence(lit(0), lit(63))))
-      .withColumn("nib",
-        expr("instr('0123456789abcdef', substring(md5(tok), b div 4 + 1, 1)) - 1"))
-      .withColumn("contrib", expr("2 * (shiftright(nib, 3 - b % 4) & 1) - 1"))
-      .groupBy("doc_id", "b")
-      .agg(sum("contrib").as("sc"))
-      .withColumn("bit", when(col("sc") > 0, "1").otherwise("0"))
-    bits.groupBy("doc_id")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("b"), col("bit")))),
-          x => x.getField("bit")), "").as("simhash"))
-      .orderBy("doc_id")
+      .withColumn("h", md5(col("tok")))
+      // two unsigned 32-bit halves — conv parses hex, each fits a long
+      .withColumn("hi", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+    // bit b of the 64-bit prefix, MSB-first (bit 0 = MSB of `hi`), matching
+    // the nibble arithmetic of the oracle SQL exactly
+    val bitSums = (0 until 64).map { b =>
+      val (src, sh) = if (b < 32) (col("hi"), 31 - b) else (col("lo"), 63 - b)
+      sum(shiftright(src, sh).bitwiseAND(lit(1L))).as(s"s$b")
+    }
+    val aggCols = bitSums :+ count(lit(1)).as("n_tok")
+    documentsSimhashAssemble(
+      toks.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*))
   }
+
+  /** Assemble the 64-char bitstring: bit b set iff 2·S_b > N (the packed
+    * equivalent of Σ±1 > 0). */
+  private def documentsSimhashAssemble(agg: DataFrame): DataFrame =
+    agg.select(col("doc_id"),
+      concat((0 until 64).map(b =>
+        when(col(s"s$b") * 2 > col("n_tok"), "1").otherwise("0")): _*).as("simhash"))
+      .orderBy("doc_id")
 
   /** Embedding-cosine near-dup pairs (threshold 0.3). Exact pairwise
     * baseline: broadcast nested-loop over the smaller side; at corpus
@@ -184,6 +221,7 @@ object DedupOps {
     "dedup_exact" -> exact,
     "dedup_cluster" -> cluster,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_ngram_jaccard_capped" -> ngramJaccardCapped,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_embedding_cosine" -> embeddingCosine,
@@ -241,6 +279,21 @@ object DedupOps {
           sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
           pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
                     FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b, inter, sa.n_sh + sb.n_sh - inter AS union_sz
+          FROM pairs
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b
+          WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3
+          ORDER BY doc_a, doc_b""",
+    "dedup_ngram_jaccard_capped" ->
+      s"""WITH $ShinglesSql,
+          dfq AS (SELECT sh AS hsh, COUNT(*) AS df FROM sh GROUP BY sh),
+          kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfq ON s.sh = dfq.hsh
+                   WHERE df <= $DfCap),
+          sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                    FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
                     GROUP BY 1, 2)
           SELECT doc_a, doc_b, inter, sa.n_sh + sb.n_sh - inter AS union_sz
           FROM pairs

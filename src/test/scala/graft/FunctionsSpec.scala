@@ -106,6 +106,30 @@ class FunctionsSpec extends SparkSpec {
     assert(orig.toSeq == rt.toSeq, s"round trip mismatch:\n${orig.toSeq}\n${rt.toSeq}")
   }
 
+  test("packed-bit simhash == the explode(0..63) reference formulation, bit for bit") {
+    val d = "/root/testdata/sf0.001"
+    graft.expressions.TextShingles.register(spark)
+    // the pre-round-2 formulation: explicit per-bit rows
+    val toks = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), explode(expr("text_shingles(text, 1)")).as("tok"))
+    val reference = toks
+      .withColumn("b", explode(sequence(lit(0), lit(63))))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substring(md5(tok), b div 4 + 1, 1)) - 1"))
+      .withColumn("contrib", expr("2 * (shiftright(nib, 3 - b % 4) & 1) - 1"))
+      .groupBy("doc_id", "b")
+      .agg(sum("contrib").as("sc"))
+      .withColumn("bit", when(col("sc") > 0, "1").otherwise("0"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("b"), col("bit")))),
+          x => x.getField("bit")), "").as("simhash"))
+    val packed = graft.ops.DedupOps.queries("dedup_simhash")(spark, d)
+    val ref = reference.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = packed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == ref)
+  }
+
   test("hourWindowFilter is a half-open (lo, hi] window one hour wide") {
     import spark.implicits._
     val eval = lit("2024-01-15 12:34:56").cast("timestamp")
