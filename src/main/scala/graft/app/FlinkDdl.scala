@@ -34,15 +34,31 @@ object FlinkDdl {
       StructType.fromDDL(cols.map(c => s"${c.name} ${c.sparkType}").mkString(", "))
   }
 
-  /** Split on commas at paren/bracket depth 0 (ROW(...) carries commas). */
+  /** Type constructors whose `<` opens a type-parameter list. */
+  private val AngleTypes = Set("array", "row", "map", "multiset")
+
+  /** Split on commas at paren/bracket/type-angle depth 0 (ROW(...) and
+    * ARRAY<...> carry commas). Angle brackets count as nesting ONLY when
+    * the `<` directly follows a type-constructor identifier (ARRAY, ROW,
+    * MAP, MULTISET) — a comparison operator inside a computed-column
+    * expression (`flag AS price > 5`) must not corrupt the depth. */
   private def splitTop(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    var depth = 0
+    var depth = 0 // ( ) [ ]
+    var angle = 0 // < > opened by a type constructor
     val cur = new StringBuilder
     s.foreach {
-      case c @ ('(' | '<' | '[') => depth += 1; cur += c
-      case c @ (')' | '>' | ']') => depth -= 1; cur += c
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c @ ('(' | '[') => depth += 1; cur += c
+      case c @ (')' | ']') => depth -= 1; cur += c
+      case '<' =>
+        val word = cur.reverseIterator.takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+          .mkString.reverse.toLowerCase
+        if (AngleTypes.contains(word)) angle += 1
+        cur += '<'
+      case '>' =>
+        if (angle > 0) angle -= 1
+        cur += '>'
+      case ',' if depth == 0 && angle == 0 => out += cur.toString; cur.clear()
       case c => cur += c
     }
     if (cur.nonEmpty) out += cur.toString

@@ -62,6 +62,26 @@ class AppSpecSpec extends SparkSpec {
     }
   }
 
+  test("DDL parse: comparison operators in computed columns don't corrupt the split") {
+    // '<'/'>' count as nesting only after a type constructor — a bare
+    // comparison in a computed column must not eat the following commas.
+    val td = FlinkDdl.parse(
+      """CREATE TABLE t (
+        |  id INT,
+        |  price DOUBLE,
+        |  tags ARRAY<ROW<k STRING, v INT>>,
+        |  is_big AS price > 5,
+        |  is_small AS price < 2,
+        |  PRIMARY KEY (id) NOT ENFORCED
+        |) WITH ('connector' = 'datagen')""".stripMargin)
+    assert(td.cols.map(_.name) == Seq("id", "price", "tags"))
+    assert(td.cols.last.sparkType == "ARRAY<STRUCT<k: STRING, v: INT>>")
+    assert(td.computed == Seq(
+      FlinkDdl.ComputedCol("is_big", "price > 5"),
+      FlinkDdl.ComputedCol("is_small", "price < 2")))
+    assert(td.primaryKey == Seq("id"))
+  }
+
   test("scenario 1 app spec runs end-to-end (incl. the ARRAYAGG erratum fix)") {
     loadSpec("01-basic-jdbc.json") match {
       case None => cancel("reference not available")

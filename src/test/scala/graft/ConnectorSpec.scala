@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.app.{AppSpec, FlinkDdl}
+import graft.sources.{CdcFixtures, ConnectorSources}
+import graft.sources.ConnectorSources.{JdbcScan, KafkaScan, PgCdcScan}
+
+/** Connector-option plumbing: every WITH clause in the eight real
+  * reference app specs must dispatch to the right Spark reader plan with
+  * its options carried through, and the kafka decode layer must produce
+  * the DDL's rows from broker-shaped wire frames (synthesized by
+  * CdcFixtures — no broker in the sandbox). */
+class ConnectorSpec extends SparkSpec {
+
+  private val refApps = "/root/reference/flink-applications"
+  private val refConnectors = "/root/reference/kafka-connectors"
+
+  private def read(dir: String, name: String): Option[String] = {
+    val p = Paths.get(dir, name)
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
+  test("every source in all 8 reference specs resolves to a reader plan, options plumbed") {
+    val dir = Paths.get(refApps)
+    if (!Files.exists(dir)) cancel("reference not available")
+    val specs = Files.list(dir).toArray.map(_.toString).filter(_.endsWith(".json")).sorted
+    assert(specs.length == 8)
+    var seen = Set[String]()
+    specs.foreach { f =>
+      AppSpec.fromJson(Files.readString(Paths.get(f))).sources.foreach { src =>
+        val td = FlinkDdl.parse(src.createTable)
+        val p = ConnectorSources.plan(td)
+        seen += td.connector
+        (td.connector, p) match {
+          case ("jdbc", j: JdbcScan) =>
+            assert(j.url == td.options("url"))
+            assert(j.dbtable == td.options("table-name"))
+          case ("kafka" | "upsert-kafka", k: KafkaScan) =>
+            assert(k.topic == td.options("topic"))
+            assert(k.bootstrap == td.options("properties.bootstrap.servers"))
+            // all 7 kafka sources declare earliest-offset
+            assert(k.startingOffsets == "earliest")
+            assert(k.valueFormat == td.options.getOrElse("value.format", "json"))
+            assert(k.upsert == (td.connector == "upsert-kafka"))
+          case ("postgres-cdc", c: PgCdcScan) =>
+            assert(c.table == td.options("table-name"))
+            assert(c.topic == s"my_pg.${td.options("schema-name")}.${td.options("table-name")}")
+          case (conn, other) => fail(s"connector $conn planned as $other")
+        }
+      }
+    }
+    assert(seen == Set("jdbc", "kafka", "postgres-cdc"),
+      s"source connectors covered: $seen")
+  }
+
+  test("readerOptions: jdbc carries credentials as user/password; kafka subscribes the topic") {
+    val j = JdbcScan("jdbc:postgresql://h/db", "orders", Some("u"), Some("pw"))
+    assert(ConnectorSources.readerOptions(j) ==
+      Map("url" -> "jdbc:postgresql://h/db", "dbtable" -> "orders",
+        "user" -> "u", "password" -> "pw"))
+    val k = KafkaScan("broker:9092", "t", "earliest", "debezium-json", None, upsert = false)
+    assert(ConnectorSources.readerOptions(k) ==
+      Map("kafka.bootstrap.servers" -> "broker:9092", "subscribe" -> "t",
+        "startingOffsets" -> "earliest"))
+    assertThrows[IllegalArgumentException] {
+      ConnectorSources.plan(FlinkDdl.parse(
+        "CREATE TABLE t (id INT) WITH ('connector' = 'kafka', 'topic' = 't', " +
+          "'properties.bootstrap.servers' = '', 'scan.startup.mode' = 'group-offsets')"))
+    }
+  }
+
+  test("connector config parses from the real deployment JSON; topics follow server.schema.table") {
+    read(refConnectors, "all-tables-cdc.json") match {
+      case None => cancel("reference not available")
+      case Some(json) =>
+        val cfg = CdcFixtures.ConnectorConfig.fromJson(json)
+        assert(cfg.serverName == "my_pg1" && cfg.database == "defaultdb")
+        assert(cfg.includeList.length == 5)
+        assert(cfg.topicFor("public", "orders") == "my_pg1.public.orders")
+        // filtered publication: an uncaptured table has no topic
+        assertThrows[IllegalArgumentException](cfg.topicFor("public", "nope"))
+    }
+  }
+
+  test("debezium wire frames from the connector config decode through the scenario-6 DDL") {
+    val cfgJson = read(refConnectors, "orders-cdc.json")
+      .getOrElse(cancel("reference not available"))
+    val spec = read(refApps, "06-flink-cdc-temporal-join.json")
+      .getOrElse(cancel("reference not available"))
+    val cfg = CdcFixtures.ConnectorConfig.fromJson(cfgJson)
+    val td = AppSpec.fromJson(spec).sources.map(s => FlinkDdl.parse(s.createTable))
+      .find(_.name == "src_orders").get
+
+    def row(id: Int, pizzas: Seq[Int], t: Long) =
+      s"""{"id":$id,"table_assignment_id":4,"order_time":$t,"pizzas":[${pizzas.mkString(",")}]}"""
+    val wire = CdcFixtures.kafkaWire(spark, cfg, "public", "orders", Seq(
+      CdcFixtures.Event("c", """{"id":1}""", row(1, Seq(2, 3), 1000L), 1000L, 10L),
+      CdcFixtures.Event("u", """{"id":1}""", row(1, Seq(5), 2000L), 2000L, 11L),
+      CdcFixtures.Event("d", """{"id":1}""", row(1, Seq(5), 2000L), 3000L, 12L)))
+    assert(wire.schema == CdcFixtures.wireSchema)
+    assert(wire.select("topic").distinct().head().getString(0) == "my_pg.public.orders")
+
+    val plan = KafkaScan("", "my_pg.public.orders", "earliest", "debezium-json", None, upsert = false)
+    val got = ConnectorSources.decodeKafka(wire, plan, td)
+      .orderBy("_tx_id").collect()
+    assert(got.map(_.getAs[String]("_op")).toSeq == Seq("c", "u", "d"))
+    assert(got(1).getSeq[Int](got(1).fieldIndex("pizzas")) == Seq(5))
+    assert(got(2).getAs[Int]("id") == 1) // delete decodes the before-image
+    assert(got(0).getAs[java.sql.Timestamp]("_source_ts").getTime == 1000L)
+  }
+
+  test("plain-json wire decode against the scenario-5 envelope DDL") {
+    val spec = read(refApps, "05-kafka-logical-msg-flink.json")
+      .getOrElse(cancel("reference not available"))
+    val td = FlinkDdl.parse(AppSpec.fromJson(spec).sources.head.createTable)
+    val plan = ConnectorSources.plan(td)
+    assert(plan.asInstanceOf[KafkaScan].valueFormat == "json")
+    import spark.implicits._
+    val wire = Seq(
+      (null: Array[Byte],
+        """{"op":"m","ts_ms":5,"source":{"txId":42,"table":"message"},"message":{"prefix":"evt","content":"eyJ9"}}"""
+          .getBytes("UTF-8"), "my_pg.message", 0, 0L, new java.sql.Timestamp(5L), 0))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val got = ConnectorSources.decodeKafka(wire, plan.asInstanceOf[KafkaScan], td).head()
+    assert(got.getAs[String]("op") == "m")
+    assert(got.getAs[org.apache.spark.sql.Row]("source").getAs[Long]("txId") == 42L)
+    assert(got.getAs[org.apache.spark.sql.Row]("message").getAs[String]("prefix") == "evt")
+  }
+
+  test("upsert-kafka source decode: null value is a tombstone carrying the key") {
+    val td = FlinkDdl.parse(
+      """CREATE TABLE t (id INT, name STRING, PRIMARY KEY (id) NOT ENFORCED)
+        |WITH ('connector' = 'upsert-kafka', 'topic' = 't',
+        |'properties.bootstrap.servers' = '', 'key.format' = 'json',
+        |'value.format' = 'json')""".stripMargin)
+    val plan = ConnectorSources.plan(td).asInstanceOf[KafkaScan]
+    assert(plan.upsert)
+    import spark.implicits._
+    val wire = Seq(
+      ("""{"id":1}""".getBytes("UTF-8"), """{"id":1,"name":"a"}""".getBytes("UTF-8"),
+        "t", 0, 0L, new java.sql.Timestamp(1L), 0),
+      ("""{"id":1}""".getBytes("UTF-8"), null: Array[Byte],
+        "t", 0, 1L, new java.sql.Timestamp(2L), 0))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val got = ConnectorSources.decodeKafka(wire, plan, td)
+      .orderBy("_op").collect()
+    assert(got.map(r => (r.getAs[Int]("id"), r.getAs[String]("_op"))).toSeq ==
+      Seq((1, "d"), (1, "u")))
+    assert(got.find(_.getAs[String]("_op") == "u").get.getAs[String]("name") == "a")
+  }
+}

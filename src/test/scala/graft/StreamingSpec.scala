@@ -19,10 +19,14 @@ class StreamingSpec extends SparkSpec {
     StructField("order_time", LongType),
     StructField("pizzas", ArrayType(IntegerType))))
 
+  /** Envelopes come from the shared generator, configured like the
+    * reference's orders connector (kafka-connectors/orders-cdc.json). */
+  private val cdcCfg = graft.sources.CdcFixtures.ConnectorConfig(
+    "my_order_source_deb", "my_pg", "defaultdb", Seq("public.orders"))
+
   private def env(op: String, id: Int, pizzas: Seq[Int], tsMs: Long, txId: Long): String = {
     val row = s"""{"id":$id,"table_assignment_id":4,"order_time":$tsMs,"pizzas":[${pizzas.mkString(",")}]}"""
-    val (before, after) = if (op == "d") (row, "null") else ("null", row)
-    s"""{"before":$before,"after":$after,"source":{"version":"2","connector":"postgresql","name":"my_pg","ts_ms":$tsMs,"snapshot":"false","db":"defaultdb","schema":"public","table":"orders","txId":$txId,"lsn":${txId * 100},"xmin":null},"op":"$op","ts_ms":$tsMs}"""
+    graft.sources.CdcFixtures.envelope(cdcCfg, "public", "orders", op, row, tsMs, txId)
   }
 
   test("Debezium decode: after-image for c/u, before-image for d, metadata carried") {
