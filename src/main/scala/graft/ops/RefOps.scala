@@ -418,6 +418,31 @@ object RefOps {
         max(unix_millis(col("_source_ts"))).as("last_ms"))
       .orderBy("tx_id")
 
+  /** Transaction-buffered emit (README.md:486-489): a row reaches
+    * downstream only once ALL events of its transaction have been read,
+    * using the per-transaction event count of Debezium's transaction
+    * metadata — the reference's alternative to temporal joins for
+    * transaction consistency. Runs the REAL streaming operator
+    * ([[graft.streaming.TxnBuffer]]) in batch form over the decoded
+    * envelope feed; the read horizon stops 10 events short of the end,
+    * cutting the last transaction mid-flight, so the oracle checks both
+    * behaviors: complete transactions emit, the truncated one stays
+    * buffered (absent from the output). */
+  val txnBufferedEmit: Q = (s, d) => {
+    val decoded = graft.streaming.Debezium.decode(eventEnvelopes(s, d), eventRowSchema)
+    val horizon = events(s, d).agg((max("event_id") - 9).as("_h"))
+    val read = decoded.crossJoin(broadcast(horizon))
+      .where(col("event_id") < col("_h"))
+      .select("event_id", "event_type", "_tx_id")
+    // stand-in for the transaction topic's END feed: every txn in this
+    // synthetic changelog carries exactly 20 events
+    val boundaries = read.select("_tx_id").distinct().withColumn("n", lit(20))
+    graft.streaming.TxnBuffer.bufferWide(read, "_tx_id", boundaries, "_tx_id", "n")
+      .where(col("_complete"))
+      .select(col("event_id"), col("event_type"), col("_tx_id").as("tx_id"))
+      .orderBy("event_id")
+  }
+
   /** Gap-based sessionization (30-minute inactivity gap): the classic
     * clickstream operator the vestigial datagen demo points at
     * (scripts/datagen.py sessions table). Two window passes over one
@@ -476,6 +501,7 @@ object RefOps {
     "fn_json_object" -> fnJsonObject,
     "fn_div" -> fnDiv,
     "txn_metadata" -> txnMetadata,
+    "txn_buffered_emit" -> txnBufferedEmit,
     "events_sessionize" -> eventsSessionize,
   )
 
@@ -627,6 +653,14 @@ object RefOps {
       """SELECT event_id // 20 AS tx_id, COUNT(*) AS n_events,
          MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms
          FROM events GROUP BY tx_id ORDER BY tx_id""",
+    "txn_buffered_emit" ->
+      """WITH mx AS (SELECT MAX(event_id) - 9 AS h FROM events),
+         rd AS (SELECT event_id, event_type, event_id // 20 AS tx_id
+                FROM events, mx WHERE event_id < h),
+         cnt AS (SELECT tx_id, COUNT(*) AS n FROM rd GROUP BY tx_id)
+         SELECT event_id, event_type, tx_id
+         FROM rd JOIN cnt USING (tx_id) WHERE cnt.n >= 20
+         ORDER BY event_id""",
     "events_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
-import graft.streaming.{AsOfJoin, Debezium, LookupJoin, UpsertSink}
+import graft.streaming.{AsOfJoin, Debezium, LookupJoin, TxnBuffer, UpsertSink}
 
 /** Streaming-semantics tests: Debezium decode, changelog collapse, keyed
   * upsert sink with tombstones, event-time as-of join (incl. the
@@ -520,5 +520,60 @@ class StreamingSpec extends SparkSpec {
     val got = spark.read.parquet(dir + "/table")
       .select("id", "pizzas").collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
     assert(got == Map(1 -> Seq(9)))
+  }
+
+  private def txnEvents(input: MemoryStream[(Long, Boolean, Int, String)]) = {
+    import spark.implicits._
+    input.toDF().toDF("txId", "isBoundary", "expected", "pay")
+      .select(col("txId"), col("isBoundary"), col("expected"),
+        col("pay").cast("binary").as("payload"))
+      .as[TxnBuffer.TxnEvent]
+  }
+
+  test("txn buffer: a transaction emits only once ALL its events arrived (README.md:486)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Boolean, Int, String)]
+    val q = TxnBuffer.buffer(txnEvents(input)).writeStream
+      .format("memory").queryName("txn_out").outputMode("append").start()
+    try {
+      // txn 1: two of three events; txn 2: one event, no boundary
+      input.addData((1L, false, 0, "a"), (1L, false, 0, "b"), (2L, false, 0, "x"))
+      q.processAllAvailable()
+      assert(spark.table("txn_out").isEmpty, "no boundary seen yet")
+      // boundary announces 3 events — still one short
+      input.addData((1L, true, 3, null))
+      q.processAllAvailable()
+      assert(spark.table("txn_out").isEmpty, "txn 1 incomplete: 2 of 3")
+      // last event: txn 1 flushes atomically; txn 2 stays buffered
+      input.addData((1L, false, 0, "c"))
+      q.processAllAvailable()
+      val got = spark.table("txn_out").as[TxnBuffer.TxnOut].collect()
+      assert(got.length == 3 && got.forall(o => o.txId == 1L && o.complete))
+      assert(got.map(o => new String(o.payload)).sorted.toSeq == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
+  test("txn buffer: boundary-less transaction force-flushes as incomplete on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Boolean, Int, String)]
+    // NOTE: with ProcessingTimeTimeout every batch "requires another" (the
+    // engine must keep checking timers), so processAllAvailable() never
+    // quiesces — poll the sink with a real trigger interval instead.
+    val q = TxnBuffer.buffer(txnEvents(input), flushIncompleteAfterMs = 200L)
+      .writeStream.format("memory").queryName("txn_to").outputMode("append")
+      .trigger(Trigger.ProcessingTime(100L)).start()
+    try {
+      // txn 8 completes normally; txn 7 has no boundary and must be
+      // force-flushed (complete=false) once its 200ms timer expires
+      input.addData((7L, false, 0, "orphan"), (8L, false, 0, "ok"), (8L, true, 1, null))
+      def rows() = spark.table("txn_to").as[TxnBuffer.TxnOut].collect()
+      val deadline = System.currentTimeMillis() + 30000
+      while (rows().length < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val got = rows().map(o => o.txId -> (new String(o.payload), o.complete)).toMap
+      assert(got == Map(7L -> ("orphan", false), 8L -> ("ok", true)))
+    } finally q.stop()
   }
 }
