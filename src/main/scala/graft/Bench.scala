@@ -45,7 +45,7 @@ object Bench {
           .groupBy(_.getAs[Long]("q_id"))
           .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
       val truth = topSet("sim_brute_topk")
-      val entries = Seq("sim_lsh_topk", "sim_ivf_topk").map { n =>
+      val entries = Seq("sim_lsh_topk", "sim_lsh_multi_topk", "sim_ivf_topk").map { n =>
         val approx = topSet(n)
         val per = truth.toSeq.map { case (q, t) =>
           (approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size) }

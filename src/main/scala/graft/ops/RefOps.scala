@@ -435,8 +435,13 @@ object RefOps {
       .where(col("event_id") < col("_h"))
       .select("event_id", "event_type", "_tx_id")
     // stand-in for the transaction topic's END feed: every txn in this
-    // synthetic changelog carries exactly 20 events
-    val boundaries = read.select("_tx_id").distinct().withColumn("n", lit(20))
+    // synthetic changelog carries exactly 20 events. Derived from the raw
+    // events scan, NOT from `read` — the latter would recompute the whole
+    // envelope encode/decode pipeline a second time just to list txn ids.
+    val boundaries = events(s, d).crossJoin(broadcast(horizon))
+      .where(col("event_id") < col("_h"))
+      .select(expr("event_id div 20").as("_tx_id")).distinct()
+      .withColumn("n", lit(20))
     graft.streaming.TxnBuffer.bufferWide(read, "_tx_id", boundaries, "_tx_id", "n")
       .where(col("_complete"))
       .select(col("event_id"), col("event_type"), col("_tx_id").as("tx_id"))

@@ -116,6 +116,45 @@ object SimOps {
       3)
   }
 
+  private val NTables = 4
+
+  /** Sign bits of table `t`: 4 hyperplanes drawn from the t-th quarter of
+    * the 64 dims (dims 16t+1, +5, +9, +13). Tables see DIFFERENT
+    * projections, so a true neighbor split from its query by one table's
+    * planes usually collides in another — the standard multi-table recall
+    * repair for sign-LSH (a single 4-bit table scores recall ≈ 0 on
+    * near-random embeddings; the Bench recall_at_3 field tracks both). */
+  private def tableBucketExpr(emb: String, t: Int): org.apache.spark.sql.Column =
+    concat((0 until 4).map(j =>
+      when(element_at(col(emb), 16 * t + 1 + 4 * j) >= 0, "1").otherwise("0")): _*)
+
+  private def tableBuckets(emb: String): org.apache.spark.sql.Column =
+    array((0 until NTables).map(t => tableBucketExpr(emb, t)): _*)
+
+  /** Multi-table sign-LSH ANN: a candidate is any corpus vector sharing a
+    * bucket with the query in ANY of the [[NTables]] tables. Candidate
+    * pairs are deduped BEFORE scoring (a pair colliding in 3 tables is
+    * scored once), then joined back to the vectors — the pair set carries
+    * only (q_id, vec_id), never duplicated embeddings, so the extra
+    * recall costs one distinct + one corpus-keyed join, still bounded by
+    * bucket sizes rather than |Q|·N. */
+  val lshMultiTopK: Q = (s, d) => {
+    val corpus = corpusWithNorm(s, d)
+    val c = corpus.select(col("vec_id"),
+      posexplode(tableBuckets("embedding")).as(Seq("t", "bucket")))
+    val qb = qset(s, d).select(col("q_id"),
+      posexplode(tableBuckets("q_emb")).as(Seq("qt", "q_bucket")))
+    val pairs = c.join(broadcast(qb),
+        col("t") === col("qt") && col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    rankTopK(
+      pairs.join(corpus, "vec_id").join(broadcast(qset(s, d)), "q_id")
+        .withColumn("sim",
+          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
+      3)
+  }
+
   private val NCentroids = 16
   private val NProbe = 2
 
@@ -164,6 +203,7 @@ object SimOps {
   val queries: Map[String, Q] = Map(
     "sim_brute_topk" -> bruteTopK,
     "sim_lsh_topk" -> lshTopK,
+    "sim_lsh_multi_topk" -> lshMultiTopK,
     "sim_ivf_topk" -> ivfTopK,
   )
 
@@ -176,6 +216,15 @@ object SimOps {
          CASE WHEN $e[17] >= 0 THEN '1' ELSE '0' END ||
          CASE WHEN $e[33] >= 0 THEN '1' ELSE '0' END ||
          CASE WHEN $e[49] >= 0 THEN '1' ELSE '0' END)"""
+
+  private def tableBucketSql(e: String, t: Int): String =
+    (0 until 4).map(j =>
+      s"CASE WHEN $e[${16 * t + 1 + 4 * j}] >= 0 THEN '1' ELSE '0' END")
+      .mkString("(", " || ", ")")
+
+  private val MultiTableSql = (0 until NTables).map(t =>
+    s"SELECT vec_id, $t AS t, ${tableBucketSql("embedding", t)} AS bucket FROM embeddings")
+    .mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
     "sim_brute_topk" ->
@@ -195,6 +244,22 @@ object SimOps {
           scored AS (SELECT q.q_id, c.vec_id,
                        ${cos("q.q_emb", "c.embedding")} AS sim
                      FROM c JOIN q ON c.bucket = q.q_bucket AND c.vec_id <> q.q_id),
+          ranked AS (SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+          FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
+    "sim_lsh_multi_topk" ->
+      s"""WITH ct AS ($MultiTableSql),
+          qt AS (SELECT vec_id AS q_id, t, bucket FROM ct WHERE vec_id < $NQueries),
+          pairs AS (SELECT DISTINCT q.q_id, c.vec_id
+                    FROM ct c JOIN qt q ON c.t = q.t AND c.bucket = q.bucket
+                    WHERE c.vec_id <> q.q_id),
+          scored AS (SELECT p.q_id, p.vec_id,
+                       ${cos("qe.embedding", "ce.embedding")} AS sim
+                     FROM pairs p
+                     JOIN embeddings ce ON ce.vec_id = p.vec_id
+                     JOIN embeddings qe ON qe.vec_id = p.q_id),
           ranked AS (SELECT q_id, vec_id,
                        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
                      FROM scored)
