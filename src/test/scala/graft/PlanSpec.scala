@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Physical-plan pins for the scale-critical shapes PLANS.md documents —
+  * so a regression that silently reintroduces a full-table shuffle or
+  * un-pushes a filter fails CI, not a 100 TB run. Plans are inspected
+  * AFTER execution (AQE final plan). */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scans prune: filter and projection reach the parquet reader") {
+    val plan = finalPlan(graft.ops.RefOps.queries("src_jdbc_scan")(spark, d))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"), plan)
+    // 3-column projection, not the full lineitem schema
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), plan)
+  }
+
+  test("join_inner_equi: dims broadcast; one partial-agg exchange on the group keys") {
+    val plan = finalPlan(graft.ops.RefOps.queries("join_inner_equi")(spark, d))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan)
+    assert(plan.contains("partial_sum"), plan) // map-side combine before the shuffle
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("two-phase top-k: partition-local selection feeds the rank window") {
+    val df = graft.ops.SimOps.queries("sim_brute_topk")(spark, d)
+    val plan = finalPlan(df)
+    // the q_id exchange must consume the bounded MapPartitions survivors,
+    // not the full scored set
+    assert(plan.contains("MapPartitions"), plan)
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(q_id")
+    val mapIdx = plan.indexOf("MapPartitions")
+    assert(exchangeIdx >= 0 && mapIdx > exchangeIdx,
+      s"partition-local top-k should sit below the q_id exchange:\n$plan")
+  }
+
+  test("two-phase top-k output == the naive full-window form (lossless)") {
+    graft.expressions.VectorExpressions.register(spark)
+    val emb = graft.Tables.embeddings(spark, d)
+    val q = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("q_nrm"))
+    val naive = emb
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("c_nrm"))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("q_id", "rank")
+      .collect().toSeq
+    val twoPhase = graft.ops.SimOps.queries("sim_brute_topk")(spark, d)
+      .collect().toSeq
+    assert(twoPhase == naive)
+  }
+
+  test("ivf centroid assignment collapses map-side (partial min_by before the exchange)") {
+    val plan = finalPlan(graft.ops.SimOps.queries("sim_ivf_topk")(spark, d))
+    assert(plan.contains("partial_min_by"), plan)
+  }
+}
