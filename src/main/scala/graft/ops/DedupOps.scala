@@ -36,7 +36,7 @@ object DedupOps {
     * (graft.expressions.TextShingles) — same semantics as the declarative
     * normalize+split+slide pipeline, ~15× faster; explode keeps this
     * fully distributed. */
-  private def docShingles(s: SparkSession, d: String): DataFrame = {
+  private[ops] def docShingles(s: SparkSession, d: String): DataFrame = {
     graft.expressions.TextShingles.register(s)
     documents(s, d)
       .select(col("doc_id"), explode(expr("text_shingles(text, 3)")).as("sh"))
@@ -230,7 +230,7 @@ object DedupOps {
   /** Shared SQL fragments for the oracles (DuckDB dialect). */
   private val NormSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-  private val ShinglesSql =
+  private[ops] val ShinglesSql =
     s"""norm AS (SELECT doc_id, $NormSql AS t FROM documents),
         words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
         idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM words),

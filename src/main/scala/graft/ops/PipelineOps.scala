@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Dataset-mechanics operators a large-scale training-data pipeline
+  * needs around the dedup/similarity/text family: deterministic split
+  * assignment, corpus n-gram statistics, eval-set decontamination, and
+  * sequence packing. All shapes are one-shuffle (or shuffle-free) and
+  * content-keyed, so they scale the same way the dedup family does.
+  */
+object PipelineOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 16-bit split hash (md5 prefix) — content-stable: a document keeps
+    * its split across reruns, re-partitioning, and corpus growth, which
+    * is the property that matters for train/eval hygiene at 100 TB
+    * (random() splits churn on every run; partition-id splits churn on
+    * every layout change). */
+  private def splitHash(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("split:"), c.cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+
+  /** Deterministic 90/5/5 train/val/test assignment by hashed id. Pure
+    * projection over the scan — no shuffle, no driver state; the output
+    * sort exists only for the oracle compare. */
+  val sampleSplitHash: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), splitHash(col("doc_id")).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 58982, "train")      // 0.90 * 65536
+          .when(col("bucket") < 62259, "val")     // 0.95 * 65536
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  private val TopN = 20
+
+  /** Corpus-level n-gram statistics: the TopN word-3-grams by document
+    * frequency (contamination screening, boilerplate detection, df-cap
+    * calibration for [[DedupOps.ngramJaccardCapped]]). One shuffle on the
+    * shingle; the top-k runs as TakeOrderedAndProject (per-partition
+    * heap + driver merge of 32×TopN rows), never a global sort. */
+  val ngramTopK: Q = (s, d) =>
+    DedupOps.docShingles(s, d)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("sh"))
+      .limit(TopN)
+
+  private val NEvalDocs = 10
+
+  /** Eval-set decontamination: flag corpus documents containing ≥ half of
+    * an eval document's shingles (asymmetric containment |∩|/|eval| — a
+    * long train doc that swallows a short benchmark item must flag even
+    * though its jaccard is tiny). The eval side is small by definition →
+    * broadcast inverted index; corpus-side work is ∝ matching shingle
+    * df, never |corpus|×|eval|. Eval set here: doc_id < 10. */
+  val contamination: Q = (s, d) => {
+    val sh = DedupOps.docShingles(s, d)
+    val eval = sh.where(col("doc_id") < NEvalDocs)
+      .select(col("doc_id").as("eval_id"), col("sh"))
+    val evalSz = eval.groupBy("eval_id").agg(count(lit(1)).as("eval_sz"))
+    sh.where(col("doc_id") >= NEvalDocs)
+      .join(broadcast(eval), "sh")
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("inter"))
+      .join(broadcast(evalSz), "eval_id")
+      .where(col("inter") * 2 >= col("eval_sz"))
+      .select("doc_id", "eval_id", "inter", "eval_sz")
+      .orderBy("doc_id", "eval_id")
+  }
+
+  private val NShards = 8
+  private val CtxTokens = 512
+
+  /** Sequence packing: assign documents to fixed token-budget bins for
+    * pretraining batches. Deterministic shard-parallel form: docs hash to
+    * [[NShards]] shards, each shard packs independently by running token
+    * count (bin = tokens-before-this-doc div budget). One shuffle on the
+    * shard key; window state is a single running sum. A global
+    * first-fit would serialize the corpus through one partition — the
+    * per-shard form loses ≤ one partial bin per shard, bounded waste for
+    * unbounded parallelism. */
+  val packSequences: Q = (s, d) => {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % NShards).as("shard"),
+        size(split(trim(col("text")), "\\s+")).as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("bin", expr(s"CAST((cum - n_tok) DIV $CtxTokens AS BIGINT)"))
+      .select("doc_id", "shard", "n_tok", "bin")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sample_split_hash" -> sampleSplitHash,
+    "text_ngram_topk" -> ngramTopK,
+    "text_contamination" -> contamination,
+    "pack_sequences" -> packSequences,
+  )
+
+  /** DuckDB hex-nibble value of char i (1-based) of md5 string h. */
+  private def nib(h: String, i: Int): String =
+    s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+
+  val oracles: Map[String, String] = Map(
+    "sample_split_hash" ->
+      s"""WITH h AS (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+          b AS (SELECT doc_id,
+                  CAST(${nib("m", 1)} * 4096 + ${nib("m", 2)} * 256 +
+                       ${nib("m", 3)} * 16 + ${nib("m", 4)} AS BIGINT) AS bucket
+                FROM h)
+          SELECT doc_id, bucket,
+            CASE WHEN bucket < 58982 THEN 'train'
+                 WHEN bucket < 62259 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM b ORDER BY doc_id""",
+    "text_ngram_topk" ->
+      s"""WITH ${DedupOps.ShinglesSql}
+          SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+          ORDER BY df DESC, sh LIMIT $TopN""",
+    "text_contamination" ->
+      s"""WITH ${DedupOps.ShinglesSql},
+          ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id < $NEvalDocs),
+          sz AS (SELECT eval_id, COUNT(*) AS eval_sz FROM ev GROUP BY eval_id),
+          it AS (SELECT s.doc_id, ev.eval_id, COUNT(*) AS inter
+                 FROM sh s JOIN ev ON s.sh = ev.sh
+                 WHERE s.doc_id >= $NEvalDocs GROUP BY s.doc_id, ev.eval_id)
+          SELECT doc_id, eval_id, inter, eval_sz
+          FROM it JOIN sz USING (eval_id)
+          WHERE inter * 2 >= eval_sz ORDER BY doc_id, eval_id""",
+    "pack_sequences" ->
+      raw"""WITH t AS (SELECT doc_id, doc_id % $NShards AS shard,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tok
+            FROM documents),
+          c AS (SELECT doc_id, shard, n_tok,
+                  CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM t)
+          SELECT doc_id, shard, n_tok,
+            CAST((cum - n_tok) // $CtxTokens AS BIGINT) AS bin
+          FROM c ORDER BY doc_id""",
+  )
+}
