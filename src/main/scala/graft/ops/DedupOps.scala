@@ -126,7 +126,9 @@ object DedupOps {
     * aggregation — sign(2·S_b − N) replaces sign(Σ±1). One shuffle of one
     * row per (doc, token) where the old explode(0..63) form shuffled 64×
     * that; no collect_list reassembly pass either. */
-  val simhash: Q = (s, d) => {
+  /** Per-document packed bit sums (s0..s63 MSB-first + n_tok) — shared by
+    * the fingerprint emit and the pairing query. */
+  private def simhashSums(s: SparkSession, d: String): DataFrame = {
     graft.expressions.TextShingles.register(s)
     val toks = documents(s, d)
       .select(col("doc_id"), explode(expr("text_shingles(text, 1)")).as("tok"))
@@ -141,9 +143,10 @@ object DedupOps {
       sum(shiftright(src, sh).bitwiseAND(lit(1L))).as(s"s$b")
     }
     val aggCols = bitSums :+ count(lit(1)).as("n_tok")
-    documentsSimhashAssemble(
-      toks.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*))
+    toks.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
   }
+
+  val simhash: Q = (s, d) => documentsSimhashAssemble(simhashSums(s, d))
 
   /** Assemble the 64-char bitstring: bit b set iff 2·S_b > N (the packed
     * equivalent of Σ±1 > 0). */
@@ -152,6 +155,42 @@ object DedupOps {
       concat((0 until 64).map(b =>
         when(col(s"s$b") * 2 > col("n_tok"), "1").otherwise("0")): _*).as("simhash"))
       .orderBy("doc_id")
+
+  private val MaxHamming = 3
+
+  /** SimHash near-dup pairing — the search step the fingerprint exists
+    * for: pairs within hamming distance ≤ [[MaxHamming]]. Pigeonhole
+    * block index (Manku/Jain/Sarma's simhash-dedup scheme): split the 64
+    * bits into 4 blocks of 16 — any pair within distance 3 agrees exactly
+    * on ≥ 1 block — so candidates come from an equi-join on
+    * (block index, block value), work ∝ Σ bucket², never |docs|². The
+    * exact distance check is two codegen'd bit_count(xor) on the packed
+    * halves. Fingerprints live as two unsigned-32 longs (fp_hi, fp_lo)
+    * to stay sign-free in every engine. */
+  val simhashPairs: Q = (s, d) => {
+    val sums = simhashSums(s, d)
+    def half(range: Range, base: Int): org.apache.spark.sql.Column =
+      range.map(b => when(col(s"s$b") * 2 > col("n_tok"),
+        lit(1L << (base - b))).otherwise(lit(0L))).reduce(_ + _)
+    val fp = sums.select(col("doc_id"),
+      half(0 until 32, 31).as("fp_hi"), half(32 until 64, 63).as("fp_lo"))
+    val blocks = fp.select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+      posexplode(array(
+        shiftright(col("fp_hi"), 16), col("fp_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("fp_lo"), 16), col("fp_lo").bitwiseAND(lit(65535L))))
+        .as(Seq("blk", "bval")))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.fp_hi").bitwiseXOR(col("b.fp_hi"))) +
+          bit_count(col("a.fp_lo").bitwiseXOR(col("b.fp_lo"))))
+          .cast("long").as("hamming"))
+      .distinct() // a close pair collides in several blocks
+      .where(col("hamming") <= MaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Embedding-cosine near-dup pairs (threshold 0.3). Exact pairwise
     * baseline: broadcast nested-loop over the smaller side; at corpus
@@ -224,6 +263,7 @@ object DedupOps {
     "dedup_ngram_jaccard_capped" -> ngramJaccardCapped,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
+    "dedup_simhash_pairs" -> simhashPairs,
     "dedup_embedding_cosine" -> embeddingCosine,
   )
 
@@ -321,6 +361,31 @@ object DedupOps {
           SELECT doc_id,
             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
           FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_simhash_pairs" ->
+      s"""WITH norm AS (SELECT doc_id, $NormSql AS t FROM documents),
+          toks AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+          bits AS (SELECT doc_id, tok, unnest(generate_series(0, 63)) AS b FROM toks),
+          c AS (SELECT doc_id, b,
+                  2 * (((strpos('0123456789abcdef', substr(md5(tok), b // 4 + 1, 1)) - 1)
+                       >> (3 - b % 4)) & 1) - 1 AS contrib
+                FROM bits),
+          sc AS (SELECT doc_id, b, SUM(contrib) AS s FROM c GROUP BY doc_id, b),
+          fp AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 AND b < 32 THEN (1::BIGINT << (31 - b)) ELSE 0 END) AS BIGINT) AS fp_hi,
+                   CAST(SUM(CASE WHEN s > 0 AND b >= 32 THEN (1::BIGINT << (63 - b)) ELSE 0 END) AS BIGINT) AS fp_lo
+                 FROM sc GROUP BY doc_id),
+          blocks AS (
+            SELECT doc_id, fp_hi, fp_lo, 0 AS blk, fp_hi // 65536 AS bval FROM fp
+            UNION ALL SELECT doc_id, fp_hi, fp_lo, 1, fp_hi % 65536 FROM fp
+            UNION ALL SELECT doc_id, fp_hi, fp_lo, 2, fp_lo // 65536 FROM fp
+            UNION ALL SELECT doc_id, fp_hi, fp_lo, 3, fp_lo % 65536 FROM fp),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(bit_count(xor(a.fp_hi, b.fp_hi)) +
+                          bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
+                   FROM blocks a JOIN blocks b
+                     ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, hamming FROM cand
+          WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

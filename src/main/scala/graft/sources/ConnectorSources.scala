@@ -144,6 +144,28 @@ object ConnectorSources {
     }
   }
 
+  /** Encode rows for an upsert-kafka SINK (the reference's eight sinks,
+    * e.g. 06-flink-cdc-temporal-join.json `order_output`): JSON key from
+    * the DDL's PRIMARY KEY, JSON value from the full row — or a NULL
+    * value (tombstone) when `deleteCol` marks a retraction. The output
+    * carries exactly the `key`/`value`/`topic` columns Spark's kafka
+    * writer consumes; [[decodeKafka]] with the same DDL round-trips it. */
+  def encodeKafka(df: DataFrame, td: FlinkDdl.TableDef,
+      deleteCol: Option[String] = None): DataFrame = {
+    require(td.connector == "upsert-kafka" || td.connector == "kafka",
+      s"sink ${td.name}: connector '${td.connector}' is not a kafka sink")
+    require(td.connector != "upsert-kafka" || td.primaryKey.nonEmpty,
+      s"sink ${td.name}: upsert-kafka requires a PRIMARY KEY")
+    val topic = td.options.getOrElse("topic", td.name)
+    val keyJson = to_json(struct(td.primaryKey.map(col): _*)).cast("binary")
+    val rowJson = to_json(struct(td.schema.fieldNames.map(col): _*)).cast("binary")
+    val value = deleteCol match {
+      case Some(dc) => when(col(dc), lit(null).cast("binary")).otherwise(rowJson)
+      case None => rowJson
+    }
+    df.select(keyJson.as("key"), value.as("value"), lit(topic).as("topic"))
+  }
+
   /** Execute a plan against the live external system. The sandbox has no
     * database or broker, so this path is exercised in deployments; every
     * decision it makes is pinned by the [[plan]]/[[readerOptions]]/

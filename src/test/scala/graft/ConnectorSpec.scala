@@ -128,6 +128,31 @@ class ConnectorSpec extends SparkSpec {
     assert(got.getAs[org.apache.spark.sql.Row]("message").getAs[String]("prefix") == "evt")
   }
 
+  test("sink encode -> source decode round-trips rows and tombstones (scenario-6 sink DDL)") {
+    val spec = read(refApps, "06-flink-cdc-temporal-join.json")
+      .getOrElse(cancel("reference not available"))
+    val td = FlinkDdl.parse(AppSpec.fromJson(spec).sinks.head.createTable)
+    assert(td.connector == "upsert-kafka" && td.primaryKey == Seq("order_id"))
+    import spark.implicits._
+    val rows = Seq(
+      (1, "carlo", "t1", """[{"pizza":"margherita"}]""", false),
+      (2, "anna", "t2", """[{"pizza":"4formaggi"}]""", true)) // retraction
+      .toDF("order_id", "client_name", "table_name", "pizzas", "_retract")
+    val wire0 = ConnectorSources.encodeKafka(rows, td, deleteCol = Some("_retract"))
+    assert(wire0.columns.toSeq == Seq("key", "value", "topic"))
+    assert(wire0.select("topic").distinct().head().getString(0) == "order_output")
+    // dress with the broker-filled metadata columns and decode back
+    val wire = wire0.withColumn("partition", lit(0)).withColumn("offset", lit(0L))
+      .withColumn("timestamp", lit(new java.sql.Timestamp(0L)))
+      .withColumn("timestampType", lit(0))
+    val plan = ConnectorSources.plan(td).asInstanceOf[KafkaScan]
+    val got = ConnectorSources.decodeKafka(wire, plan, td).orderBy("order_id").collect()
+    assert(got.map(r => (r.getAs[Int]("order_id"), r.getAs[String]("_op"))).toSeq ==
+      Seq((1, "u"), (2, "d")))
+    assert(got(0).getAs[String]("client_name") == "carlo")
+    assert(got(1).getAs[String]("client_name") == null) // tombstone: key only
+  }
+
   test("upsert-kafka source decode: null value is a tombstone carrying the key") {
     val td = FlinkDdl.parse(
       """CREATE TABLE t (id INT, name STRING, PRIMARY KEY (id) NOT ENFORCED)
