@@ -194,6 +194,53 @@ class AppSpecSpec extends SparkSpec {
     }
   }
 
+  test("scenario 6 through the kafka wire path: connector topics -> envelopes -> decode -> run") {
+    loadSpec("06-flink-cdc-temporal-join.json") match {
+      case None => cancel("reference not available")
+      case Some(spec) =>
+        import graft.sources.{CdcFixtures, ConnectorSources}
+        // the all-tables connector deployment (kafka-connectors/
+        // all-tables-cdc.json include list) for the my_pg3 server the
+        // scenario-6 DDL topics name
+        val cfg = CdcFixtures.ConnectorConfig("all-tables", "my_pg3", "defaultdb",
+          Seq("public.orders", "public.tables", "public.clients",
+            "public.pizzas", "public.table_assignment"))
+        val snapTs = 1695510000000L
+        def wireOf(pg: String, df: DataFrame): DataFrame = {
+          val rows = df.selectExpr("id", "to_json(struct(*)) AS j").collect()
+            .map(r => CdcFixtures.Event("c", s"""{"id":${r.getInt(0)}}""",
+              r.getString(1), snapTs, r.getInt(0).toLong))
+          CdcFixtures.kafkaWire(spark, cfg, "public", pg, rows.toIndexedSeq)
+        }
+        val wires = Map(
+          "src_tables" -> wireOf("tables", seed.tables),
+          "src_pizzas" -> wireOf("pizzas", seed.pizzas),
+          "src_clients" -> wireOf("clients", seed.clients),
+          "src_table_assignment" -> wireOf("table_assignment", seed.assignments
+            .select(col("id"), col("client_id"), col("table_id"),
+              unix_millis(col("in_time")).as("in_time"),
+              unix_millis(col("out_time")).as("out_time"))),
+          "src_orders" -> wireOf("orders", seed.orders
+            .select(col("id"), col("table_assignment_id"),
+              unix_millis(col("order_time")).as("order_time"), col("pizzas"))))
+        def resolver(td: FlinkDdl.TableDef): DataFrame = {
+          val plan = ConnectorSources.plan(td).asInstanceOf[ConnectorSources.KafkaScan]
+          // the topic the connector generates IS the topic the DDL declares
+          assert(plan.topic == cfg.topicFor("public",
+            td.options("topic").split("\\.").last))
+          ConnectorSources.decodeKafka(wires(td.name), plan, td)
+        }
+        val res = AppRunner.run(spark, spec, resolver _)
+        // metadata column (event_time METADATA FROM 'value.source.timestamp')
+        // materialized from the envelope's source.ts_ms by applyDerived
+        val et = spark.table("src_orders").select("event_time").distinct().collect()
+        assert(et.map(_.getTimestamp(0).getTime).toSeq == Seq(snapTs))
+        val rows = res.df.collect().map(r => r.getInt(0) -> r.getString(3)).toMap
+        assert(rows.keySet == Set(1, 2, 3, 4, 5))
+        assert(rows(2).contains("Master Splinter"))
+    }
+  }
+
   test("shim output is inspectable and sink-aware") {
     val sh = FlinkSqlShim.rewrite(
       "INSERT INTO out SELECT CEIL(LOCALTIMESTAMP to hour) FROM t;",
