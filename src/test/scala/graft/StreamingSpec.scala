@@ -554,6 +554,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("txn-consistent upsert: only complete transactions reach the keyed table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("txnupsert").toString + "/table"
+    val envs = MemoryStream[String]
+    val bounds = MemoryStream[(Long, Int)]
+    val decoded = Debezium.decode(envs.toDF().toDF("value"), orderRow)
+    val wide = TxnBuffer.bufferWide(decoded, "_tx_id",
+      bounds.toDF().toDF("txId", "n"), "txId", "n")
+    val q = wide.where(col("_complete"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        UpsertSink.mergeBatch(batch.withColumn("_del", col("_op") === "d"),
+          Seq("id"), "_tx_id", dir, deleteCol = Some("_del"))
+      }.start()
+    try {
+      // txn 100 complete (both events + boundary); txn 101 half-read
+      envs.addData(
+        env("c", 1, Seq(1), 1000L, 100), env("c", 2, Seq(2), 1001L, 100),
+        env("c", 3, Seq(3), 1002L, 101))
+      bounds.addData((100L, 2), (101L, 2))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(dir).select("id").collect().map(_.getInt(0)).toSet
+      assert(after1 == Set(1, 2), "half-read txn 101 must not surface")
+      // txn 101's second event arrives -> the whole txn lands atomically
+      envs.addData(env("c", 4, Seq(4), 1003L, 101))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(dir).select("id").collect().map(_.getInt(0)).toSet
+      assert(after2 == Set(1, 2, 3, 4))
+    } finally q.stop()
+  }
+
   test("txn buffer: boundary-less transaction force-flushes as incomplete on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
