@@ -123,7 +123,15 @@ object SimOps {
     * projections, so a true neighbor split from its query by one table's
     * planes usually collides in another — the standard multi-table recall
     * repair for sign-LSH (a single 4-bit table scores recall ≈ 0 on
-    * near-random embeddings; the Bench recall_at_3 field tracks both). */
+    * near-random embeddings; the Bench recall_at_3 field tracks both).
+    *
+    * Table-count trade-off, measured at sf0.1 (candidates as a fraction
+    * of corpus×queries → recall@3): 4×4-bit 22%→0.54, 8×4-bit 40%→0.67,
+    * 8×3-bit or 16×4-bit 65%→0.875. The harness embeddings are
+    * near-RANDOM, the adversarial case where recall is provably bound by
+    * the candidate fraction — more tables just converge on brute force.
+    * 4 tables is the knee; on real (clustered) embedding corpora the
+    * same 4 tables buy far more recall per candidate. */
   private def tableBucketExpr(emb: String, t: Int): org.apache.spark.sql.Column =
     concat((0 until 4).map(j =>
       when(element_at(col(emb), 16 * t + 1 + 4 * j) >= 0, "1").otherwise("0")): _*)
