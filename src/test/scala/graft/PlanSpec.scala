@@ -69,4 +69,40 @@ class PlanSpec extends SparkSpec {
     val plan = finalPlan(graft.ops.SimOps.queries("sim_ivf_topk")(spark, d))
     assert(plan.contains("partial_min_by"), plan)
   }
+
+  test("bucketed tables co-locate the fact join: no exchange, no broadcast") {
+    // The 100 TB pattern for repeated fact-fact joins (orders ⋈ lineitem
+    // every batch): persist both sides bucketed+sorted on the join key
+    // and the join runs zip-partition-wise — no shuffle of either side.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // repartition on the bucket key first → exactly one file per bucket,
+      // the layout Spark requires before it trusts the sortBy metadata
+      // (multi-file buckets force a merge re-sort at read time)
+      graft.Tables.lineitem(spark, d).repartition(8, col("l_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+      graft.Tables.orders(spark, d).repartition(8, col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bucketed")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_orderstatus")
+      val plan = finalPlan(joined)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // THE scale property: both scans feed the SMJ directly — zero
+      // Exchange nodes, so neither fact table crosses the network. (A
+      // partition-local Sort remains: Spark 4 only trusts sortBy
+      // metadata under narrow conditions — that sort is per-bucket and
+      // spill-bounded, not a shuffle.)
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SelectedBucketsCount: 8 out of 8"), plan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
 }

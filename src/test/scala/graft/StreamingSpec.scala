@@ -388,6 +388,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session windows: 30-min-gap sessions close at the watermark (streaming events_sessionize)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Int, Long)] // user_id, tsMs
+    val agg = input.toDF().toDF("user_id", "tsMs")
+      .select(col("user_id"), timestamp_millis(col("tsMs")).as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      val m = 60L * 1000
+      // user 1: two events 10 min apart (one session), then a 60-min gap
+      input.addData((1, 0L), (1, 10 * m), (1, 70 * m))
+      q.processAllAvailable()
+      // watermark = 70min: session [0, 40min) is closed; [70,100min) open
+      input.addData((1, 200 * m))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .selectExpr("user_id", "session_window.start", "n_events").collect()
+        .map(r => (r.getInt(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+      assert(rows.contains((1, 0L, 2L)),
+        s"gap-merged session [0,40min) must emit with 2 events; got ${rows.mkString(",")}")
+      assert(rows.contains((1, 70 * m, 1L)), s"singleton session must emit; got ${rows.mkString(",")}")
+      assert(!rows.exists(_._2 == 200 * m), "still-open session must not emit in append mode")
+    } finally q.stop()
+  }
+
   test("late rows beyond the watermark are dropped by the windowed aggregation (late_data)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
