@@ -344,7 +344,10 @@ object RefOps {
   /** Synthesize a Debezium envelope stream from events (txId derived from
     * the event id so transactions group ~20 rows). */
   private def eventEnvelopes(s: SparkSession, d: String): DataFrame =
-    events(s, d).select(to_json(struct(
+    envelopesOf(events(s, d))
+
+  private def envelopesOf(ev: DataFrame): DataFrame =
+    ev.select(to_json(struct(
       lit(null).cast(eventRowSchema).as("before"),
       struct(col("event_id"), col("event_type")).as("after"),
       struct(lit("events").as("table"), unix_millis(col("ts")).as("ts_ms"),
@@ -429,10 +432,15 @@ object RefOps {
     * behaviors: complete transactions emit, the truncated one stays
     * buffered (absent from the output). */
   val txnBufferedEmit: Q = (s, d) => {
-    val decoded = graft.streaming.Debezium.decode(eventEnvelopes(s, d), eventRowSchema)
     val horizon = events(s, d).agg((max("event_id") - 9).as("_h"))
-    val read = decoded.crossJoin(broadcast(horizon))
+    // Horizon-filter the RAW scan, then synthesize + decode the envelope
+    // feed. Filtering after decode instead plants a null-intolerant
+    // predicate over the parsed struct, and constraint inference then
+    // evaluates the whole from_json a second time inside the pushed
+    // Filter — a 2× JSON parse of the feed.
+    val readRaw = events(s, d).crossJoin(broadcast(horizon))
       .where(col("event_id") < col("_h"))
+    val read = graft.streaming.Debezium.decode(envelopesOf(readRaw), eventRowSchema)
       .select("event_id", "event_type", "_tx_id")
     // stand-in for the transaction topic's END feed: every txn in this
     // synthetic changelog carries exactly 20 events. Derived from the raw
