@@ -388,6 +388,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: matches inside the band emit; watermark evicts old state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = 60L * 1000
+    val clicks = MemoryStream[(Int, Long)]
+    val purchases = MemoryStream[(Int, Long)]
+    val c = clicks.toDF().toDF("cu", "ctsMs")
+      .select(col("cu"), timestamp_millis(col("ctsMs")).as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val p = purchases.toDF().toDF("pu", "ptsMs")
+      .select(col("pu"), timestamp_millis(col("ptsMs")).as("purch_ts"))
+      .withWatermark("purch_ts", "0 seconds")
+    // same band as RefOps.joinInterval: purchase within 1h after the click
+    val j = c.join(p,
+      col("cu") === col("pu") &&
+        col("purch_ts") >= col("click_ts") &&
+        col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    val q = j.writeStream.format("memory").queryName("ssij")
+      .outputMode("append").start()
+    def got() = spark.table("ssij")
+      .select(col("cu"), unix_millis(col("purch_ts"))).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSet
+    try {
+      // (events start at 60min -- a row AT the initial watermark epoch 0
+      // is dropped as late, a boundary worth staying clear of)
+      clicks.addData((1, 60 * m))
+      purchases.addData((1, 70 * m), (1, 130 * m), (2, 70 * m))
+      q.processAllAvailable()
+      // in-band purchase joins; 130min is past the band; user 2 has no click
+      assert(got() == Set(1 -> 70 * m), s"got ${got()}")
+      // advance both watermarks far past click-60's band -> its state evicts
+      clicks.addData((9, 400 * m)); purchases.addData((9, 400 * m))
+      q.processAllAvailable()
+      purchases.addData((1, 80 * m)) // in-band for click 60, but beyond the watermark
+      q.processAllAvailable()
+      assert(got() == Set(1 -> 70 * m, 9 -> 400 * m),
+        s"late purchase must not resurrect evicted click state; got ${got()}")
+    } finally q.stop()
+  }
+
   test("native session windows: 30-min-gap sessions close at the watermark (streaming events_sessionize)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
