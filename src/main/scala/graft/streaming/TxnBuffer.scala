@@ -74,7 +74,12 @@ object TxnBuffer {
 
   /** Buffer a tagged event stream per transaction.
     * @param flushIncompleteAfterMs > 0 enables the processing-time
-    *        force-flush of boundary-less transactions (streaming only). */
+    *        force-flush of boundary-less transactions (streaming only).
+    *        Enable it in at-least-once deployments: a REPLAYED boundary
+    *        for a transaction that already flushed looks like an early
+    *        boundary (expected count set, nothing buffered) and is
+    *        otherwise held until its events "arrive" — the timeout is
+    *        what clears such ghosts (they flush empty). */
   def buffer(events: Dataset[TxnEvent],
       flushIncompleteAfterMs: Long = 0L): Dataset[TxnOut] = {
     import events.sparkSession.implicits._
