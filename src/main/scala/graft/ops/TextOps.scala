@@ -68,11 +68,33 @@ object TextOps {
       .select(col("doc_id"), md5(normalizeText(col("text"))).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** PII scrubbing: redact emails and phone-shaped numbers before text
+    * enters a training corpus. Pure projection (two codegen'd
+    * regexp_replace passes) — scan+map at any scale. The harness
+    * documents are synthetic word-soup with no PII, so the query plants
+    * a deterministic email+phone per row first and the oracle must agree
+    * the redaction removed exactly those. Patterns stay in the
+    * RE2 ∩ java.util.regex dialect so both engines execute them
+    * identically. */
+  val piiScrub: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("dirty", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-555-01"),
+        col("doc_id"), lit(" today")))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("dirty"),
+            "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+", "<EMAIL>"),
+          "\\+[0-9][0-9-]{5,}[0-9]", "<PHONE>").as("clean"))
+      .withColumn("n_redacted",
+        size(split(col("clean"), "<EMAIL>|<PHONE>")) - 1)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "text_token_count" -> tokenCount,
     "text_quality_score" -> qualityScore,
     "text_lang_id" -> langId,
     "text_fingerprint" -> fingerprint,
+    "text_pii_scrub" -> piiScrub,
   )
 
   private val Norm =
@@ -112,5 +134,19 @@ object TextOps {
            FROM sc ORDER BY doc_id""",
     "text_fingerprint" ->
       s"SELECT doc_id, md5($Norm) AS fingerprint FROM documents ORDER BY doc_id",
+    "text_pii_scrub" ->
+      raw"""WITH dirty AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or +1-555-01' || CAST(doc_id AS VARCHAR)
+                  || ' today' AS dirty
+             FROM documents),
+           cleaned AS (SELECT doc_id,
+             regexp_replace(
+               regexp_replace(dirty, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+               '\+[0-9][0-9-]{5,}[0-9]', '<PHONE>', 'g') AS clean
+             FROM dirty)
+           SELECT doc_id, clean,
+             CAST(len(string_split_regex(clean, '<EMAIL>|<PHONE>')) - 1 AS INT) AS n_redacted
+           FROM cleaned ORDER BY doc_id""",
   )
 }
