@@ -229,8 +229,13 @@ object DedupOps {
     // localCheckpoint (not cache) per iteration: it truncates the plan
     // lineage, which otherwise grows by one join+agg per pass and makes
     // later iterations replan/recompute the whole history.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).localCheckpoint()
+    // Init folds the FIRST propagation hop in: label = min(self, direct
+    // neighbors) — same aggregation shape as the plain distinct, one
+    // whole loop iteration (join + checkpoint + convergence count) less.
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min("dst").as("m"))
+      .select(col("doc_id"), least(col("doc_id"), col("m")).as("lbl"))
+      .localCheckpoint()
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 50) {
