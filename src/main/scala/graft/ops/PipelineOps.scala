@@ -94,11 +94,37 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus curation — the composition the individual ops
+    * exist for, as one declarative plan Catalyst optimizes WHOLE:
+    * quality gate (the `good` tier of text_quality_score) → exact dedup
+    * (min doc_id per content hash) → content-stable split assignment.
+    * Two shuffles total (dedup groupBy + output sort); the quality
+    * filter runs in the scan's projection, and a real pipeline appends
+    * near-dup clustering and contamination screening the same way. */
+  val corpusCurate: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("len", length(col("text")))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
+      .withColumn("n_stop",
+        expr("size(filter(split(lower(text), '\\\\s+'), x -> x IN ('the','a','and','of','to','in','is')))"))
+      .where(col("len") >= 100 &&
+        expr("n_alpha * 100 div len") >= 70 && col("n_stop") >= 1)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), splitHash(col("doc_id")).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 58982, "train")
+          .when(col("bucket") < 62259, "val")
+          .otherwise("test"))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "sample_split_hash" -> sampleSplitHash,
     "text_ngram_topk" -> ngramTopK,
     "text_contamination" -> contamination,
     "pack_sequences" -> packSequences,
+    "corpus_curate" -> corpusCurate,
   )
 
   /** DuckDB hex-nibble value of char i (1-based) of md5 string h. */
@@ -131,6 +157,24 @@ object PipelineOps {
           SELECT doc_id, eval_id, inter, eval_sz
           FROM it JOIN sz USING (eval_id)
           WHERE inter * 2 >= eval_sz ORDER BY doc_id, eval_id""",
+    "corpus_curate" ->
+      s"""WITH q AS (SELECT doc_id, text FROM documents
+            WHERE length(text) >= 100
+              AND (length(regexp_replace(text, '[^a-z]', '', 'g')) * 100) // length(text) >= 70
+              AND len(list_filter(string_split(lower(text), ' '),
+                    x -> x IN ('the','a','and','of','to','in','is'))) >= 1),
+          keep AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
+                   FROM q GROUP BY md5(text)),
+          h AS (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS m FROM keep),
+          b AS (SELECT doc_id,
+                  ${nib("m", 1)} * 4096 + ${nib("m", 2)} * 256 +
+                  ${nib("m", 3)} * 16 + ${nib("m", 4)} AS bucket
+                FROM h)
+          SELECT doc_id,
+            CASE WHEN bucket < 58982 THEN 'train'
+                 WHEN bucket < 62259 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM b ORDER BY doc_id""",
     "pack_sequences" ->
       raw"""WITH t AS (SELECT doc_id, doc_id % $NShards AS shard,
               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tok
