@@ -166,7 +166,15 @@ object DedupOps {
     * (block index, block value), work ∝ Σ bucket², never |docs|². The
     * exact distance check is two codegen'd bit_count(xor) on the packed
     * halves. Fingerprints live as two unsigned-32 longs (fp_hi, fp_lo)
-    * to stay sign-free in every engine. */
+    * to stay sign-free in every engine.
+    *
+    * Scale note: 16-bit blocks give 65536 buckets per index, so expected
+    * bucket size grows as N/2¹⁶ — fine to ~10⁸ docs. Beyond that, the
+    * same pigeonhole generalizes: split into 6+ blocks and key on block
+    * PAIRS (distance ≤3 over 6 blocks guarantees agreement on some pair
+    * ≈ 21-bit exact keys, C(6,2)=15 indexes) — same join shape, narrower
+    * buckets, more rows per doc. This operator keeps the 4-block form
+    * the harness corpus warrants. */
   val simhashPairs: Q = (s, d) => {
     val sums = simhashSums(s, d)
     def half(range: Range, base: Int): org.apache.spark.sql.Column =
