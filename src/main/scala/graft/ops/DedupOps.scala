@@ -91,10 +91,23 @@ object DedupOps {
   private val BandSize = 3 // 3 bands × 3 rows
 
   /** MinHash signatures: min over shingles of seeded md5, string-min —
-    * portable across engines (no integer hash seeds needed). */
+    * portable across engines (no integer hash seeds needed). Computed by
+    * the one-pass [[graft.expressions.MinHashSignatures]] expression over
+    * the shingle array: a pure scan+map. The explode+groupBy form it
+    * replaces did partial-aggregate map-side (so its exchange was small
+    * too); what this removes is the doc-keyed aggregation hash table per
+    * partition and the exchange entirely — signature memory is one row's
+    * worth regardless of docs per partition. Wall-clock is md5-bound and
+    * unchanged at test SF; bit-identity with the aggregation form is
+    * pinned in FunctionsSpec. */
   private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val aggs = (0 until NumHashes).map(i => min(seededMd5(col("sh"), i)).as(s"s$i"))
-    docShingles(s, d).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    graft.expressions.TextShingles.register(s)
+    graft.expressions.MinHashSignatures.register(s)
+    documents(s, d)
+      .select(col("doc_id"),
+        expr(s"minhash_sigs(text_shingles(text, 3), $NumHashes)").as("sigs"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => element_at(col("sigs"), i + 1).as(s"s$i")): _*)
   }
 
   /** MinHash + LSH banding: 9 hashes, 3 bands of 3; docs sharing any band

@@ -106,6 +106,25 @@ class FunctionsSpec extends SparkSpec {
     assert(orig.toSeq == rt.toSeq, s"round trip mismatch:\n${orig.toSeq}\n${rt.toSeq}")
   }
 
+  test("MinHashSignatures expression == the explode+groupBy aggregation, byte for byte") {
+    val d = "/root/testdata/sf0.001"
+    graft.expressions.TextShingles.register(spark)
+    graft.expressions.MinHashSignatures.register(spark)
+    val k = 9
+    // the pre-round-2 formulation: explode every (doc, shingle) row and
+    // re-collapse through a k-aggregate groupBy
+    val sh = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), explode(expr("text_shingles(text, 3)")).as("sh"))
+    val aggs = (0 until k).map(i =>
+      min(graft.functions.Functions.seededMd5(col("sh"), i)).as(s"s$i"))
+    val reference = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getString).toVector).toMap
+    val onePass = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), expr(s"minhash_sigs(text_shingles(text, 3), $k)").as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(onePass == reference)
+  }
+
   test("packed-bit simhash == the explode(0..63) reference formulation, bit for bit") {
     val d = "/root/testdata/sf0.001"
     graft.expressions.TextShingles.register(spark)
