@@ -26,6 +26,14 @@ object Bench {
       Tables.embeddings(spark, sfDir).limit(10).count()
       spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
         .count().count()
+      // typed path (groupByKey/flatMapGroups object codecs) and the JSON
+      // encode/parse codegen, so the first query using them isn't the one
+      // that pays their one-time compilation
+      import spark.implicits._
+      spark.range(100).as[Long].groupByKey(_ % 7)
+        .flatMapGroups((_: Long, it: Iterator[Long]) => it).count()
+      spark.range(10)
+        .selectExpr("from_json(to_json(struct(id)), 'id BIGINT') AS r").count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
