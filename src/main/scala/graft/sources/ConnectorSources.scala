@@ -23,8 +23,9 @@ import graft.streaming.Debezium
   *  - [[decodeKafka]]: kafka-wire DataFrame (the fixed key/value/topic/...
   *    schema Spark's kafka source emits) → typed rows per the DDL's
   *    `value.format`. Testable by synthesizing wire rows.
-  *  - [[resolve]]: glue the above into a live DataFrame (needs the real
-  *    external system — the only layer the sandbox can't execute).
+  *  - [[resolve]]: glue the above into a live DataFrame. The jdbc branch
+  *    runs end-to-end in tests against an embedded Derby database; the
+  *    kafka branch is the one layer needing a live broker.
   */
 object ConnectorSources {
 
@@ -166,10 +167,10 @@ object ConnectorSources {
     df.select(keyJson.as("key"), value.as("value"), lit(topic).as("topic"))
   }
 
-  /** Execute a plan against the live external system. The sandbox has no
-    * database or broker, so this path is exercised in deployments; every
-    * decision it makes is pinned by the [[plan]]/[[readerOptions]]/
-    * [[decodeKafka]] tests. */
+  /** Execute a plan against the live external system. The jdbc branch is
+    * tested against a real (embedded Derby) database; the kafka branches
+    * need a broker, and every decision they make is pinned by the
+    * [[plan]]/[[readerOptions]]/[[decodeKafka]] tests. */
   def resolve(spark: SparkSession, td: FlinkDdl.TableDef,
       cdcServerName: String = "my_pg"): DataFrame =
     plan(td, cdcServerName) match {

@@ -128,6 +128,28 @@ class ConnectorSpec extends SparkSpec {
     assert(got.getAs[org.apache.spark.sql.Row]("message").getAs[String]("prefix") == "evt")
   }
 
+  test("jdbc resolve reads a REAL database end-to-end (embedded Derby, scenario-1 shape)") {
+    // Spark ships Derby for its metastore, which makes the jdbc branch
+    // executable in-sandbox: create the reference's scenario-1 `tables`
+    // table in an in-memory database and pull it through the SAME
+    // resolve() path a Postgres deployment uses.
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE pizzeria_tables (id INT, name VARCHAR(32), seats INT)")
+      st.execute("INSERT INTO pizzeria_tables VALUES (1,'Donatello',2),(2,'Michelangelo',4)")
+      st.close()
+    } finally conn.close()
+    val td = FlinkDdl.parse(
+      s"""CREATE TABLE src_tables (id INT, name STRING, seats INT)
+         |WITH ('connector' = 'jdbc', 'url' = '$url',
+         |'table-name' = 'pizzeria_tables')""".stripMargin)
+    val got = ConnectorSources.resolve(spark, td).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1, "Donatello", 2), (2, "Michelangelo", 4)))
+  }
+
   test("sink encode -> source decode round-trips rows and tombstones (scenario-6 sink DDL)") {
     val spec = read(refApps, "06-flink-cdc-temporal-join.json")
       .getOrElse(cancel("reference not available"))
