@@ -101,6 +101,55 @@ class AppSpecSpec extends SparkSpec {
     }
   }
 
+  test("scenario 1 through a REAL jdbc database (embedded Derby end-to-end)") {
+    loadSpec("01-basic-jdbc.json") match {
+      case None => cancel("reference not available")
+      case Some(spec) =>
+        import graft.sources.ConnectorSources
+        val url = "jdbc:derby:memory:pizzeria;create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.execute("CREATE TABLE tables (id INT, name VARCHAR(32), seats INT)")
+          graft.model.Pizzeria.tables.foreach(t =>
+            st.execute(s"INSERT INTO tables VALUES (${t.id},'${t.name}',${t.seats})"))
+          st.execute("CREATE TABLE pizzas (id INT, name VARCHAR(32), price INT)")
+          graft.model.Pizzeria.pizzas.foreach(p =>
+            st.execute(s"INSERT INTO pizzas VALUES (${p.id},'${p.name}',${p.price})"))
+          st.execute("CREATE TABLE clients (id INT, name VARCHAR(32))")
+          graft.model.Pizzeria.clients.foreach(c =>
+            st.execute(s"INSERT INTO clients VALUES (${c.id},'${c.name}')"))
+          // note the reference DDL's own 'table_assigment' typo — the DB
+          // table must carry it for 'table-name' resolution to work
+          st.execute("CREATE TABLE table_assigment (id INT, client_id INT, table_id INT, in_time TIMESTAMP, out_time TIMESTAMP)")
+          graft.model.Pizzeria.assignments.foreach { a =>
+            val out = a.out_time.map(t => s"TIMESTAMP('$t')").getOrElse("NULL")
+            st.execute(s"INSERT INTO table_assigment VALUES (${a.id},${a.client_id},${a.table_id},TIMESTAMP('${a.in_time}'),$out)")
+          }
+          // Derby has no array type: pizzas ride as CSV, the resolver adapts
+          st.execute("CREATE TABLE orders (id INT, table_assignment_id INT, order_time TIMESTAMP, pizzas VARCHAR(64))")
+          graft.model.Pizzeria.orders.foreach(o =>
+            st.execute(s"INSERT INTO orders VALUES (${o.id},${o.table_assignment_id},TIMESTAMP('${o.order_time}'),'${o.pizzas.mkString(",")}')"))
+          st.close()
+        } finally conn.close()
+        def resolver(td: FlinkDdl.TableDef): DataFrame = {
+          // a deployment injects the real endpoint into the spec's URL
+          val real = td.copy(options = td.options + ("url" -> url))
+          val df = ConnectorSources.resolve(spark, real)
+          if (td.name == "src_orders")
+            df.withColumn("pizzas", split(col("pizzas"), ",").cast("array<int>"))
+          else df
+        }
+        val res = AppRunner.run(spark, spec, resolver _,
+          evalTime = Some("2023-09-23 21:30:00"))
+        val rows = res.df.collect()
+        val byId = rows.map(r => r.getInt(0) -> (r.getString(1), r.getString(3))).toMap
+        assert(byId.keySet == Set(2, 3, 4))
+        assert(byId(2)._1 == "Wall Smith")
+        assert(byId(2)._2.contains("Master Splinter"))
+    }
+  }
+
   test("scenario 3 app spec: lookup join against the enriched view (batch form)") {
     loadSpec("03-flink-cdc-jdbc.json") match {
       case None => cancel("reference not available")
