@@ -52,10 +52,12 @@ object ConnectorSources {
     * Spark deployment consumes the Debezium topic the connector config
     * (kafka-connectors/orders-cdc.json) produces for the same table —
     * topic `server.schema.table`, debezium-json envelopes. `serverName`
-    * comes from the connector config, not the DDL, so it's a resolver
-    * parameter with the reference's default. */
+    * and the broker address come from the connector/deployment config,
+    * not the DDL, so both are resolver parameters with the reference's
+    * defaults — without a bootstrap address Spark's kafka source cannot
+    * build a runnable reader at all. */
   case class PgCdcScan(database: String, schema: String, table: String,
-      serverName: String) extends SourcePlan {
+      serverName: String, bootstrap: String) extends SourcePlan {
     def format = "kafka"
     def topic: String = s"$serverName.$schema.$table"
   }
@@ -64,7 +66,8 @@ object ConnectorSources {
     * connectors fail loudly — a silently-parquet fallback would mask a
     * deployment misconfiguration. */
   def plan(td: FlinkDdl.TableDef,
-      cdcServerName: String = "my_pg"): SourcePlan = {
+      cdcServerName: String = "my_pg",
+      cdcBootstrap: String = "kafka:9092"): SourcePlan = {
     val o = td.options
     def req(k: String): String = o.getOrElse(k,
       throw new IllegalArgumentException(
@@ -87,7 +90,7 @@ object ConnectorSources {
           upsert = c == "upsert-kafka")
       case "postgres-cdc" =>
         PgCdcScan(req("database-name"), req("schema-name"), req("table-name"),
-          cdcServerName)
+          cdcServerName, cdcBootstrap)
       case other =>
         throw new IllegalArgumentException(
           s"source ${td.name}: unknown connector '$other'")
@@ -106,7 +109,8 @@ object ConnectorSources {
     case c: PgCdcScan =>
       // consumed via the Debezium topic; offsets from earliest so the
       // snapshot reads the whole changelog (the connector's snapshot mode)
-      Map("subscribe" -> c.topic, "startingOffsets" -> "earliest")
+      Map("kafka.bootstrap.servers" -> c.bootstrap,
+        "subscribe" -> c.topic, "startingOffsets" -> "earliest")
   }
 
   /** Decode a kafka-wire frame (`key`/`value` binary + topic/partition/
@@ -172,8 +176,9 @@ object ConnectorSources {
     * need a broker, and every decision they make is pinned by the
     * [[plan]]/[[readerOptions]]/[[decodeKafka]] tests. */
   def resolve(spark: SparkSession, td: FlinkDdl.TableDef,
-      cdcServerName: String = "my_pg"): DataFrame =
-    plan(td, cdcServerName) match {
+      cdcServerName: String = "my_pg",
+      cdcBootstrap: String = "kafka:9092"): DataFrame =
+    plan(td, cdcServerName, cdcBootstrap) match {
       case j: JdbcScan =>
         spark.read.format(j.format).options(readerOptions(j)).load()
       case k: KafkaScan =>
@@ -181,7 +186,7 @@ object ConnectorSources {
           spark.readStream.format(k.format).options(readerOptions(k)).load(), k, td)
       case c: PgCdcScan =>
         // same wire + decode as an explicit kafka debezium source
-        val asKafka = KafkaScan(bootstrap = "", topic = c.topic,
+        val asKafka = KafkaScan(bootstrap = c.bootstrap, topic = c.topic,
           startingOffsets = "earliest", valueFormat = "debezium-json",
           keyFormat = None, upsert = false)
         decodeKafka(

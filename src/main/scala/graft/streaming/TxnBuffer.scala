@@ -40,7 +40,7 @@ object TxnBuffer {
 
   case class TxnState(buffered: List[Array[Byte]], expected: Option[Int])
 
-  private def updateFn(flushIncompleteAfterMs: Long)(txId: Long,
+  private def updateFn(flushIncompleteAfterMs: Long, timeoutEnabled: Boolean)(txId: Long,
       rows: Iterator[TxnEvent], state: GroupState[TxnState]): Iterator[TxnOut] = {
     if (state.hasTimedOut) {
       // boundary never arrived: flush what we have, flagged incomplete
@@ -66,7 +66,11 @@ object TxnBuffer {
       state.remove(); Iterator.empty
     } else {
       state.update(TxnState(buffered, expected))
-      if (flushIncompleteAfterMs > 0)
+      // Only arm the timeout when buffer() actually selected
+      // ProcessingTimeTimeout (streaming); setTimeoutDuration under
+      // NoTimeout (the batch form) throws as soon as a transaction is
+      // left incomplete.
+      if (timeoutEnabled)
         state.setTimeoutDuration(flushIncompleteAfterMs)
       Iterator.empty
     }
@@ -83,13 +87,13 @@ object TxnBuffer {
   def buffer(events: Dataset[TxnEvent],
       flushIncompleteAfterMs: Long = 0L): Dataset[TxnOut] = {
     import events.sparkSession.implicits._
+    val timeoutEnabled = events.isStreaming && flushIncompleteAfterMs > 0
     val timeout =
-      if (events.isStreaming && flushIncompleteAfterMs > 0)
-        GroupStateTimeout.ProcessingTimeTimeout
+      if (timeoutEnabled) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     events.groupByKey(_.txId)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
-        updateFn(flushIncompleteAfterMs))
+        updateFn(flushIncompleteAfterMs, timeoutEnabled))
   }
 
   /** Tag a decoded changelog (must carry `txIdCol`) as data events; the

@@ -32,8 +32,38 @@ object UpsertSink {
 
   private val BucketCol = "graft_bucket"
 
+  /** Layout marker persisted at the table root: the bucket count the
+    * stored rows were hashed with. Underscore-prefixed so Spark's parquet
+    * reader and the data-presence check both ignore it. */
+  private val LayoutMarker = "_graft_nbuckets"
+
   private def bucketOf(keyCols: Seq[String], n: Int) =
     pmod(hash(keyCols.map(col): _*), lit(n))
+
+  private def writeLayoutMarker(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, n: Int): Unit = {
+    val out = fs.create(new Path(target, LayoutMarker), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readLayoutMarker(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path): Option[Int] = {
+    val p = new Path(target, LayoutMarker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](32)
+        val n = in.read(bytes)
+        new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toIntOption
+      } finally in.close()
+    }
+  }
+
+  /** Hook for tests: invoked between a bucket's rename-out and rename-in
+    * during the per-bucket swap, so a concurrent-reader test can observe
+    * the table mid-swap deterministically. */
+  private[graft] var midSwapPause: () => Unit = () => ()
 
   /** Merge one (micro-)batch into the keyed parquet table at `path`.
     * - batch rows are deduped to latest-per-key by (versionCol, tiebreak);
@@ -81,8 +111,18 @@ object UpsertSink {
     val touched: Seq[Int] = batchTagged.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
 
+    // A per-bucket merge is only sound when the stored rows were hashed
+    // with the SAME bucket count the batch uses: otherwise a key's old
+    // image can live in a bucket this batch never touches and survive as a
+    // duplicate. The persisted layout marker is authoritative; a bucketed
+    // table without one (pre-marker layout) counts as a mismatch and takes
+    // the full-rewrite path once, which re-buckets and writes the marker.
+    val fsEarly = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketCountMatches =
+      readLayoutMarker(fsEarly, new Path(path)).contains(nBuckets)
+
     val merged = existing match {
-      case Some(ex) if ex.columns.contains(BucketCol) =>
+      case Some(ex) if ex.columns.contains(BucketCol) && bucketCountMatches =>
         // Partition-pruned read: only touched bucket dirs are scanned.
         val exTouchedBuckets = ex.where(col(BucketCol).isin(touched: _*))
         val touchedKeys = batchTagged.select(keyCols.map(col): _*).distinct()
@@ -96,9 +136,12 @@ object UpsertSink {
         // the bucket is the rewrite unit.
         exTouchedBuckets.join(touchedKeys, keyCols, "left_anti")
           .unionByName(winners)
-      case Some(ex) =>
-        // Layout migration: a pre-bucketing flat table — merge the old way
-        // and rewrite everything once into the bucketed layout.
+      case Some(exRaw) =>
+        // Layout migration: a pre-bucketing flat table, OR a bucketed
+        // table whose stored bucket count differs from this call's
+        // nBuckets — merge the old way and rewrite everything once into
+        // the (re-)bucketed layout.
+        val ex = if (exRaw.columns.contains(BucketCol)) exRaw.drop(BucketCol) else exRaw
         val touchedKeys = batchTagged.select(keyCols.map(col): _*).distinct()
         val exTouched = ex.join(touchedKeys, keyCols, "left_semi")
           .withColumn(delCol, lit(false)).withColumn("_from_batch", lit(0))
@@ -118,8 +161,9 @@ object UpsertSink {
 
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
-    val isBucketedMerge = existing.exists(_.columns.contains(BucketCol))
-    val fullRewrite = !isBucketedMerge // fresh table or layout migration
+    val isBucketedMerge =
+      existing.exists(_.columns.contains(BucketCol)) && bucketCountMatches
+    val fullRewrite = !isBucketedMerge // fresh table, migration, or re-bucket
 
     val tmp = new Path(path + ".tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -132,6 +176,7 @@ object UpsertSink {
       if (fs.exists(bak)) fs.delete(bak, true)
       if (fs.exists(target)) fs.rename(target, bak)
       fs.rename(tmp, target)
+      writeLayoutMarker(fs, target, nBuckets)
       if (fs.exists(bak)) fs.delete(bak, true)
     } else {
       // Per-bucket swap: park old buckets in .bak, move new ones in.
@@ -143,6 +188,7 @@ object UpsertSink {
         val tgtB = new Path(target, dir)
         val tmpB = new Path(tmp, dir)
         if (fs.exists(tgtB)) fs.rename(tgtB, new Path(bakRoot, dir))
+        midSwapPause()
         // A bucket emptied by tombstones has no tmp dir — absence IS the
         // new state.
         if (fs.exists(tmpB)) fs.rename(tmpB, tgtB)
@@ -152,11 +198,65 @@ object UpsertSink {
     }
   }
 
-  /** Read a keyed table written by [[mergeBatch]] (bucket column hidden). */
-  def readKeyedTable(spark: SparkSession, path: String): Option[DataFrame] =
-    readKeyedTableRaw(spark, path).map { df =>
-      if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+  /** Read a keyed table written by [[mergeBatch]] (bucket column hidden).
+    *
+    * Crash/race consistency: when a swap is (or was) in flight — the
+    * `.bak` park directory exists — the read does NOT mutate anything
+    * (renaming parked buckets back would corrupt a LIVE writer's swap
+    * protocol). Instead it assembles a complete snapshot from concrete
+    * directories: every bucket present at the target plus every parked
+    * bucket whose target dir is missing. Mid-swap each bucket is thus
+    * seen exactly once, at either its old or new image — the same
+    * per-bucket atomicity [[mergeBatch]] documents. Listing races with a
+    * concurrent rename are absorbed by a bounded retry. */
+  def readKeyedTable(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val bakRoot = new Path(path + ".bak")
+    var attempt = 0
+    var result: Option[Option[DataFrame]] = None
+    while (result.isEmpty) {
+      attempt += 1
+      try {
+        result = Some {
+          if (!fs.exists(bakRoot)) {
+            // no swap in flight: plain read
+            if (hasData(fs, target))
+              Some(dropBucket(spark.read.parquet(path)))
+            else None
+          } else if (!fs.exists(target)) {
+            // whole-table swap died after target->bak: bak IS the table
+            if (hasData(fs, bakRoot))
+              Some(dropBucket(spark.read.parquet(bakRoot.toString)))
+            else None
+          } else {
+            val tgtDirs = fs.listStatus(target).map(_.getPath)
+              .filter(_.getName.startsWith(s"$BucketCol="))
+            val parked = fs.listStatus(bakRoot).map(_.getPath)
+              .filter(p => p.getName.startsWith(s"$BucketCol=") &&
+                !fs.exists(new Path(target, p.getName)))
+            val dirs = (tgtDirs ++ parked).map(_.toString).sorted
+            if (dirs.isEmpty) None
+            // reading concrete bucket dirs skips partition discovery, so
+            // the frame comes back without the bucket column — exactly
+            // this method's contract
+            else Some(spark.read.parquet(dirs: _*))
+          }
+        }
+      } catch {
+        case _: java.io.FileNotFoundException if attempt < 5 =>
+          Thread.sleep(50L * attempt) // listing raced a rename; re-list
+      }
     }
+    result.get
+  }
+
+  private def dropBucket(df: DataFrame): DataFrame =
+    if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+
+  private def hasData(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists(s =>
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
 
   /** Read including the layout's bucket column, recovering from a crashed
     * swap first: any bucket parked in `.bak` whose target dir is missing

@@ -46,6 +46,11 @@ class ConnectorSpec extends SparkSpec {
           case ("postgres-cdc", c: PgCdcScan) =>
             assert(c.table == td.options("table-name"))
             assert(c.topic == s"my_pg.${td.options("schema-name")}.${td.options("table-name")}")
+            // the reader must be runnable: spark's kafka source requires
+            // the broker address alongside the subscription
+            val ro = ConnectorSources.readerOptions(c)
+            assert(ro("kafka.bootstrap.servers") == "kafka:9092")
+            assert(ro("subscribe") == c.topic)
           case (conn, other) => fail(s"connector $conn planned as $other")
         }
       }

@@ -123,9 +123,72 @@ class StreamingSpec extends SparkSpec {
       .map(_.getPath).filter(_.getName.startsWith("graft_bucket=")).head
     fs.mkdirs(new Path(dir + ".bak"))
     fs.rename(bucketDir, new Path(dir + ".bak/" + bucketDir.getName))
+    // the read assembles the parked bucket into a complete snapshot but
+    // does NOT rename anything (a live writer may own the .bak protocol)
     val restored = UpsertSink.readKeyedTable(spark, dir).get
-    assert(restored.count() == 100, "parked bucket should be restored on read")
+    assert(restored.count() == 100, "parked bucket should be visible on read")
+    assert(fs.exists(new Path(dir + ".bak")), "read must not mutate the layout")
+    // the next merge (the single writer) performs the actual recovery
+    UpsertSink.mergeBatch(Seq((1, "v1x", 5000L)).toDF("id", "v", "ver"),
+      Seq("id"), "ver", dir)
     assert(!fs.exists(new Path(dir + ".bak")))
+    assert(UpsertSink.readKeyedTable(spark, dir).get.count() == 100)
+  }
+
+  test("nBuckets change routes through a full rewrite; no stale duplicate keys") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("rebucket").toString + "/table"
+    UpsertSink.mergeBatch(
+      spark.range(100).selectExpr("CAST(id AS INT) AS id", "concat('v', id) AS v", "id AS ver"),
+      Seq("id"), "ver", dir, nBuckets = 64)
+    // same key, different bucket count: a per-bucket merge would rewrite
+    // only the mod-8 bucket and leave key 5's mod-64 image as a duplicate
+    UpsertSink.mergeBatch(Seq((5, "V5NEW", 5000L)).toDF("id", "v", "ver"),
+      Seq("id"), "ver", dir, nBuckets = 8)
+    val got = spark.read.parquet(dir).select("id", "v")
+      .collect().map(r => r.getInt(0) -> r.getString(1))
+    assert(got.length == 100, s"expected 100 unique keys, got ${got.length}")
+    assert(got.toMap.apply(5) == "V5NEW")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketIds = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("graft_bucket=")).map(_.stripPrefix("graft_bucket=").toInt)
+    assert(bucketIds.forall(_ < 8), "table must be re-bucketed to the new count")
+  }
+
+  test("reader mid-swap sees a complete table (every key exactly once)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("midswap").toString + "/table"
+    UpsertSink.mergeBatch(
+      spark.range(200).selectExpr("CAST(id AS INT) AS id", "concat('v', id) AS v", "id AS ver"),
+      Seq("id"), "ver", dir)
+    val parked = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    UpsertSink.midSwapPause = () => {
+      parked.countDown()
+      release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    val writer = new Thread(() =>
+      UpsertSink.mergeBatch(Seq((7, "V7NEW", 999L)).toDF("id", "v", "ver"),
+        Seq("id"), "ver", dir))
+    try {
+      writer.start()
+      assert(parked.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      // key 7's bucket is renamed OUT right now (old image parked in .bak,
+      // new image not yet moved in) — the reader must still see all 200
+      // keys, with key 7 at its old image
+      val snap = UpsertSink.readKeyedTable(spark, dir).get
+        .select("id", "v").collect().map(r => r.getInt(0) -> r.getString(1))
+      assert(snap.length == 200, s"mid-swap read saw ${snap.length} rows")
+      assert(snap.toMap.apply(7) == "v7", "mid-swap image of the bucket is the old one")
+    } finally {
+      release.countDown()
+      writer.join(30000)
+      UpsertSink.midSwapPause = () => ()
+    }
+    val fin = spark.read.parquet(dir).select("id", "v")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(fin.size == 200 && fin(7) == "V7NEW")
   }
 
   test("upsert sink ignores replayed stale versions (at-least-once CDC delivery)") {
@@ -712,5 +775,19 @@ class StreamingSpec extends SparkSpec {
       val got = rows().map(o => o.txId -> (new String(o.payload), o.complete)).toMap
       assert(got == Map(7L -> ("orphan", false), 8L -> ("ok", true)))
     } finally q.stop()
+  }
+
+  test("txn buffer: batch form ignores the flush timeout instead of throwing") {
+    import spark.implicits._
+    // batch Datasets run under NoTimeout; a flushIncompleteAfterMs > 0 must
+    // not arm a processing-time timer there (it used to throw
+    // UnsupportedOperationException the moment a txn stayed incomplete)
+    val events = Seq(
+      TxnBuffer.TxnEvent(1L, isBoundary = false, 0, "a".getBytes),
+      TxnBuffer.TxnEvent(1L, isBoundary = true, 1, null),
+      TxnBuffer.TxnEvent(2L, isBoundary = false, 0, "x".getBytes)).toDS()
+    val out = TxnBuffer.buffer(events, flushIncompleteAfterMs = 200L).collect()
+    assert(out.map(_.txId).toSeq == Seq(1L), "incomplete txn 2 stays buffered")
+    assert(out.forall(_.complete))
   }
 }
