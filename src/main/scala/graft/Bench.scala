@@ -3,13 +3,26 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
   * prints one JSON line. A small untimed warmup first (JVM/codegen/paths),
-  * then queries in sorted order so per-query numbers are comparable
-  * across rounds.
+  * then SPARK_GRAFT_BENCH_RUNS (default 3) timed passes over the queries
+  * in sorted order; the reported per-query number is the MEDIAN across
+  * passes so a single GC pause or JIT recompile doesn't read as a plan
+  * regression across rounds.
+  *
+  * Besides time, the run reports ANN quality: recall@3 of each bucketed
+  * index against exact brute force, plus the candidate fraction each
+  * index scored (candidates / (|corpus|·|Q|)) — recall without its cost
+  * is not comparable. `sim_lsh_topk` (the default a user reaches for
+  * first) has a hard recall floor of 0.6: if it regresses, the process
+  * exits nonzero AFTER printing the JSON line, so the driver still gets
+  * numbers but the run fails loudly.
   */
 object Bench {
+  private val RecallFloor = 0.6
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,34 +48,64 @@ object Bench {
       spark.range(10)
         .selectExpr("from_json(to_json(struct(id)), 'id BIGINT') AS r").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = (1 to nRuns).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map(n => n -> median(samples.map(_(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).sum
     // ANN quality: recall@3 of the bucketed variants against the exact
     // brute-force top-3, so an index change that silently tanks quality is
-    // visible next to its speedup.
-    val recallJson = try {
+    // visible next to its speedup; candidate fraction alongside, because
+    // recall is trivially 1.0 at fraction 1.0.
+    var floorViolation: Option[Double] = None
+    val annJson = try {
       import org.apache.spark.sql.functions.col
       def topSet(name: String): Map[Long, Set[Long]] =
         SparkEntry.queries(name)(spark, sfDir).where(col("rank") <= 3).collect()
           .groupBy(_.getAs[Long]("q_id"))
           .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
       val truth = topSet("sim_brute_topk")
-      val entries = Seq("sim_lsh_topk", "sim_lsh_multi_topk", "sim_ivf_topk").map { n =>
+      val annNames =
+        Seq("sim_lsh_topk", "sim_lsh_1table_topk", "sim_lsh_multi_topk", "sim_ivf_topk")
+      val recalls = annNames.map { n =>
         val approx = topSet(n)
         val per = truth.toSeq.map { case (q, t) =>
           (approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size) }
-        val r = if (per.nonEmpty) per.sum / per.size else 0.0
-        "\"" + n + "\":" + r
+        n -> (if (per.nonEmpty) per.sum / per.size else 0.0)
       }
-      entries.mkString(",\"recall_at_3\":{", ",", "}")
+      recalls.collectFirst { case ("sim_lsh_topk", r) if r < RecallFloor => r }
+        .foreach(r => floorViolation = Some(r))
+      val nCorpus = Tables.embeddings(spark, sfDir).count().toDouble
+      val nQ = truth.size.toDouble
+      val fractions = Seq(
+        "sim_lsh_topk" -> ops.SimOps.lshCandidatePairs(spark, sfDir, 8).count(),
+        "sim_lsh_multi_topk" -> ops.SimOps.lshCandidatePairs(spark, sfDir, 4).count(),
+        "sim_ivf_topk" -> ops.SimOps.ivfCandidates(spark, sfDir).count(),
+      ).map { case (n, c) => n -> c / (nCorpus * nQ) }
+      val rJson = recalls.map { case (n, r) => "\"" + n + "\":" + r }
+        .mkString(",\"recall_at_3\":{", ",", "}")
+      val fJson = fractions.map { case (n, f) => "\"" + n + "\":" + f }
+        .mkString(",\"candidate_fraction\":{", ",", "}")
+      rJson + fJson
     } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$recallJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,"queries":$qs$annJson,"sf":"$sfDir"}""")
     spark.stop()
+    floorViolation.foreach { r =>
+      System.err.println(
+        s"BENCH FAIL: sim_lsh_topk recall@3 = $r < floor $RecallFloor")
+      sys.exit(1)
+    }
   }
 }

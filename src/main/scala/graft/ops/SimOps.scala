@@ -103,9 +103,13 @@ object SimOps {
     concat(Seq(1, 17, 33, 49).map(i =>
       when(element_at(col(emb), i) >= 0, "1").otherwise("0")): _*)
 
-  /** LSH-bucketed ANN: candidates share the query's bucket; exact cosine
-    * top-3 within the bucket. */
-  val lshTopK: Q = (s, d) => {
+  /** Single-table LSH ANN, kept as the pedagogical baseline: one 4-bit
+    * sign bucket bounds candidates to ~1/16 of the corpus, which on the
+    * harness's near-random embeddings yields recall@3 ≈ 0 — the measured
+    * failure mode that motivates the multi-table default
+    * ([[lshMultiTopK]]). The registered `sim_lsh_topk` is the 8-table
+    * form; this stays queryable as `sim_lsh_1table_topk`. */
+  val lsh1TableTopK: Q = (s, d) => {
     val corpus = corpusWithNorm(s, d).withColumn("bucket", bucketExpr("embedding"))
     val q = qset(s, d).withColumn("q_bucket", bucketExpr("q_emb"))
     rankTopK(
@@ -116,10 +120,14 @@ object SimOps {
       3)
   }
 
-  private val NTables = 4
+  /** Default table count for `sim_lsh_topk` — past the knee of the
+    * measured recall curve (see [[tableBucketExpr]]) so the operator a
+    * user reaches for first clears the 0.6 recall floor Bench asserts. */
+  private[ops] val DefaultTables = 8
 
-  /** Sign bits of table `t`: 4 hyperplanes drawn from the t-th quarter of
-    * the 64 dims (dims 16t+1, +5, +9, +13). Tables see DIFFERENT
+  /** Sign bits of table `t` out of `nTables`: 4 hyperplanes drawn from
+    * the t-th stride of the 64 dims (dim = 64/nTables·t + 1 +
+    * 16/nTables·j), disjoint across tables. Tables see DIFFERENT
     * projections, so a true neighbor split from its query by one table's
     * planes usually collides in another — the standard multi-table recall
     * repair for sign-LSH (a single 4-bit table scores recall ≈ 0 on
@@ -130,37 +138,47 @@ object SimOps {
     * 8×3-bit or 16×4-bit 65%→0.875. The harness embeddings are
     * near-RANDOM, the adversarial case where recall is provably bound by
     * the candidate fraction — more tables just converge on brute force.
-    * 4 tables is the knee; on real (clustered) embedding corpora the
-    * same 4 tables buy far more recall per candidate. */
-  private def tableBucketExpr(emb: String, t: Int): org.apache.spark.sql.Column =
+    * 4 tables is the knee of candidates-per-recall; the REGISTERED
+    * default is 8 because an ANN default below a 0.6 recall floor is not
+    * usable, and on real (clustered) embedding corpora the same 8 tables
+    * cost a far smaller candidate fraction than they do here. */
+  private def tableBucketExpr(emb: String, t: Int, nTables: Int): org.apache.spark.sql.Column = {
+    val stride = 64 / nTables
     concat((0 until 4).map(j =>
-      when(element_at(col(emb), 16 * t + 1 + 4 * j) >= 0, "1").otherwise("0")): _*)
+      when(element_at(col(emb), stride * t + 1 + (stride / 4) * j) >= 0, "1")
+        .otherwise("0")): _*)
+  }
 
-  private def tableBuckets(emb: String): org.apache.spark.sql.Column =
-    array((0 until NTables).map(t => tableBucketExpr(emb, t)): _*)
+  private def tableBuckets(emb: String, nTables: Int): org.apache.spark.sql.Column =
+    array((0 until nTables).map(t => tableBucketExpr(emb, t, nTables)): _*)
 
   /** Multi-table sign-LSH ANN: a candidate is any corpus vector sharing a
-    * bucket with the query in ANY of the [[NTables]] tables. Candidate
+    * bucket with the query in ANY of the `nTables` tables. Candidate
     * pairs are deduped BEFORE scoring (a pair colliding in 3 tables is
     * scored once), then joined back to the vectors — the pair set carries
     * only (q_id, vec_id), never duplicated embeddings, so the extra
     * recall costs one distinct + one corpus-keyed join, still bounded by
     * bucket sizes rather than |Q|·N. */
-  val lshMultiTopK: Q = (s, d) => {
-    val corpus = corpusWithNorm(s, d)
-    val c = corpus.select(col("vec_id"),
-      posexplode(tableBuckets("embedding")).as(Seq("t", "bucket")))
-    val qb = qset(s, d).select(col("q_id"),
-      posexplode(tableBuckets("q_emb")).as(Seq("qt", "q_bucket")))
-    val pairs = c.join(broadcast(qb),
-        col("t") === col("qt") && col("bucket") === col("q_bucket") &&
-          col("vec_id") =!= col("q_id"))
-      .select("q_id", "vec_id").distinct()
-    rankTopK(
-      pairs.join(corpus, "vec_id").join(broadcast(qset(s, d)), "q_id")
+  def lshMultiTopK(nTables: Int): Q = (s, d) => {
+    rankTopK(lshCandidatePairs(s, d, nTables)
+        .join(corpusWithNorm(s, d), "vec_id").join(broadcast(qset(s, d)), "q_id")
         .withColumn("sim",
           expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
       3)
+  }
+
+  /** The deduped (q_id, vec_id) candidate set of the multi-table index —
+    * exposed so Bench can report the candidate fraction next to recall. */
+  private[graft] def lshCandidatePairs(s: SparkSession, d: String,
+      nTables: Int): DataFrame = {
+    val c = corpusWithNorm(s, d).select(col("vec_id"),
+      posexplode(tableBuckets("embedding", nTables)).as(Seq("t", "bucket")))
+    val qb = qset(s, d).select(col("q_id"),
+      posexplode(tableBuckets("q_emb", nTables)).as(Seq("qt", "q_bucket")))
+    c.join(broadcast(qb),
+        col("t") === col("qt") && col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
   }
 
   private val NCentroids = 16
@@ -173,7 +191,16 @@ object SimOps {
     * only the lists of its nprobe=2 nearest centroids. At 100 TB the
     * corpus scan is a bucketed/partitioned-by-centroid table, so a query
     * touches nprobe partitions instead of the full corpus. */
-  val ivfTopK: Q = (s, d) => {
+  val ivfTopK: Q = (s, d) =>
+    rankTopK(
+      ivfCandidates(s, d)
+        .withColumn("sim",
+          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
+      3)
+
+  /** The scored-candidate frame of the IVF index (query × probed-list
+    * members) — exposed so Bench can report the candidate fraction. */
+  private[graft] def ivfCandidates(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     val cents = embeddings(s, d).where(col("vec_id") < NCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -200,18 +227,15 @@ object SimOps {
       .where(col("c_rank") <= NProbe)
       .withColumn("probe_list", col("c_id"))
       .drop("c_id", "c_emb", "c_dist", "c_rank")
-    rankTopK(
-      corpus.join(broadcast(q),
-          col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
-        .withColumn("sim",
-          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
-      3)
+    corpus.join(broadcast(q),
+      col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
   }
 
   val queries: Map[String, Q] = Map(
     "sim_brute_topk" -> bruteTopK,
-    "sim_lsh_topk" -> lshTopK,
-    "sim_lsh_multi_topk" -> lshMultiTopK,
+    "sim_lsh_topk" -> lshMultiTopK(DefaultTables), // the usable default
+    "sim_lsh_1table_topk" -> lsh1TableTopK,
+    "sim_lsh_multi_topk" -> lshMultiTopK(4), // the candidates-per-recall knee
     "sim_ivf_topk" -> ivfTopK,
   )
 
@@ -225,14 +249,33 @@ object SimOps {
          CASE WHEN $e[33] >= 0 THEN '1' ELSE '0' END ||
          CASE WHEN $e[49] >= 0 THEN '1' ELSE '0' END)"""
 
-  private def tableBucketSql(e: String, t: Int): String =
+  private def tableBucketSql(e: String, t: Int, nTables: Int): String = {
+    val stride = 64 / nTables
     (0 until 4).map(j =>
-      s"CASE WHEN $e[${16 * t + 1 + 4 * j}] >= 0 THEN '1' ELSE '0' END")
+      s"CASE WHEN $e[${stride * t + 1 + (stride / 4) * j}] >= 0 THEN '1' ELSE '0' END")
       .mkString("(", " || ", ")")
+  }
 
-  private val MultiTableSql = (0 until NTables).map(t =>
-    s"SELECT vec_id, $t AS t, ${tableBucketSql("embedding", t)} AS bucket FROM embeddings")
+  private def multiTableSql(nTables: Int): String = (0 until nTables).map(t =>
+    s"SELECT vec_id, $t AS t, ${tableBucketSql("embedding", t, nTables)} AS bucket FROM embeddings")
     .mkString(" UNION ALL ")
+
+  private def multiTableOracle(nTables: Int): String =
+    s"""WITH ct AS (${multiTableSql(nTables)}),
+        qt AS (SELECT vec_id AS q_id, t, bucket FROM ct WHERE vec_id < $NQueries),
+        pairs AS (SELECT DISTINCT q.q_id, c.vec_id
+                  FROM ct c JOIN qt q ON c.t = q.t AND c.bucket = q.bucket
+                  WHERE c.vec_id <> q.q_id),
+        scored AS (SELECT p.q_id, p.vec_id,
+                     ${cos("qe.embedding", "ce.embedding")} AS sim
+                   FROM pairs p
+                   JOIN embeddings ce ON ce.vec_id = p.vec_id
+                   JOIN embeddings qe ON qe.vec_id = p.q_id),
+        ranked AS (SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
 
   val oracles: Map[String, String] = Map(
     "sim_brute_topk" ->
@@ -245,7 +288,8 @@ object SimOps {
                      FROM scored)
           SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
           FROM ranked WHERE rank <= $K ORDER BY q_id, rank""",
-    "sim_lsh_topk" ->
+    "sim_lsh_topk" -> multiTableOracle(DefaultTables),
+    "sim_lsh_1table_topk" ->
       s"""WITH c AS (SELECT vec_id, embedding, ${BucketSql("embedding")} AS bucket FROM embeddings),
           q AS (SELECT vec_id AS q_id, embedding AS q_emb, ${BucketSql("embedding")} AS q_bucket
                 FROM embeddings WHERE vec_id < $NQueries),
@@ -257,22 +301,7 @@ object SimOps {
                      FROM scored)
           SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
           FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
-    "sim_lsh_multi_topk" ->
-      s"""WITH ct AS ($MultiTableSql),
-          qt AS (SELECT vec_id AS q_id, t, bucket FROM ct WHERE vec_id < $NQueries),
-          pairs AS (SELECT DISTINCT q.q_id, c.vec_id
-                    FROM ct c JOIN qt q ON c.t = q.t AND c.bucket = q.bucket
-                    WHERE c.vec_id <> q.q_id),
-          scored AS (SELECT p.q_id, p.vec_id,
-                       ${cos("qe.embedding", "ce.embedding")} AS sim
-                     FROM pairs p
-                     JOIN embeddings ce ON ce.vec_id = p.vec_id
-                     JOIN embeddings qe ON qe.vec_id = p.q_id),
-          ranked AS (SELECT q_id, vec_id,
-                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
-                     FROM scored)
-          SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
-          FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
+    "sim_lsh_multi_topk" -> multiTableOracle(4),
     "sim_ivf_topk" ->
       s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NCentroids),
           corpus_d AS (SELECT e.vec_id, e.embedding, c.c_id,
