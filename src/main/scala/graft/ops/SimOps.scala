@@ -183,14 +183,78 @@ object SimOps {
 
   private val NCentroids = 16
   private val NProbe = 2
+  private[ops] val KMeansIters = 3
 
-  /** IVF-style ANN: one-shot coarse quantization. Centroids are a fixed
-    * deterministic sample (vec_id < 16 — a real deployment runs k-means;
-    * the partitioning/search shape is identical). Every corpus vector is
-    * assigned to its nearest centroid (the inverted list); a query scores
-    * only the lists of its nprobe=2 nearest centroids. At 100 TB the
-    * corpus scan is a bucketed/partitioned-by-centroid table, so a query
-    * touches nprobe partitions instead of the full corpus. */
+  /** One centroid refresh per sf dir per JVM: an IVF index is built once
+    * offline and probed by every query after, so Verify/Bench shouldn't
+    * re-run Lloyd for each of the N queries that touch the index. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Float])]]
+
+  /** K-means centroids for the IVF index: deterministic init (the
+    * vec_id < NCentroids sample) refined by [[KMeansIters]] Lloyd
+    * iterations, each a pair of DataFrame jobs — assignment is the same
+    * broadcast + partial `min_by` shape the index itself uses; the update
+    * computes per-(cluster, dim) means with an ORDER BY vec_id sorted
+    * fold so the double accumulation order (and therefore every centroid
+    * bit) is engine-independent — a plain groupBy avg would make cluster
+    * boundaries depend on shuffle order. Means are rounded back to
+    * float4 (IEEE, identical in DuckDB) so the probe path keeps the
+    * codegen'd float_dot. Empty clusters keep their previous centroid.
+    * The per-iteration driver collect is 16 centroid rows — the standard
+    * broadcast-k-means shape (assignments never leave the cluster).
+    *
+    * Iteration count, measured at sf0.1 (recall@3 at 16 lists, nprobe=2,
+    * rank-1 assignment): 3 → 0.958, 4 → 0.917, 5 → 0.875 at a flat
+    * ~0.123 candidate fraction — more Lloyd rounds balance the lists
+    * harder, which on structureless data only sharpens the fraction
+    * bound. 3 iterations is converged-enough and cheapest. */
+  private[ops] def kmeansCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Float])] =
+    centroidCache.getOrElseUpdate(d, {
+      graft.expressions.VectorExpressions.register(s)
+      import s.implicits._
+      val corpus = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      var cents: Seq[(Long, Seq[Float])] = corpus
+        .where(col("vec_id") < NCentroids).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+      for (_ <- 1 to KMeansIters) {
+        // cast: local-relation arrays are containsNull=false, float_dot
+        // expects the parquet shape array<float>
+        val cdf = cents.toDF("c_id", "c_emb")
+          .select(col("c_id"), col("c_emb").cast("array<float>").as("c_emb"))
+        val assigned = corpus.join(broadcast(cdf), lit(true))
+          .withColumn("c_dist", expr(
+            "float_dot(embedding, embedding) + float_dot(c_emb, c_emb) - 2 * float_dot(embedding, c_emb)"))
+          .groupBy("vec_id")
+          .agg(min_by(struct(col("c_id"), col("embedding")),
+            struct(col("c_dist"), col("c_id"))).as("m"))
+          .select(col("vec_id"), col("m.c_id").as("c_id"),
+            col("m.embedding").as("embedding"))
+        val upd = assigned
+          .select(col("c_id"), col("vec_id"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("c_id", "dim")
+          .agg(
+            aggregate(array_sort(collect_list(struct(col("vec_id"), col("v")))),
+              lit(0.0), (acc, x) => acc + x.getField("v").cast("double")).as("s"),
+            count(lit(1)).as("n"))
+          .withColumn("m", col("s") / col("n"))
+          .groupBy("c_id")
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+          .select(col("c_id"), expr("transform(dm, x -> CAST(x.m AS FLOAT))").as("c_emb"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+        cents = cents.map { case (id, old) => (id, upd.getOrElse(id, old)) }
+      }
+      cents
+    })
+
+  /** IVF ANN: coarse quantization by the [[kmeansCentroids]] k-means
+    * codebook. Every corpus vector is assigned to its nearest centroid
+    * (the inverted list); a query scores only the lists of its nprobe=2
+    * nearest centroids. At 100 TB the corpus scan is a bucketed/
+    * partitioned-by-centroid table, so a query touches nprobe partitions
+    * instead of the full corpus. */
   val ivfTopK: Q = (s, d) =>
     rankTopK(
       ivfCandidates(s, d)
@@ -198,27 +262,50 @@ object SimOps {
           expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
       3)
 
+  /** Closure-assignment slack: a corpus vector joins the list of EVERY
+    * centroid whose (squared) distance is within (1+ε) of its nearest —
+    * boundary vectors are replicated into the neighboring lists they
+    * straddle, which is where rank-1 assignment loses true neighbors
+    * (the nearest neighbor of a query sitting just across a Voronoi
+    * edge). Published IVF closure / SPANN multi-assignment; ε trades
+    * index size for recall.
+    *
+    * Measured at sf0.1 (recall@3 / candidate fraction), k-means iters=3:
+    * rank-1 (ε=0) 16 lists nprobe=2: 0.958/0.123; 32 lists nprobe=3:
+    * 0.917/0.093; with closure at 16/2: ε=0.05 → 1.0/0.237. The round-2
+    * sample-centroid "1.0 at 0.124" was a degenerate artifact — most of
+    * the corpus collapsed into one mega-list that also swallowed every
+    * query. On these near-RANDOM embeddings recall is fraction-bound
+    * (the LSH note above), so 1.0 recall cannot be bought cheaper; on a
+    * real clustered corpus the same ε replicates far fewer vectors
+    * because list boundaries fall in low-density regions. */
+  private val ClosureEps = 0.05
+
   /** The scored-candidate frame of the IVF index (query × probed-list
     * members) — exposed so Bench can report the candidate fraction. */
   private[graft] def ivfCandidates(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
-    val cents = embeddings(s, d).where(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val cents = {
+      import s.implicits._
+      kmeansCentroids(s, d).toDF("c_id", "c_emb")
+        .select(col("c_id"), col("c_emb").cast("array<float>").as("c_emb"))
+    }
     def withCentDist(df: DataFrame, embCol: String): DataFrame =
       df.join(broadcast(cents), lit(true))
         .withColumn("c_dist",
           expr(s"float_dot($embCol, $embCol) + float_dot(c_emb, c_emb) - 2 * float_dot($embCol, c_emb)"))
-    // Corpus assignment is rank-1-of-NCentroids: min_by aggregates the
-    // nearest centroid with map-side partial aggregation (the ×NCentroids
-    // candidate blowup collapses before the exchange), where a window
-    // row_number would shuffle and sort every candidate row.
-    val corpus = withCentDist(corpusWithNorm(s, d), "embedding")
-      .groupBy("vec_id")
-      .agg(min_by(
-        struct(col("embedding"), col("c_nrm"), col("c_id")),
-        struct(col("c_dist"), col("c_id"))).as("m"))
-      .select(col("vec_id"), col("m.embedding").as("embedding"),
-        col("m.c_nrm").as("c_nrm"), col("m.c_id").as("list_id"))
+    // Index build (offline): per-vector min distance collapses map-side
+    // (partial min before the exchange — the ×NCentroids blowup never
+    // crosses the wire), then the closure filter keeps every centroid
+    // within the slack of that min. The corpus-keyed rejoin is an
+    // index-build cost, not a query cost.
+    val dists = withCentDist(
+      embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
+      .select(col("vec_id"), col("c_id"), col("c_dist"))
+    val minD = dists.groupBy("vec_id").agg(min(col("c_dist")).as("min_dist"))
+    val lists = dists.join(minD, "vec_id")
+      .where(col("c_dist") <= col("min_dist") * (1.0 + ClosureEps))
+      .select(col("vec_id"), col("c_id").as("list_id"))
     // Queries probe nprobe lists — rank-n needs the window, but only over
     // |Q|·NCentroids rows (the broadcast-small side).
     val wq = Window.partitionBy("q_id").orderBy(col("c_dist").asc, col("c_id").asc)
@@ -227,8 +314,13 @@ object SimOps {
       .where(col("c_rank") <= NProbe)
       .withColumn("probe_list", col("c_id"))
       .drop("c_id", "c_emb", "c_dist", "c_rank")
-    corpus.join(broadcast(q),
-      col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
+    // A replicated vector can meet the same query through two probed
+    // lists — dedup the (q_id, vec_id) pair BEFORE scoring (same shape as
+    // the multi-table LSH path), then join the vectors back on.
+    val pairs = lists.join(broadcast(q.select(col("q_id"), col("probe_list"))),
+        col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    pairs.join(corpusWithNorm(s, d), "vec_id").join(broadcast(qset(s, d)), "q_id")
   }
 
   val queries: Map[String, Q] = Map(
@@ -277,6 +369,33 @@ object SimOps {
         SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
 
+  /** The k-means codebook as unrolled SQL CTEs — one (assign, update,
+    * rebuild, carry-forward) block per Lloyd iteration, mirroring
+    * [[kmeansCentroids]] bit-for-bit: same deterministic init, same
+    * (dist, c_id) assignment tie-break, same ORDER BY vec_id double fold
+    * for the means, same float4 rounding, same empty-cluster
+    * carry-forward. */
+  private def kmeansCtesSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NCentroids)")
+    for (i <- 1 to iters) {
+      val p = s"cents${i - 1}"
+      val d2 = s"${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")} - 2 * ${dot("e.embedding", "c.c_emb")}"
+      sb.append(s""",
+        a$i AS (SELECT e.vec_id, c.c_id FROM embeddings e CROSS JOIN $p c
+                QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2, c.c_id) = 1),
+        u$i AS (SELECT a.c_id, d.i AS dim,
+                  list_sum(list(CAST(e.embedding[d.i] AS DOUBLE) ORDER BY e.vec_id)) / COUNT(*) AS m
+                FROM a$i a JOIN embeddings e ON e.vec_id = a.vec_id
+                CROSS JOIN generate_series(1, 64) d(i)
+                GROUP BY a.c_id, d.i),
+        n$i AS (SELECT c_id, list(CAST(m AS FLOAT4) ORDER BY dim) AS c_emb FROM u$i GROUP BY c_id),
+        cents$i AS (SELECT p.c_id, COALESCE(n.c_emb, p.c_emb) AS c_emb
+                    FROM $p p LEFT JOIN n$i n USING (c_id))""")
+    }
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQueries),
@@ -303,14 +422,16 @@ object SimOps {
           FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
     "sim_lsh_multi_topk" -> multiTableOracle(4),
     "sim_ivf_topk" ->
-      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NCentroids),
+      s"""WITH ${kmeansCtesSql(KMeansIters)},
+          cents AS (SELECT c_id, c_emb FROM cents$KMeansIters),
           corpus_d AS (SELECT e.vec_id, e.embedding, c.c_id,
                          ${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")}
                            - 2 * ${dot("e.embedding", "c.c_emb")} AS c_dist
                        FROM embeddings e CROSS JOIN cents c),
-          corpus AS (SELECT vec_id, embedding, c_id AS list_id FROM
-                       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_dist, c_id) rn
-                        FROM corpus_d) t WHERE rn = 1),
+          md AS (SELECT vec_id, MIN(c_dist) AS min_dist FROM corpus_d GROUP BY vec_id),
+          lists AS (SELECT d.vec_id, d.c_id AS list_id
+                    FROM corpus_d d JOIN md USING (vec_id)
+                    WHERE d.c_dist <= md.min_dist * (1.0 + $ClosureEps)),
           q_d AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id,
                     ${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")}
                       - 2 * ${dot("e.embedding", "c.c_emb")} AS c_dist
@@ -318,9 +439,13 @@ object SimOps {
           q AS (SELECT q_id, q_emb, c_id AS probe_list FROM
                   (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_dist, c_id) rn
                    FROM q_d) t WHERE rn <= $NProbe),
-          scored AS (SELECT q.q_id, c.vec_id,
-                       ${cos("q.q_emb", "c.embedding")} AS sim
-                     FROM corpus c JOIN q ON c.list_id = q.probe_list AND c.vec_id <> q.q_id),
+          pairs AS (SELECT DISTINCT q.q_id, l.vec_id
+                    FROM lists l JOIN q ON l.list_id = q.probe_list AND l.vec_id <> q.q_id),
+          scored AS (SELECT p.q_id, p.vec_id,
+                       ${cos("qe.embedding", "ce.embedding")} AS sim
+                     FROM pairs p
+                     JOIN embeddings ce ON ce.vec_id = p.vec_id
+                     JOIN embeddings qe ON qe.vec_id = p.q_id),
           ranked AS (SELECT q_id, vec_id,
                        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
                      FROM scored)

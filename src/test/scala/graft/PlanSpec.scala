@@ -65,9 +65,14 @@ class PlanSpec extends SparkSpec {
     assert(twoPhase == naive)
   }
 
-  test("ivf centroid assignment collapses map-side (partial min_by before the exchange)") {
+  test("ivf closure assignment collapses map-side (partial min before the exchange)") {
     val plan = finalPlan(graft.ops.SimOps.queries("sim_ivf_topk")(spark, d))
-    assert(plan.contains("partial_min_by"), plan)
+    // per-vector nearest-centroid distance is a partial aggregate (the
+    // ×NCentroids candidate blowup never crosses the wire)...
+    assert(plan.contains("partial_min("), plan)
+    // ...and the closure candidate set dedups pairs before rejoining the
+    // embeddings (no scored duplicates from multi-assigned vectors)
+    assert(plan.contains("HashAggregate"), plan)
   }
 
   test("bucketed tables co-locate the fact join: no exchange, no broadcast") {
