@@ -289,52 +289,100 @@ object DedupOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** One large-star round over a canonical (u > v) edge list: every
+    * node u points its LARGER neighbors at m(u) = min(Γ(u) ∪ {u}).
+    * m(u) is a partial-aggregated min — a hub's edges collapse map-side,
+    * so no key's full adjacency ever crosses the wire as one group. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    sym.join(m, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v")) // v > u >= m: canonical
+    // no distinct here: duplicate edges don't change small-star's mins,
+    // and its final distinct dedups the round's output — one fewer
+    // shuffle per round
+  }
+
+  /** One small-star round: every node u points its SMALLER neighbors
+    * (and itself) at m(u) = min(Γ⁻(u) ∪ {u}). Keys are the LARGER
+    * endpoints, so a converged star's root — the one high-degree node —
+    * is never a key here at all. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy("u").agg(min("v").as("mv")) // mv < u by canonicity
+    e.join(m, "u")
+      .select(col("v").as("nu"), col("mv").as("nv")) // v >= mv; drop v = mv
+      .where(col("nu") =!= col("nv"))
+      .unionByName(m.select(col("u").as("nu"), col("mv").as("nv")))
+      .distinct()
+      .select(col("nu").as("u"), col("nv").as("v"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the skew-safe O(log n)-round form. Min-label propagation needs
+    * O(diameter) passes and funnels a giant component's traffic through
+    * its hub key every pass; star rounds converge in O(log n) regardless
+    * of diameter, and the per-node min is a partial aggregate while the
+    * emit join's hot side is the VALUE column (labels), not the key —
+    * at 100 TB the residual m-join skew is AQE skew-split territory,
+    * not a guaranteed hot key.
+    *
+    * Input: pairs (doc_a < doc_b). Output: (doc_id, cluster_keeper =
+    * component-min doc_id) for every node in some pair — identical
+    * fixpoint to min-reachable label propagation, so deterministic and
+    * engine-portable. Returns the converged star forest's labels and
+    * the round count (exposed for the round-complexity test). */
+  private[graft] def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    // canonical edges: u = larger endpoint, v = smaller. Checkpointed so
+    // the (possibly expensive) pair-producing lineage runs once, not per
+    // reference inside round 1 (Spark has no cross-branch CSE). No
+    // distinct: duplicate input pairs can't change any round's mins and
+    // small-star's output distinct removes them from round 1 onward.
+    var edges = pairs
+      .select(col("doc_b").as("u"), col("doc_a").as("v"))
+      .localCheckpoint()
+    // Set-equality signature of a round's canonical distinct edge list:
+    // (count, xxhash64 bit_xor) — order-independent, overflow-free,
+    // duplicates impossible. The signature aggregation doubles as the
+    // action that materializes the round's cache, so each round costs
+    // exactly ONE job; stability = two consecutive rounds with equal
+    // signatures (the raw input edge list never needs its own probe).
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevSig = (-1L, -1L)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < 50) {
+      // LAZY localCheckpoint: cuts the plan lineage for the next round,
+      // but the sig aggregation is the action that materializes it — one
+      // job per round, not a checkpoint job plus a probe job. (cache()
+      // would also fold the two, but disables AQE partition coalescing
+      // inside the cached subtree — measurably slower here.)
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nextSig = sig(next)
+      stable = nextSig == prevSig
+      prevSig = nextSig
+      edges = next
+      rounds += 1
+    }
+    // converged: every non-root points straight at its component root
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_keeper"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_keeper")))
+      .distinct()
+    (labels, rounds)
+  }
+
   /** Near-dup cluster assignment: connected components over the jaccard
-    * pair graph, each document labeled with the min doc_id reachable from
-    * it (the cluster's canonical keeper). Iterative min-label propagation
-    * — O(component diameter) joined passes, each a hash join + aggregate;
-    * the fixpoint (min reachable id) is iteration-order independent, so
-    * the result is deterministic and engine-portable. Only docs that
-    * appear in some pair are emitted (singletons are their own keeper
-    * trivially). */
+    * pair graph, each document labeled with the min doc_id reachable
+    * from it (the cluster's canonical keeper). Only docs that appear in
+    * some pair are emitted (singletons are their own keeper trivially). */
   val cluster: Q = (s, d) => {
     val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    // localCheckpoint (not cache) per iteration: it truncates the plan
-    // lineage, which otherwise grows by one join+agg per pass and makes
-    // later iterations replan/recompute the whole history.
-    // Init folds the FIRST propagation hop in: label = min(self, direct
-    // neighbors) — same aggregation shape as the plain distinct, one
-    // whole loop iteration (join + checkpoint + convergence count) less.
-    var labels = edges.groupBy(col("src").as("doc_id"))
-      .agg(min("dst").as("m"))
-      .select(col("doc_id"), least(col("doc_id"), col("m")).as("lbl"))
-      .localCheckpoint()
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < 50) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "src").withColumnRenamed("lbl", "src_lbl"), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min("src_lbl").as("nbr_lbl"))
-      // Carry the old label through the propagation join so convergence is
-      // read off the SAME materialized result — the old separate
-      // next-vs-labels join doubled the per-iteration job count; the
-      // where-count below only rescans the checkpointed blocks.
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lbl").as("old_lbl"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      changed = next.where(col("lbl") =!= col("old_lbl")).count()
-      labels = next.select("doc_id", "lbl")
-      iters += 1
-    }
-    val out = labels.select(col("doc_id"), col("lbl").as("cluster_keeper"))
-      .orderBy("doc_id")
-    edges.unpersist()
-    out
+    connectedComponents(pairs)._1.orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
