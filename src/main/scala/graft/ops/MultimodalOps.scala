@@ -5,14 +5,19 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, decoded by a per-partition stub.
+  * columns with typed metadata, decoded partition-wise.
   *
-  * The decode step is a clearly-marked deterministic FAKE (no image/audio
-  * libraries in this environment) — but the Spark-side plumbing is real:
-  * a typed `Dataset` with a binary payload column, `mapPartitions` with
-  * per-partition decoder state (the shape a JNI/FFmpeg/opencv decoder
-  * needs — init once per partition, stream record batches through), and
-  * a deterministic output schema the rest of the pipeline joins on.
+  * The IMAGE path is real end-to-end: the fixture stage encodes an
+  * actual PNG per image row (dimensions and pixel content derived
+  * deterministically from the document), and the decode stage parses
+  * those bytes back with `javax.imageio` — a real format round-trip, so
+  * the oracle's closed-form width/height/channels only match if the
+  * decoder truly read the PNG header and color type. Audio/video decode
+  * remains a clearly-labeled deterministic FAKE (the JDK ships no
+  * mp3/mp4 codec and this environment has no native media libraries);
+  * the plumbing those rows exercise — binary payload column, typed
+  * schema, per-partition decoder init — is identical.
+  *
   * Frame sampling is pure column algebra (codegen'd), no UDF.
   */
 object MultimodalOps {
@@ -22,37 +27,80 @@ object MultimodalOps {
   /** A media payload: binary content + declared type. */
   case class MediaBlob(doc_id: Long, media_type: String, content: Array[Byte])
 
-  /** Decoded (stubbed) metadata for one media blob. */
-  case class MediaMeta(doc_id: Long, media_type: String, byte_len: Int,
-      width: Int, height: Int, checksum: String)
+  /** Decoded metadata for one media blob. */
+  case class MediaMeta(doc_id: Long, media_type: String,
+      width: Int, height: Int, channels: Int)
 
-  /** STUB decoder — deterministic fake standing in for a real image/audio
-    * decode (real impl would parse the container header here). Shapes the
-    * real concern: one decoder context per partition, streaming. */
-  private def decodePartition(it: Iterator[MediaBlob]): Iterator[MediaMeta] = {
-    val digest = java.security.MessageDigest.getInstance("MD5") // per-partition init
-    it.map { blob =>
-      digest.reset()
-      val hex = digest.digest(blob.content).map("%02x".format(_)).mkString
-      val n = blob.content.length
-      MediaMeta(blob.doc_id, blob.media_type, n,
-        64 + n % 512, 64 + (n * 7) % 512, hex)
-    }
+  private def mediaType(id: Long): String = (id % 3) match {
+    case 0 => "image"; case 1 => "audio"; case _ => "video"
   }
 
-  /** Binary payloads synthesized from document text (deterministic fake
-    * "media files"); type assigned round-robin. */
+  /** Deterministic PNG dimensions/color type for an image row — the
+    * closed form the oracle re-states and the decode must recover. */
+  private def imgWidth(id: Long): Int = 4 + (id % 29).toInt
+  private def imgHeight(textLen: Int): Int = 3 + textLen % 17
+  private def imgHasAlpha(id: Long): Boolean = (id / 3) % 2 == 1
+
+  /** Fixture stage: synthesize the binary payload. Image rows carry a
+    * REAL PNG (encoded here with the JDK's ImageIO); audio/video rows
+    * carry raw text bytes standing in for a container we can't encode. */
+  private def makeContent(id: Long, text: String): Array[Byte] =
+    if (mediaType(id) == "image") {
+      val (w, h) = (imgWidth(id), imgHeight(text.length))
+      val kind =
+        if (imgHasAlpha(id)) java.awt.image.BufferedImage.TYPE_INT_ARGB
+        else java.awt.image.BufferedImage.TYPE_INT_RGB
+      val img = new java.awt.image.BufferedImage(w, h, kind)
+      // deterministic pixel content so real bytes flow, not just a header
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, ((id * 2654435761L + x * 31 + y) & 0xffffff).toInt)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    } else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Binary payloads per document; type assigned round-robin. The
+    * mapPartitions shape matches a real ingest: encoder state could be
+    * hoisted per partition (ImageIO's writer lookup is cached JVM-wide). */
   private def blobs(s: SparkSession, d: String) = {
     import s.implicits._
-    documents(s, d).select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      col("text").cast("binary").as("content"))
-      .as[MediaBlob]
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        MediaBlob(id, mediaType(id), makeContent(id, text))
+      })
   }
 
-  /** Decode metadata through the partition-wise stub decoder. */
+  /** Partition-wise decoder: one reusable PNG ImageReader per partition
+    * (the init-once-stream-batches shape a JNI/FFmpeg decoder needs;
+    * ImageIO's disk cache is disabled so decode stays in-memory). Image
+    * rows are REALLY decoded — width/height/channels come off the parsed
+    * PNG, not the fixture formula. Audio/video metadata is the labeled
+    * FAKE formula. */
+  private def decodePartition(it: Iterator[MediaBlob]): Iterator[MediaMeta] = {
+    javax.imageio.ImageIO.setUseCache(false) // per-partition decoder init
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    val decoded = it.map { blob =>
+      blob.media_type match {
+        case "image" =>
+          val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(blob.content))
+          try {
+            reader.setInput(in)
+            val img = reader.read(0)
+            MediaMeta(blob.doc_id, blob.media_type,
+              img.getWidth, img.getHeight, img.getRaster.getNumBands)
+          } finally { reader.setInput(null); in.close() }
+        case "audio" => // FAKE: no JDK mp3 codec; deterministic stand-in
+          MediaMeta(blob.doc_id, blob.media_type, 0, 0, 1 + (blob.doc_id % 2).toInt)
+        case _ => // video FAKE: no JDK mp4 codec; deterministic stand-in
+          val n = blob.content.length
+          MediaMeta(blob.doc_id, blob.media_type, 64 + n % 512, 64 + (n * 7) % 512, 3)
+      }
+    }
+    decoded
+  }
+
+  /** Decode metadata through the partition-wise decoder. */
   val decodeMeta: Q = (s, d) => {
     import s.implicits._
     blobs(s, d).mapPartitions(decodePartition).toDF()
@@ -80,13 +128,23 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the image rows' width/height/channels are the closed form the PNG
+    // round-trip must recover; audio/video re-state the labeled fake
     "mm_decode_meta" ->
       """SELECT doc_id,
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-           CAST(octet_length(encode(text)) AS INT) AS byte_len,
-           CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
-           CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
-           md5(text) AS checksum
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 4 + doc_id % 29
+                WHEN 1 THEN 0
+                ELSE 64 + octet_length(encode(text)) % 512 END AS INT) AS width,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 3 + length(text) % 17
+                WHEN 1 THEN 0
+                ELSE 64 + (octet_length(encode(text)) * 7) % 512 END AS INT) AS height,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN CASE WHEN (doc_id // 3) % 2 = 1 THEN 4 ELSE 3 END
+                WHEN 1 THEN 1 + doc_id % 2
+                ELSE 3 END AS INT) AS channels
          FROM documents ORDER BY doc_id""",
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,
