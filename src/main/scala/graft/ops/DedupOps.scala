@@ -171,47 +171,90 @@ object DedupOps {
 
   private val MaxHamming = 3
 
-  /** SimHash near-dup pairing — the search step the fingerprint exists
-    * for: pairs within hamming distance ≤ [[MaxHamming]]. Pigeonhole
-    * block index (Manku/Jain/Sarma's simhash-dedup scheme): split the 64
-    * bits into 4 blocks of 16 — any pair within distance 3 agrees exactly
-    * on ≥ 1 block — so candidates come from an equi-join on
-    * (block index, block value), work ∝ Σ bucket², never |docs|². The
-    * exact distance check is two codegen'd bit_count(xor) on the packed
-    * halves. Fingerprints live as two unsigned-32 longs (fp_hi, fp_lo)
-    * to stay sign-free in every engine.
-    *
-    * Scale note: 16-bit blocks give 65536 buckets per index, so expected
-    * bucket size grows as N/2¹⁶ — fine to ~10⁸ docs. Beyond that, the
-    * same pigeonhole generalizes: split into 6+ blocks and key on block
-    * PAIRS (distance ≤3 over 6 blocks guarantees agreement on some pair
-    * ≈ 21-bit exact keys, C(6,2)=15 indexes) — same join shape, narrower
-    * buckets, more rows per doc. This operator keeps the 4-block form
-    * the harness corpus warrants. */
-  val simhashPairs: Q = (s, d) => {
+  /** 64-bit simhash fingerprints packed as two sign-free unsigned-32
+    * longs (fp_hi = bits 0..31 MSB-first, fp_lo = bits 32..63) — the
+    * representation every engine's bit ops agree on. */
+  private def fingerprints(s: SparkSession, d: String): DataFrame = {
     val sums = simhashSums(s, d)
-    def half(range: Range, base: Int): org.apache.spark.sql.Column =
+    def half(range: Range, base: Int): Column =
       range.map(b => when(col(s"s$b") * 2 > col("n_tok"),
         lit(1L << (base - b))).otherwise(lit(0L))).reduce(_ + _)
-    val fp = sums.select(col("doc_id"),
+    sums.select(col("doc_id"),
       half(0 until 32, 31).as("fp_hi"), half(32 until 64, 63).as("fp_lo"))
-    val blocks = fp.select(col("doc_id"), col("fp_hi"), col("fp_lo"),
-      posexplode(array(
-        shiftright(col("fp_hi"), 16), col("fp_hi").bitwiseAND(lit(65535L)),
-        shiftright(col("fp_lo"), 16), col("fp_lo").bitwiseAND(lit(65535L))))
-        .as(Seq("blk", "bval")))
-    blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+  }
+
+  /** Generalized pigeonhole candidate index over a fingerprint table
+    * (doc_id, fp_hi, fp_lo): split the 64 bits into `nBlocks`
+    * near-equal blocks and key each doc on every `comboSize`-subset of
+    * block values. Pigeonhole: a pair within hamming `maxHamming`
+    * differs in ≤ maxHamming blocks, so it AGREES on ≥ nBlocks −
+    * maxHamming blocks — and therefore shares at least one whole
+    * comboSize-subset whenever comboSize ≤ nBlocks − maxHamming
+    * (Manku/Jain/Sarma's simhash-dedup table scheme, generalized).
+    * Candidates come from an equi-join on (combo id, packed combo key);
+    * work ∝ Σ bucket², never |docs|²; every emitted pair is
+    * exact-checked with codegen'd bit_count(xor), so the index is
+    * lossless at ≤ maxHamming regardless of the (nBlocks, comboSize)
+    * choice — the knob trades index rows for bucket width.
+    *
+    * Cost model / crossover: C(nBlocks, comboSize) index rows per doc;
+    * key width ≈ comboSize·64/nBlocks bits, so expected join work ≈
+    * C(b,m)·N²/2^(64m/b). (4,1): 4 rows/doc, 16-bit keys → 4N²/2¹⁶ —
+    * the right default to ~10⁸ docs. (6,2): 15 rows/doc, ~21-bit keys →
+    * 15N²/2²¹ — 16× less join work for 3.75× the index, the win once
+    * expected bucket size N/2¹⁶ passes the C(6,2)/C(4,1) row overhead,
+    * i.e. N ≳ 2¹⁶·15/4 ≈ 2.5·10⁵ per-bucket-balanced — in practice the
+    * knee is where 16-bit buckets stop fitting a task's join budget,
+    * ~10⁸ docs for uniform fingerprints (word-soup corpora cluster, so
+    * the real signal is the Σ bucket² metric, not N). */
+  private[graft] def blockedPairsFrom(fp: DataFrame, nBlocks: Int,
+      comboSize: Int, maxHamming: Int): DataFrame = {
+    require(comboSize >= 1 && comboSize <= nBlocks - maxHamming,
+      s"pigeonhole needs comboSize ≤ nBlocks - maxHamming; " +
+        s"got ($nBlocks, $comboSize) at hamming $maxHamming")
+    val sizes  = Array.tabulate(nBlocks)(i =>
+      64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val starts = sizes.scanLeft(0)(_ + _)
+    require(sizes.sorted.takeRight(comboSize).sum <= 63,
+      "packed combo key must fit a signed long")
+    val packed = fp.withColumn("fp64",
+      shiftleft(col("fp_hi"), 32).bitwiseOR(col("fp_lo")))
+    def blockVal(i: Int): Column =
+      shiftrightunsigned(col("fp64"), 64 - starts(i) - sizes(i))
+        .bitwiseAND(lit((1L << sizes(i)) - 1))
+    // combo key = block values packed MSB-first into one long
+    val keyExprs = (0 until nBlocks).combinations(comboSize).toSeq.map { c =>
+      c.tail.foldLeft(blockVal(c.head)) { (acc, i) =>
+        shiftleft(acc, sizes(i)).bitwiseOR(blockVal(i))
+      }
+    }
+    val idx = packed.select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+      posexplode(array(keyExprs: _*)).as(Seq("cmb", "key")))
+    idx.as("a")
+      .join(idx.as("b"),
+        col("a.cmb") === col("b.cmb") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (bit_count(col("a.fp_hi").bitwiseXOR(col("b.fp_hi"))) +
           bit_count(col("a.fp_lo").bitwiseXOR(col("b.fp_lo"))))
           .cast("long").as("hamming"))
-      .distinct() // a close pair collides in several blocks
-      .where(col("hamming") <= MaxHamming)
-      .orderBy("doc_a", "doc_b")
+      .distinct() // a close pair collides in several combos
+      .where(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairing parameterized on the block split —
+    * see [[blockedPairsFrom]] for the pigeonhole argument and the
+    * (nBlocks, comboSize) cost model. */
+  def simhashPairsBlocked(nBlocks: Int, comboSize: Int,
+      maxHamming: Int = MaxHamming): Q = (s, d) =>
+    blockedPairsFrom(fingerprints(s, d), nBlocks, comboSize, maxHamming)
+      .orderBy("doc_a", "doc_b")
+
+  /** SimHash near-dup pairing — the search step the fingerprint exists
+    * for: pairs within hamming distance ≤ [[MaxHamming]], via the
+    * 4-blocks-of-16 pigeonhole index (65536 buckets/index — the right
+    * default to ~10⁸ docs; see [[blockedPairsFrom]]). */
+  val simhashPairs: Q = simhashPairsBlocked(4, 1)
 
   /** Embedding-cosine near-dup pairs (threshold 0.3). Exact pairwise
     * baseline: broadcast nested-loop over the smaller side; at corpus
@@ -393,6 +436,7 @@ object DedupOps {
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
+    "dedup_simhash_pairs_blocked" -> simhashPairsBlocked(6, 2),
     "dedup_embedding_cosine" -> embeddingCosine,
     "dedup_embedding_cosine_lsh" -> embeddingCosineLsh,
   )
@@ -491,7 +535,15 @@ object DedupOps {
           SELECT doc_id,
             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
           FROM sc GROUP BY doc_id ORDER BY doc_id""",
-    "dedup_simhash_pairs" ->
+    "dedup_simhash_pairs" -> SimhashPairsSql,
+    // the (6,2) block-pair index is lossless at hamming ≤ 3 (pigeonhole:
+    // ≥ 3 agreeing blocks ⇒ some agreeing block PAIR), so its oracle is
+    // byte-identical to the 4-block form's
+    "dedup_simhash_pairs_blocked" -> SimhashPairsSql,
+  ) ++ cosineOracles
+
+  // lazy: referenced by `oracles` above their definition point
+  private lazy val SimhashPairsSql =
       s"""WITH norm AS (SELECT doc_id, $NormSql AS t FROM documents),
           toks AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
           bits AS (SELECT doc_id, tok, unnest(generate_series(0, 63)) AS b FROM toks),
@@ -515,7 +567,9 @@ object DedupOps {
                    FROM blocks a JOIN blocks b
                      ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
           SELECT doc_a, doc_b, hamming FROM cand
-          WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+          WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+
+  private lazy val cosineOracles: Map[String, String] = Map(
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
