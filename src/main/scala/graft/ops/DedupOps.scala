@@ -217,8 +217,13 @@ object DedupOps {
     val starts = sizes.scanLeft(0)(_ + _)
     require(sizes.sorted.takeRight(comboSize).sum <= 63,
       "packed combo key must fit a signed long")
+    // Self-joins re-execute their input on both sides (no cross-branch
+    // CSE in Spark), and the fingerprint pipeline upstream is a full
+    // corpus scan + shingle aggregation — materialize the N-row
+    // fingerprint table once so the join probes it, not the pipeline.
     val packed = fp.withColumn("fp64",
       shiftleft(col("fp_hi"), 32).bitwiseOR(col("fp_lo")))
+      .localCheckpoint()
     def blockVal(i: Int): Column =
       shiftrightunsigned(col("fp64"), 64 - starts(i) - sizes(i))
         .bitwiseAND(lit((1L << sizes(i)) - 1))
