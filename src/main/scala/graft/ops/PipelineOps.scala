@@ -119,8 +119,48 @@ object PipelineOps {
       .select("doc_id", "split")
       .orderBy("doc_id")
 
+  /** Per-stratum keep fraction for [[sampleStratified]], in 16-bit hash
+    * units (rate × 65536): keep all good docs, half the ok ones, ~10%
+    * of junk — the shape of a quality-weighted training-mix downsample. */
+  private val StratRates = Seq(
+    ("good", 65536L), ("ok", 32768L), ("junk", 6554L))
+
+  /** Stratified downsampling: each document's stratum (the quality
+    * class) selects a keep-rate, and a content-stable 16-bit hash
+    * (salted differently from the train/val/test split so the two
+    * decisions are independent) thresholds against it. Pure projection +
+    * filter over the scan — no shuffle, no per-stratum pass, no driver
+    * state; rates are exact to 1/65536 in expectation and every doc's
+    * keep decision is reproducible across reruns and layouts. This is
+    * the training-mix lever: reweighting quality tiers (or sources,
+    * languages — any stratum column) without materializing per-stratum
+    * tables. */
+  val sampleStratified: Q = (s, d) => {
+    val rate = StratRates.tail.foldLeft(
+      when(col("quality") === StratRates.head._1, lit(StratRates.head._2))) {
+      case (acc, (q, r)) => acc.when(col("quality") === q, lit(r))
+    }
+    documents(s, d)
+      .withColumn("len", length(col("text")))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
+      .withColumn("n_stop",
+        expr("size(filter(split(lower(text), '\\\\s+'), x -> x IN ('the','a','and','of','to','in','is')))"))
+      .withColumn("quality",
+        when(col("len") >= 100 && expr("n_alpha * 100 div len") >= 70 &&
+          col("n_stop") >= 1, "good")
+          .when(col("len") >= 30, "ok")
+          .otherwise("junk"))
+      .withColumn("strat_bucket",
+        conv(substring(md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("long"))
+      .where(col("strat_bucket") < rate)
+      .select(col("doc_id"), col("quality"), col("strat_bucket"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "sample_split_hash" -> sampleSplitHash,
+    "sample_stratified" -> sampleStratified,
     "text_ngram_topk" -> ngramTopK,
     "text_contamination" -> contamination,
     "pack_sequences" -> packSequences,
@@ -131,7 +171,30 @@ object PipelineOps {
   private def nib(h: String, i: Int): String =
     s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
 
+  private val StratRateSql = StratRates
+    .map { case (q, r) => s"WHEN '$q' THEN $r" }
+    .mkString("CASE quality ", " ", " END")
+
   val oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      s"""WITH b AS (SELECT doc_id, text,
+              CAST(length(text) AS INT) AS len,
+              CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INT) AS n_alpha,
+              CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x IN ('the','a','and','of','to','in','is'))) AS INT) AS n_stop
+            FROM documents),
+          q AS (SELECT doc_id,
+              CASE WHEN len >= 100 AND n_alpha * 100 // len >= 70 AND n_stop >= 1 THEN 'good'
+                   WHEN len >= 30 THEN 'ok' ELSE 'junk' END AS quality,
+              md5('strat:' || CAST(doc_id AS VARCHAR)) AS m
+            FROM b),
+          h AS (SELECT doc_id, quality,
+              CAST(${nib("m", 1)} * 4096 + ${nib("m", 2)} * 256 +
+                   ${nib("m", 3)} * 16 + ${nib("m", 4)} AS BIGINT) AS strat_bucket
+            FROM q)
+          SELECT doc_id, quality, strat_bucket
+          FROM h WHERE strat_bucket < $StratRateSql
+          ORDER BY doc_id""",
     "sample_split_hash" ->
       s"""WITH h AS (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
           b AS (SELECT doc_id,

@@ -323,8 +323,55 @@ object SimOps {
     pairs.join(corpusWithNorm(s, d), "vec_id").join(broadcast(qset(s, d)), "q_id")
   }
 
+  /** Per-vector symmetric int8 quantization — the memory/IO lever for
+    * ANN at 100 TB: a 64-dim float32 vector (256 B) becomes 64 int8
+    * codes + one scale (~68 B), cutting index scan volume ~4×, and the
+    * integer dot products the search then runs on are EXACT in every
+    * engine (no float accumulation-order concerns at all).
+    * scale = max|x|/127; q = floor(x/scale + 0.5) — explicit half-up
+    * because `round`'s tie mode differs across engines. Pure projection
+    * over the scan. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("scale",
+        expr("greatest(array_max(transform(embedding, x -> abs(cast(x as double)))), 1e-30d) / 127.0d"))
+      .withColumn("qvec",
+        expr("transform(embedding, x -> cast(floor(cast(x as double) / scale + 0.5d) as int))"))
+
+  /** The quantized table as an inspectable query: codes serialized to a
+    * CSV string for the engine-portable compare. */
+  val quantizeInt8: Q = (s, d) =>
+    quantized(s, d).select(col("vec_id"), col("scale"),
+      expr("array_join(transform(qvec, x -> cast(x as string)), ',')").as("qvec"))
+      .orderBy("vec_id")
+
+  /** Exact top-k over the int8 codes: cosine of the quantized vectors —
+    * the per-vector scales cancel in qdot/(|qa||qb|), so scoring is
+    * integer dot products (bit-exact long arithmetic, max 64·127²·|dims|
+    * ≪ 2⁵³ so even the final double division is exact-input) and the
+    * float vectors never leave the index build. Same broadcast-queries +
+    * partition-local-top-k shape as [[bruteTopK]]; Bench reports its
+    * recall@3 against the float baseline so quantization loss is a
+    * measured number (1.0 at sf0.1), not an assumption. */
+  val q8TopK: Q = (s, d) => {
+    val qz = quantized(s, d).select(col("vec_id"), col("qvec"))
+      .withColumn("qn2",
+        expr("aggregate(qvec, 0L, (acc, v) -> acc + cast(v as bigint) * v)"))
+    val qs = qz.select(col("vec_id").as("q_id"), col("qvec").as("q_qvec"),
+      col("qn2").as("q_n2")).where(col("q_id") < NQueries)
+    rankTopK(
+      qz.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+        .withColumn("qdot",
+          expr("aggregate(zip_with(qvec, q_qvec, (a, b) -> cast(a as bigint) * b), 0L, (acc, v) -> acc + v)"))
+        .withColumn("sim",
+          col("qdot").cast("double") / sqrt((col("qn2") * col("q_n2")).cast("double"))),
+      3)
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_brute_topk" -> bruteTopK,
+    "emb_quantize_int8" -> quantizeInt8,
+    "sim_q8_topk" -> q8TopK,
     "sim_lsh_topk" -> lshMultiTopK(DefaultTables), // the usable default
     "sim_lsh_1table_topk" -> lsh1TableTopK,
     "sim_lsh_multi_topk" -> lshMultiTopK(4), // the candidates-per-recall knee
@@ -407,6 +454,34 @@ object SimOps {
                      FROM scored)
           SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
           FROM ranked WHERE rank <= $K ORDER BY q_id, rank""",
+    "emb_quantize_int8" ->
+      s"""WITH sc AS (SELECT vec_id, embedding,
+              greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+            FROM embeddings)
+          SELECT vec_id, scale,
+            array_to_string(list_transform(embedding,
+              x -> CAST(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT) AS VARCHAR)), ',') AS qvec
+          FROM sc ORDER BY vec_id""",
+    "sim_q8_topk" ->
+      s"""WITH sc AS (SELECT vec_id, embedding,
+              greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+            FROM embeddings),
+          qv AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qvec
+            FROM sc),
+          qn AS (SELECT vec_id, qvec,
+              list_sum(list_transform(generate_series(1, 64), i -> qvec[i] * qvec[i])) AS qn2
+            FROM qv),
+          q AS (SELECT vec_id AS q_id, qvec AS q_qvec, qn2 AS q_n2 FROM qn WHERE vec_id < $NQueries),
+          scored AS (SELECT q.q_id, c.vec_id,
+              CAST(list_sum(list_transform(generate_series(1, 64), i -> c.qvec[i] * q.q_qvec[i])) AS DOUBLE)
+                / sqrt(CAST(c.qn2 * q.q_n2 AS DOUBLE)) AS sim
+            FROM qn c JOIN q ON c.vec_id <> q.q_id),
+          ranked AS (SELECT q_id, vec_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+            FROM scored)
+          SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+          FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
     "sim_lsh_topk" -> multiTableOracle(DefaultTables),
     "sim_lsh_1table_topk" ->
       s"""WITH c AS (SELECT vec_id, embedding, ${BucketSql("embedding")} AS bucket FROM embeddings),

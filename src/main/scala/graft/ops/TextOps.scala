@@ -89,12 +89,35 @@ object TextOps {
         size(split(col("clean"), "<EMAIL>|<PHONE>")) - 1)
       .orderBy("doc_id")
 
+  /** Within-document repetition: the fraction of a document's word
+    * 3-grams that repeat an earlier one (1 − distinct/total) — the
+    * Gopher-style repetition gate for boilerplate/spam. Computed with NO
+    * explode and NO shuffle: text_shingles dedupes internally so
+    * distinct = its size, and total is arithmetic off the word count —
+    * one projection over the scan at any corpus size. Documents with
+    * fewer than 3 words have one degenerate shingle (the whole text)
+    * and score 0, matching the shingle CTE's short-doc case. */
+  val repetition: Q = (s, d) => {
+    graft.expressions.TextShingles.register(s)
+    documents(s, d)
+      .withColumn("n_words", size(split(normalizeText(col("text")), " ")))
+      .withColumn("total_ngrams",
+        greatest(col("n_words") - 2, lit(1)).cast("long"))
+      .withColumn("distinct_ngrams",
+        expr("size(text_shingles(text, 3))").cast("long"))
+      .select(col("doc_id"), col("total_ngrams"), col("distinct_ngrams"),
+        round(lit(1.0) - col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double"), 6).as("rep_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_token_count" -> tokenCount,
     "text_quality_score" -> qualityScore,
     "text_lang_id" -> langId,
     "text_fingerprint" -> fingerprint,
     "text_pii_scrub" -> piiScrub,
+    "text_repetition" -> repetition,
   )
 
   private val Norm =
@@ -148,5 +171,16 @@ object TextOps {
            SELECT doc_id, clean,
              CAST(len(string_split_regex(clean, '<EMAIL>|<PHONE>')) - 1 AS INT) AS n_redacted
            FROM cleaned ORDER BY doc_id""",
+    "text_repetition" ->
+      s"""WITH ${graft.ops.DedupOps.ShinglesSql},
+          dn AS (SELECT doc_id, COUNT(*) AS distinct_ngrams FROM sh GROUP BY doc_id),
+          w AS (SELECT doc_id, greatest(len(string_split($Norm, ' ')) - 2, 1) AS total_ngrams
+                FROM documents)
+          SELECT w.doc_id,
+            CAST(w.total_ngrams AS BIGINT) AS total_ngrams,
+            CAST(dn.distinct_ngrams AS BIGINT) AS distinct_ngrams,
+            round(1.0 - CAST(dn.distinct_ngrams AS DOUBLE) /
+              CAST(w.total_ngrams AS DOUBLE), 6) AS rep_frac
+          FROM w JOIN dn USING (doc_id) ORDER BY doc_id""",
   )
 }

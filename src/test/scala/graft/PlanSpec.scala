@@ -110,4 +110,27 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("scan-local text/sampling ops: no shuffle except the output sort") {
+    // text_repetition and sample_stratified claim pure scan+map shape —
+    // the only Exchange allowed is the rangepartitioning for the final
+    // deterministic ORDER BY (which exists solely for the oracle gate).
+    for (name <- Seq("text_repetition", "sample_stratified")) {
+      val plan = finalPlan(SparkEntry.queries(name)(spark, d))
+      val exchanges = "Exchange \\w+".r.findAllIn(plan).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$name must not shuffle before the output sort:\n$plan")
+    }
+  }
+
+  test("sim_q8_topk scores integer dots under the bounded top-k shape") {
+    val plan = finalPlan(graft.ops.SimOps.queries("sim_q8_topk")(spark, d))
+    // broadcast queries (corpus never shuffles for the join) and the
+    // partition-local selection below the q_id exchange, same as brute
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(q_id")
+    val mapIdx = plan.indexOf("MapPartitions")
+    assert(exchangeIdx >= 0 && mapIdx > exchangeIdx,
+      s"partition-local top-k should sit below the q_id exchange:\n$plan")
+  }
 }
