@@ -790,4 +790,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.txId).toSeq == Seq(1L), "incomplete txn 2 stays buffered")
     assert(out.forall(_.complete))
   }
+
+  test("streaming exact dedup: in-horizon duplicates dropped, state expires with the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)] // doc_id, tsMs, text
+    val docs = input.toDF().toDF("doc_id", "tsMs", "text")
+      .select(col("doc_id"), timestamp_millis(col("tsMs")).as("ts"), col("text"))
+    val out = graft.streaming.StreamingDedup.dedupExact(docs, "ts", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    try {
+      def texts = spark.table("sdedup_out").collect()
+        .map(_.getAs[String]("text")).sorted.toSeq
+      // same-batch duplicate collapses to one emission
+      input.addData((1L, 1000L, "alpha"), (2L, 1500L, "alpha"), (3L, 2000L, "beta"))
+      q.processAllAvailable()
+      assert(texts == Seq("alpha", "beta"))
+      // cross-batch duplicate within the horizon (watermark still below
+      // the original's expiry) is dropped
+      input.addData((4L, 3000L, "alpha"))
+      q.processAllAvailable()
+      assert(texts == Seq("alpha", "beta"))
+      // advance the watermark far past alpha's expiry (60s - 10s = 50s),
+      // then the same content arrives again: state was GC'd, re-emitted —
+      // the documented horizon trade-off (cross-horizon dedup is the
+      // batch operator's job)
+      input.addData((5L, 60000L, "gamma"))
+      q.processAllAvailable()
+      input.addData((6L, 61000L, "alpha"))
+      q.processAllAvailable()
+      assert(texts == Seq("alpha", "alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
 }
