@@ -7,16 +7,18 @@ import graft.Tables._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded partition-wise.
   *
-  * The IMAGE path is real end-to-end: the fixture stage encodes an
-  * actual PNG per image row (dimensions and pixel content derived
-  * deterministically from the document), and the decode stage parses
-  * those bytes back with `javax.imageio` — a real format round-trip, so
-  * the oracle's closed-form width/height/channels only match if the
-  * decoder truly read the PNG header and color type. Audio/video decode
-  * remains a clearly-labeled deterministic FAKE (the JDK ships no
-  * mp3/mp4 codec and this environment has no native media libraries);
-  * the plumbing those rows exercise — binary payload column, typed
-  * schema, per-partition decoder init — is identical.
+  * The IMAGE and AUDIO paths are real end-to-end: the fixture stage
+  * encodes an actual PNG per image row (javax.imageio) and an actual
+  * 16-bit PCM WAV per audio row (javax.sound.sampled), with dimensions,
+  * sample counts and channel layout derived deterministically from the
+  * document — and the decode stage parses those bytes back through the
+  * same JDK codecs, so the oracle's closed-form metadata only matches
+  * if the decoder truly read the PNG header / WAV fmt chunk. For audio
+  * the schema reuses (width, height) as (sample_rate, n_frames). Video
+  * decode remains a clearly-labeled deterministic FAKE (the JDK ships
+  * no mp4 codec and this environment has no native media libraries);
+  * those rows still exercise the same binary-payload + typed-schema +
+  * per-partition-decoder plumbing.
   *
   * Frame sampling is pure column algebra (codegen'd), no UDF.
   */
@@ -41,11 +43,18 @@ object MultimodalOps {
   private def imgHeight(textLen: Int): Int = 3 + textLen % 17
   private def imgHasAlpha(id: Long): Boolean = (id / 3) % 2 == 1
 
+  /** Deterministic WAV shape for an audio row — the closed form the
+    * oracle re-states and the decode must recover. */
+  private val AudioSampleRate = 8000
+  private def audioFrames(textLen: Int): Int = 50 + textLen % 100
+  private def audioChannels(id: Long): Int = 1 + (id % 2).toInt
+
   /** Fixture stage: synthesize the binary payload. Image rows carry a
-    * REAL PNG (encoded here with the JDK's ImageIO); audio/video rows
+    * REAL PNG (encoded with the JDK's ImageIO), audio rows a REAL
+    * 16-bit PCM WAV (encoded with the JDK's AudioSystem); video rows
     * carry raw text bytes standing in for a container we can't encode. */
-  private def makeContent(id: Long, text: String): Array[Byte] =
-    if (mediaType(id) == "image") {
+  private def makeContent(id: Long, text: String): Array[Byte] = mediaType(id) match {
+    case "image" =>
       val (w, h) = (imgWidth(id), imgHeight(text.length))
       val kind =
         if (imgHasAlpha(id)) java.awt.image.BufferedImage.TYPE_INT_ARGB
@@ -57,7 +66,21 @@ object MultimodalOps {
       val baos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", baos)
       baos.toByteArray
-    } else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case "audio" =>
+      val (frames, channels) = (audioFrames(text.length), audioChannels(id))
+      val fmt = new javax.sound.sampled.AudioFormat(
+        AudioSampleRate.toFloat, 16, channels, true, false)
+      // deterministic PCM so real sample bytes flow, not just a header
+      val pcm = Array.tabulate(frames * channels * 2)(i =>
+        ((id * 31 + i) & 0xff).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   /** Binary payloads per document; type assigned round-robin. The
     * mapPartitions shape matches a real ingest: encoder state could be
@@ -74,8 +97,10 @@ object MultimodalOps {
     * (the init-once-stream-batches shape a JNI/FFmpeg decoder needs;
     * ImageIO's disk cache is disabled so decode stays in-memory). Image
     * rows are REALLY decoded — width/height/channels come off the parsed
-    * PNG, not the fixture formula. Audio/video metadata is the labeled
-    * FAKE formula. */
+    * PNG, not the fixture formula; audio rows are REALLY decoded —
+    * sample rate, frame count and channels come off the parsed WAV fmt
+    * chunk, reported as (width=sample_rate, height=n_frames). Video
+    * metadata is the labeled FAKE formula. */
   private def decodePartition(it: Iterator[MediaBlob]): Iterator[MediaMeta] = {
     javax.imageio.ImageIO.setUseCache(false) // per-partition decoder init
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
@@ -90,8 +115,12 @@ object MultimodalOps {
             MediaMeta(blob.doc_id, blob.media_type,
               img.getWidth, img.getHeight, img.getRaster.getNumBands)
           } finally { reader.setInput(null); in.close() }
-        case "audio" => // FAKE: no JDK mp3 codec; deterministic stand-in
-          MediaMeta(blob.doc_id, blob.media_type, 0, 0, 1 + (blob.doc_id % 2).toInt)
+        case "audio" =>
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(blob.content))
+          MediaMeta(blob.doc_id, blob.media_type,
+            aff.getFormat.getSampleRate.toInt, aff.getFrameLength,
+            aff.getFormat.getChannels)
         case _ => // video FAKE: no JDK mp4 codec; deterministic stand-in
           val n = blob.content.length
           MediaMeta(blob.doc_id, blob.media_type, 64 + n % 512, 64 + (n * 7) % 512, 3)
@@ -128,18 +157,19 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
-    // the image rows' width/height/channels are the closed form the PNG
-    // round-trip must recover; audio/video re-state the labeled fake
+    // image rows: the closed form the PNG round-trip must recover;
+    // audio rows: the closed form the WAV round-trip must recover
+    // (width=sample_rate, height=n_frames); video re-states the fake
     "mm_decode_meta" ->
       """SELECT doc_id,
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
            CAST(CASE CAST(doc_id % 3 AS INT)
                 WHEN 0 THEN 4 + doc_id % 29
-                WHEN 1 THEN 0
+                WHEN 1 THEN 8000
                 ELSE 64 + octet_length(encode(text)) % 512 END AS INT) AS width,
            CAST(CASE CAST(doc_id % 3 AS INT)
                 WHEN 0 THEN 3 + length(text) % 17
-                WHEN 1 THEN 0
+                WHEN 1 THEN 50 + length(text) % 100
                 ELSE 64 + (octet_length(encode(text)) * 7) % 512 END AS INT) AS height,
            CAST(CASE CAST(doc_id % 3 AS INT)
                 WHEN 0 THEN CASE WHEN (doc_id // 3) % 2 = 1 THEN 4 ELSE 3 END
