@@ -130,6 +130,43 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash as an ESTIMATOR, not just a bucketizer: for each LSH
+    * candidate pair, the fraction of agreeing signature components is an
+    * unbiased estimate of jaccard (P[min-hash collision] = J) — emitted
+    * NEXT TO the exact inverted-index jaccard so the sketch's error on
+    * every pair is a measured column, not an assumption (the same
+    * philosophy as Bench's ANN recall report). At 100 TB the estimate is
+    * what a pipeline thresholds on — the exact join here is the audit
+    * path, restricted to the (already sub-quadratic) candidate set. A
+    * shared-band pair shares the argmin shingle of that band, so the
+    * exact-intersection inner join can never drop a candidate. */
+  val minhashEstimate: Q = (s, d) => {
+    val sig = minhashSignatures(s, d)
+    val pairs = minhashLsh(s, d).select("doc_a", "doc_b")
+    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else c + "_a"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else c + "_b"): _*)
+    val est = pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_matches",
+        (0 until NumHashes).map(i =>
+          when(col(s"s${i}_a") === col(s"s${i}_b"), 1).otherwise(0))
+          .reduce(_ + _).cast("long"))
+      .select("doc_a", "doc_b", "est_matches")
+    val sh = docShingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+      .select(col("doc_a"), col("doc_b"), col("est_matches"), col("inter"), col("union_sz"),
+        round(abs(col("est_matches").cast("double") / NumHashes -
+          col("inter").cast("double") / col("union_sz").cast("double")), 6).as("est_err_r"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash: 64-bit fingerprint; bit b = sign of Σ_tokens (±1 from bit b
     * of md5(token)). Emitted as a 64-char bitstring.
     *
@@ -439,6 +476,7 @@ object DedupOps {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_ngram_jaccard_capped" -> ngramJaccardCapped,
     "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_minhash_estimate" -> minhashEstimate,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_simhash_pairs_blocked" -> simhashPairsBlocked(6, 2),
@@ -528,6 +566,34 @@ object DedupOps {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
           ORDER BY doc_a, doc_b""",
+    "dedup_minhash_estimate" -> {
+      val matchSum = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $ShinglesSql,
+          sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+          bands AS ($bandSelects),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          m AS (SELECT c.doc_a, c.doc_b, CAST($matchSum AS BIGINT) AS est_matches
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.doc_a
+                JOIN sig sb ON sb.doc_id = c.doc_b),
+          sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+          SELECT m.doc_a, m.doc_b, m.est_matches,
+            CAST(ix.inter AS BIGINT) AS inter,
+            CAST(sa.n_sh + sb.n_sh - ix.inter AS BIGINT) AS union_sz,
+            round(abs(CAST(m.est_matches AS DOUBLE) / $NumHashes -
+              CAST(ix.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - ix.inter AS DOUBLE)), 6) AS est_err_r
+          FROM m
+          JOIN ix ON ix.doc_a = m.doc_a AND ix.doc_b = m.doc_b
+          JOIN sz sa ON sa.doc_id = m.doc_a
+          JOIN sz sb ON sb.doc_id = m.doc_b
+          ORDER BY m.doc_a, m.doc_b""" },
     "dedup_simhash" ->
       s"""WITH norm AS (SELECT doc_id, $NormSql AS t FROM documents),
           toks AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
