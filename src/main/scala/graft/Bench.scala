@@ -78,7 +78,7 @@ object Bench {
           .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
       val truth = topSet("sim_brute_topk")
       val annNames = Seq("sim_lsh_topk", "sim_lsh_1table_topk",
-        "sim_lsh_multi_topk", "sim_ivf_topk", "sim_q8_topk")
+        "sim_lsh_multi_topk", "sim_ivf_topk", "sim_q8_topk", "sim_ivf_q8_topk")
       val recalls = annNames.map { n =>
         val approx = topSet(n)
         val per = truth.toSeq.map { case (q, t) =>

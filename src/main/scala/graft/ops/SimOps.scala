@@ -281,9 +281,10 @@ object SimOps {
     * because list boundaries fall in low-density regions. */
   private val ClosureEps = 0.05
 
-  /** The scored-candidate frame of the IVF index (query × probed-list
-    * members) — exposed so Bench can report the candidate fraction. */
-  private[graft] def ivfCandidates(s: SparkSession, d: String): DataFrame = {
+  /** The deduped (q_id, vec_id) candidate pair set of the IVF index —
+    * shared by the float scoring path, the int8 scoring path, and
+    * Bench's candidate-fraction report. */
+  private def ivfPairs(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     val cents = {
       import s.implicits._
@@ -317,10 +318,38 @@ object SimOps {
     // A replicated vector can meet the same query through two probed
     // lists — dedup the (q_id, vec_id) pair BEFORE scoring (same shape as
     // the multi-table LSH path), then join the vectors back on.
-    val pairs = lists.join(broadcast(q.select(col("q_id"), col("probe_list"))),
+    lists.join(broadcast(q.select(col("q_id"), col("probe_list"))),
         col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()
-    pairs.join(corpusWithNorm(s, d), "vec_id").join(broadcast(qset(s, d)), "q_id")
+  }
+
+  /** The scored-candidate frame of the IVF index (query × probed-list
+    * members) — exposed so Bench can report the candidate fraction. */
+  private[graft] def ivfCandidates(s: SparkSession, d: String): DataFrame =
+    ivfPairs(s, d)
+      .join(corpusWithNorm(s, d), "vec_id").join(broadcast(qset(s, d)), "q_id")
+
+  /** IVF probing composed with int8 scoring — the two ANN scale levers
+    * together: the k-means index bounds WHO gets scored (nprobe lists,
+    * ~12% candidate fraction at sf0.1) and quantization bounds WHAT the
+    * scoring reads (~68 B of codes per candidate instead of a 256 B
+    * float vector), with exact integer dot products. At 100 TB this is
+    * the deployable shape: centroid-partitioned code table, float
+    * vectors never touched at query time. Bench reports its recall@3 so
+    * the compounded approximation stays a measured number. */
+  val ivfQ8TopK: Q = (s, d) => {
+    val qz = quantized(s, d).select(col("vec_id"), col("qvec"))
+      .withColumn("qn2",
+        expr("aggregate(qvec, 0L, (acc, v) -> acc + cast(v as bigint) * v)"))
+    val qs = qz.select(col("vec_id").as("q_id"), col("qvec").as("q_qvec"),
+      col("qn2").as("q_n2")).where(col("q_id") < NQueries)
+    rankTopK(
+      ivfPairs(s, d).join(qz, "vec_id").join(broadcast(qs), "q_id")
+        .withColumn("qdot",
+          expr("aggregate(zip_with(qvec, q_qvec, (a, b) -> cast(a as bigint) * b), 0L, (acc, v) -> acc + v)"))
+        .withColumn("sim",
+          col("qdot").cast("double") / sqrt((col("qn2") * col("q_n2")).cast("double"))),
+      3)
   }
 
   /** Per-vector symmetric int8 quantization — the memory/IO lever for
@@ -376,12 +405,55 @@ object SimOps {
     "sim_lsh_1table_topk" -> lsh1TableTopK,
     "sim_lsh_multi_topk" -> lshMultiTopK(4), // the candidates-per-recall knee
     "sim_ivf_topk" -> ivfTopK,
+    "sim_ivf_q8_topk" -> ivfQ8TopK,
   )
 
   private def dot(a: String, b: String) =
     s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   private def cos(a: String, b: String) =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  /** Quantized-table CTE chain (ends in `qn(vec_id, qvec, qn2)`) —
+    * shared by the q8 scoring oracles. */
+  private def q8Ctes =
+    s"""sc AS (SELECT vec_id, embedding,
+            greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+          FROM embeddings),
+        qv AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qvec
+          FROM sc),
+        qn AS (SELECT vec_id, qvec,
+            list_sum(list_transform(generate_series(1, 64), i -> qvec[i] * qvec[i])) AS qn2
+          FROM qv)"""
+
+  /** Quantized cosine of rows `c` and `q` from the [[q8Ctes]] chain. */
+  private def q8Sim(c: String, q: String) =
+    s"""CAST(list_sum(list_transform(generate_series(1, 64), i -> $c.qvec[i] * $q.q_qvec[i])) AS DOUBLE)
+          / sqrt(CAST($c.qn2 * $q.q_n2 AS DOUBLE))"""
+
+  /** IVF candidate CTE chain (k-means codebook → closure-assigned lists
+    * → probed `pairs(q_id, vec_id)`) — shared by the float and int8
+    * scoring oracles, mirroring [[ivfPairs]]. */
+  private def ivfPairsCtes =
+    s"""${kmeansCtesSql(KMeansIters)},
+        cents AS (SELECT c_id, c_emb FROM cents$KMeansIters),
+        corpus_d AS (SELECT e.vec_id, e.embedding, c.c_id,
+                       ${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")}
+                         - 2 * ${dot("e.embedding", "c.c_emb")} AS c_dist
+                     FROM embeddings e CROSS JOIN cents c),
+        md AS (SELECT vec_id, MIN(c_dist) AS min_dist FROM corpus_d GROUP BY vec_id),
+        lists AS (SELECT d.vec_id, d.c_id AS list_id
+                  FROM corpus_d d JOIN md USING (vec_id)
+                  WHERE d.c_dist <= md.min_dist * (1.0 + $ClosureEps)),
+        q_d AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id,
+                  ${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")}
+                    - 2 * ${dot("e.embedding", "c.c_emb")} AS c_dist
+                FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < $NQueries),
+        q AS (SELECT q_id, q_emb, c_id AS probe_list FROM
+                (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_dist, c_id) rn
+                 FROM q_d) t WHERE rn <= $NProbe),
+        pairs AS (SELECT DISTINCT q.q_id, l.vec_id
+                  FROM lists l JOIN q ON l.list_id = q.probe_list AND l.vec_id <> q.q_id)"""
   private val BucketSql = (e: String) =>
     s"""(CASE WHEN $e[1] >= 0 THEN '1' ELSE '0' END ||
          CASE WHEN $e[17] >= 0 THEN '1' ELSE '0' END ||
@@ -463,20 +535,23 @@ object SimOps {
               x -> CAST(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT) AS VARCHAR)), ',') AS qvec
           FROM sc ORDER BY vec_id""",
     "sim_q8_topk" ->
-      s"""WITH sc AS (SELECT vec_id, embedding,
-              greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
-            FROM embeddings),
-          qv AS (SELECT vec_id,
-              list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qvec
-            FROM sc),
-          qn AS (SELECT vec_id, qvec,
-              list_sum(list_transform(generate_series(1, 64), i -> qvec[i] * qvec[i])) AS qn2
-            FROM qv),
+      s"""WITH $q8Ctes,
           q AS (SELECT vec_id AS q_id, qvec AS q_qvec, qn2 AS q_n2 FROM qn WHERE vec_id < $NQueries),
-          scored AS (SELECT q.q_id, c.vec_id,
-              CAST(list_sum(list_transform(generate_series(1, 64), i -> c.qvec[i] * q.q_qvec[i])) AS DOUBLE)
-                / sqrt(CAST(c.qn2 * q.q_n2 AS DOUBLE)) AS sim
+          scored AS (SELECT q.q_id, c.vec_id, ${q8Sim("c", "q")} AS sim
             FROM qn c JOIN q ON c.vec_id <> q.q_id),
+          ranked AS (SELECT q_id, vec_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+            FROM scored)
+          SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+          FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
+    "sim_ivf_q8_topk" ->
+      s"""WITH ${ivfPairsCtes},
+          $q8Ctes,
+          qq AS (SELECT vec_id AS q_id, qvec AS q_qvec, qn2 AS q_n2 FROM qn WHERE vec_id < $NQueries),
+          scored AS (SELECT p.q_id, p.vec_id, ${q8Sim("c", "qq")} AS sim
+            FROM pairs p
+            JOIN qn c ON c.vec_id = p.vec_id
+            JOIN qq ON qq.q_id = p.q_id),
           ranked AS (SELECT q_id, vec_id,
               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
             FROM scored)
@@ -497,25 +572,7 @@ object SimOps {
           FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
     "sim_lsh_multi_topk" -> multiTableOracle(4),
     "sim_ivf_topk" ->
-      s"""WITH ${kmeansCtesSql(KMeansIters)},
-          cents AS (SELECT c_id, c_emb FROM cents$KMeansIters),
-          corpus_d AS (SELECT e.vec_id, e.embedding, c.c_id,
-                         ${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")}
-                           - 2 * ${dot("e.embedding", "c.c_emb")} AS c_dist
-                       FROM embeddings e CROSS JOIN cents c),
-          md AS (SELECT vec_id, MIN(c_dist) AS min_dist FROM corpus_d GROUP BY vec_id),
-          lists AS (SELECT d.vec_id, d.c_id AS list_id
-                    FROM corpus_d d JOIN md USING (vec_id)
-                    WHERE d.c_dist <= md.min_dist * (1.0 + $ClosureEps)),
-          q_d AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id,
-                    ${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")}
-                      - 2 * ${dot("e.embedding", "c.c_emb")} AS c_dist
-                  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < $NQueries),
-          q AS (SELECT q_id, q_emb, c_id AS probe_list FROM
-                  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_dist, c_id) rn
-                   FROM q_d) t WHERE rn <= $NProbe),
-          pairs AS (SELECT DISTINCT q.q_id, l.vec_id
-                    FROM lists l JOIN q ON l.list_id = q.probe_list AND l.vec_id <> q.q_id),
+      s"""WITH ${ivfPairsCtes},
           scored AS (SELECT p.q_id, p.vec_id,
                        ${cos("qe.embedding", "ce.embedding")} AS sim
                      FROM pairs p
