@@ -141,8 +141,24 @@ object DedupOps {
     * shared-band pair shares the argmin shingle of that band, so the
     * exact-intersection inner join can never drop a candidate. */
   val minhashEstimate: Q = (s, d) => {
-    val sig = minhashSignatures(s, d)
-    val pairs = minhashLsh(s, d).select("doc_a", "doc_b")
+    // signatures feed three branches (both sides of the estimate join +
+    // the band index) and shingles feed three more (both sides of the
+    // intersection self-join + sizes) — materialize each once instead of
+    // letting every branch re-run the md5/shingle pipeline (no
+    // cross-branch CSE in Spark; same pattern as blockedPairsFrom)
+    val sig = minhashSignatures(s, d).localCheckpoint()
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      val key = concat((0 until BandSize).map(r => col(s"s${b * BandSize + r}")): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else c + "_a"): _*)
     val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else c + "_b"): _*)
     val est = pairs.join(sa, "doc_a").join(sb, "doc_b")
@@ -151,7 +167,7 @@ object DedupOps {
           when(col(s"s${i}_a") === col(s"s${i}_b"), 1).otherwise(0))
           .reduce(_ + _).cast("long"))
       .select("doc_a", "doc_b", "est_matches")
-    val sh = docShingles(s, d)
+    val sh = docShingles(s, d).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
