@@ -54,7 +54,14 @@ object Bench {
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // several operators localCheckpoint an intermediate (fingerprints,
+        // signatures, shingles, cluster labels); those blocks are never
+        // freed by the query itself, so drop them here or they accumulate
+        // across runs and inflate later queries' GC time
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        name -> dt
       }.toMap
     }
     def median(xs: Seq[Double]): Double = {

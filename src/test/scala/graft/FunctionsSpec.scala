@@ -163,4 +163,26 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(_.getTimestamp(0).toString).toSet
     assert(got == Set("2024-01-15 12:00:01.0", "2024-01-15 13:00:00.0"))
   }
+
+  test("int8 quantization: codes in [-127,127], reconstruction error <= scale/2") {
+    val d = "/root/testdata/sf0.001"
+    val qz = graft.ops.SimOps.queries("emb_quantize_int8")(spark, d)
+    val joined = qz.join(graft.Tables.embeddings(spark, d), "vec_id")
+      .selectExpr("vec_id", "scale",
+        "transform(split(qvec, ','), x -> cast(x as int)) AS q",
+        "embedding")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val q = r.getSeq[Int](2)
+      val x = r.getSeq[Float](3)
+      assert(q.forall(c => c >= -127 && c <= 127), s"code out of range: $q")
+      // half-up rounding puts every value within half a quantization step
+      val maxErr = q.zip(x).map { case (c, v) =>
+        math.abs(v.toDouble - c * scale) }.max
+      assert(maxErr <= scale / 2 + 1e-12,
+        s"vec ${r.getLong(0)}: reconstruction error $maxErr > ${scale / 2}")
+    }
+  }
 }
