@@ -158,9 +158,48 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Dataset-card statistics per quality tier, fused into ONE aggregation
+    * pass: doc counts, whitespace-token totals, mean length, and the
+    * corpus-level repetition ratio. All accumulators are integer sums
+    * (counts, lengths, n-gram counts), so the per-tier ratios are one
+    * double division over exact longs — deterministic under any shuffle
+    * order, unlike averaging per-doc floats. One scan + one shuffle on
+    * the (tiny) tier key at any corpus size. */
+  val corpusStats: Q = (s, d) => {
+    graft.expressions.TextShingles.register(s)
+    documents(s, d)
+      .withColumn("len", length(col("text")))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
+      .withColumn("n_stop",
+        expr("size(filter(split(lower(text), '\\\\s+'), x -> x IN ('the','a','and','of','to','in','is')))"))
+      .withColumn("quality",
+        when(col("len") >= 100 && expr("n_alpha * 100 div len") >= 70 &&
+          col("n_stop") >= 1, "good")
+          .when(col("len") >= 30, "ok")
+          .otherwise("junk"))
+      .withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_words",
+        size(split(graft.functions.Functions.normalizeText(col("text")), " ")))
+      .withColumn("total3", greatest(col("n_words") - 2, lit(1)))
+      .withColumn("distinct3", expr("size(text_shingles(text, 3))"))
+      .groupBy("quality")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens").cast("long")).as("total_tokens"),
+        sum(col("len").cast("long")).as("total_chars"),
+        sum(col("total3").cast("long")).as("total_ngrams"),
+        sum(col("distinct3").cast("long")).as("distinct_ngrams"))
+      .select(col("quality"), col("n_docs"), col("total_tokens"),
+        round(col("total_chars").cast("double") / col("n_docs").cast("double"), 6).as("avg_len_r"),
+        round(lit(1.0) - col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double"), 6).as("rep_ratio_r"))
+      .orderBy("quality")
+  }
+
   val queries: Map[String, Q] = Map(
     "sample_split_hash" -> sampleSplitHash,
     "sample_stratified" -> sampleStratified,
+    "corpus_stats" -> corpusStats,
     "text_ngram_topk" -> ngramTopK,
     "text_contamination" -> contamination,
     "pack_sequences" -> packSequences,
@@ -176,6 +215,30 @@ object PipelineOps {
     .mkString("CASE quality ", " ", " END")
 
   val oracles: Map[String, String] = Map(
+    "corpus_stats" ->
+      s"""WITH ${DedupOps.ShinglesSql},
+          dn AS (SELECT doc_id, COUNT(*) AS distinct3 FROM sh GROUP BY doc_id),
+          b AS (SELECT d.doc_id,
+              CAST(length(d.text) AS INT) AS len,
+              CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS INT) AS n_alpha,
+              CAST(len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                   x -> x IN ('the','a','and','of','to','in','is'))) AS INT) AS n_stop,
+              CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS INT) AS ws_tokens,
+              greatest(len(string_split(trim(regexp_replace(regexp_replace(lower(d.text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) - 2, 1) AS total3,
+              dn.distinct3
+            FROM documents d JOIN dn ON dn.doc_id = d.doc_id),
+          q AS (SELECT *,
+              CASE WHEN len >= 100 AND n_alpha * 100 // len >= 70 AND n_stop >= 1 THEN 'good'
+                   WHEN len >= 30 THEN 'ok' ELSE 'junk' END AS quality
+            FROM b)
+          SELECT quality,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
+            round(CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_len_r,
+            round(1.0 - CAST(SUM(distinct3) AS DOUBLE) /
+              CAST(SUM(total3) AS DOUBLE), 6) AS rep_ratio_r
+          FROM q GROUP BY quality ORDER BY quality""",
     "sample_stratified" ->
       s"""WITH b AS (SELECT doc_id, text,
               CAST(length(text) AS INT) AS len,
