@@ -823,4 +823,53 @@ class StreamingSpec extends SparkSpec {
       assert(texts == Seq("alpha", "alpha", "beta", "gamma"))
     } finally q.stop()
   }
+
+  test("streaming corpus ingest: quality gate -> in-horizon dedup -> keyed upsert, end to end") {
+    // the streaming form of corpus_curate: the same quality predicate in
+    // the stream's projection, content dedup with watermark-bounded
+    // state, and the versioned keyed table as the continuously-updated
+    // corpus — all three layers composed as ONE streaming query
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val good1 = ("the quick brown fox and the lazy dog of the town went to " +
+      "the market in the morning to buy a basket of fresh bread for the family")
+    val good2 = ("a small boat sailed out of the harbor in the evening and " +
+      "the crew watched the lights of the coast fade into the calm dark sea")
+    val input = MemoryStream[(Long, Long, String)] // doc_id, tsMs, text
+    val gated = input.toDF().toDF("doc_id", "tsMs", "text")
+      .select(col("doc_id"), timestamp_millis(col("tsMs")).as("ts"), col("text"))
+      .withColumn("len", length(col("text")))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
+      .withColumn("n_stop",
+        expr("size(filter(split(lower(text), '\\\\s+'), x -> x IN ('the','a','and','of','to','in','is')))"))
+      .where(col("len") >= 100 && expr("n_alpha * 100 div len") >= 70 &&
+        col("n_stop") >= 1)
+      .select("doc_id", "ts", "text")
+    val deduped = graft.streaming.StreamingDedup.dedupExact(gated, "ts", "10 seconds")
+      .withColumn("version", col("ts").cast("long"))
+    val q = deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft_ingest_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        UpsertSink.mergeBatch(batch, Seq("content_hash"), "version", dir)
+      }
+      .start()
+    try {
+      def corpus = UpsertSink.readKeyedTable(spark, dir)
+        .map(_.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet)
+        .getOrElse(Set.empty)
+      // batch 1: a good doc, its exact duplicate, and a junk doc
+      input.addData((1L, 1000L, good1), (2L, 1500L, good1), (3L, 2000L, "too short"))
+      q.processAllAvailable()
+      assert(corpus.map(_._2) == Set(good1), s"got $corpus")
+      assert(corpus.size == 1)
+      // batch 2: another in-horizon duplicate (dropped by dedup state)
+      // plus a genuinely new good doc (merged into the keyed table)
+      input.addData((4L, 3000L, good1), (5L, 4000L, good2))
+      q.processAllAvailable()
+      assert(corpus.map(_._2) == Set(good1, good2))
+      assert(corpus.size == 2)
+    } finally q.stop()
+  }
 }
