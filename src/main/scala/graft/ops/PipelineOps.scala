@@ -196,9 +196,43 @@ object PipelineOps {
       .orderBy("quality")
   }
 
+  /** Source-weighted corpus mixing over the REAL `source` metadata
+    * column: even-numbered sources keep everything, odd-numbered keep
+    * 1/4 — the canonical up/down-weighting of web dumps vs curated
+    * sources in a training mix. Same content-stable salted-hash
+    * threshold as [[sampleStratified]] (salt "mix:", independent of the
+    * split and stratification decisions); pure projection + filter,
+    * shuffle-free at any corpus size. */
+  val corpusMix: Q = (s, d) => {
+    val rate = when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
+      lit(65536L)).otherwise(lit(16384L))
+    documents(s, d)
+      .withColumn("mix_bucket",
+        conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("long"))
+      .where(col("mix_bucket") < rate)
+      .select(col("doc_id"), col("source"), col("mix_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Confusion counts of the lang-ID heuristic against the labeled
+    * `lang` column — the accuracy of `text_lang_id` as a MEASURED table
+    * (the corpus labels five languages incl. zh, which the four-lexicon
+    * heuristic cannot predict; that error mass is visible here, not
+    * hidden). One scan + one shuffle on the tiny (lang, predicted)
+    * key space. */
+  val langIdEval: Q = (s, d) =>
+    TextOps.langId(s, d)
+      .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted_lang")
+
   val queries: Map[String, Q] = Map(
     "sample_split_hash" -> sampleSplitHash,
     "sample_stratified" -> sampleStratified,
+    "corpus_mix" -> corpusMix,
+    "lang_id_eval" -> langIdEval,
     "corpus_stats" -> corpusStats,
     "text_ngram_topk" -> ngramTopK,
     "text_contamination" -> contamination,
@@ -215,6 +249,33 @@ object PipelineOps {
     .mkString("CASE quality ", " ", " END")
 
   val oracles: Map[String, String] = Map(
+    "corpus_mix" ->
+      s"""WITH h AS (SELECT doc_id, source,
+              md5('mix:' || CAST(doc_id AS VARCHAR)) AS m,
+              CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                   THEN 65536 ELSE 16384 END AS rate
+            FROM documents),
+          b AS (SELECT doc_id, source, rate,
+              CAST(${nib("m", 1)} * 4096 + ${nib("m", 2)} * 256 +
+                   ${nib("m", 3)} * 16 + ${nib("m", 4)} AS BIGINT) AS mix_bucket
+            FROM h)
+          SELECT doc_id, source, mix_bucket
+          FROM b WHERE mix_bucket < rate ORDER BY doc_id""",
+    "lang_id_eval" ->
+      raw"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') toks FROM documents),
+          sc AS (SELECT doc_id, lang,
+            CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS INT) sc_en,
+            CAST(len(list_filter(toks, x -> x IN ('der','die','und','ist','nicht'))) AS INT) sc_de,
+            CAST(len(list_filter(toks, x -> x IN ('el','los','las','una','por'))) AS INT) sc_es,
+            CAST(len(list_filter(toks, x -> x IN ('le','les','des','dans','avec'))) AS INT) sc_fr
+          FROM t),
+          p AS (SELECT doc_id, lang,
+            CASE WHEN sc_en >= sc_de AND sc_en >= sc_es AND sc_en >= sc_fr THEN 'en'
+                 WHEN sc_de >= sc_es AND sc_de >= sc_fr THEN 'de'
+                 WHEN sc_es >= sc_fr THEN 'es' ELSE 'fr' END AS predicted_lang
+          FROM sc)
+          SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+          FROM p GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""",
     "corpus_stats" ->
       s"""WITH ${DedupOps.ShinglesSql},
           dn AS (SELECT doc_id, COUNT(*) AS distinct3 FROM sh GROUP BY doc_id),
