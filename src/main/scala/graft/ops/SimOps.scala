@@ -284,43 +284,105 @@ object SimOps {
   /** The deduped (q_id, vec_id) candidate pair set of the IVF index —
     * shared by the float scoring path, the int8 scoring path, and
     * Bench's candidate-fraction report. */
-  private def ivfPairs(s: SparkSession, d: String): DataFrame = {
-    graft.expressions.VectorExpressions.register(s)
-    val cents = {
-      import s.implicits._
-      kmeansCentroids(s, d).toDF("c_id", "c_emb")
-        .select(col("c_id"), col("c_emb").cast("array<float>").as("c_emb"))
-    }
-    def withCentDist(df: DataFrame, embCol: String): DataFrame =
-      df.join(broadcast(cents), lit(true))
-        .withColumn("c_dist",
-          expr(s"float_dot($embCol, $embCol) + float_dot(c_emb, c_emb) - 2 * float_dot($embCol, c_emb)"))
-    // Index build (offline): per-vector min distance collapses map-side
-    // (partial min before the exchange — the ×NCentroids blowup never
-    // crosses the wire), then the closure filter keeps every centroid
-    // within the slack of that min. The corpus-keyed rejoin is an
-    // index-build cost, not a query cost.
-    val dists = withCentDist(
+  private def centroidFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    kmeansCentroids(s, d).toDF("c_id", "c_emb")
+      .select(col("c_id"), col("c_emb").cast("array<float>").as("c_emb"))
+  }
+
+  private def withCentDist(cents: DataFrame, df: DataFrame, embCol: String): DataFrame =
+    df.join(broadcast(cents), lit(true))
+      .withColumn("c_dist",
+        expr(s"float_dot($embCol, $embCol) + float_dot(c_emb, c_emb) - 2 * float_dot($embCol, c_emb)"))
+
+  /** Closure-assigned inverted lists (vec_id, list_id) of the IVF index.
+    * Index build (offline): per-vector min distance collapses map-side
+    * (partial min before the exchange — the ×NCentroids blowup never
+    * crosses the wire), then the closure filter keeps every centroid
+    * within the slack of that min. The corpus-keyed rejoin is an
+    * index-build cost, not a query cost. */
+  private def ivfLists(s: SparkSession, d: String, cents: DataFrame): DataFrame = {
+    val dists = withCentDist(cents,
       embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
       .select(col("vec_id"), col("c_id"), col("c_dist"))
     val minD = dists.groupBy("vec_id").agg(min(col("c_dist")).as("min_dist"))
-    val lists = dists.join(minD, "vec_id")
+    dists.join(minD, "vec_id")
       .where(col("c_dist") <= col("min_dist") * (1.0 + ClosureEps))
       .select(col("vec_id"), col("c_id").as("list_id"))
-    // Queries probe nprobe lists — rank-n needs the window, but only over
-    // |Q|·NCentroids rows (the broadcast-small side).
+  }
+
+  /** The nprobe nearest lists of each probe-side row (q_id, probe_list).
+    * The rank-n window runs over |probe side|·NCentroids rows with 16
+    * rows per key — bounded fan-in per key, never corpus-wide state. */
+  private def probeLists(s: SparkSession, d: String, cents: DataFrame,
+      probes: DataFrame, embCol: String): DataFrame = {
     val wq = Window.partitionBy("q_id").orderBy(col("c_dist").asc, col("c_id").asc)
-    val q = withCentDist(qset(s, d), "q_emb")
+    withCentDist(cents, probes, embCol)
       .withColumn("c_rank", row_number().over(wq))
       .where(col("c_rank") <= NProbe)
-      .withColumn("probe_list", col("c_id"))
-      .drop("c_id", "c_emb", "c_dist", "c_rank")
+      .select(col("q_id"), col("c_id").as("probe_list"))
+  }
+
+  private def ivfPairs(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val cents = centroidFrame(s, d)
+    val lists = ivfLists(s, d, cents)
+    val q = probeLists(s, d, cents, qset(s, d), "q_emb")
     // A replicated vector can meet the same query through two probed
     // lists — dedup the (q_id, vec_id) pair BEFORE scoring (same shape as
     // the multi-table LSH path), then join the vectors back on.
-    lists.join(broadcast(q.select(col("q_id"), col("probe_list"))),
+    lists.join(broadcast(q),
         col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()
+  }
+
+  /** Embedding-space quality probe over the labeled corpus: EVERY vector
+    * queries the IVF index (its nprobe lists), and the fraction of its
+    * top-3 in-index neighbors sharing its `label` is aggregated per
+    * label — k-NN label purity as a MEASURED table (embedding-quality
+    * regression shows up as a purity drop next to the index's recall).
+    * All-vectors-as-queries stays sub-quadratic for the same reason the
+    * index does: candidate work is Σ list² over the probed lists, never
+    * |corpus|². Purity is an exact integer ratio (matches / neighbors),
+    * so the cross-engine compare is structural. The probe join is NOT
+    * broadcast here — both sides are corpus-sized, so it shuffles on the
+    * uniform list id (the 100 TB plan). */
+  val labelPurity: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
+    val cents = centroidFrame(s, d)
+    val lists = ivfLists(s, d, cents)
+    val probes = probeLists(s, d, cents,
+      embeddings(s, d).select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb")), "q_emb")
+    val pairs = lists.join(probes,
+        col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val top3 = rankTopK(
+      pairs.join(corpusWithNorm(s, d), "vec_id").join(qset2(s, d), "q_id")
+        .withColumn("sim",
+          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
+      3)
+    val labels = embeddings(s, d).select(col("vec_id"), col("label"))
+    top3
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")), "neighbor_id")
+      .groupBy("q_label")
+      .agg(
+        countDistinct(col("q_id")).as("n_vecs"),
+        count(lit(1)).as("n_neighbors"),
+        sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L)).as("n_matches"))
+      .select(col("q_label").as("label"), col("n_vecs"), col("n_neighbors"), col("n_matches"),
+        round(col("n_matches").cast("double") / col("n_neighbors").cast("double"), 6).as("purity_r"))
+      .orderBy("label")
+  }
+
+  /** All-corpus (q_id, q_emb, q_nrm) frame — the probe side of
+    * [[labelPurity]] (qset restricted to nothing). */
+  private def qset2(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    embeddings(s, d)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("q_nrm"))
   }
 
   /** The scored-candidate frame of the IVF index (query × probed-list
@@ -406,6 +468,7 @@ object SimOps {
     "sim_lsh_multi_topk" -> lshMultiTopK(4), // the candidates-per-recall knee
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_q8_topk" -> ivfQ8TopK,
+    "sim_label_purity" -> labelPurity,
   )
 
   private def dot(a: String, b: String) =
@@ -434,7 +497,12 @@ object SimOps {
   /** IVF candidate CTE chain (k-means codebook → closure-assigned lists
     * → probed `pairs(q_id, vec_id)`) — shared by the float and int8
     * scoring oracles, mirroring [[ivfPairs]]. */
-  private def ivfPairsCtes =
+  private def ivfPairsCtes: String =
+    ivfPairsCtesWhere(s"WHERE e.vec_id < $NQueries")
+
+  /** The same chain with an arbitrary probe-side filter — empty string
+    * probes with EVERY corpus vector ([[labelPurity]]'s oracle). */
+  private def ivfPairsCtesWhere(probeWhere: String) =
     s"""${kmeansCtesSql(KMeansIters)},
         cents AS (SELECT c_id, c_emb FROM cents$KMeansIters),
         corpus_d AS (SELECT e.vec_id, e.embedding, c.c_id,
@@ -448,7 +516,7 @@ object SimOps {
         q_d AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id,
                   ${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")}
                     - 2 * ${dot("e.embedding", "c.c_emb")} AS c_dist
-                FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < $NQueries),
+                FROM embeddings e CROSS JOIN cents c $probeWhere),
         q AS (SELECT q_id, q_emb, c_id AS probe_list FROM
                 (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_dist, c_id) rn
                  FROM q_d) t WHERE rn <= $NProbe),
@@ -571,6 +639,28 @@ object SimOps {
           SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
           FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
     "sim_lsh_multi_topk" -> multiTableOracle(4),
+    "sim_label_purity" ->
+      s"""WITH ${ivfPairsCtesWhere("")},
+          scored AS (SELECT p.q_id, p.vec_id,
+                       ${cos("qe.embedding", "ce.embedding")} AS sim
+                     FROM pairs p
+                     JOIN embeddings ce ON ce.vec_id = p.vec_id
+                     JOIN embeddings qe ON qe.vec_id = p.q_id),
+          ranked AS (SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+                     FROM scored),
+          t3 AS (SELECT q_id, vec_id FROM ranked WHERE rank <= 3),
+          lab AS (SELECT t3.q_id, ql.label AS q_label, nl.label AS n_label
+                  FROM t3
+                  JOIN embeddings ql ON ql.vec_id = t3.q_id
+                  JOIN embeddings nl ON nl.vec_id = t3.vec_id)
+          SELECT q_label AS label,
+            CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_vecs,
+            CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+            CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+            round(CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS purity_r
+          FROM lab GROUP BY q_label ORDER BY label""",
     "sim_ivf_topk" ->
       s"""WITH ${ivfPairsCtes},
           scored AS (SELECT p.q_id, p.vec_id,
