@@ -228,7 +228,35 @@ object PipelineOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted_lang")
 
+  private val ChunkWords = 50
+  private val ChunkStride = 40 // 10-word overlap between neighbors
+
+  /** Overlapping fixed-window document chunking (RAG / training-sequence
+    * prep): [[ChunkWords]]-word windows every [[ChunkStride]] words over
+    * the normalized text, each chunk emitted as (doc_id, chunk_id,
+    * n_words, md5 of the chunk) — content-addressed so chunk-level dedup
+    * and contamination checks compose downstream. Pure projection +
+    * explode: the window arithmetic never leaves the row, so this is a
+    * scan-shaped op at any corpus size. The chunk count uses a guarded
+    * positive division (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — they only agree on non-negative operands). */
+  val docChunk: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("w", split(graft.functions.Functions.normalizeText(col("text")), " "))
+      .withColumn("len", size(col("w")))
+      .withColumn("n_chunks",
+        when(col("len") <= ChunkWords, lit(1))
+          .otherwise(expr(s"(len - $ChunkWords + ${ChunkStride - 1}) div $ChunkStride + 1")))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("chunk", expr(s"slice(w, chunk_id * $ChunkStride + 1, $ChunkWords)"))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        size(col("chunk")).as("n_words"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, Q] = Map(
+    "doc_chunk" -> docChunk,
     "sample_split_hash" -> sampleSplitHash,
     "sample_stratified" -> sampleStratified,
     "corpus_mix" -> corpusMix,
@@ -249,6 +277,20 @@ object PipelineOps {
     .mkString("CASE quality ", " ", " END")
 
   val oracles: Map[String, String] = Map(
+    "doc_chunk" ->
+      s"""WITH w AS (SELECT doc_id,
+              string_split(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+            FROM documents),
+          n AS (SELECT doc_id, w, len(w) AS len,
+              CASE WHEN len(w) <= $ChunkWords THEN 1
+                   ELSE (len(w) - $ChunkWords + ${ChunkStride - 1}) // $ChunkStride + 1 END AS n_chunks
+            FROM w),
+          c AS (SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM n)
+          SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+            CAST(len(w[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkWords]) AS INT) AS n_words,
+            md5(array_to_string(w[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkWords], ' ')) AS chunk_hash
+          FROM c ORDER BY doc_id, chunk_id""",
     "corpus_mix" ->
       s"""WITH h AS (SELECT doc_id, source,
               md5('mix:' || CAST(doc_id AS VARCHAR)) AS m,
