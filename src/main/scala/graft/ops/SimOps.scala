@@ -402,13 +402,13 @@ object SimOps {
   val ivfQ8TopK: Q = (s, d) => {
     val qz = quantized(s, d).select(col("vec_id"), col("qvec"))
       .withColumn("qn2",
-        expr("aggregate(qvec, 0L, (acc, v) -> acc + cast(v as bigint) * v)"))
+        expr("int_dot(qvec, qvec)"))
     val qs = qz.select(col("vec_id").as("q_id"), col("qvec").as("q_qvec"),
       col("qn2").as("q_n2")).where(col("q_id") < NQueries)
     rankTopK(
       ivfPairs(s, d).join(qz, "vec_id").join(broadcast(qs), "q_id")
         .withColumn("qdot",
-          expr("aggregate(zip_with(qvec, q_qvec, (a, b) -> cast(a as bigint) * b), 0L, (acc, v) -> acc + v)"))
+          expr("int_dot(qvec, q_qvec)"))
         .withColumn("sim",
           col("qdot").cast("double") / sqrt((col("qn2") * col("q_n2")).cast("double"))),
       3)
@@ -422,12 +422,14 @@ object SimOps {
     * scale = max|x|/127; q = floor(x/scale + 0.5) — explicit half-up
     * because `round`'s tie mode differs across engines. Pure projection
     * over the scan. */
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
     embeddings(s, d)
       .withColumn("scale",
         expr("greatest(array_max(transform(embedding, x -> abs(cast(x as double)))), 1e-30d) / 127.0d"))
       .withColumn("qvec",
         expr("transform(embedding, x -> cast(floor(cast(x as double) / scale + 0.5d) as int))"))
+  }
 
   /** The quantized table as an inspectable query: codes serialized to a
     * CSV string for the engine-portable compare. */
@@ -447,13 +449,13 @@ object SimOps {
   val q8TopK: Q = (s, d) => {
     val qz = quantized(s, d).select(col("vec_id"), col("qvec"))
       .withColumn("qn2",
-        expr("aggregate(qvec, 0L, (acc, v) -> acc + cast(v as bigint) * v)"))
+        expr("int_dot(qvec, qvec)"))
     val qs = qz.select(col("vec_id").as("q_id"), col("qvec").as("q_qvec"),
       col("qn2").as("q_n2")).where(col("q_id") < NQueries)
     rankTopK(
       qz.join(broadcast(qs), col("vec_id") =!= col("q_id"))
         .withColumn("qdot",
-          expr("aggregate(zip_with(qvec, q_qvec, (a, b) -> cast(a as bigint) * b), 0L, (acc, v) -> acc + v)"))
+          expr("int_dot(qvec, q_qvec)"))
         .withColumn("sim",
           col("qdot").cast("double") / sqrt((col("qn2") * col("q_n2")).cast("double"))),
       3)
