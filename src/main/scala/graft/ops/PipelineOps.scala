@@ -255,8 +255,24 @@ object PipelineOps {
         md5(array_join(col("chunk"), " ")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Chunk-level dedup: the composition [[docChunk]] → hash-groupBy,
+    * surfacing chunks whose exact content recurs across documents —
+    * paragraph-level boilerplate (headers, licenses, templates) that
+    * document-level exact dedup can't see and n-gram jaccard only sees
+    * once it dominates the whole doc. Same one-shuffle shape as
+    * dedup_exact, keyed on the content-derived chunk hash. */
+  val chunkDedup: Q = (s, d) =>
+    docChunk(s, d)
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy("chunk_hash")
+
   val queries: Map[String, Q] = Map(
     "doc_chunk" -> docChunk,
+    "chunk_dedup" -> chunkDedup,
     "sample_split_hash" -> sampleSplitHash,
     "sample_stratified" -> sampleStratified,
     "corpus_mix" -> corpusMix,
@@ -291,6 +307,26 @@ object PipelineOps {
             CAST(len(w[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkWords]) AS INT) AS n_words,
             md5(array_to_string(w[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkWords], ' ')) AS chunk_hash
           FROM c ORDER BY doc_id, chunk_id""",
+    "chunk_dedup" ->
+      s"""WITH w AS (SELECT doc_id,
+              string_split(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+            FROM documents),
+          n AS (SELECT doc_id, w,
+              CASE WHEN len(w) <= $ChunkWords THEN 1
+                   ELSE (len(w) - $ChunkWords + ${ChunkStride - 1}) // $ChunkStride + 1 END AS n_chunks
+            FROM w),
+          c AS (SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM n),
+          ch AS (SELECT doc_id,
+              md5(array_to_string(w[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkWords], ' ')) AS chunk_hash
+            FROM c)
+          SELECT chunk_hash,
+            CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            MIN(doc_id) AS keeper_doc
+          FROM ch GROUP BY chunk_hash
+          HAVING COUNT(DISTINCT doc_id) > 1
+          ORDER BY chunk_hash""",
     "corpus_mix" ->
       s"""WITH h AS (SELECT doc_id, source,
               md5('mix:' || CAST(doc_id AS VARCHAR)) AS m,
