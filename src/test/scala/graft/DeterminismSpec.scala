@@ -1,0 +1,38 @@
+package graft
+
+/** Partition-order independence pins: the operators whose comments claim
+  * "deterministic under any shuffle order" must produce IDENTICAL rows
+  * when the same query runs under different partition counts (different
+  * partitioning = different accumulation order, different hash-table
+  * iteration, different task interleaving). Covers the families where
+  * nondeterminism would hide: sorted JSON aggregation, iterative CC,
+  * double-ratio aggregates, window-ranked ANN, and the estimate join.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private val pinned = Seq(
+    "agg_pg_json_agg",      // collect_list sorted before serialization
+    "dedup_cluster",        // iterative large-star/small-star fixpoint
+    "corpus_stats",         // double ratios from integer sums
+    "sim_q8_topk",          // rank window + partition-local top-k
+    "dedup_minhash_estimate", // multi-join over checkpointed inputs
+    "events_sessionize")    // lag window + running sum
+
+  for (name <- pinned) {
+    test(s"$name is identical under 3 vs 11 shuffle partitions") {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      def run(): Seq[String] =
+        SparkEntry.queries(name)(spark, d).collect().map(_.toString).toSeq
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        val a = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "11")
+        val b = run()
+        assert(a.nonEmpty || name == "dedup_cluster")
+        assert(a == b, s"$name diverged across partition counts")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+}
