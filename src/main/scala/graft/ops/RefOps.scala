@@ -478,6 +478,32 @@ object RefOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Ordered conversion funnel view → click → purchase per user: each
+    * stage's timestamp is the FIRST qualifying event strictly after the
+    * previous stage (not merely the first of its type — ordering is the
+    * semantics). Three min-aggregations chained by user-keyed joins; all
+    * shuffles hash on the uniform user_id, and each stage's input is
+    * pre-filtered to one event type, so the heaviest join input is
+    * |one type's events| + |users| rows — no window over the full
+    * per-user history and no event×event self-join. Left joins keep
+    * users who stall mid-funnel; `stage` counts how far they got. */
+  val eventsFunnel: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = ev.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
+        (lit(1) + col("c_ts").isNotNull.cast("int") +
+          col("p_ts").isNotNull.cast("int")).as("stage"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
@@ -516,6 +542,7 @@ object RefOps {
     "txn_metadata" -> txnMetadata,
     "txn_buffered_emit" -> txnBufferedEmit,
     "events_sessionize" -> eventsSessionize,
+    "events_funnel" -> eventsFunnel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -691,5 +718,21 @@ object RefOps {
            MIN(event_id) AS first_event, MAX(event_id) AS last_event
          FROM sess GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+               JOIN v ON v.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+               JOIN c ON c.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+         SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+           CAST(1 + CASE WHEN c.c_ts IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.p_ts IS NULL THEN 0 ELSE 1 END AS INT) AS stage
+         FROM v
+         LEFT JOIN c ON c.user_id = v.user_id
+         LEFT JOIN p ON p.user_id = v.user_id
+         ORDER BY v.user_id""",
   )
 }
