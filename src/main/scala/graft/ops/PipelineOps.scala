@@ -158,6 +158,43 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  private val KmvK = 256
+
+  /** Corpus vocabulary cardinality via a KMV (k-minimum-values) sketch,
+    * next to the exact distinct count and the relative error — sketch
+    * accuracy as a measured row (the minhash-estimate philosophy). KMV
+    * over md5 is chosen over HLL deliberately: every engine computes the
+    * SAME md5, so the k smallest hash values — and therefore the
+    * estimate (k−1)/kth_min_fraction — are bit-identical and
+    * oracle-checkable, while HLL implementations differ per engine and
+    * can never pass an exact compare. Scale shape: the k-th smallest of
+    * the token-hash stream is a TakeOrderedAndProject (per-partition
+    * heap of k, driver merges partitions·k rows) — one scan, no global
+    * sort; the exact count beside it is the audit path. */
+  val vocabKmv: Q = (s, d) => {
+    graft.expressions.TextShingles.register(s)
+    val toks = documents(s, d)
+      .select(explode(expr("text_shingles(text, 1)")).as("tok"))
+      .select(col("tok"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+    val distinctHashes = toks.select("h").distinct()
+    val kth = distinctHashes.orderBy("h").limit(KmvK)
+      .agg(max("h").as("kth_min"), count(lit(1)).as("k_seen"))
+    val exact = toks.select(countDistinct(col("tok")).as("exact_distinct"))
+    exact.crossJoin(kth) // both sides are one row
+      .select(col("exact_distinct"),
+        col("k_seen"),
+        // textbook small-cardinality branch: fewer than k distinct
+        // hashes means the sketch holds the whole set — report it
+        // exactly instead of extrapolating from a non-saturated k-th min
+        when(col("k_seen") < KmvK, col("k_seen").cast("double"))
+          .otherwise(round(lit((KmvK - 1).toDouble) * 4294967296.0 /
+            col("kth_min").cast("double"), 6)).as("kmv_estimate_r"))
+      .withColumn("rel_err_r",
+        round(abs(col("kmv_estimate_r") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"), 6))
+  }
+
   /** Dataset-card statistics per quality tier, fused into ONE aggregation
     * pass: doc counts, whitespace-token totals, mean length, and the
     * corpus-level repetition ratio. All accumulators are integer sums
@@ -273,6 +310,7 @@ object PipelineOps {
   val queries: Map[String, Q] = Map(
     "doc_chunk" -> docChunk,
     "chunk_dedup" -> chunkDedup,
+    "vocab_kmv" -> vocabKmv,
     "sample_split_hash" -> sampleSplitHash,
     "sample_stratified" -> sampleStratified,
     "corpus_mix" -> corpusMix,
@@ -292,7 +330,30 @@ object PipelineOps {
     .map { case (q, r) => s"WHEN '$q' THEN $r" }
     .mkString("CASE quality ", " ", " END")
 
+  /** 8-nibble (32-bit) value of the md5 prefix — DuckDB's spelling of
+    * Spark's conv(substring(md5, 1, 8), 16, 10). */
+  private def hash32(h: String): String =
+    (1 to 8).map(i => nib(h, i))
+      .reduce((acc, n) => s"($acc * 16 + $n)")
+
   val oracles: Map[String, String] = Map(
+    "vocab_kmv" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"""WITH t AS (SELECT unnest(string_split($norm, ' ')) AS tok FROM documents),
+          dh AS (SELECT DISTINCT CAST(${hash32("md5(tok)")} AS BIGINT) AS h FROM t),
+          kth AS (SELECT MAX(h) AS kth_min, CAST(COUNT(*) AS BIGINT) AS k_seen
+                  FROM (SELECT h FROM dh ORDER BY h LIMIT $KmvK)),
+          ex AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct FROM t),
+          est AS (SELECT ex.exact_distinct, kth.k_seen,
+                    CASE WHEN kth.k_seen < $KmvK THEN CAST(kth.k_seen AS DOUBLE)
+                         ELSE round(${(KmvK - 1).toDouble} * 4294967296.0
+                                / CAST(kth.kth_min AS DOUBLE), 6) END AS kmv_estimate_r
+                  FROM ex, kth)
+          SELECT exact_distinct, k_seen, kmv_estimate_r,
+            round(abs(kmv_estimate_r - CAST(exact_distinct AS DOUBLE))
+              / CAST(exact_distinct AS DOUBLE), 6) AS rel_err_r
+          FROM est"""
+    },
     "doc_chunk" ->
       s"""WITH w AS (SELECT doc_id,
               string_split(trim(regexp_replace(regexp_replace(lower(text),
