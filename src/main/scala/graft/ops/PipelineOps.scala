@@ -173,10 +173,15 @@ object PipelineOps {
     * sort; the exact count beside it is the audit path. */
   val vocabKmv: Q = (s, d) => {
     graft.expressions.TextShingles.register(s)
-    val toks = documents(s, d)
-      .select(explode(expr("text_shingles(text, 1)")).as("tok"))
-      .select(col("tok"),
-        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+    kmvSketch(documents(s, d)
+      .select(explode(expr("text_shingles(text, 1)")).as("tok")))
+  }
+
+  /** The KMV sketch core over any single-column `tok` frame — shared by
+    * [[vocabKmv]] and the saturated-branch property test. */
+  private[graft] def kmvSketch(tokens: DataFrame): DataFrame = {
+    val toks = tokens.select(col("tok"),
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
     val distinctHashes = toks.select("h").distinct()
     val kth = distinctHashes.orderBy("h").limit(KmvK)
       .agg(max("h").as("kth_min"), count(lit(1)).as("k_seen"))

@@ -164,6 +164,19 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Set("2024-01-15 12:00:01.0", "2024-01-15 13:00:00.0"))
   }
 
+  test("KMV sketch saturated branch: estimate within 15% at 50k distinct tokens") {
+    // the corpus vocabulary is tiny (31 tokens), so the oracle only ever
+    // exercises the exact small-cardinality branch — drive the k-th-min
+    // extrapolation on a synthetic vocabulary big enough to saturate k
+    val toks = spark.range(50000).selectExpr("concat('tok_', id) AS tok")
+    val r = graft.ops.PipelineOps.kmvSketch(toks).collect()(0)
+    assert(r.getAs[Long]("exact_distinct") == 50000L)
+    assert(r.getAs[Long]("k_seen") == 256L)
+    val est = r.getAs[Double]("kmv_estimate_r")
+    val err = r.getAs[Double]("rel_err_r")
+    assert(est > 0 && err < 0.15, s"KMV estimate $est has error $err")
+  }
+
   test("int8 quantization: codes in [-127,127], reconstruction error <= scale/2") {
     val d = "/root/testdata/sf0.001"
     val qz = graft.ops.SimOps.queries("emb_quantize_int8")(spark, d)
