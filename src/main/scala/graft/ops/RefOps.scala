@@ -489,11 +489,16 @@ object RefOps {
     * users who stall mid-funnel; `stage` counts how far they got. */
   val eventsFunnel: Q = (s, d) => {
     val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    // v feeds three branches and c two (no cross-branch CSE in Spark):
+    // materialize each per-user aggregate — |users| rows — once, or the
+    // filtered events scan re-runs per reference
     val v = ev.where(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("v_ts"))
+      .localCheckpoint()
     val c = ev.where(col("event_type") === "click").join(v, "user_id")
       .where(col("ts") > col("v_ts"))
       .groupBy("user_id").agg(min("ts").as("c_ts"))
+      .localCheckpoint()
     val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
       .where(col("ts") > col("c_ts"))
       .groupBy("user_id").agg(min("ts").as("p_ts"))
