@@ -29,6 +29,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // 74 queries × several codegen stages each far exceeds the default
+      // 100-entry generated-class cache, so every timed pass would
+      // recompile most stages (measured ~15% inflation on shared queries
+      // as the suite grew); static conf, must be set before the session
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: touch every table + exercise codegen/shuffle paths
