@@ -486,6 +486,19 @@ object DedupOps {
     connectedComponents(pairs)._1.orderBy("doc_id")
   }
 
+  /** Semantic near-dup clustering: the same skew-safe connected
+    * components over the BUCKETED embedding-cosine pair graph
+    * ([[embeddingCosineLsh]]) — the embedding-side twin of [[cluster]],
+    * so both near-dup families (lexical and semantic) end in a
+    * canonical-keeper assignment with no O(n²) step anywhere. */
+  val semanticCluster: Q = (s, d) => {
+    val pairs = embeddingCosineLsh(s, d)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    connectedComponents(pairs)._1
+      .select(col("doc_id").as("vec_id"), col("cluster_keeper"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_cluster" -> cluster,
@@ -498,6 +511,7 @@ object DedupOps {
     "dedup_simhash_pairs_blocked" -> simhashPairsBlocked(6, 2),
     "dedup_embedding_cosine" -> embeddingCosine,
     "dedup_embedding_cosine_lsh" -> embeddingCosineLsh,
+    "dedup_semantic_cluster" -> semanticCluster,
   )
 
   /** Shared SQL fragments for the oracles (DuckDB dialect). */
@@ -668,28 +682,46 @@ object DedupOps {
               (sqrt(${DotSql("a.embedding", "a.embedding")}) *
                sqrt(${DotSql("b.embedding", "b.embedding")})) > 0.3
           ORDER BY vec_a, vec_b""",
-    "dedup_embedding_cosine_lsh" -> {
-      val tableSql = (0 until PairLshTables).map { t =>
-        val key = (0 until PairLshBits).map(j =>
-          s"CASE WHEN embedding[${PairLshBits * t + j + 1}] >= 0 THEN '1' ELSE '0' END")
-          .mkString("(", " || ", ")")
-        s"SELECT vec_id, $t AS t, $key AS bucket FROM embeddings"
-      }.mkString(" UNION ALL ")
-      s"""WITH bk AS ($tableSql),
-          pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-                    FROM bk a JOIN bk b
-                      ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-          SELECT p.vec_a, p.vec_b,
+    "dedup_embedding_cosine_lsh" ->
+      s"""WITH $CosineLshCtes
+          SELECT vec_a, vec_b, sim_r FROM tpairs ORDER BY vec_a, vec_b""",
+    "dedup_semantic_cluster" ->
+      s"""WITH RECURSIVE $CosineLshCtes,
+          edges AS (SELECT vec_a AS s, vec_b AS t FROM tpairs
+                    UNION ALL SELECT vec_b, vec_a FROM tpairs),
+          reach(s, t) AS (
+            SELECT s, t FROM edges
+            UNION
+            SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+          nodes AS (SELECT DISTINCT s AS vec_id FROM edges)
+          SELECT n.vec_id, LEAST(n.vec_id, MIN(r.t)) AS cluster_keeper
+          FROM nodes n JOIN reach r ON r.s = n.vec_id
+          GROUP BY n.vec_id ORDER BY n.vec_id""",
+  )
+
+  /** Multi-table sign-LSH candidate chain ending in the exact-verified
+    * thresholded pair set `tpairs(vec_a, vec_b, sim_r)` — shared by the
+    * pair query and the semantic-cluster recursion. */
+  private lazy val CosineLshCtes = {
+    val tableSql = (0 until PairLshTables).map { t =>
+      val key = (0 until PairLshBits).map(j =>
+        s"CASE WHEN embedding[${PairLshBits * t + j + 1}] >= 0 THEN '1' ELSE '0' END")
+        .mkString("(", " || ", ")")
+      s"SELECT vec_id, $t AS t, $key AS bucket FROM embeddings"
+    }.mkString(" UNION ALL ")
+    s"""bk AS ($tableSql),
+        cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                 FROM bk a JOIN bk b
+                   ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        tpairs AS (SELECT p.vec_a, p.vec_b,
             round(${DotSql("a.embedding", "b.embedding")} /
               (sqrt(${DotSql("a.embedding", "a.embedding")}) *
                sqrt(${DotSql("b.embedding", "b.embedding")})), 6) AS sim_r
-          FROM pairs p
+          FROM cand p
           JOIN embeddings a ON a.vec_id = p.vec_a
           JOIN embeddings b ON b.vec_id = p.vec_b
           WHERE ${DotSql("a.embedding", "b.embedding")} /
               (sqrt(${DotSql("a.embedding", "a.embedding")}) *
-               sqrt(${DotSql("b.embedding", "b.embedding")})) > 0.3
-          ORDER BY vec_a, vec_b"""
-    },
-  )
+               sqrt(${DotSql("b.embedding", "b.embedding")})) > 0.3)"""
+  }
 }
