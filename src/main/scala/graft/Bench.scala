@@ -102,8 +102,10 @@ object Bench {
       val nCorpus = Tables.embeddings(spark, sfDir).count().toDouble
       val nQ = truth.size.toDouble
       val fractions = Seq(
-        "sim_lsh_topk" -> ops.SimOps.lshCandidatePairs(spark, sfDir, 8).count(),
-        "sim_lsh_multi_topk" -> ops.SimOps.lshCandidatePairs(spark, sfDir, 4).count(),
+        "sim_lsh_topk" ->
+          ops.SimOps.lshCandidatePairs(spark, sfDir, ops.SimOps.DefaultTables).count(),
+        "sim_lsh_multi_topk" ->
+          ops.SimOps.lshCandidatePairs(spark, sfDir, ops.SimOps.KneeTables).count(),
         "sim_ivf_topk" -> ops.SimOps.ivfCandidates(spark, sfDir).count(),
       ).map { case (n, c) => n -> c / (nCorpus * nQ) }
       val rJson = recalls.map { case (n, r) => "\"" + n + "\":" + r }
@@ -111,7 +113,15 @@ object Bench {
       val fJson = fractions.map { case (n, f) => "\"" + n + "\":" + f }
         .mkString(",\"candidate_fraction\":{", ",", "}")
       rJson + fJson
-    } catch { case _: Throwable => "" }
+    } catch {
+      case e: Throwable =>
+        // inability to MEASURE the floor must fail as loudly as missing
+        // it — a broken sim_brute/sim_lsh query is exactly the regression
+        // the recall gate exists to catch
+        System.err.println(s"BENCH: ANN quality block failed: $e")
+        floorViolation = Some(Double.NaN)
+        ""
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,"queries":$qs$annJson,"sf":"$sfDir"}""")
     spark.stop()
     floorViolation.foreach { r =>

@@ -110,11 +110,10 @@ object DedupOps {
         (0 until NumHashes).map(i => element_at(col("sigs"), i + 1).as(s"s$i")): _*)
   }
 
-  /** MinHash + LSH banding: 9 hashes, 3 bands of 3; docs sharing any band
-    * key are candidate near-dups. Shuffles on (band, bandkey) — the
-    * classic sub-quadratic dedup at corpus scale. */
-  val minhashLsh: Q = (s, d) => {
-    val sig = minhashSignatures(s, d)
+  /** Deduped candidate pairs of the banded signature index (no output
+    * sort) — shared by the LSH query and the estimate audit, so the two
+    * can never silently disagree on what a candidate is. */
+  private def bandPairs(sig: DataFrame): DataFrame = {
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       val key = concat((0 until BandSize).map(r => col(s"s${b * BandSize + r}")): _*)
       struct(lit(b).as("band"), key.as("bkey"))
@@ -127,8 +126,13 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** MinHash + LSH banding: 9 hashes, 3 bands of 3; docs sharing any band
+    * key are candidate near-dups. Shuffles on (band, bandkey) — the
+    * classic sub-quadratic dedup at corpus scale. */
+  val minhashLsh: Q = (s, d) =>
+    bandPairs(minhashSignatures(s, d)).orderBy("doc_a", "doc_b")
 
   /** MinHash as an ESTIMATOR, not just a bucketizer: for each LSH
     * candidate pair, the fraction of agreeing signature components is an
@@ -147,18 +151,7 @@ object DedupOps {
     // letting every branch re-run the md5/shingle pipeline (no
     // cross-branch CSE in Spark; same pattern as blockedPairsFrom)
     val sig = minhashSignatures(s, d).localCheckpoint()
-    val bandCols = (0 until NumHashes / BandSize).map { b =>
-      val key = concat((0 until BandSize).map(r => col(s"s${b * BandSize + r}")): _*)
-      struct(lit(b).as("band"), key.as("bkey"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val pairs = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = bandPairs(sig)
     val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else c + "_a"): _*)
     val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else c + "_b"): _*)
     val est = pairs.join(sa, "doc_a").join(sb, "doc_b")
@@ -169,8 +162,15 @@ object DedupOps {
       .select("doc_a", "doc_b", "est_matches")
     val sh = docShingles(s, d).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    // restrict the exact-intersection self-join to candidate DOCS first:
+    // the audit's cost is then bounded by candidate-doc shingle df, not
+    // the full-corpus Σdf² the LSH index exists to avoid (sizes stay
+    // corpus-wide — a doc's |A| is its true shingle count)
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val inter = shc.as("a")
+      .join(shc.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     est.join(inter, Seq("doc_a", "doc_b"))

@@ -102,13 +102,8 @@ object PipelineOps {
     * filter runs in the scan's projection, and a real pipeline appends
     * near-dup clustering and contamination screening the same way. */
   val corpusCurate: Q = (s, d) =>
-    documents(s, d)
-      .withColumn("len", length(col("text")))
-      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
-      .withColumn("n_stop",
-        expr("size(filter(split(lower(text), '\\\\s+'), x -> x IN ('the','a','and','of','to','in','is')))"))
-      .where(col("len") >= 100 &&
-        expr("n_alpha * 100 div len") >= 70 && col("n_stop") >= 1)
+    TextOps.withQuality(documents(s, d))
+      .where(col("quality") === "good")
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min("doc_id").as("doc_id"))
       .select(col("doc_id"), splitHash(col("doc_id")).as("bucket"))
@@ -140,16 +135,7 @@ object PipelineOps {
       when(col("quality") === StratRates.head._1, lit(StratRates.head._2))) {
       case (acc, (q, r)) => acc.when(col("quality") === q, lit(r))
     }
-    documents(s, d)
-      .withColumn("len", length(col("text")))
-      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
-      .withColumn("n_stop",
-        expr("size(filter(split(lower(text), '\\\\s+'), x -> x IN ('the','a','and','of','to','in','is')))"))
-      .withColumn("quality",
-        when(col("len") >= 100 && expr("n_alpha * 100 div len") >= 70 &&
-          col("n_stop") >= 1, "good")
-          .when(col("len") >= 30, "ok")
-          .otherwise("junk"))
+    TextOps.withQuality(documents(s, d))
       .withColumn("strat_bucket",
         conv(substring(md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
           .cast("long"))
@@ -209,16 +195,7 @@ object PipelineOps {
     * the (tiny) tier key at any corpus size. */
   val corpusStats: Q = (s, d) => {
     graft.expressions.TextShingles.register(s)
-    documents(s, d)
-      .withColumn("len", length(col("text")))
-      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
-      .withColumn("n_stop",
-        expr("size(filter(split(lower(text), '\\\\s+'), x -> x IN ('the','a','and','of','to','in','is')))"))
-      .withColumn("quality",
-        when(col("len") >= 100 && expr("n_alpha * 100 div len") >= 70 &&
-          col("n_stop") >= 1, "good")
-          .when(col("len") >= 30, "ok")
-          .otherwise("junk"))
+    TextOps.withQuality(documents(s, d))
       .withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")))
       .withColumn("n_words",
         size(split(graft.functions.Functions.normalizeText(col("text")), " ")))
@@ -423,20 +400,13 @@ object PipelineOps {
     "corpus_stats" ->
       s"""WITH ${DedupOps.ShinglesSql},
           dn AS (SELECT doc_id, COUNT(*) AS distinct3 FROM sh GROUP BY doc_id),
-          b AS (SELECT d.doc_id,
-              CAST(length(d.text) AS INT) AS len,
-              CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS INT) AS n_alpha,
-              CAST(len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
-                   x -> x IN ('the','a','and','of','to','in','is'))) AS INT) AS n_stop,
+          b AS (SELECT d.doc_id, ${TextOps.QualityColsSql},
               CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS INT) AS ws_tokens,
               greatest(len(string_split(trim(regexp_replace(regexp_replace(lower(d.text),
                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) - 2, 1) AS total3,
               dn.distinct3
             FROM documents d JOIN dn ON dn.doc_id = d.doc_id),
-          q AS (SELECT *,
-              CASE WHEN len >= 100 AND n_alpha * 100 // len >= 70 AND n_stop >= 1 THEN 'good'
-                   WHEN len >= 30 THEN 'ok' ELSE 'junk' END AS quality
-            FROM b)
+          q AS (SELECT *, ${TextOps.QualityCaseSql} AS quality FROM b)
           SELECT quality,
             CAST(COUNT(*) AS BIGINT) AS n_docs,
             CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
@@ -445,15 +415,9 @@ object PipelineOps {
               CAST(SUM(total3) AS DOUBLE), 6) AS rep_ratio_r
           FROM q GROUP BY quality ORDER BY quality""",
     "sample_stratified" ->
-      s"""WITH b AS (SELECT doc_id, text,
-              CAST(length(text) AS INT) AS len,
-              CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INT) AS n_alpha,
-              CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                   x -> x IN ('the','a','and','of','to','in','is'))) AS INT) AS n_stop
-            FROM documents),
+      s"""WITH b AS (SELECT doc_id, ${TextOps.QualityColsSql} FROM documents),
           q AS (SELECT doc_id,
-              CASE WHEN len >= 100 AND n_alpha * 100 // len >= 70 AND n_stop >= 1 THEN 'good'
-                   WHEN len >= 30 THEN 'ok' ELSE 'junk' END AS quality,
+              ${TextOps.QualityCaseSql} AS quality,
               md5('strat:' || CAST(doc_id AS VARCHAR)) AS m
             FROM b),
           h AS (SELECT doc_id, quality,
@@ -489,11 +453,9 @@ object PipelineOps {
           FROM it JOIN sz USING (eval_id)
           WHERE inter * 2 >= eval_sz ORDER BY doc_id, eval_id""",
     "corpus_curate" ->
-      s"""WITH q AS (SELECT doc_id, text FROM documents
-            WHERE length(text) >= 100
-              AND (length(regexp_replace(text, '[^a-z]', '', 'g')) * 100) // length(text) >= 70
-              AND len(list_filter(string_split(lower(text), ' '),
-                    x -> x IN ('the','a','and','of','to','in','is'))) >= 1),
+      s"""WITH g AS (SELECT doc_id, text, ${TextOps.QualityColsSql} FROM documents),
+          q AS (SELECT doc_id, text FROM g
+                WHERE ${TextOps.QualityCaseSql} = 'good'),
           keep AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
                    FROM q GROUP BY md5(text)),
           h AS (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS m FROM keep),

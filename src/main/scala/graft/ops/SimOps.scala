@@ -26,12 +26,8 @@ object SimOps {
   private val K = 5
   private val NQueries = 8
 
-  private def qset(s: SparkSession, d: String): DataFrame = {
-    graft.expressions.VectorExpressions.register(s)
-    embeddings(s, d).where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        sqrt(expr("float_dot(embedding, embedding)")).as("q_nrm"))
-  }
+  private def qset(s: SparkSession, d: String): DataFrame =
+    qset2(s, d).where(col("q_id") < NQueries) // filter pushes to the scan
 
   private def corpusWithNorm(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
@@ -123,7 +119,11 @@ object SimOps {
   /** Default table count for `sim_lsh_topk` — past the knee of the
     * measured recall curve (see [[tableBucketExpr]]) so the operator a
     * user reaches for first clears the 0.6 recall floor Bench asserts. */
-  private[ops] val DefaultTables = 8
+  private[graft] val DefaultTables = 8
+
+  /** The measured candidates-per-recall knee, registered as
+    * `sim_lsh_multi_topk` — shared with Bench's fraction report. */
+  private[graft] val KneeTables = 4
 
   /** Sign bits of table `t` out of `nTables`: 4 hyperplanes drawn from
     * the t-th stride of the 64 dims (dim = 64/nTables·t + 1 +
@@ -144,6 +144,9 @@ object SimOps {
     * cost a far smaller candidate fraction than they do here. */
   private def tableBucketExpr(emb: String, t: Int, nTables: Int): org.apache.spark.sql.Column = {
     val stride = 64 / nTables
+    require(64 % nTables == 0 && stride >= 4,
+      s"nTables must divide 64 with stride >= 4 dims/table (got $nTables); " +
+        "a narrower stride would read the same dimension for several bits")
     concat((0 until 4).map(j =>
       when(element_at(col(emb), stride * t + 1 + (stride / 4) * j) >= 0, "1")
         .otherwise("0")): _*)
@@ -467,7 +470,7 @@ object SimOps {
     "sim_q8_topk" -> q8TopK,
     "sim_lsh_topk" -> lshMultiTopK(DefaultTables), // the usable default
     "sim_lsh_1table_topk" -> lsh1TableTopK,
-    "sim_lsh_multi_topk" -> lshMultiTopK(4), // the candidates-per-recall knee
+    "sim_lsh_multi_topk" -> lshMultiTopK(KneeTables),
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_q8_topk" -> ivfQ8TopK,
     "sim_label_purity" -> labelPurity,
@@ -640,7 +643,7 @@ object SimOps {
                      FROM scored)
           SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
           FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
-    "sim_lsh_multi_topk" -> multiTableOracle(4),
+    "sim_lsh_multi_topk" -> multiTableOracle(KneeTables),
     "sim_label_purity" ->
       s"""WITH ${ivfPairsCtesWhere("")},
           scored AS (SELECT p.q_id, p.vec_id,

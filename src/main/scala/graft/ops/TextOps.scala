@@ -25,21 +25,39 @@ object TextOps {
         .as("subword_tokens"))
       .orderBy("doc_id")
 
-  /** Quality scoring from length / alphabetic ratio / stopword ratio.
-    * Integer arithmetic end-to-end so results are engine-exact. */
-  val qualityScore: Q = (s, d) =>
-    documents(s, d).select(
-      col("doc_id"),
-      length(col("text")).as("len"),
-      length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha"),
-      length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digit"),
-      expr("size(filter(split(lower(text), '\\\\s+'), x -> x IN ('the','a','and','of','to','in','is')))")
-        .as("n_stop"))
-      .withColumn("alpha_pct", expr("n_alpha * 100 div len"))
+  /** The quality gate, defined ONCE: appends len / n_alpha / n_stop /
+    * quality columns. Consumed by text_quality_score, sample_stratified,
+    * corpus_stats and corpus_curate so the tier definition can never
+    * drift between operators. Integer arithmetic end-to-end so the
+    * classification is engine-exact. */
+  private[ops] def withQuality(df: DataFrame): DataFrame =
+    df.withColumn("len", length(col("text")))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
+      .withColumn("n_stop",
+        expr("size(filter(split(lower(text), '\\\\s+'), x -> x IN ('the','a','and','of','to','in','is')))"))
       .withColumn("quality",
-        when(col("len") >= 100 && col("alpha_pct") >= 70 && col("n_stop") >= 1, "good")
+        when(col("len") >= 100 && expr("n_alpha * 100 div len") >= 70 &&
+          col("n_stop") >= 1, "good")
           .when(col("len") >= 30, "ok")
           .otherwise("junk"))
+
+  /** DuckDB spellings of the same gate: the classifier inputs and the
+    * tier CASE (over a relation exposing len/n_alpha/n_stop). */
+  private[ops] val QualityColsSql =
+    raw"""CAST(length(text) AS INT) AS len,
+         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INT) AS n_alpha,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> x IN ('the','a','and','of','to','in','is'))) AS INT) AS n_stop"""
+  private[ops] val QualityCaseSql =
+    """CASE WHEN len >= 100 AND n_alpha * 100 // len >= 70 AND n_stop >= 1 THEN 'good'
+            WHEN len >= 30 THEN 'ok' ELSE 'junk' END"""
+
+  /** Quality scoring from length / alphabetic ratio / stopword ratio. */
+  val qualityScore: Q = (s, d) =>
+    withQuality(documents(s, d))
+      .withColumn("n_digit", length(regexp_replace(col("text"), "[^0-9]", "")))
+      .withColumn("alpha_pct", expr("n_alpha * 100 div len"))
+      .select("doc_id", "len", "n_alpha", "n_digit", "n_stop", "alpha_pct", "quality")
       .orderBy("doc_id")
 
   /** Heuristic language ID: argmax of per-language stopword hits over the
@@ -130,17 +148,12 @@ object TextOps {
            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS subword_tokens
            FROM documents ORDER BY doc_id""",
     "text_quality_score" ->
-      raw"""WITH b AS (SELECT doc_id,
-             CAST(length(text) AS INT) AS len,
-             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INT) AS n_alpha,
-             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digit,
-             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                  x -> x IN ('the','a','and','of','to','in','is'))) AS INT) AS n_stop
+      raw"""WITH b AS (SELECT doc_id, $QualityColsSql,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digit
            FROM documents)
            SELECT doc_id, len, n_alpha, n_digit, n_stop,
              CAST(n_alpha * 100 // len AS INT) AS alpha_pct,
-             CASE WHEN len >= 100 AND n_alpha * 100 // len >= 70 AND n_stop >= 1 THEN 'good'
-                  WHEN len >= 30 THEN 'ok' ELSE 'junk' END AS quality
+             $QualityCaseSql AS quality
            FROM b ORDER BY doc_id""",
     "text_lang_id" ->
       raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') toks FROM documents),

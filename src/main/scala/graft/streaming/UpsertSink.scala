@@ -208,7 +208,16 @@ object UpsertSink {
     * bucket whose target dir is missing. Mid-swap each bucket is thus
     * seen exactly once, at either its old or new image — the same
     * per-bucket atomicity [[mergeBatch]] documents. Listing races with a
-    * concurrent rename are absorbed by a bounded retry. */
+    * concurrent rename are absorbed by a bounded retry, and any snapshot
+    * that references PARKED dirs is materialized eagerly before being
+    * returned — the live writer deletes `.bak` the moment its swap
+    * completes, so a lazy plan over parked paths could fail (or silently
+    * lose buckets) at its first action; a FileNotFound during the
+    * materialization itself means we raced the swap's completion, and
+    * the retry re-lists onto the post-swap layout. The materialized
+    * snapshot lives in executor storage — the price of a consistent
+    * read in the parquet harness (production = a MERGE-capable table
+    * format with real snapshot isolation). */
   def readKeyedTable(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
@@ -227,7 +236,7 @@ object UpsertSink {
           } else if (!fs.exists(target)) {
             // whole-table swap died after target->bak: bak IS the table
             if (hasData(fs, bakRoot))
-              Some(dropBucket(spark.read.parquet(bakRoot.toString)))
+              Some(dropBucket(spark.read.parquet(bakRoot.toString).localCheckpoint()))
             else None
           } else {
             val tgtDirs = fs.listStatus(target).map(_.getPath)
@@ -239,16 +248,29 @@ object UpsertSink {
             if (dirs.isEmpty) None
             // reading concrete bucket dirs skips partition discovery, so
             // the frame comes back without the bucket column — exactly
-            // this method's contract
-            else Some(spark.read.parquet(dirs: _*))
+            // this method's contract. Eager localCheckpoint: see doc.
+            else Some(spark.read.parquet(dirs: _*).localCheckpoint())
           }
         }
       } catch {
-        case _: java.io.FileNotFoundException if attempt < 5 =>
-          Thread.sleep(50L * attempt) // listing raced a rename; re-list
+        case e: Throwable if attempt < 5 && causedByMissingFile(e) =>
+          Thread.sleep(50L * attempt) // raced a rename/delete; re-list
       }
     }
     result.get
+  }
+
+  /** FileNotFound may surface directly (driver-side listing) or wrapped
+    * in SparkException layers (task failure during materialization). */
+  private def causedByMissingFile(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 10) {
+      if (cur.isInstanceOf[java.io.FileNotFoundException]) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
   }
 
   private def dropBucket(df: DataFrame): DataFrame =

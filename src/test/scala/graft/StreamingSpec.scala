@@ -176,11 +176,20 @@ class StreamingSpec extends SparkSpec {
       assert(parked.await(30, java.util.concurrent.TimeUnit.SECONDS))
       // key 7's bucket is renamed OUT right now (old image parked in .bak,
       // new image not yet moved in) — the reader must still see all 200
-      // keys, with key 7 at its old image
-      val snap = UpsertSink.readKeyedTable(spark, dir).get
-        .select("id", "v").collect().map(r => r.getInt(0) -> r.getString(1))
+      // keys, with key 7 at its old image. Take the snapshot FRAME now
+      // but don't read it yet:
+      val snapDf = UpsertSink.readKeyedTable(spark, dir).get.select("id", "v")
+      val snap = snapDf.collect().map(r => r.getInt(0) -> r.getString(1))
       assert(snap.length == 200, s"mid-swap read saw ${snap.length} rows")
       assert(snap.toMap.apply(7) == "v7", "mid-swap image of the bucket is the old one")
+      // let the writer FINISH (it deletes .bak) and only then re-read the
+      // snapshot frame: the materialized snapshot must survive the parked
+      // dirs it referenced being deleted out from under it
+      release.countDown()
+      writer.join(30000)
+      val late = snapDf.collect().map(r => r.getInt(0) -> r.getString(1))
+      assert(late.length == 200, s"post-swap re-read saw ${late.length} rows")
+      assert(late.toMap.apply(7) == "v7", "snapshot must keep its consistent image")
     } finally {
       release.countDown()
       writer.join(30000)
