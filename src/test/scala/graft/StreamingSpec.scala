@@ -800,6 +800,63 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall(_.complete))
   }
 
+  test("streaming funnel: out-of-order stages apply in event-time order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingFunnel
+    val input = MemoryStream[(Long, String, Long)] // user, type, tsMs
+    val events = input.toDF().toDF("userId", "eventType", "tsMs")
+      .select(col("userId"), col("eventType"),
+        timestamp_millis(col("tsMs")).as("eventTime"))
+      .withWatermark("eventTime", "5 seconds")
+      .as[StreamingFunnel.FunnelEvent]
+    val q = StreamingFunnel.funnel(events).writeStream
+      .format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      def got = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // user 1's click+purchase arrive BEFORE the view, but the view's
+      // event time is earliest — buffered until the watermark decides;
+      // user 2 clicks without ever viewing
+      input.addData((1L, "click", 2000L), (1L, "purchase", 3000L), (2L, "click", 500L))
+      q.processAllAvailable()
+      input.addData((1L, "view", 1000L))
+      q.processAllAvailable()
+      assert(got.isEmpty, "nothing is decidable until the watermark passes")
+      input.addData((9L, "view", 60000L)) // advance watermark to 55s
+      q.processAllAvailable()
+      input.addData((9L, "view", 70000L)) // flush timers
+      q.processAllAvailable()
+      assert(got.filter(_._1 == 1L) ==
+        Set((1L, 1, 1000000L), (1L, 2, 2000000L), (1L, 3, 3000000L)),
+        s"user 1 must complete the funnel in event-time order, got $got")
+      assert(!got.exists(_._1 == 2L), "a click with no preceding view never counts")
+    } finally q.stop()
+  }
+
+  test("streaming funnel == batch events_funnel on the harness events table") {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnel
+    val d = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, d)
+      .select(col("user_id").as("userId"), col("event_type").as("eventType"),
+        col("ts").as("eventTime"))
+      .where(col("eventType").isin("view", "click", "purchase"))
+      .as[StreamingFunnel.FunnelEvent]
+    val streamed = StreamingFunnel.funnel(events).collect()
+      .groupBy(_.userId)
+      .map { case (u, rs) => u -> rs.map(r => r.stage -> r.ts).toMap }
+    val batch = graft.SparkEntry.queries("events_funnel")(spark, d).collect()
+      .map { r =>
+        def us(i: Int): Option[Long] = Option(r.getTimestamp(i))
+          .map(t => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+        r.getLong(0) -> Seq(1 -> us(1), 2 -> us(2), 3 -> us(3))
+          .collect { case (s, Some(t)) => s -> t }.toMap
+      }.toMap
+    assert(streamed == batch,
+      s"streaming funnel diverged from batch (streamed ${streamed.size} users, batch ${batch.size})")
+  }
+
   test("streaming exact dedup: in-horizon duplicates dropped, state expires with the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
