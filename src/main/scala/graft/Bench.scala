@@ -17,7 +17,14 @@ import org.apache.spark.sql.SparkSession
   * numbers but the run fails loudly.
   */
 object Bench {
-  private val RecallFloor = 0.6
+  /** Hard recall@3 floors per registered index family — a regression in
+    * any usable-default ANN path fails the bench loudly (the
+    * single-table pedagogical baseline is deliberately floorless). */
+  private val RecallFloors = Map(
+    "sim_lsh_topk" -> 0.6,
+    "sim_ivf_topk" -> 0.9,
+    "sim_q8_topk" -> 0.9,
+    "sim_ivf_q8_topk" -> 0.85)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,7 +88,7 @@ object Bench {
     // brute-force top-3, so an index change that silently tanks quality is
     // visible next to its speedup; candidate fraction alongside, because
     // recall is trivially 1.0 at fraction 1.0.
-    var floorViolation: Option[Double] = None
+    var floorViolation: Option[String] = None
     val annJson = try {
       import org.apache.spark.sql.functions.col
       def topSet(name: String): Map[Long, Set[Long]] =
@@ -97,8 +104,9 @@ object Bench {
           (approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size) }
         n -> (if (per.nonEmpty) per.sum / per.size else 0.0)
       }
-      recalls.collectFirst { case ("sim_lsh_topk", r) if r < RecallFloor => r }
-        .foreach(r => floorViolation = Some(r))
+      recalls.collectFirst {
+        case (n, r) if RecallFloors.get(n).exists(r < _) => s"$n recall@3 = $r < floor ${RecallFloors(n)}"
+      }.foreach(v => floorViolation = Some(v))
       val nCorpus = Tables.embeddings(spark, sfDir).count().toDouble
       val nQ = truth.size.toDouble
       val fractions = Seq(
@@ -119,14 +127,13 @@ object Bench {
         // it — a broken sim_brute/sim_lsh query is exactly the regression
         // the recall gate exists to catch
         System.err.println(s"BENCH: ANN quality block failed: $e")
-        floorViolation = Some(Double.NaN)
+        floorViolation = Some(s"ANN quality unmeasurable: $e")
         ""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,"queries":$qs$annJson,"sf":"$sfDir"}""")
     spark.stop()
-    floorViolation.foreach { r =>
-      System.err.println(
-        s"BENCH FAIL: sim_lsh_topk recall@3 = $r < floor $RecallFloor")
+    floorViolation.foreach { msg =>
+      System.err.println(s"BENCH FAIL: $msg")
       sys.exit(1)
     }
   }
