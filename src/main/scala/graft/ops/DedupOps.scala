@@ -151,7 +151,8 @@ object DedupOps {
     // letting every branch re-run the md5/shingle pipeline (no
     // cross-branch CSE in Spark; same pattern as blockedPairsFrom)
     val sig = minhashSignatures(s, d).localCheckpoint()
-    val pairs = bandPairs(sig)
+    // pairs feeds three branches too (est join + both sides of candDocs)
+    val pairs = bandPairs(sig).localCheckpoint()
     val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else c + "_a"): _*)
     val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else c + "_b"): _*)
     val est = pairs.join(sa, "doc_a").join(sb, "doc_b")
@@ -367,7 +368,10 @@ object DedupOps {
     * 0.51, where sign bits barely correlate. On a real near-dup corpus
     * (cosine ≥ 0.9 pairs, per-bit agreement ≥ 0.9) the probability of
     * missing a pair in all 8 tables is ≈ (1−0.9⁸)⁸ < 2%. */
-  val embeddingCosineLsh: Q = (s, d) => {
+  /** The exact-verified thresholded cosine pair set, UNSORTED — the
+    * registered pair query adds the oracle's ORDER BY; the cluster
+    * consumer must not pay a global sort it immediately discards. */
+  private def cosineLshPairs(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
@@ -387,8 +391,10 @@ object DedupOps {
       .withColumn("sim", expr("float_dot(ea, eb)") / (col("na") * col("nb")))
       .where(col("sim") > 0.3)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim_r"))
-      .orderBy("vec_a", "vec_b")
   }
+
+  val embeddingCosineLsh: Q = (s, d) =>
+    cosineLshPairs(s, d).orderBy("vec_a", "vec_b")
 
   /** One large-star round over a canonical (u > v) edge list: every
     * node u points its LARGER neighbors at m(u) = min(Γ(u) ∪ {u}).
@@ -492,7 +498,7 @@ object DedupOps {
     * so both near-dup families (lexical and semantic) end in a
     * canonical-keeper assignment with no O(n²) step anywhere. */
   val semanticCluster: Q = (s, d) => {
-    val pairs = embeddingCosineLsh(s, d)
+    val pairs = cosineLshPairs(s, d)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     connectedComponents(pairs)._1
       .select(col("doc_id").as("vec_id"), col("cluster_keeper"))

@@ -309,8 +309,13 @@ object SimOps {
       embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
       .select(col("vec_id"), col("c_id"), col("c_dist"))
     val minD = dists.groupBy("vec_id").agg(min(col("c_dist")).as("min_dist"))
+    // greatest(min_dist, 0): |e|²+|c|²−2e·c can cancel to a TINY NEGATIVE
+    // for a vector nearly equal to its centroid, and a negative min makes
+    // the (1+ε) threshold MORE negative — excluding the vector from every
+    // list, its own argmin row included. Clamping keeps the argmin always
+    // in (distances are mathematically ≥ 0).
     dists.join(minD, "vec_id")
-      .where(col("c_dist") <= col("min_dist") * (1.0 + ClosureEps))
+      .where(col("c_dist") <= greatest(col("min_dist"), lit(0.0)) * (1.0 + ClosureEps))
       .select(col("vec_id"), col("c_id").as("list_id"))
   }
 
@@ -517,7 +522,7 @@ object SimOps {
         md AS (SELECT vec_id, MIN(c_dist) AS min_dist FROM corpus_d GROUP BY vec_id),
         lists AS (SELECT d.vec_id, d.c_id AS list_id
                   FROM corpus_d d JOIN md USING (vec_id)
-                  WHERE d.c_dist <= md.min_dist * (1.0 + $ClosureEps)),
+                  WHERE d.c_dist <= greatest(md.min_dist, 0.0) * (1.0 + $ClosureEps)),
         q_d AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id,
                   ${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")}
                     - 2 * ${dot("e.embedding", "c.c_emb")} AS c_dist

@@ -30,7 +30,7 @@ object TextOps {
     * corpus_stats and corpus_curate so the tier definition can never
     * drift between operators. Integer arithmetic end-to-end so the
     * classification is engine-exact. */
-  private[ops] def withQuality(df: DataFrame): DataFrame =
+  private[graft] def withQuality(df: DataFrame): DataFrame =
     df.withColumn("len", length(col("text")))
       .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")))
       .withColumn("n_stop",

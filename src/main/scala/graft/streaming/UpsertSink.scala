@@ -32,6 +32,12 @@ object UpsertSink {
 
   private val BucketCol = "graft_bucket"
 
+  /** Park suffix for WHOLE-TABLE swaps (first write / migration /
+    * re-bucket) — distinct from the per-bucket `.bak` park because its
+    * contents carry the old layout's bucket count and must never be
+    * merged dir-by-dir into the new layout. */
+  private val BakFullSuffix = ".bak.full"
+
   /** Layout marker persisted at the table root: the bucket count the
     * stored rows were hashed with. Underscore-prefixed so Spark's parquet
     * reader and the data-presence check both ignore it. */
@@ -170,9 +176,14 @@ object UpsertSink {
     merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
 
     if (fullRewrite) {
-      // Whole-table swap (first write / migration): same protocol, with
-      // the entire table as the single swap unit.
-      val bak = new Path(path + ".bak")
+      // Whole-table swap (first write / migration / re-bucket): same
+      // protocol with the entire table as the single swap unit — parked
+      // under the DISTINCT `.bak.full` name, because its bucket dirs
+      // carry the OLD layout's bucket count: if readers or recovery
+      // treated them as per-bucket parks (the `.bak` form), old-layout
+      // buckets would be unioned or renamed into the new-layout table,
+      // duplicating and resurrecting keys.
+      val bak = new Path(path + BakFullSuffix)
       if (fs.exists(bak)) fs.delete(bak, true)
       if (fs.exists(target)) fs.rename(target, bak)
       fs.rename(tmp, target)
@@ -228,10 +239,23 @@ object UpsertSink {
       attempt += 1
       try {
         result = Some {
-          if (!fs.exists(bakRoot)) {
-            // no swap in flight: plain read
+          val bakFull = new Path(path + BakFullSuffix)
+          if (fs.exists(bakFull)) {
+            // whole-table swap in flight (or crashed): once the target
+            // exists the new table is COMMITTED (the rename beat the
+            // cleanup) — read it; otherwise the park IS the table. Never
+            // union the two: the park carries the old bucket layout.
+            if (fs.exists(target) && hasData(fs, target))
+              Some(dropBucket(spark.read.parquet(path).localCheckpoint()))
+            else if (hasData(fs, bakFull))
+              Some(dropBucket(spark.read.parquet(bakFull.toString).localCheckpoint()))
+            else None
+          } else if (!fs.exists(bakRoot)) {
+            // no swap in flight at the CHECK — but one may start before
+            // the caller's first action, so materialize here too: the
+            // snapshot contract is a consistent frame, not a lazy plan
             if (hasData(fs, target))
-              Some(dropBucket(spark.read.parquet(path)))
+              Some(dropBucket(spark.read.parquet(path).localCheckpoint()))
             else None
           } else if (!fs.exists(target)) {
             // whole-table swap died after target->bak: bak IS the table
@@ -290,11 +314,20 @@ object UpsertSink {
     val bakRoot = new Path(path + ".bak")
     // Recovery first, so every later read (and the next merge) sees a
     // complete table AT THE TARGET path and never holds a lazy plan over
-    // .bak files a subsequent swap would delete:
-    // - whole-table swap died after target->bak: restore by rename;
-    // - per-bucket swap died mid-loop: restore each parked bucket whose
-    //   target dir is missing (safe — the interrupted micro-batch replays
-    //   and the version-gated merge converges it forward).
+    // parked files a subsequent swap would delete:
+    // - whole-table swap (`.bak.full`) died before its commit rename:
+    //   restore the park wholesale; died after: the target is the new
+    //   table and the park is a stale OLD-LAYOUT copy — delete it (its
+    //   bucket dirs must never be merged into the new layout);
+    // - per-bucket swap (`.bak`) died mid-loop: restore each parked
+    //   bucket whose target dir is missing (safe — the interrupted
+    //   micro-batch replays and the version-gated merge converges it
+    //   forward).
+    val bakFull = new Path(path + BakFullSuffix)
+    if (fs.exists(bakFull)) {
+      if (!fs.exists(target)) fs.rename(bakFull, target)
+      else fs.delete(bakFull, true)
+    }
     if (fs.exists(bakRoot)) {
       if (!fs.exists(target)) fs.rename(bakRoot, target)
       else {
