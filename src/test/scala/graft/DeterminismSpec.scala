@@ -18,6 +18,8 @@ class DeterminismSpec extends SparkSpec {
     "corpus_stats",         // double ratios from integer sums
     "sim_q8_topk",          // rank window + partition-local top-k
     "dedup_minhash_estimate", // multi-join over checkpointed inputs
+    "dedup_semantic_cluster", // CC fixpoint over the cosine pair graph
+    "events_funnel",        // chained min-aggs with left joins
     "events_sessionize")    // lag window + running sum
 
   for (name <- pinned) {
