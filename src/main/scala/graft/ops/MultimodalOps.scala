@@ -7,18 +7,20 @@ import graft.Tables._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded partition-wise.
   *
-  * The IMAGE and AUDIO paths are real end-to-end: the fixture stage
-  * encodes an actual PNG per image row (javax.imageio) and an actual
-  * 16-bit PCM WAV per audio row (javax.sound.sampled), with dimensions,
-  * sample counts and channel layout derived deterministically from the
-  * document — and the decode stage parses those bytes back through the
-  * same JDK codecs, so the oracle's closed-form metadata only matches
-  * if the decoder truly read the PNG header / WAV fmt chunk. For audio
-  * the schema reuses (width, height) as (sample_rate, n_frames). Video
-  * decode remains a clearly-labeled deterministic FAKE (the JDK ships
-  * no mp4 codec and this environment has no native media libraries);
-  * those rows still exercise the same binary-payload + typed-schema +
-  * per-partition-decoder plumbing.
+  * ALL THREE media paths are real end-to-end: the fixture stage encodes
+  * an actual PNG per image row (javax.imageio), an actual 16-bit PCM WAV
+  * per audio row (javax.sound.sampled), and an actual ISO BMFF (MP4)
+  * container per video row (ftyp + moov(mvhd + trak(tkhd + mdia(mdhd)))
+  * + mdat — plain length-tagged boxes per the public ISO/IEC 14496-12
+  * layout, written with ByteBuffer; container-level metadata needs no
+  * codec). Dimensions, sample counts, channel layout and duration are
+  * derived deterministically from the document — and the decode stage
+  * parses those bytes back (JDK codecs for PNG/WAV, a recursive box-walk
+  * for MP4), so the oracle's closed-form metadata only matches if the
+  * decoder truly read the PNG header / WAV fmt chunk / tkhd+mdhd boxes.
+  * Schema reuse: audio reports (width, height) as (sample_rate,
+  * n_frames); video reports channels as duration_sec (from
+  * mdhd.duration / mdhd.timescale).
   *
   * Frame sampling is pure column algebra (codegen'd), no UDF.
   */
@@ -49,10 +51,134 @@ object MultimodalOps {
   private def audioFrames(textLen: Int): Int = 50 + textLen % 100
   private def audioChannels(id: Long): Int = 1 + (id % 2).toInt
 
+  /** Deterministic MP4 display size / duration for a video row — the
+    * closed form the oracle re-states and the box walk must recover. */
+  private def vidWidth(id: Long): Int = 160 + (id % 8).toInt * 16
+  private def vidHeight(textLen: Int): Int = 96 + (textLen % 6) * 16
+  private def vidDurationSec(textLen: Int): Int = 1 + textLen % 30
+
+  /** Minimal ISO BMFF (MP4) writer + box-walk reader. The container
+    * format is plain length-tagged boxes (uint32 size + 4CC type, then
+    * payload; container boxes nest child boxes as their payload) — so
+    * track dimensions (tkhd, 16.16 fixed point) and duration
+    * (mdhd.duration / mdhd.timescale) are readable from real bytes with
+    * no codec. Public layout: ISO/IEC 14496-12 §8. */
+  private[graft] object Mp4 {
+    import java.nio.ByteBuffer
+
+    private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.put(payload)
+      bb.array()
+    }
+
+    /** ftyp + moov(mvhd + trak(tkhd + mdia(mdhd))) + mdat(data). */
+    def write(width: Int, height: Int, durationSec: Int, data: Array[Byte]): Array[Byte] = {
+      val timescale = 1000
+      val dur = durationSec * timescale
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+      val ftyp = box("ftyp", {
+        val bb = ByteBuffer.allocate(16)
+        bb.put("isom".getBytes(ascii)); bb.putInt(0)
+        bb.put("isom".getBytes(ascii)); bb.put("mp41".getBytes(ascii))
+        bb.array()
+      })
+      val mvhd = box("mvhd", {
+        val bb = ByteBuffer.allocate(100)       // version-0 payload
+        bb.putInt(0)                            // version + flags
+        bb.putInt(0); bb.putInt(0)              // creation, modification
+        bb.putInt(timescale); bb.putInt(dur)
+        bb.putInt(0x00010000)                   // rate 1.0 (16.16)
+        bb.putShort(0x0100.toShort)             // volume 1.0 (8.8)
+        bb.position(bb.position() + 10)         // reserved
+        putIdentityMatrix(bb)
+        bb.position(bb.position() + 24)         // pre_defined
+        bb.putInt(2)                            // next_track_ID
+        bb.array()
+      })
+      val tkhd = box("tkhd", {
+        val bb = ByteBuffer.allocate(84)        // version-0 payload
+        bb.putInt(0x000007)                     // version 0, flags: enabled|in-movie|in-preview
+        bb.putInt(0); bb.putInt(0)              // creation, modification
+        bb.putInt(1)                            // track_ID
+        bb.putInt(0)                            // reserved
+        bb.putInt(dur)
+        bb.position(bb.position() + 8)          // reserved
+        bb.putShort(0); bb.putShort(0)          // layer, alternate_group
+        bb.putShort(0)                          // volume (0 for video)
+        bb.putShort(0)                          // reserved
+        putIdentityMatrix(bb)
+        bb.putInt(width << 16)                  // width  (16.16 fixed)
+        bb.putInt(height << 16)                 // height (16.16 fixed)
+        bb.array()
+      })
+      val mdhd = box("mdhd", {
+        val bb = ByteBuffer.allocate(24)        // version-0 payload
+        bb.putInt(0)                            // version + flags
+        bb.putInt(0); bb.putInt(0)              // creation, modification
+        bb.putInt(timescale); bb.putInt(dur)
+        bb.putShort(0x55c4.toShort)             // language 'und' (packed ISO-639-2)
+        bb.putShort(0)                          // pre_defined
+        bb.array()
+      })
+      val trak = box("trak", tkhd ++ box("mdia", mdhd))
+      val moov = box("moov", mvhd ++ trak)
+      ftyp ++ moov ++ box("mdat", data)
+    }
+
+    private def putIdentityMatrix(bb: ByteBuffer): Unit = {
+      // unity matrix: 0x00010000, 0, 0 / 0, 0x00010000, 0 / 0, 0, 0x40000000
+      bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0)
+      bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+    }
+
+    /** Recursive-descent box walk: returns (width, height, durationSec)
+      * from the first tkhd + mdhd found. Fails loudly on malformed
+      * boxes rather than inventing metadata. */
+    def parseMeta(bytes: Array[Byte]): (Int, Int, Int) = {
+      val bb = ByteBuffer.wrap(bytes)
+      var w = -1; var h = -1; var durSec = -1
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val size = bb.getInt(off)
+          require(size >= 8 && off + size <= end,
+            s"malformed MP4 box at offset $off: size=$size, container end=$end")
+          val tpe = new String(bytes, off + 4, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          val p = off + 8 // payload offset
+          tpe match {
+            case "moov" | "trak" | "mdia" => walk(p, off + size)
+            case "tkhd" =>
+              require((bb.getInt(p) >>> 24) == 0, "tkhd version != 0")
+              w = bb.getInt(p + 76) >>> 16 // 16.16 fixed → integer part
+              h = bb.getInt(p + 80) >>> 16
+            case "mdhd" =>
+              require((bb.getInt(p) >>> 24) == 0, "mdhd version != 0")
+              val timescale = bb.getInt(p + 12)
+              require(timescale > 0, "mdhd timescale must be positive")
+              durSec = bb.getInt(p + 16) / timescale
+            case _ => () // ftyp, mvhd, mdat, unknown: skip
+          }
+          off += size
+        }
+      }
+      walk(0, bytes.length)
+      require(w >= 0 && h >= 0 && durSec >= 0,
+        "MP4 missing tkhd or mdhd box — not a parseable container")
+      (w, h, durSec)
+    }
+  }
+
   /** Fixture stage: synthesize the binary payload. Image rows carry a
     * REAL PNG (encoded with the JDK's ImageIO), audio rows a REAL
-    * 16-bit PCM WAV (encoded with the JDK's AudioSystem); video rows
-    * carry raw text bytes standing in for a container we can't encode. */
+    * 16-bit PCM WAV (encoded with the JDK's AudioSystem), video rows a
+    * REAL MP4 container (ftyp/moov/tkhd/mdhd boxes + the text bytes as
+    * mdat payload, written by the Mp4 writer above). */
   private def makeContent(id: Long, text: String): Array[Byte] = mediaType(id) match {
     case "image" =>
       val (w, h) = (imgWidth(id), imgHeight(text.length))
@@ -79,7 +205,9 @@ object MultimodalOps {
       javax.sound.sampled.AudioSystem.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
       baos.toByteArray
-    case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case _ =>
+      Mp4.write(vidWidth(id), vidHeight(text.length), vidDurationSec(text.length),
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Binary payloads per document; type assigned round-robin. The
@@ -99,8 +227,9 @@ object MultimodalOps {
     * rows are REALLY decoded — width/height/channels come off the parsed
     * PNG, not the fixture formula; audio rows are REALLY decoded —
     * sample rate, frame count and channels come off the parsed WAV fmt
-    * chunk, reported as (width=sample_rate, height=n_frames). Video
-    * metadata is the labeled FAKE formula. */
+    * chunk, reported as (width=sample_rate, height=n_frames); video rows
+    * are REALLY decoded — display size and duration come off the parsed
+    * tkhd/mdhd boxes, reported as (width, height, channels=duration_sec). */
   private def decodePartition(it: Iterator[MediaBlob]): Iterator[MediaMeta] = {
     javax.imageio.ImageIO.setUseCache(false) // per-partition decoder init
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
@@ -121,9 +250,9 @@ object MultimodalOps {
           MediaMeta(blob.doc_id, blob.media_type,
             aff.getFormat.getSampleRate.toInt, aff.getFrameLength,
             aff.getFormat.getChannels)
-        case _ => // video FAKE: no JDK mp4 codec; deterministic stand-in
-          val n = blob.content.length
-          MediaMeta(blob.doc_id, blob.media_type, 64 + n % 512, 64 + (n * 7) % 512, 3)
+        case _ => // video: real ISO BMFF box walk (tkhd dims + mdhd duration)
+          val (w, h, durSec) = Mp4.parseMeta(blob.content)
+          MediaMeta(blob.doc_id, blob.media_type, w, h, durSec)
       }
     }
     decoded
@@ -136,7 +265,7 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  /** Frame sampling for the (fake) video payloads: every 4th frame of
+  /** Frame sampling over the video payloads: every 4th frame of
     * `byte_len div 100 + 1` frames, each tagged with a deterministic
     * frame fingerprint. Pure column expressions — whole-stage codegen,
     * no decoder round-trip for the sampling plan itself. */
@@ -159,22 +288,23 @@ object MultimodalOps {
   val oracles: Map[String, String] = Map(
     // image rows: the closed form the PNG round-trip must recover;
     // audio rows: the closed form the WAV round-trip must recover
-    // (width=sample_rate, height=n_frames); video re-states the fake
+    // (width=sample_rate, height=n_frames); video rows: the closed form
+    // the MP4 box walk must recover (channels=duration_sec)
     "mm_decode_meta" ->
       """SELECT doc_id,
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
            CAST(CASE CAST(doc_id % 3 AS INT)
                 WHEN 0 THEN 4 + doc_id % 29
                 WHEN 1 THEN 8000
-                ELSE 64 + octet_length(encode(text)) % 512 END AS INT) AS width,
+                ELSE 160 + (doc_id % 8) * 16 END AS INT) AS width,
            CAST(CASE CAST(doc_id % 3 AS INT)
                 WHEN 0 THEN 3 + length(text) % 17
                 WHEN 1 THEN 50 + length(text) % 100
-                ELSE 64 + (octet_length(encode(text)) * 7) % 512 END AS INT) AS height,
+                ELSE 96 + (length(text) % 6) * 16 END AS INT) AS height,
            CAST(CASE CAST(doc_id % 3 AS INT)
                 WHEN 0 THEN CASE WHEN (doc_id // 3) % 2 = 1 THEN 4 ELSE 3 END
                 WHEN 1 THEN 1 + doc_id % 2
-                ELSE 3 END AS INT) AS channels
+                ELSE 1 + length(text) % 30 END AS INT) AS channels
          FROM documents ORDER BY doc_id""",
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,
