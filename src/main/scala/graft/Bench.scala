@@ -11,17 +11,24 @@ import org.apache.spark.sql.SparkSession
   * Besides time, the run reports ANN quality: recall@3 of each bucketed
   * index against exact brute force, plus the candidate fraction each
   * index scored (candidates / (|corpus|·|Q|)) — recall without its cost
-  * is not comparable. `sim_lsh_topk` (the default a user reaches for
-  * first) has a hard recall floor of 0.6: if it regresses, the process
-  * exits nonzero AFTER printing the JSON line, so the driver still gets
-  * numbers but the run fails loudly.
+  * is not comparable. Every registered non-baseline index has a hard
+  * recall floor (RecallFloors): if any regresses — or any query throws —
+  * the process exits nonzero AFTER printing the JSON line, so the driver
+  * still gets numbers but the run fails loudly. The same line is also
+  * written to `target/bench.json`, because a bounded log-capture window
+  * can truncate stdout mid-JSON.
   */
 object Bench {
   /** Hard recall@3 floors per registered index family — a regression in
-    * any usable-default ANN path fails the bench loudly (the
-    * single-table pedagogical baseline is deliberately floorless). */
+    * any usable-default ANN path fails the bench loudly. Every
+    * registered sim_* key either has a floor here or carries `baseline`
+    * in its name (the single-table pedagogical baseline, recall ≈ 0 by
+    * construction, is deliberately floorless). The multi-table knee
+    * exhibit is floored at 0.5, just under its measured 0.542, so a
+    * silent drift of the 4-table configuration still fails. */
   private val RecallFloors = Map(
     "sim_lsh_topk" -> 0.6,
+    "sim_lsh_multi_topk" -> 0.5,
     "sim_ivf_topk" -> 0.9,
     "sim_q8_topk" -> 0.9,
     "sim_ivf_q8_topk" -> 0.85)
@@ -61,11 +68,18 @@ object Bench {
         .selectExpr("from_json(to_json(struct(id)), 'id BIGINT') AS r").count()
     } catch { case _: Throwable => () }
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // a query that throws must not show up as a plausible median — track
+    // it by name, report it in the JSON line, and exit nonzero (same
+    // loud-failure path as a recall-floor breach)
+    val failedQueries = scala.collection.mutable.SortedSet[String]()
     val samples = (1 to nRuns).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
+        catch { case e: Throwable =>
+          if (failedQueries.add(name))
+            System.err.println(s"BENCH: query $name failed: $e")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // several operators localCheckpoint an intermediate (fingerprints,
         // signatures, shingles, cluster labels); those blocks are never
@@ -80,10 +94,13 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = names.map(n => n -> median(samples.map(_(n))))
+    // a failed query's elapsed time is meaningless — pin it to -1 so it
+    // can never read as a plausible median in cross-round comparisons
+    val results = names.map(n =>
+      n -> (if (failedQueries.contains(n)) -1.0 else median(samples.map(_(n)))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // ANN quality: recall@3 of the bucketed variants against the exact
     // brute-force top-3, so an index change that silently tanks quality is
     // visible next to its speedup; candidate fraction alongside, because
@@ -96,7 +113,7 @@ object Bench {
           .groupBy(_.getAs[Long]("q_id"))
           .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
       val truth = topSet("sim_brute_topk")
-      val annNames = Seq("sim_lsh_topk", "sim_lsh_1table_topk",
+      val annNames = Seq("sim_lsh_topk", "sim_lsh_1table_baseline_topk",
         "sim_lsh_multi_topk", "sim_ivf_topk", "sim_q8_topk", "sim_ivf_q8_topk")
       val recalls = annNames.map { n =>
         val approx = topSet(n)
@@ -130,10 +147,25 @@ object Bench {
         floorViolation = Some(s"ANN quality unmeasurable: $e")
         ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,"queries":$qs$annJson,"sf":"$sfDir"}""")
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,"failed":$failedJson,"queries":$qs$annJson,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the full line — a log-tail capture window can truncate
+    // stdout mid-JSON, and the per-query numbers are the point of the run
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"BENCH: bench.json write failed: $e") }
     spark.stop()
     floorViolation.foreach { msg =>
       System.err.println(s"BENCH FAIL: $msg")
+      sys.exit(1)
+    }
+    if (failedQueries.nonEmpty) {
+      System.err.println(s"BENCH FAIL: queries failed: ${failedQueries.mkString(", ")}")
       sys.exit(1)
     }
   }

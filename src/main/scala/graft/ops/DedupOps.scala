@@ -115,7 +115,10 @@ object DedupOps {
     * can never silently disagree on what a candidate is. */
   private def bandPairs(sig: DataFrame): DataFrame = {
     val bandCols = (0 until NumHashes / BandSize).map { b =>
-      val key = concat((0 until BandSize).map(r => col(s"s${b * BandSize + r}")): _*)
+      // delimited join: today's signatures are fixed-width md5 hex (no
+      // ambiguity), but a separator keeps distinct signature tuples from
+      // ever concatenating to the same key if the scheme changes width
+      val key = concat_ws("|", (0 until BandSize).map(r => col(s"s${b * BandSize + r}")): _*)
       struct(lit(b).as("band"), key.as("bkey"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -463,7 +466,8 @@ object DedupOps {
     var prevSig = (-1L, -1L)
     var rounds = 0
     var stable = false
-    while (!stable && rounds < 50) {
+    val MaxRounds = 50
+    while (!stable && rounds < MaxRounds) {
       // LAZY localCheckpoint: cuts the plan lineage for the next round,
       // but the sig aggregation is the action that materializes it — one
       // job per round, not a checkpoint job plus a probe job. (cache()
@@ -471,11 +475,22 @@ object DedupOps {
       // inside the cached subtree — measurably slower here.)
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = sig(next)
-      stable = nextSig == prevSig
+      // a signature match is only a candidate fixpoint: confirm with one
+      // exact set-difference so a hash collision can't end the loop
+      // early. Both sides are distinct smallStar outputs with equal
+      // counts (from the signature), so one-directional except suffices.
+      // Runs only on signature match — once per convergence, not per
+      // round; both inputs are checkpointed.
+      stable = nextSig == prevSig && next.except(edges).isEmpty
       prevSig = nextSig
       edges = next
       rounds += 1
     }
+    if (!stable)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $MaxRounds star rounds; " +
+          "refusing to emit unconverged cluster labels (star rounds converge in " +
+          "O(log n) — hitting this cap means a pathological or adversarial graph)")
     // converged: every non-root points straight at its component root
     val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_keeper"))
       .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_keeper")))
@@ -535,7 +550,7 @@ object DedupOps {
   private val sigSelect = (0 until NumHashes)
     .map(i => s"min(md5(sh || '#$i')) AS s$i").mkString(", ")
   private val bandSelects = (0 until NumHashes / BandSize).map { b =>
-    val key = (0 until BandSize).map(r => s"s${b * BandSize + r}").mkString(" || ")
+    val key = (0 until BandSize).map(r => s"s${b * BandSize + r}").mkString(" || '|' || ")
     s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
   }.mkString(" UNION ALL ")
 

@@ -104,7 +104,10 @@ object SimOps {
     * harness's near-random embeddings yields recall@3 ≈ 0 — the measured
     * failure mode that motivates the multi-table default
     * ([[lshMultiTopK]]). The registered `sim_lsh_topk` is the 8-table
-    * form; this stays queryable as `sim_lsh_1table_topk`. */
+    * form; this stays queryable as `sim_lsh_1table_baseline_topk` —
+    * the `baseline` in the name is deliberate, so nobody reaches for a
+    * recall-0 index thinking it's a usable default (it is the one ANN
+    * key without a Bench recall floor, for the same reason). */
   val lsh1TableTopK: Q = (s, d) => {
     val corpus = corpusWithNorm(s, d).withColumn("bucket", bucketExpr("embedding"))
     val q = qset(s, d).withColumn("q_bucket", bucketExpr("q_emb"))
@@ -474,7 +477,7 @@ object SimOps {
     "emb_quantize_int8" -> quantizeInt8,
     "sim_q8_topk" -> q8TopK,
     "sim_lsh_topk" -> lshMultiTopK(DefaultTables), // the usable default
-    "sim_lsh_1table_topk" -> lsh1TableTopK,
+    "sim_lsh_1table_baseline_topk" -> lsh1TableTopK,
     "sim_lsh_multi_topk" -> lshMultiTopK(KneeTables),
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_q8_topk" -> ivfQ8TopK,
@@ -636,7 +639,7 @@ object SimOps {
           SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
           FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
     "sim_lsh_topk" -> multiTableOracle(DefaultTables),
-    "sim_lsh_1table_topk" ->
+    "sim_lsh_1table_baseline_topk" ->
       s"""WITH c AS (SELECT vec_id, embedding, ${BucketSql("embedding")} AS bucket FROM embeddings),
           q AS (SELECT vec_id AS q_id, embedding AS q_emb, ${BucketSql("embedding")} AS q_bucket
                 FROM embeddings WHERE vec_id < $NQueries),

@@ -59,9 +59,14 @@ object UpsertSink {
     else {
       val in = fs.open(p)
       try {
+        // read to EOF: a single read() may return short on non-local
+        // filesystems, and truncated digits would misparse the bucket
+        // count (silently forcing a full-table rewrite on every merge)
+        val buf = new java.io.ByteArrayOutputStream()
         val bytes = new Array[Byte](32)
-        val n = in.read(bytes)
-        new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toIntOption
+        var n = in.read(bytes)
+        while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+        new String(buf.toByteArray, "UTF-8").trim.toIntOption
       } finally in.close()
     }
   }
