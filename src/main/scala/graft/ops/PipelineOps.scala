@@ -289,9 +289,62 @@ object PipelineOps {
       .where(col("n_docs") > 1)
       .orderBy("chunk_hash")
 
+  /** Fuzzy chunk-level dedup: [[chunkDedup]] catches byte-identical
+    * recurring chunks; this catches chunks that drift by a token or two
+    * (the common case for templated boilerplate) by composing the same
+    * one-pass [[graft.expressions.MinHashSignatures]] expression the
+    * document-level LSH uses — but over each CHUNK's shingle set.
+    * Identical banded-LSH plan shape to `dedup_minhash_lsh` (explode to
+    * (band, bandkey), bucket self-join), just keyed on (doc_id,
+    * chunk_id): one shuffle on the band key, sub-quadratic at corpus
+    * scale, no new shuffle shape. Cross-document pairs only
+    * (doc_a < doc_b): neighboring same-doc chunks overlap by 10 words
+    * BY CONSTRUCTION and would flood the output with structural
+    * matches. 9 hashes, 3 bands of 3, like the document-level index. */
+  val chunkDedupFuzzy: Q = (s, d) => {
+    graft.expressions.MinHashSignatures.register(s)
+    val nH = 9; val bandSz = 3
+    val chunks = documents(s, d)
+      .withColumn("w", split(graft.functions.Functions.normalizeText(col("text")), " "))
+      .withColumn("len", size(col("w")))
+      .withColumn("n_chunks",
+        when(col("len") <= ChunkWords, lit(1))
+          .otherwise(expr(s"(len - $ChunkWords + ${ChunkStride - 1}) div $ChunkStride + 1")))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("chunk", expr(s"slice(w, chunk_id * $ChunkStride + 1, $ChunkWords)"))
+    val sigs = chunks
+      .withColumn("shingles",
+        when(size(col("chunk")) >= 3,
+          expr("transform(sequence(1, size(chunk) - 2), j -> array_join(slice(chunk, j, 3), ' '))"))
+          .otherwise(array(array_join(col("chunk"), " "))))
+      .withColumn("sigs", expr(s"minhash_sigs(shingles, $nH)"))
+    val bandCols = (0 until nH / bandSz).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until bandSz).map(r =>
+          element_at(col("sigs"), b * bandSz + r + 1)): _*).as("bkey"))
+    }
+    // checkpoint before the self-join: no cross-branch CSE, and the
+    // chunk+shingle+md5 lineage is the expensive part
+    val bands = sigs
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("chunk_id"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .localCheckpoint()
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.chunk_id").as("chunk_a"),
+        col("b.doc_id").as("doc_b"), col("b.chunk_id").as("chunk_b"))
+      .distinct()
+      .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "doc_chunk" -> docChunk,
     "chunk_dedup" -> chunkDedup,
+    "chunk_dedup_fuzzy" -> chunkDedupFuzzy,
     "vocab_kmv" -> vocabKmv,
     "sample_split_hash" -> sampleSplitHash,
     "sample_stratified" -> sampleStratified,
@@ -370,6 +423,39 @@ object PipelineOps {
           FROM ch GROUP BY chunk_hash
           HAVING COUNT(DISTINCT doc_id) > 1
           ORDER BY chunk_hash""",
+    "chunk_dedup_fuzzy" -> {
+      val sigSel = (0 until 9).map(i => s"min(md5(sh || '#$i')) AS s$i").mkString(", ")
+      val bandSel = (0 until 3).map { b =>
+        val key = (0 until 3).map(r => s"s${b * 3 + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, chunk_id, $b AS band, $key AS bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id,
+              string_split(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+            FROM documents),
+          n AS (SELECT doc_id, w,
+              CASE WHEN len(w) <= $ChunkWords THEN 1
+                   ELSE (len(w) - $ChunkWords + ${ChunkStride - 1}) // $ChunkStride + 1 END AS n_chunks
+            FROM w),
+          c AS (SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM n),
+          ck AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+              w[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkWords] AS chunk
+            FROM c),
+          shl AS (SELECT doc_id, chunk_id,
+              CASE WHEN len(chunk) >= 3
+                   THEN list_transform(generate_series(1, len(chunk) - 2),
+                          j -> array_to_string(chunk[j:j+2], ' '))
+                   ELSE [array_to_string(chunk, ' ')] END AS shingles
+            FROM ck),
+          sh AS (SELECT doc_id, chunk_id, unnest(shingles) AS sh FROM shl),
+          sig AS (SELECT doc_id, chunk_id, $sigSel FROM sh GROUP BY doc_id, chunk_id),
+          bands AS ($bandSel)
+          SELECT DISTINCT a.doc_id AS doc_a, a.chunk_id AS chunk_a,
+            b.doc_id AS doc_b, b.chunk_id AS chunk_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+          ORDER BY doc_a, chunk_a, doc_b, chunk_b"""
+    },
     "corpus_mix" ->
       s"""WITH h AS (SELECT doc_id, source,
               md5('mix:' || CAST(doc_id AS VARCHAR)) AS m,
