@@ -486,7 +486,15 @@ object RefOps {
     * pre-filtered to one event type, so the heaviest join input is
     * |one type's events| + |users| rows — no window over the full
     * per-user history and no event×event self-join. Left joins keep
-    * users who stall mid-funnel; `stage` counts how far they got. */
+    * users who stall mid-funnel; `stage` counts how far they got.
+    *
+    * Skew note (pinned by SkewSpec): each stage fuses its join with the
+    * per-user partial min, so AQE's skew-join split declines by default
+    * (splitting would break the fused aggregate's distribution). When
+    * one power user concentrates a multi-GB partition, set
+    * `spark.sql.adaptive.forceOptimizeSkewedJoin=true` — the split's
+    * extra exchange costs far less than the straggler task; results are
+    * identical either way. */
   val eventsFunnel: Q = (s, d) => {
     val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
     // v feeds three branches and c two (no cross-branch CSE in Spark):
