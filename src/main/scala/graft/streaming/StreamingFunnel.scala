@@ -18,8 +18,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * ingest rate × watermark horizon — same bound every stateful op here
   * carries). Events that can no longer advance the machine are dropped
   * at buffer-apply time, and a completed funnel clears its buffer
-  * entirely. Batch mode (isStreaming = false) = complete input: flush
-  * everything, matching the batch operator's semantics.
+  * entirely, keeping only the three stage timestamps as a tombstone so
+  * later events cannot restart a second funnel (the batch operator
+  * computes ONE funnel per user over all history — TwinReplaySpec pins
+  * the equality). Batch mode (isStreaming = false) = complete input:
+  * flush everything, matching the batch operator's semantics.
   */
 object StreamingFunnel {
 
@@ -72,15 +75,18 @@ object StreamingFunnel {
       StageRank.get(e.eventType).map(r => (e.ts, r))).toList
     val (out, next) = applyReady(userId,
       prev.copy(buffer = prev.buffer ++ incoming), wm)
-    if (next.buffer.isEmpty && next.pTs.isDefined) state.remove()
-    else {
-      state.update(next)
-      if (wm != Long.MaxValue && next.buffer.nonEmpty)
-        // wake when the watermark passes the earliest buffered event so a
-        // quiet user's pending transitions still emit
-        state.setTimeoutTimestamp(
-          math.max(next.buffer.map(_._1).min / 1000L + 1, wmMs + 1))
-    }
+    // a completed funnel keeps its three stage timestamps as a TOMBSTONE
+    // (buffer cleared, nothing else retained): removing the state here
+    // would let a later event restart a second funnel for the user and
+    // re-emit stages — the batch twin computes ONE funnel per user over
+    // all history, and the TwinReplaySpec equality holds it to that.
+    // Bounded forever by construction: 3 longs per user.
+    state.update(next)
+    if (wm != Long.MaxValue && next.buffer.nonEmpty)
+      // wake when the watermark passes the earliest buffered event so a
+      // quiet user's pending transitions still emit
+      state.setTimeoutTimestamp(
+        math.max(next.buffer.map(_._1).min / 1000L + 1, wmMs + 1))
     out.iterator
   }
 

@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{AsOfJoin, StreamingDedup, StreamingFunnel, TxnBuffer}
+
+/** Twin-equality replays: each stateful streaming operator re-processes
+  * the SAME sf0.001 harness data its batch twin runs on — fed through a
+  * MemoryStream in event-time-ordered chunks with the watermark advanced
+  * in controlled steps — and the streamed output must equal the batch
+  * (oracle-green) output exactly. This is the strongest claim the
+  * streaming layer makes: the incremental, state-bounded form computes
+  * the very same answer as the one-shot batch form, not an approximation
+  * of it. (The funnel's BATCH-mode twin equality lives in StreamingSpec;
+  * here every replay is genuinely streaming: isStreaming = true,
+  * watermark-gated emission, event-time timers for the tail flush.)
+  */
+class TwinReplaySpec extends SparkSpec {
+
+  private val D = "/root/testdata/sf0.001"
+  private val NChunks = 4
+
+  /** Split an event-time-sorted seq into chunks, feed each as its own
+    * micro-batch, then push `sentinels` (far-future rows that touch no
+    * asserted state) twice: once to advance the watermark past every
+    * real event, once more so event-time timers armed by that advance
+    * actually fire. */
+  private def feedChunked[A](input: MemoryStream[A],
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      rows: Seq[A], sentinels: Seq[A]): Unit = {
+    rows.grouped(math.max(rows.size / NChunks, 1)).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable()
+    }
+    sentinels.foreach { s =>
+      input.addData(s)
+      q.processAllAvailable()
+    }
+  }
+
+  private def usOf(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  test("twin replay: streaming funnel over chunked MemoryStream == batch events_funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evRows = Tables.events(spark, D)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._3).toSeq
+    val maxUs = evRows.map(_._3).max
+    val input = MemoryStream[(Long, String, Long)]
+    val events = input.toDF().toDF("userId", "eventType", "us")
+      .select(col("userId"), col("eventType"),
+        timestamp_micros(col("us")).as("eventTime"))
+      .withWatermark("eventTime", "1 second")
+      .as[StreamingFunnel.FunnelEvent]
+    val q = StreamingFunnel.funnel(events).writeStream
+      .format("memory").queryName("funnel_twin").outputMode("append").start()
+    try {
+      // sentinel type "noop" has no funnel rank: advances the watermark,
+      // never emits a stage
+      feedChunked(input, q, evRows,
+        Seq((-1L, "noop", maxUs + 10_000_000L), (-1L, "noop", maxUs + 20_000_000L)))
+      val streamed = spark.table("funnel_twin").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (u, rs) => u -> rs.map(t => t._2 -> t._3).toMap }
+      val batch = SparkEntry.queries("events_funnel")(spark, D).collect()
+        .map { r =>
+          def us(i: Int): Option[Long] = Option(r.getTimestamp(i)).map(usOf)
+          r.getLong(0) -> Seq(1 -> us(1), 2 -> us(2), 3 -> us(3))
+            .collect { case (s, Some(t)) => s -> t }.toMap
+        }.toMap
+      assert(streamed == batch,
+        s"streamed funnel (${streamed.size} users) != batch (${batch.size} users)")
+    } finally q.stop()
+  }
+
+  test("twin replay: streaming as-of join over chunked MemoryStream == batch join_temporal_eventtime") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, D)
+    // build side deduped to one version per (key, ts), latest event_id
+    // wins — the same pre-dedup the registered batch query applies
+    val builds = ev.where(col("event_type") === "signup")
+      .groupBy("user_id", "ts").agg(max("event_id").as("pl"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), lit(false).as("isProbe"), col("pl"))
+    val probes = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), lit(true).as("isProbe"),
+        col("event_id").as("pl"))
+    val feed = builds.unionByName(probes)
+      .collect().map(r => (r.getLong(0).toString, r.getLong(1), r.getBoolean(2), r.getLong(3)))
+      .sortBy(_._2).toSeq
+    val maxUs = feed.map(_._2).max
+    val input = MemoryStream[(String, Long, Boolean, Long)]
+    val tagged = input.toDF().toDF("k", "us", "isProbe", "pl")
+      .select(col("k"), timestamp_micros(col("us")).as("eventTime"), col("isProbe"),
+        col("pl").cast("string").cast("binary").as("payload"))
+      .withWatermark("eventTime", "1 second")
+      .as[AsOfJoin.AsOfEvent]
+    val q = AsOfJoin.join(tagged).writeStream
+      .format("memory").queryName("asof_twin").outputMode("append").start()
+    try {
+      // sentinel: far-future BUILD for a key no probe ever uses — builds
+      // alone emit nothing, but the watermark advances and timers fire
+      feedChunked(input, q, feed,
+        Seq(("__wm__", maxUs + 10_000_000L, false, -1L),
+          ("__wm__", maxUs + 20_000_000L, false, -1L)))
+      val streamed = spark.table("asof_twin").collect()
+        .map { r =>
+          val probeId = new String(r.getAs[Array[Byte]]("probePayload")).toLong
+          val buildId = Option(r.getAs[Array[Byte]]("buildPayload"))
+            .map(new String(_).toLong)
+          (probeId, r.getAs[String]("k").toLong, buildId)
+        }.toSet
+      val batch = SparkEntry.queries("join_temporal_eventtime")(spark, D).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(streamed == batch,
+        s"streamed as-of (${streamed.size} rows) != batch (${batch.size} rows)")
+    } finally q.stop()
+  }
+
+  test("twin replay: streaming txn buffer over chunked MemoryStream == batch txn_buffered_emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch query's feed: events below a horizon that truncates the
+    // last transaction mid-flight, txId = event_id div 20, every txn's
+    // boundary announcing 20 events
+    val h = Tables.events(spark, D).agg(max("event_id")).head().getLong(0) - 9
+    val data = Tables.events(spark, D).where(col("event_id") < h)
+      .select(col("event_id"), col("event_type"), expr("event_id div 20").as("tx"))
+      .collect().map(r => (r.getLong(2), false, 0, s"${r.getLong(0)}:${r.getString(1)}"))
+      .sortBy(_._4.split(':')(0).toLong).toSeq
+    val bounds = data.map(_._1).distinct.sorted
+      .map(tx => (tx, true, 20, ""))
+    val input = MemoryStream[(Long, Boolean, Int, String)]
+    val events = input.toDF().toDF("txId", "isBoundary", "expected", "pl")
+      .select(col("txId"), col("isBoundary"), col("expected"),
+        when(col("isBoundary"), lit(null)).otherwise(col("pl"))
+          .cast("binary").as("payload"))
+      .as[TxnBuffer.TxnEvent]
+    // NoTimeout streaming form (flushIncompleteAfterMs = 0): incomplete
+    // transactions stay buffered forever, exactly like the batch form
+    val q = TxnBuffer.buffer(events).writeStream
+      .format("memory").queryName("txn_twin").outputMode("append").start()
+    try {
+      // boundaries first — the early-boundary order, harder than the
+      // batch form where each group sees everything at once
+      input.addData(bounds)
+      q.processAllAvailable()
+      feedChunked(input, q, data, Nil)
+      val streamed = spark.table("txn_twin").collect()
+        .map { r =>
+          val Array(id, tpe) = new String(r.getAs[Array[Byte]]("payload")).split(':')
+          (id.toLong, tpe, r.getAs[Long]("txId"), r.getAs[Boolean]("complete"))
+        }.toSet
+      val batch = SparkEntry.queries("txn_buffered_emit")(spark, D).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), true)).toSet
+      assert(streamed == batch,
+        s"streamed txn emit (${streamed.size} rows) != batch (${batch.size} rows)")
+    } finally q.stop()
+  }
+
+  test("twin replay: streaming exact dedup over chunked MemoryStream == batch keeper set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the harness documents table has no exact duplicates (500 distinct
+    // texts), so replay it PLUS a duplicated tail: 100 docs re-arriving
+    // later under higher doc_ids — the batch twin's groupBy(md5) keeper
+    // is the original (min doc_id), and the streaming form must drop
+    // every replayed copy
+    val docs = Tables.documents(spark, D).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val dups = docs.take(100).map { case (id, t) => (id + 100000L, t) }
+    val all = docs ++ dups
+    val input = MemoryStream[(Long, String)]
+    // event time advances with doc_id; the whole replay spans seconds
+    // while the horizon is an hour, so no key's state expires mid-feed
+    // (state expiry re-admitting cross-horizon dups is the documented
+    // trade-off, not an error — StreamingSpec pins it separately)
+    val stream = input.toDF().toDF("doc_id", "text")
+      .withColumn("arrival", timestamp_millis(lit(1700000000000L) + col("doc_id")))
+    val deduped = StreamingDedup.dedupExact(stream, "arrival", "1 hour")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_twin").outputMode("append").start()
+    try {
+      // originals stream first (4 chunks), replayed copies after — every
+      // copy arrives in a LATER micro-batch than its original, so the
+      // keeper is deterministically the min doc_id, like the batch op
+      feedChunked(input, q, all, Nil)
+      val streamed = spark.table("dedup_twin").collect()
+        .map(r => (r.getAs[String]("content_hash"), r.getAs[Long]("doc_id"))).toSet
+      val batch = all.toDF("doc_id", "text")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("keeper"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"streamed dedup kept ${streamed.size} docs, batch keeper set has ${batch.size}")
+      assert(streamed.size == docs.size, "every replayed duplicate must be dropped")
+    } finally q.stop()
+  }
+}
