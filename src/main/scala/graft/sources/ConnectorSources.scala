@@ -173,24 +173,33 @@ object ConnectorSources {
 
   /** Execute a plan against the live external system. The jdbc branch is
     * tested against a real (embedded Derby) database; the kafka branches
-    * need a broker, and every decision they make is pinned by the
-    * [[plan]]/[[readerOptions]]/[[decodeKafka]] tests. */
+    * read the broker by default, and every decision they make is pinned
+    * by the [[plan]]/[[readerOptions]]/[[decodeKafka]] tests.
+    *
+    * `wireSource` substitutes a recorded kafka-wire frame (the fixed
+    * key/value/topic/... schema, [[CdcFixtures.wireSchema]]) for the live
+    * broker reader — the replay/backfill deployment mode, and the seam
+    * that lets tests drive the full kafka branch (plan → options →
+    * decode) from files with no broker. Only the `.load()` itself is
+    * substituted; topic selection and decoding are the same code path. */
   def resolve(spark: SparkSession, td: FlinkDdl.TableDef,
       cdcServerName: String = "my_pg",
-      cdcBootstrap: String = "kafka:9092"): DataFrame =
+      cdcBootstrap: String = "kafka:9092",
+      wireSource: Option[SourcePlan => DataFrame] = None): DataFrame =
     plan(td, cdcServerName, cdcBootstrap) match {
       case j: JdbcScan =>
         spark.read.format(j.format).options(readerOptions(j)).load()
       case k: KafkaScan =>
-        decodeKafka(
-          spark.readStream.format(k.format).options(readerOptions(k)).load(), k, td)
+        val wire = wireSource.map(_(k)).getOrElse(
+          spark.readStream.format(k.format).options(readerOptions(k)).load())
+        decodeKafka(wire, k, td)
       case c: PgCdcScan =>
         // same wire + decode as an explicit kafka debezium source
         val asKafka = KafkaScan(bootstrap = c.bootstrap, topic = c.topic,
           startingOffsets = "earliest", valueFormat = "debezium-json",
           keyFormat = None, upsert = false)
-        decodeKafka(
-          spark.readStream.format(c.format).options(readerOptions(c)).load(),
-          asKafka, td)
+        val wire = wireSource.map(_(c)).getOrElse(
+          spark.readStream.format(c.format).options(readerOptions(c)).load())
+        decodeKafka(wire, asKafka, td)
     }
 }

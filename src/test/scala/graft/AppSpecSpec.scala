@@ -290,6 +290,91 @@ class AppSpecSpec extends SparkSpec {
     }
   }
 
+  test("scenario 3 (kafka-cdc variant): resolve's kafka branch == jdbc branch on the same fixture, end-to-end through AppRunner") {
+    loadSpec("03-kafka-cdc-flink-jdbc.json") match {
+      case None => cancel("reference not available")
+      case Some(spec) =>
+        import graft.sources.{CdcFixtures, ConnectorSources}
+        // ---- jdbc side: embedded Derby carrying BOTH the enriched view
+        // (the spec's jdbc source) and the raw orders (the parity twin
+        // of the kafka topic). order_time stored as epoch-ms BIGINT to
+        // match the kafka DDL's BIGINT column type exactly.
+        val url = "jdbc:derby:memory:sc3;create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.execute("CREATE TABLE orders (id INT, table_assignment_id INT, order_time BIGINT, pizzas VARCHAR(64))")
+          Pizzeria.orders.foreach { o =>
+            val ms = o.order_time.getTime
+            st.execute(s"INSERT INTO orders VALUES (${o.id},${o.table_assignment_id},$ms,'${o.pizzas.mkString(",")}')")
+          }
+          st.execute("CREATE TABLE order_joining_view (order_id INT, client_name VARCHAR(64), table_name VARCHAR(64), order_time TIMESTAMP, json_agg VARCHAR(2000))")
+          graft.queries.Scenarios.enrichedOrdersAny(seed)
+            .select(col("order_id"), col("client_name"), col("table_name"),
+              col("order_time").cast("string"), col("pizzas"))
+            .collect().foreach { r =>
+              st.execute(s"INSERT INTO order_joining_view VALUES (${r.getInt(0)}," +
+                s"'${r.getString(1)}','${r.getString(2)}'," +
+                s"TIMESTAMP('${r.getString(3)}'),'${r.getString(4)}')")
+            }
+          st.close()
+        } finally conn.close()
+        // ---- kafka side: the orders changelog as debezium envelopes on
+        // the topic the spec's DDL subscribes to (my_pg.public.orders),
+        // recorded in the exact wire schema Spark's kafka source emits
+        val cfg = CdcFixtures.ConnectorConfig("orders-cdc", "my_pg", "defaultdb",
+          Seq("public.orders"))
+        val events = seed.orders
+          .selectExpr("id",
+            "to_json(struct(id, table_assignment_id, unix_millis(order_time) AS order_time, pizzas)) AS j")
+          .collect()
+          .map(r => CdcFixtures.Event("c", s"""{"id":${r.getInt(0)}}""",
+            r.getString(1), 1695510000000L, r.getInt(0).toLong))
+        val wire = CdcFixtures.kafkaWire(spark, cfg, "public", "orders",
+          events.toIndexedSeq)
+        val kafkaTd = spec.sources.map(s => FlinkDdl.parse(s.createTable))
+          .find(_.connector == "kafka").get
+        assert(ConnectorSources.plan(kafkaTd)
+          .asInstanceOf[ConnectorSources.KafkaScan].topic ==
+            cfg.topicFor("public", "orders"),
+          "the DDL's topic must be the one the connector config produces")
+        // ---- parity: the SAME logical table through the two resolve
+        // branches — recorded-wire kafka vs Derby jdbc — row-for-row
+        val viaKafka = ConnectorSources
+          .resolve(spark, kafkaTd, wireSource = Some(_ => wire))
+          .select("id", "table_assignment_id", "order_time", "pizzas")
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getSeq[Int](3)))
+          .toSet
+        val jdbcTd = FlinkDdl.parse(
+          s"""CREATE TABLE orders_jdbc (
+             |  id INT, table_assignment_id INT, order_time BIGINT, pizzas STRING
+             |) WITH ('connector' = 'jdbc', 'url' = '$url', 'table-name' = 'orders')""".stripMargin)
+        val viaJdbc = ConnectorSources.resolve(spark, jdbcTd)
+          .withColumn("pizzas", split(col("pizzas"), ",").cast("array<int>"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getSeq[Int](3)))
+          .toSet
+        assert(viaKafka == viaJdbc,
+          s"kafka resolve branch diverged from jdbc branch:\nkafka=$viaKafka\njdbc=$viaJdbc")
+        // ---- end-to-end: run the REAL app spec with each source served
+        // by its own resolve branch (jdbc url injected, kafka from the
+        // recorded wire), like a deployment would
+        def resolver(td: FlinkDdl.TableDef): DataFrame = td.connector match {
+          case "jdbc" => ConnectorSources.resolve(spark,
+            td.copy(options = td.options + ("url" -> url)))
+          case "kafka" => ConnectorSources.resolve(spark, td,
+            wireSource = Some(_ => wire))
+          case other => fail(s"unexpected connector $other")
+        }
+        val res = AppRunner.run(spark, spec, resolver _)
+        val got = res.df.select("order_id", "client_name").collect()
+          .map(r => r.getInt(0) -> r.getString(1)).toMap
+        assert(got == Map(1 -> "Medonna", 2 -> "Wall Smith",
+          3 -> "Duvid Beckham", 4 -> "Duvid Beckham", 5 -> "Duvid Beckham"))
+    }
+  }
+
   test("shim output is inspectable and sink-aware") {
     val sh = FlinkSqlShim.rewrite(
       "INSERT INTO out SELECT CEIL(LOCALTIMESTAMP to hour) FROM t;",
