@@ -87,6 +87,34 @@ object DedupOps {
     jaccardFromShingles(sh.join(broadcast(hot), Seq("sh"), "left_anti"))
   }
 
+  /** Asymmetric shingle containment C(A→B) = |A∩B| / |A|: detects a
+    * document whose content is (mostly) a SUBSET of another — quotes,
+    * excerpts, re-posts with added boilerplate — which symmetric jaccard
+    * under-scores whenever the container is much larger (J = |∩|/|∪|
+    * shrinks with |B|, C(A→B) doesn't). Same inverted-index pair plan as
+    * [[ngramJaccard]] (work ∝ Σ df², df-cappable identically), with the
+    * directed ratio emitted for BOTH directions of each candidate pair
+    * that clear the 0.8 threshold — integer-math gate, ratio rounded
+    * only for display. */
+  val ngramContainment: Q = (s, d) => {
+    val sh = docShingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .localCheckpoint() // two directed reads below; no cross-branch CSE
+    def directed(contained: String, container: String, n: String) =
+      pairs.where(col("inter") * 5 >= col(n) * 4) // containment >= 0.8
+        .select(col(contained).as("contained_doc"), col(container).as("container_doc"),
+          col("inter"), col(n).as("n_sh"),
+          round(col("inter").cast("double") / col(n).cast("double"), 6).as("containment_r"))
+    directed("doc_a", "doc_b", "na").unionByName(directed("doc_b", "doc_a", "nb"))
+      .orderBy("contained_doc", "container_doc")
+  }
+
   private val NumHashes = 9
   private val BandSize = 3 // 3 bands × 3 rows
 
@@ -524,6 +552,7 @@ object DedupOps {
     "dedup_exact" -> exact,
     "dedup_cluster" -> cluster,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_ngram_containment" -> ngramContainment,
     "dedup_ngram_jaccard_capped" -> ngramJaccardCapped,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_minhash_estimate" -> minhashEstimate,
@@ -594,6 +623,23 @@ object DedupOps {
           JOIN sz sb ON sb.doc_id = doc_b
           WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3
           ORDER BY doc_a, doc_b""",
+    "dedup_ngram_containment" ->
+      s"""WITH $ShinglesSql,
+          sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          j AS (SELECT doc_a, doc_b, inter, sa.n_sh AS na, sb.n_sh AS nb
+                FROM pairs
+                JOIN sz sa ON sa.doc_id = doc_a
+                JOIN sz sb ON sb.doc_id = doc_b),
+          dir AS (SELECT doc_a AS contained_doc, doc_b AS container_doc, inter, na AS n_sh
+                  FROM j WHERE inter * 5 >= na * 4
+                  UNION ALL
+                  SELECT doc_b, doc_a, inter, nb FROM j WHERE inter * 5 >= nb * 4)
+          SELECT contained_doc, container_doc, inter, n_sh,
+            round(CAST(inter AS DOUBLE) / CAST(n_sh AS DOUBLE), 6) AS containment_r
+          FROM dir ORDER BY contained_doc, container_doc""",
     "dedup_ngram_jaccard_capped" ->
       s"""WITH $ShinglesSql,
           dfq AS (SELECT sh AS hsh, COUNT(*) AS df FROM sh GROUP BY sh),

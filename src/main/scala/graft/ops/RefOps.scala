@@ -517,6 +517,30 @@ object RefOps {
       .orderBy("user_id")
   }
 
+  /** Cohort retention: users grouped by their first-activity day, counted
+    * on each later day they return — the standard growth/engagement view
+    * over a clickstream, and the third member of the events family next
+    * to sessionize and funnel. Shape: one user-keyed aggregate for the
+    * cohort day (partial-agg friendly), one distinct over (user, day)
+    * — activity collapses BEFORE the join so the join input is bounded by
+    * |users|·|active days|, not |events| — then a (cohort, offset)
+    * aggregate. All keys uniform; nothing scales with a single user's
+    * event count, so no power-user hot spot. */
+  val eventsRetention: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val active = ev.distinct()
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users")) // (user, day) distinct ⇒ count = users
+      // timestamp, not date: the harness hash-compare is dtype-sensitive
+      // and engines disagree on DATE's arrow representation
+      .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
@@ -556,6 +580,7 @@ object RefOps {
     "txn_buffered_emit" -> txnBufferedEmit,
     "events_sessionize" -> eventsSessionize,
     "events_funnel" -> eventsFunnel,
+    "events_retention" -> eventsRetention,
   )
 
   val oracles: Map[String, String] = Map(
@@ -747,5 +772,14 @@ object RefOps {
          LEFT JOIN c ON c.user_id = v.user_id
          LEFT JOIN p ON p.user_id = v.user_id
          ORDER BY v.user_id""",
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, day FROM e)
+         SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(a.day - f.cohort_day AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM a JOIN f ON a.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }
