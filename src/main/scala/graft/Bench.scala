@@ -31,7 +31,10 @@ object Bench {
     "sim_lsh_multi_topk" -> 0.5,
     "sim_ivf_topk" -> 0.9,
     "sim_q8_topk" -> 0.9,
-    "sim_ivf_q8_topk" -> 0.85)
+    "sim_ivf_q8_topk" -> 0.85,
+    // the corpus-wide graph restricted to the truth queries probes the
+    // same IVF lists as sim_ivf_topk, so its floor matches
+    "sim_knn_graph" -> 0.9)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,7 +117,8 @@ object Bench {
           .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
       val truth = topSet("sim_brute_topk")
       val annNames = Seq("sim_lsh_topk", "sim_lsh_1table_baseline_topk",
-        "sim_lsh_multi_topk", "sim_ivf_topk", "sim_q8_topk", "sim_ivf_q8_topk")
+        "sim_lsh_multi_topk", "sim_ivf_topk", "sim_q8_topk", "sim_ivf_q8_topk",
+        "sim_knn_graph")
       val recalls = annNames.map { n =>
         val approx = topSet(n)
         val per = truth.toSeq.map { case (q, t) =>

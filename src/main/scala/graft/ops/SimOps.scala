@@ -359,20 +359,7 @@ object SimOps {
     * broadcast here — both sides are corpus-sized, so it shuffles on the
     * uniform list id (the 100 TB plan). */
   val labelPurity: Q = (s, d) => {
-    graft.expressions.VectorExpressions.register(s)
-    val cents = centroidFrame(s, d)
-    val lists = ivfLists(s, d, cents)
-    val probes = probeLists(s, d, cents,
-      embeddings(s, d).select(col("vec_id").as("q_id"),
-        col("embedding").as("q_emb")), "q_emb")
-    val pairs = lists.join(probes,
-        col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
-      .select("q_id", "vec_id").distinct()
-    val top3 = rankTopK(
-      pairs.join(corpusWithNorm(s, d), "vec_id").join(qset2(s, d), "q_id")
-        .withColumn("sim",
-          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
-      3)
+    val top3 = knnGraph(s, d)
     val labels = embeddings(s, d).select(col("vec_id"), col("label"))
     top3
       .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
@@ -385,6 +372,32 @@ object SimOps {
       .select(col("q_label").as("label"), col("n_vecs"), col("n_neighbors"), col("n_matches"),
         round(col("n_matches").cast("double") / col("n_neighbors").cast("double"), 6).as("purity_r"))
       .orderBy("label")
+  }
+
+  /** Corpus-wide k-NN graph over the IVF index: EVERY vector probes its
+    * nprobe lists and keeps its top-3 in-index neighbors — the builder
+    * primitive for graph-based curation (semantic clustering, outlier
+    * mining, connectivity audits) and the frame [[labelPurity]] measures
+    * on. All-vectors-as-queries stays sub-quadratic for the same reason
+    * the index does: candidate work is Σ list² over the probed lists,
+    * never |corpus|². The probe join is NOT broadcast — both sides are
+    * corpus-sized, so it shuffles on the uniform list id (the 100 TB
+    * plan: a centroid-partitioned table probed partition-by-partition). */
+  val knnGraph: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
+    val cents = centroidFrame(s, d)
+    val lists = ivfLists(s, d, cents)
+    val probes = probeLists(s, d, cents,
+      embeddings(s, d).select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb")), "q_emb")
+    val pairs = lists.join(probes,
+        col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    rankTopK(
+      pairs.join(corpusWithNorm(s, d), "vec_id").join(qset2(s, d), "q_id")
+        .withColumn("sim",
+          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
+      3)
   }
 
   /** All-corpus (q_id, q_emb, q_nrm) frame — the probe side of
@@ -482,6 +495,7 @@ object SimOps {
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_q8_topk" -> ivfQ8TopK,
     "sim_label_purity" -> labelPurity,
+    "sim_knn_graph" -> knnGraph,
   )
 
   private def dot(a: String, b: String) =
@@ -674,6 +688,18 @@ object SimOps {
             round(CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS DOUBLE)
               / CAST(COUNT(*) AS DOUBLE), 6) AS purity_r
           FROM lab GROUP BY q_label ORDER BY label""",
+    "sim_knn_graph" ->
+      s"""WITH ${ivfPairsCtesWhere("")},
+          scored AS (SELECT p.q_id, p.vec_id,
+                       ${cos("qe.embedding", "ce.embedding")} AS sim
+                     FROM pairs p
+                     JOIN embeddings ce ON ce.vec_id = p.vec_id
+                     JOIN embeddings qe ON qe.vec_id = p.q_id),
+          ranked AS (SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+          FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
     "sim_ivf_topk" ->
       s"""WITH ${ivfPairsCtes},
           scored AS (SELECT p.q_id, p.vec_id,
