@@ -164,6 +164,53 @@ class TwinReplaySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("twin replay: streaming session windows over chunked MemoryStream == batch events_sessionize") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, D)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3).toSeq
+    val maxUs = rows.map(_._3).max
+    val input = MemoryStream[(Long, Long, Long)]
+    // boundary note: the batch operator starts a new session when the gap
+    // EXCEEDS 30 minutes; session_window merges overlapping [ts, ts+30m)
+    // intervals. The two agree except at a gap of exactly 30:00.000000,
+    // which µs-grained real data does not produce.
+    val agg = input.toDF().toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .withWatermark("ts", "1 second")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event"),
+        max("event_id").as("last_event"))
+    val q = agg.writeStream.format("memory").queryName("sess_twin")
+      .outputMode("append").start()
+    try {
+      // sentinels two hours past the end close every real session (its
+      // own stays open and is filtered by user_id >= 0)
+      feedChunked(input, q, rows,
+        Seq((-1L, -1L, maxUs + 7_200_000_000L), (-1L, -2L, maxUs + 7_300_000_000L)))
+      val streamed = spark.table("sess_twin")
+        .where(col("user_id") >= 0)
+        .selectExpr("user_id", "session_window.start AS st",
+          "n_events", "first_event", "last_event")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1)
+        .map { case (u, ss) =>
+          u -> ss.sortBy(_._2).zipWithIndex
+            .map { case ((_, _, n, f, l), i) => (i + 1L, n, f, l) }.toSeq }
+      val batch = SparkEntry.queries("events_sessionize")(spark, D).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1)
+        .map { case (u, ss) =>
+          u -> ss.sortBy(_._2).map { case (_, sid, n, f, l) => (sid, n, f, l) }.toSeq }
+      assert(streamed == batch,
+        s"streamed sessions (${streamed.size} users) != batch (${batch.size} users)")
+    } finally q.stop()
+  }
+
   test("twin replay: streaming exact dedup over chunked MemoryStream == batch keeper set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
