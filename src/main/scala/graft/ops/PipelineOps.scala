@@ -341,10 +341,36 @@ object PipelineOps {
       .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
   }
 
+  /** Incremental chunk dedup — the lambda-architecture production shape:
+    * a NEW ingest batch dedups against the already-materialized corpus
+    * WITHOUT rewriting it. Corpus = even doc_ids' chunks, incoming = odd
+    * doc_ids' (a deterministic stand-in for yesterday/today); a chunk of
+    * the incoming batch survives only if its hash is absent from the
+    * corpus (left_anti on the content hash — at scale a shuffle join
+    * against the corpus's hash column, pruned to that single column) AND
+    * it is the batch's own first occurrence (min (doc_id, chunk_id) per
+    * hash). Cross-horizon recurrence actually drops here: the harness
+    * corpus has real recurring chunks across the parity split. */
+  val chunkDedupIncremental: Q = (s, d) => {
+    val chunks = docChunk(s, d)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_hash"))
+    val corpusHashes = chunks.where(col("doc_id") % 2 === 0)
+      .select("chunk_hash").distinct()
+    chunks.where(col("doc_id") % 2 === 1)
+      .join(corpusHashes, Seq("chunk_hash"), "left_anti")
+      .groupBy("chunk_hash")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("k"),
+        count(lit(1)).as("n_batch_copies"))
+      .select(col("chunk_hash"), col("k.doc_id").as("keeper_doc"),
+        col("k.chunk_id").as("keeper_chunk"), col("n_batch_copies"))
+      .orderBy("chunk_hash")
+  }
+
   val queries: Map[String, Q] = Map(
     "doc_chunk" -> docChunk,
     "chunk_dedup" -> chunkDedup,
     "chunk_dedup_fuzzy" -> chunkDedupFuzzy,
+    "chunk_dedup_incremental" -> chunkDedupIncremental,
     "vocab_kmv" -> vocabKmv,
     "sample_split_hash" -> sampleSplitHash,
     "sample_stratified" -> sampleStratified,
@@ -423,6 +449,29 @@ object PipelineOps {
           FROM ch GROUP BY chunk_hash
           HAVING COUNT(DISTINCT doc_id) > 1
           ORDER BY chunk_hash""",
+    "chunk_dedup_incremental" ->
+      s"""WITH w AS (SELECT doc_id,
+              string_split(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+            FROM documents),
+          n AS (SELECT doc_id, w,
+              CASE WHEN len(w) <= $ChunkWords THEN 1
+                   ELSE (len(w) - $ChunkWords + ${ChunkStride - 1}) // $ChunkStride + 1 END AS n_chunks
+            FROM w),
+          c AS (SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM n),
+          ch AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+              md5(array_to_string(w[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkWords], ' ')) AS chunk_hash
+            FROM c),
+          corpus AS (SELECT DISTINCT chunk_hash FROM ch WHERE doc_id % 2 = 0),
+          surv AS (SELECT * FROM ch WHERE doc_id % 2 = 1
+                   AND chunk_hash NOT IN (SELECT chunk_hash FROM corpus)),
+          ranked AS (SELECT *,
+              row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_id) AS rn,
+              COUNT(*) OVER (PARTITION BY chunk_hash) AS n FROM surv)
+          SELECT chunk_hash, doc_id AS keeper_doc, keeper_chunk, n_batch_copies
+          FROM (SELECT chunk_hash, doc_id, chunk_id AS keeper_chunk,
+                  CAST(n AS BIGINT) AS n_batch_copies, rn FROM ranked)
+          WHERE rn = 1 ORDER BY chunk_hash""",
     "chunk_dedup_fuzzy" -> {
       val sigSel = (0 until 9).map(i => s"min(md5(sh || '#$i')) AS s$i").mkString(", ")
       val bandSel = (0 until 3).map { b =>
