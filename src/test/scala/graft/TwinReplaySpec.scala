@@ -211,6 +211,45 @@ class TwinReplaySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("twin replay: upsert sink over chunked shuffled MemoryStream == batch changelog_upsert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the merge is version-gated (latest (ts, event_id) per user wins),
+    // so ARRIVAL ORDER MUST NOT MATTER — replay in a deterministic
+    // content-shuffled order, the harder case than event-time order
+    val rows = Tables.events(spark, D)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ver_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => java.util.UUID.nameUUIDFromBytes(t._2.toString.getBytes).toString)
+      .toSeq
+    val dir = java.nio.file.Files.createTempDirectory("upsert_twin").toString + "/table"
+    val ckpt = java.nio.file.Files.createTempDirectory("upsert_twin_ck").toString
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val q = input.toDF().toDF("user_id", "event_id", "event_type", "ver_us")
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.UpsertSink.mergeBatch(batch, Seq("user_id"), "ver_us",
+          dir, tiebreakCols = Seq("event_id"), nBuckets = 8)
+      }
+      .start()
+    try {
+      rows.grouped(math.max(rows.size / NChunks, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = graft.streaming.UpsertSink.readKeyedTable(spark, dir).get
+        .select("user_id", "event_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val batch = SparkEntry.queries("changelog_upsert")(spark, D).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(streamed == batch,
+        s"upsert table (${streamed.size} keys) != batch changelog collapse (${batch.size})")
+    } finally q.stop()
+  }
+
   test("twin replay: streaming exact dedup over chunked MemoryStream == batch keeper set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
