@@ -374,6 +374,43 @@ object SimOps {
       .orderBy("label")
   }
 
+  /** Persist the IVF index — the OFFLINE BUILD job of a real deployment,
+    * where index construction and querying are separate applications.
+    * Layout: `dir/centroids` (the 16-row codebook) and `dir/lists`
+    * PARTITIONED BY list_id with each row carrying the vector payload
+    * (embedding + precomputed norm), so a query materializes only the
+    * nprobe partition directories it probes and never touches the
+    * original corpus table. Closure-replicated vectors appear in every
+    * list they straddle — that is the index, not duplication. */
+  def buildIvfIndex(s: SparkSession, d: String, dir: String): Unit = {
+    val cents = centroidFrame(s, d)
+    cents.write.mode("overwrite").parquet(dir + "/centroids")
+    ivfLists(s, d, cents).join(corpusWithNorm(s, d), "vec_id")
+      .write.mode("overwrite").partitionBy("list_id").parquet(dir + "/lists")
+  }
+
+  /** Query a PERSISTED IVF index: identical semantics to [[ivfTopK]],
+    * reading only the index directory (IvfIndexSpec pins the equality).
+    * Candidate vectors come from the probed lists themselves; the
+    * replicated-vector dedup happens on the index rows (dropDuplicates
+    * by vec_id), so the corpus table is never opened at query time. */
+  def ivfTopKFromIndex(s: SparkSession, d: String, dir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val cents = s.read.parquet(dir + "/centroids")
+    val lists = s.read.parquet(dir + "/lists")
+    val q = probeLists(s, d, cents, qset(s, d), "q_emb")
+    val pairs = lists.select("list_id", "vec_id")
+      .join(broadcast(q),
+        col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val vectors = lists.select("vec_id", "embedding", "c_nrm").dropDuplicates("vec_id")
+    rankTopK(
+      pairs.join(vectors, "vec_id").join(broadcast(qset(s, d)), "q_id")
+        .withColumn("sim",
+          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
+      3)
+  }
+
   /** Corpus-wide k-NN graph over the IVF index: EVERY vector probes its
     * nprobe lists and keeps its top-3 in-index neighbors — the builder
     * primitive for graph-based curation (semantic clustering, outlier

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SimOps
+
+/** The persisted-index deployment shape: build the IVF index offline,
+  * load it in a separate "application", and get byte-identical answers
+  * to the in-memory operator — with the on-disk layout that makes
+  * queries touch only their probed partitions at 100 TB. */
+class IvfIndexSpec extends SparkSpec {
+
+  private val D = "/root/testdata/sf0.001"
+
+  test("persisted IVF index: build -> load -> query == in-memory sim_ivf_topk") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    SimOps.buildIvfIndex(spark, D, dir)
+
+    // layout: lists are physically partitioned by list_id, so a probe of
+    // nprobe lists materializes exactly those directories
+    val listDirs = new java.io.File(dir + "/lists").listFiles()
+      .filter(_.getName.startsWith("list_id=")).map(_.getName).sorted
+    assert(listDirs.nonEmpty, "index must be partitioned by list_id")
+
+    val fromIndex = SimOps.ivfTopKFromIndex(spark, D, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val inMemory = SparkEntry.queries("sim_ivf_topk")(spark, D)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(fromIndex == inMemory,
+      s"persisted-index answers diverged: index=$fromIndex inMemory=$inMemory")
+
+    // the index is self-contained: vectors ride in the lists with their
+    // precomputed norms, so the query never needs the corpus table
+    val listCols = spark.read.parquet(dir + "/lists").columns.toSet
+    assert(Set("vec_id", "embedding", "c_nrm", "list_id").subsetOf(listCols))
+  }
+}
