@@ -541,6 +541,37 @@ object RefOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Hourly error-rate spike detection — the pipeline-health monitor a
+    * production ingest runs next to its data movement. The statistics
+    * stay CROSS-ENGINE EXACT despite being, well, statistics: per-hour
+    * counts and their sums/sums-of-squares are BIGINT-exact aggregates,
+    * mean/variance derive from those integers by a fixed arithmetic
+    * shape (q/n − mean², then one IEEE sqrt), so the z-score is
+    * bit-identical in any engine — no order-dependent double
+    * accumulation anywhere. Plan: one shuffle for the hourly aggregate;
+    * the corpus-wide moments are a 1-row broadcast horizon. */
+  val eventsErrorSpike: Q = (s, d) => {
+    val hourly = events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+    val stats = hourly.agg(count(lit(1)).as("n_hours"),
+      sum("n_err").as("s"), sum(col("n_err") * col("n_err")).as("q"))
+    val z = hourly.crossJoin(broadcast(stats)) // 1-row moments frame
+      .withColumn("mean", col("s").cast("double") / col("n_hours").cast("double"))
+      .withColumn("variance",
+        col("q").cast("double") / col("n_hours").cast("double") -
+          col("mean") * col("mean"))
+      .withColumn("z", when(col("variance") > 0,
+        (col("n_err").cast("double") - col("mean")) / sqrt(col("variance")))
+        .otherwise(lit(0.0)))
+    z.select(col("hour"), col("n_total"), col("n_err"),
+        round(col("n_err").cast("double") / col("n_total").cast("double"), 6).as("err_rate_r"),
+        round(col("z"), 6).as("z_r"),
+        (col("z") > 2.0).as("is_spike"))
+      .orderBy("hour")
+  }
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
@@ -581,6 +612,7 @@ object RefOps {
     "events_sessionize" -> eventsSessionize,
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
+    "events_error_spike" -> eventsErrorSpike,
   )
 
   val oracles: Map[String, String] = Map(
@@ -781,5 +813,24 @@ object RefOps {
            CAST(COUNT(*) AS BIGINT) AS n_users
          FROM a JOIN f ON a.user_id = f.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_error_spike" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+             FROM events GROUP BY 1),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(n_err) AS BIGINT) AS s,
+               CAST(SUM(n_err * n_err) AS BIGINT) AS q FROM h),
+         z AS (SELECT h.*,
+               CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean,
+               CAST(q AS DOUBLE) / CAST(n_hours AS DOUBLE)
+                 - (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)) AS var
+             FROM h, st)
+         SELECT hour, n_total, n_err,
+           round(CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS err_rate_r,
+           round(CASE WHEN var > 0 THEN (CAST(n_err AS DOUBLE) - mean) / sqrt(var) ELSE 0 END, 6) AS z_r,
+           (CASE WHEN var > 0 THEN (CAST(n_err AS DOUBLE) - mean) / sqrt(var) ELSE 0 END) > 2.0 AS is_spike
+         FROM z ORDER BY hour""",
   )
 }
