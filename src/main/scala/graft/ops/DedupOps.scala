@@ -244,7 +244,19 @@ object DedupOps {
     toks.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
   }
 
-  val simhash: Q = (s, d) => documentsSimhashAssemble(simhashSums(s, d))
+  /** The aggregation form of the fingerprint — kept as the reference
+    * implementation the one-pass expression is pinned against
+    * (FunctionsSpec); the registered queries use [[fingerprints]]. */
+  private[graft] def simhashAggForm(s: SparkSession, d: String): DataFrame =
+    documentsSimhashAssemble(simhashSums(s, d))
+
+  val simhash: Q = (s, d) =>
+    fingerprints(s, d).select(col("doc_id"),
+      concat((0 until 64).map { b =>
+        val (c, sh) = if (b < 32) (col("fp_hi"), 31 - b) else (col("fp_lo"), 63 - b)
+        when(shiftright(c, sh).bitwiseAND(lit(1L)) === 1L, "1").otherwise("0")
+      }: _*).as("simhash"))
+      .orderBy("doc_id")
 
   /** Assemble the 64-char bitstring: bit b set iff 2·S_b > N (the packed
     * equivalent of Σ±1 > 0). */
@@ -258,14 +270,18 @@ object DedupOps {
 
   /** 64-bit simhash fingerprints packed as two sign-free unsigned-32
     * longs (fp_hi = bits 0..31 MSB-first, fp_lo = bits 32..63) — the
-    * representation every engine's bit ops agree on. */
+    * representation every engine's bit ops agree on. Computed by the
+    * one-pass [[graft.expressions.SimHashFingerprint]] expression over
+    * the token array: a pure scan+map, NO exchange — the explode +
+    * 64-aggregate groupBy it replaces shuffled a 65-column partial per
+    * document (bit-equality with that form pinned in FunctionsSpec). */
   private def fingerprints(s: SparkSession, d: String): DataFrame = {
-    val sums = simhashSums(s, d)
-    def half(range: Range, base: Int): Column =
-      range.map(b => when(col(s"s$b") * 2 > col("n_tok"),
-        lit(1L << (base - b))).otherwise(lit(0L))).reduce(_ + _)
-    sums.select(col("doc_id"),
-      half(0 until 32, 31).as("fp_hi"), half(32 until 64, 63).as("fp_lo"))
+    graft.expressions.TextShingles.register(s)
+    graft.expressions.SimHashFingerprint.register(s)
+    documents(s, d)
+      .select(col("doc_id"), expr("simhash_fp(text_shingles(text, 1))").as("fp"))
+      .select(col("doc_id"),
+        element_at(col("fp"), 1).as("fp_hi"), element_at(col("fp"), 2).as("fp_lo"))
   }
 
   /** Generalized pigeonhole candidate index over a fingerprint table

@@ -106,6 +106,21 @@ class FunctionsSpec extends SparkSpec {
     assert(orig.toSeq == rt.toSeq, s"round trip mismatch:\n${orig.toSeq}\n${rt.toSeq}")
   }
 
+  test("SimHashFingerprint expression == the explode+groupBy aggregation, bit for bit") {
+    val d = "/root/testdata/sf0.001"
+    // the registered query (one-pass expression) against the retained
+    // aggregation reference form — same 64-char bitstring per document
+    val viaExpr = graft.ops.DedupOps.queries("dedup_simhash")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaAgg = graft.ops.DedupOps.simhashAggForm(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaExpr.size == viaAgg.size && viaExpr.nonEmpty)
+    assert(viaExpr == viaAgg, {
+      val diff = viaExpr.collect { case (k, v) if viaAgg.get(k) != Some(v) => k }.take(3)
+      s"fingerprints diverge for docs $diff"
+    })
+  }
+
   test("MinHashSignatures expression == the explode+groupBy aggregation, byte for byte") {
     val d = "/root/testdata/sf0.001"
     graft.expressions.TextShingles.register(spark)
