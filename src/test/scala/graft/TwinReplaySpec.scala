@@ -211,6 +211,42 @@ class TwinReplaySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("twin replay: streaming tumbling-hour counts over chunked MemoryStream == batch agg_hourly_count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, D)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+    val maxUs = rows.map(_._2).max
+    val input = MemoryStream[(String, Long)]
+    // the streaming-native form is the tumbling event-time window; the
+    // batch operator groups by hour OF DAY, so finalized windows are
+    // re-grouped by their start's hour-of-day for the comparison
+    val agg = input.toDF().toDF("event_type", "us")
+      .select(col("event_type"), timestamp_micros(col("us")).as("ts"))
+      .withWatermark("ts", "1 second")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("hourly_twin")
+      .outputMode("append").start()
+    try {
+      feedChunked(input, q, rows,
+        Seq(("__wm__", maxUs + 7_200_000_000L), ("__wm__", maxUs + 14_400_000_000L)))
+      val streamed = spark.table("hourly_twin")
+        .where(col("event_type") =!= "__wm__")
+        .selectExpr("event_type", "window.start AS ws", "n")
+        .collect()
+        .map(r => ((r.getString(0),
+          java.time.Instant.ofEpochMilli(r.getTimestamp(1).getTime)
+            .atZone(java.time.ZoneOffset.UTC).getHour), r.getLong(2)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      val batch = SparkEntry.queries("agg_hourly_count")(spark, D).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"streamed hourly (${streamed.size} groups) != batch (${batch.size} groups)")
+    } finally q.stop()
+  }
+
   test("twin replay: upsert sink over chunked shuffled MemoryStream == batch changelog_upsert") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
