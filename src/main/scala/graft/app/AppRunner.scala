@@ -51,7 +51,20 @@ object AppRunner {
       val td = FlinkDdl.parse(src.createTable)
       // evalTime pins LOCALTIMESTAMP in computed columns too, not just the
       // statement — determinism must cover the whole app.
-      applyDerived(resolve(td), td, evalTime).createOrReplaceTempView(td.name)
+      val derived = applyDerived(resolve(td), td, evalTime)
+      // the view exposes exactly the DDL-declared surface (data +
+      // computed + metadata columns, in declaration order) — Flink's
+      // SELECT * semantics. A CDC-decoded resolver carries transport
+      // columns (_op, _source_ts, _tx_id) that must not leak into a
+      // star expansion; declared columns a batch fixture legitimately
+      // lacks (e.g. unmapped metadata) are skipped rather than failing.
+      // case-insensitive resolution (a jdbc database may uppercase
+      // identifiers — Derby does), normalized back to the DDL's names
+      val byLower = derived.columns.map(c => c.toLowerCase -> c).toMap
+      val declared = (td.cols.map(_.name) ++ td.computed.map(_.name) ++
+        td.metadata.map(_.name))
+        .flatMap(n => byLower.get(n.toLowerCase).map(actual => col(actual).as(n)))
+      derived.select(declared: _*).createOrReplaceTempView(td.name)
     }
     val sink = spec.sinks.headOption.map(s => FlinkDdl.parse(s.createTable))
     val shimmed = FlinkSqlShim.rewrite(spec.statement, evalTime)

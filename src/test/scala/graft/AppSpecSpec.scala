@@ -219,6 +219,66 @@ class AppSpecSpec extends SparkSpec {
     }
   }
 
+  test("scenario 4 app spec runs as a REAL streaming query (cdc wire -> resolve -> statement -> sink)") {
+    loadSpec("04-flink-cdc-outbox.json") match {
+      case None => cancel("reference not available")
+      case Some(spec) =>
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.sources.{CdcFixtures, ConnectorSources}
+        // the outbox changelog as debezium envelopes on the topic the
+        // postgres-cdc plan derives (my_pg.public.orders_outbox),
+        // delivered through a STREAMING wire frame — so the whole app
+        // (resolve -> decode -> statement -> sink encode) runs as one
+        // structured streaming query, the reference's actual mode
+        val cfg = CdcFixtures.ConnectorConfig("outbox", "my_pg", "defaultdb",
+          Seq("public.orders_outbox"))
+        val rows = Seq(
+          (1, "Medonna", "Michelangelo", """[{"pizza":"Krang","price":5}]"""),
+          (2, "Wall Smith", "Donatello", """[{"pizza":"Master Splinter","price":8}]"""))
+        val envs = rows.map { case (id, cn, tn, pz) =>
+          CdcFixtures.envelope(cfg, "public", "orders_outbox", "c",
+            s"""{"order_id":$id,"client_name":"$cn","table_name":"$tn","pizzas":${jsonStr(pz)}}""",
+            1695510000000L, id.toLong)
+        }
+        val input = MemoryStream[String]
+        val wire = input.toDF()
+          .select(lit(null).cast("binary").as("key"),
+            col("value").cast("binary").as("value"),
+            lit(cfg.topicFor("public", "orders_outbox")).as("topic"),
+            lit(0).as("partition"), lit(0L).as("offset"),
+            timestamp_millis(lit(1695510000000L)).as("timestamp"),
+            lit(0).as("timestampType"))
+        def resolver(td: FlinkDdl.TableDef): DataFrame =
+          ConnectorSources.resolve(spark, td, wireSource = Some(_ => wire))
+        val res = AppRunner.run(spark, spec, resolver _)
+        assert(res.df.isStreaming, "the resolved app must be a streaming query")
+        assert(res.sink.exists(_.connector == "upsert-kafka"))
+        // write through the sink encode — the upsert-kafka wire shape
+        val q = ConnectorSources.encodeKafka(res.df, res.sink.get)
+          .writeStream.format("memory").queryName("sc4_out")
+          .outputMode("append").start()
+        try {
+          input.addData(envs)
+          q.processAllAvailable()
+          val got = spark.table("sc4_out").collect().map { r =>
+            (new String(r.getAs[Array[Byte]]("key")),
+              new String(r.getAs[Array[Byte]]("value")), r.getString(2))
+          }.sortBy(_._1)
+          assert(got.map(_._3).distinct.toSeq == Seq("order_output"))
+          assert(got.map(_._1).toSeq ==
+            Seq("""{"order_id":1}""", """{"order_id":2}"""))
+          assert(got.head._2.contains("\"client_name\":\"Medonna\"") &&
+            got.head._2.contains("Krang"))
+        } finally q.stop()
+    }
+  }
+
+  /** JSON-escape a string value for embedding in an envelope row image. */
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   test("scenario 6 app spec: temporal join statement (batch image of the dims)") {
     loadSpec("06-flink-cdc-temporal-join.json") match {
       case None => cancel("reference not available")
