@@ -265,20 +265,26 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  /** Frame sampling over the video payloads: every 4th frame of
-    * `byte_len div 100 + 1` frames, each tagged with a deterministic
-    * frame fingerprint. Pure column expressions — whole-stage codegen,
-    * no decoder round-trip for the sampling plan itself. */
-  val frameSample: Q = (s, d) =>
-    documents(s, d)
-      .withColumn("byte_len", length(col("text").cast("binary")))
-      .withColumn("n_frames", expr("byte_len div 100 + 1"))
+  /** Frame sampling over the video payloads, driven by REAL container
+    * metadata: the frame budget is the mdhd duration the box walk
+    * recovered (at the fixture's 1 fps), NOT a formula over raw bytes —
+    * so a wrong parse produces wrong frame ids and the oracle catches
+    * it. Every 4th frame is kept and tagged with a deterministic
+    * fingerprint. One decode pass (the same partition-wise decoder as
+    * [[decodeMeta]]); everything after it is pure column algebra in
+    * whole-stage codegen. */
+  val frameSample: Q = (s, d) => {
+    import s.implicits._
+    blobs(s, d).mapPartitions(decodePartition).toDF()
+      .where(col("media_type") === "video")
+      .withColumn("n_frames", col("channels")) // duration_sec × 1 fps
       .select(col("doc_id"),
-        explode(expr("sequence(0, n_frames - 1, 4)")).as("frame_id"),
-        col("text"))
+        explode(expr("sequence(0, n_frames - 1, 4)")).as("frame_id"))
       .select(col("doc_id"), col("frame_id").cast("int").as("frame_id"),
-        md5(concat(col("text"), lit(":"), col("frame_id").cast("string"))).as("frame_hash"))
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("frame_id").cast("string"))).as("frame_hash"))
       .orderBy("doc_id", "frame_id")
+  }
 
   val queries: Map[String, Q] = Map(
     "mm_decode_meta" -> decodeMeta,
@@ -306,12 +312,16 @@ object MultimodalOps {
                 WHEN 1 THEN 1 + doc_id % 2
                 ELSE 1 + length(text) % 30 END AS INT) AS channels
          FROM documents ORDER BY doc_id""",
+    // video rows only; the frame budget is the closed-form duration the
+    // real mdhd parse must recover (1 fps)
     "mm_frame_sample" ->
-      """WITH f AS (SELECT doc_id, text,
-                      unnest(generate_series(0, octet_length(encode(text)) // 100, 4)) AS frame_id
-                    FROM documents)
+      """WITH v AS (SELECT doc_id, 1 + length(text) % 30 AS n_frames
+                    FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+          f AS (SELECT doc_id,
+                  unnest(generate_series(0, n_frames - 1, 4)) AS frame_id
+                FROM v)
          SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
-           md5(text || ':' || CAST(frame_id AS VARCHAR)) AS frame_hash
+           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_id AS VARCHAR)) AS frame_hash
          FROM f ORDER BY doc_id, frame_id""",
   )
 }
