@@ -328,6 +328,27 @@ object RefOps {
       .orderBy("o_orderkey")
   }
 
+  /** Poison-message quarantine — the dead-letter path of the envelope
+    * decode: every o_orderkey % 97 == 0 envelope is deterministically
+    * corrupted (leading '{' becomes '<'), and [[graft.streaming.Debezium
+    * .decodeFlagged]] must quarantine EXACTLY those (null row fields,
+    * `_quarantined` = true, raw bytes preserved) while decoding the rest
+    * untouched — the oracle's closed form knows which keys were mangled. */
+  val fmtDebeziumDlq: Q = (s, d) => {
+    val env = orders(s, d).select(col("o_orderkey").as("k"), to_json(struct(
+        lit(null).cast(afterSchema).as("before"),
+        struct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")).as("after"),
+        struct(lit("orders").as("table"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ts_ms")).as("source"),
+        lit("c").as("op"))).as("value"))
+      .select(when(col("k") % 97 === 0,
+        concat(lit("<"), expr("substring(value, 2)"))).otherwise(col("value")).as("value"))
+    graft.streaming.Debezium.decodeFlagged(env, afterSchema)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("_quarantined"))
+      .orderBy(col("_quarantined"), col("o_orderkey").asc_nulls_first)
+  }
+
   /** JSON key/value for the upsert sink (`'key.format'='json'`,
     * 01-basic-jdbc.json:26). */
   val fmtJsonKv: Q = (s, d) =>
@@ -601,6 +622,7 @@ object RefOps {
     "fn_date_trunc" -> fnDateTrunc,
     "fn_cast_text" -> fnCastText,
     "fmt_debezium_decode" -> fmtDebeziumDecode,
+    "fmt_debezium_dlq" -> fmtDebeziumDlq,
     "fmt_json_kv" -> fmtJsonKv,
     "src_meta_col" -> srcMetaCol,
     "changelog_upsert" -> changelogUpsert,
@@ -730,6 +752,12 @@ object RefOps {
     "fmt_debezium_decode" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
          ORDER BY o_orderkey""",
+    "fmt_debezium_dlq" ->
+      """SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderkey END AS o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+           (o_orderkey % 97 = 0) AS _quarantined
+         FROM orders ORDER BY _quarantined, o_orderkey NULLS FIRST""",
     "fmt_json_kv" ->
       """SELECT json_object('o_orderkey', o_orderkey)::VARCHAR AS kafka_key,
          json_object('o_orderkey', o_orderkey, 'o_orderstatus', o_orderstatus)::VARCHAR AS kafka_value

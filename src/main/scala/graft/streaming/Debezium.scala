@@ -45,6 +45,31 @@ object Debezium {
       .select((rowSchema.fieldNames.map(f => col(s"_row.$f")) ++
         Seq(col("_op"), col("_source_ts"), col("_tx_id"))): _*)
 
+  /** [[decode]] with poison-message quarantine instead of silent nulls:
+    * a value whose envelope fails to parse (corrupt bytes, truncated
+    * message, non-envelope JSON) or that lacks an `op` is flagged
+    * `_quarantined` with null row fields and its raw bytes preserved in
+    * `_raw` — the caller routes those to a dead-letter sink and the good
+    * rows flow on. An at-least-once pipeline must never stall on one bad
+    * message, and silently decoding a corrupt envelope as all-null row
+    * fields (what plain from_json does) poisons downstream aggregates
+    * instead of isolating the message. */
+  def decodeFlagged(raw: DataFrame, rowSchema: StructType,
+      valueCol: String = "value"): DataFrame = {
+    val q = col("_quarantined")
+    raw
+      .withColumn("_env", from_json(col(valueCol), envelopeSchema(rowSchema)))
+      .withColumn("_quarantined", col("_env").isNull || col("_env.op").isNull)
+      .withColumn("_row",
+        when(col("_env.op") === "d", col("_env.before")).otherwise(col("_env.after")))
+      .select((rowSchema.fieldNames.map(f =>
+        when(q, lit(null)).otherwise(col(s"_row.$f")).as(f)) ++
+        Seq(when(q, lit(null)).otherwise(col("_env.op")).as("_op"),
+          when(q, lit(null)).otherwise(timestamp_millis(col("_env.source.ts_ms"))).as("_source_ts"),
+          when(q, lit(null)).otherwise(col("_env.source.txId")).as("_tx_id"),
+          q, col(valueCol).as("_raw"))): _*)
+  }
+
   /** Collapse a decoded changelog to the latest image per key (deletes
     * produce no row) — what a keyed upsert sink needs per micro-batch
     * (README.md:260-301). Deterministic via the (version, tiebreak)
