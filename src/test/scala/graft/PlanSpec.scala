@@ -123,6 +123,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("events_retention: activity collapses to distinct (user, day) BEFORE the cohort join") {
+    val plan = finalPlan(graft.ops.RefOps.queries("events_retention")(spark, d))
+    // the distinct must partial-aggregate below its exchange so the join
+    // input is |users|·|days|, never |events| — the no-power-user-skew claim
+    val firstJoin = plan.indexOf("Join")
+    val distinctAgg = plan.indexOf("HashAggregate(keys=[user_id")
+    assert(firstJoin >= 0 && distinctAgg > firstJoin,
+      s"distinct (user, day) must sit below the cohort join:\n$plan")
+    assert(plan.contains("partial_count"), plan) // final (cohort, offset) combine
+    // both scans pruned to the two referenced columns
+    assert("ReadSchema: struct<ts:bigint,user_id:bigint>".r
+      .findAllIn(plan).size >= 2, plan)
+  }
+
+  test("dedup_ngram_containment: both directions read the materialized pair frame, no recompute") {
+    val plan = finalPlan(graft.ops.DedupOps.queries("dedup_ngram_containment")(spark, d))
+    // the expensive shingle self-join must appear ONCE (checkpointed);
+    // the two directed projections scan the materialized rows
+    assert(!plan.contains("text_shingles"),
+      s"directions must consume the checkpointed pairs, not recompute the index:\n$plan")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Union"), plan)
+  }
+
+  test("simhash fingerprints are scan-local: no exchange before the output sort") {
+    val plan = finalPlan(graft.ops.DedupOps.queries("dedup_simhash")(spark, d))
+    val exchanges = "Exchange \\w+".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"the one-pass fingerprint expression must not shuffle:\n$plan")
+    assert(plan.contains("simhash_fp") || plan.contains("SimHashFingerprint"), plan)
+  }
+
   test("sim_q8_topk scores integer dots under the bounded top-k shape") {
     val plan = finalPlan(graft.ops.SimOps.queries("sim_q8_topk")(spark, d))
     // broadcast queries (corpus never shuffles for the join) and the

@@ -44,6 +44,41 @@ class StreamingSpec extends SparkSpec {
     assert(decoded(0).getAs[java.sql.Timestamp]("_source_ts").getTime == 1695510000000L)
   }
 
+  test("streaming decode routes poison messages to a dead-letter sink; good rows flow on") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val goodDir = Files.createTempDirectory("dlq_good").toString
+    val dlqDir = Files.createTempDirectory("dlq_bad").toString
+    val ckpt = Files.createTempDirectory("dlq_ck").toString
+    val input = MemoryStream[String]
+    val decoded = Debezium.decodeFlagged(input.toDF().toDF("value"), orderRow)
+    val q = decoded.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint() // two writers below, one source read
+        b.where(!col("_quarantined")).drop("_quarantined", "_raw")
+          .write.mode("append").parquet(goodDir)
+        // the DLQ carries the raw bytes — that IS the payload to replay
+        b.where(col("_quarantined")).select("_raw")
+          .write.mode("append").parquet(dlqDir)
+      }
+      .start()
+    try {
+      input.addData(Seq(
+        env("c", 1, Seq(2), 1695510000000L, 1),
+        "<garbage-not-json",
+        env("c", 2, Seq(3), 1695510001000L, 2),
+        """{"valid_json":"but not an envelope"}"""))
+      q.processAllAvailable()
+      val good = spark.read.parquet(goodDir).select("id").collect().map(_.getInt(0)).sorted
+      assert(good.toSeq == Seq(1, 2), "both valid envelopes must decode")
+      val bad = spark.read.parquet(dlqDir).collect().map(_.getString(0)).sorted
+      assert(bad.length == 2 && bad.exists(_.startsWith("<garbage")) &&
+        bad.exists(_.contains("valid_json")),
+        s"both poison messages must land in the DLQ with raw bytes intact; got ${bad.mkString("|")}")
+    } finally q.stop()
+  }
+
   test("latestImagePerKey collapses a changelog; delete wins and removes the key") {
     import spark.implicits._
     val raw = Seq(
