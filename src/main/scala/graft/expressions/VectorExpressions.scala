@@ -20,9 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // (ExpectsInputTypes is private[sql]; callers guarantee array<float>.)
+  // (ExpectsInputTypes is private[sql]; callers guarantee array<float>.
+  // containsNull is not constrained: a false-typed input — e.g. a SQL
+  // array literal — is strictly safer than the true-typed parquet shape.)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType == ArrayType(FloatType))
+    val ok = Seq(left, right).forall(e =>
+      e.dataType.isInstanceOf[ArrayType] &&
+        e.dataType.asInstanceOf[ArrayType].elementType == FloatType)
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"float_dot requires array<float> inputs, got ${left.dataType}, ${right.dataType}")
