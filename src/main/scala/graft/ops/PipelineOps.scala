@@ -366,7 +366,42 @@ object PipelineOps {
       .orderBy("chunk_hash")
   }
 
+  /** Data-quality expectations — the dbt-test / expectations-suite shape
+    * a pipeline runs before promoting a batch: each check counts its
+    * violations (uniqueness, non-null, domain membership, referential
+    * containment, range) and the output is one row per check with a
+    * pass flag. Every check is a scan-shaped aggregate or a left_anti
+    * join on a uniform key; the report is a union of 1-row frames, so
+    * the whole suite is one job with no driver-side looping over data.
+    * A failed check does not throw — promotion gates read the report
+    * (quarantine-and-continue, like the DLQ decode path). */
+  val corpusExpectations: Q = (s, d) => {
+    val docs = documents(s, d)
+    val ev = graft.Tables.events(s, d)
+    def report(name: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).cast("long").as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+    Seq(
+      report("documents.doc_id.unique",
+        docs.groupBy("doc_id").agg(count(lit(1)).as("n")).where(col("n") > 1)),
+      report("documents.text.non_empty",
+        docs.where(col("text").isNull || length(col("text")) === 0)),
+      report("documents.lang.in_domain",
+        docs.where(!col("lang").isin("de", "en", "es", "fr", "zh"))),
+      report("events.event_type.in_domain",
+        ev.where(!col("event_type").isin("view", "click", "purchase", "signup", "error"))),
+      report("events.user_id.in_customer",
+        ev.select("user_id").join(customer(s, d),
+          col("user_id") === col("c_custkey"), "left_anti")),
+      report("events.ts.in_range",
+        ev.where(col("ts") < lit("2024-01-01").cast("timestamp") ||
+          col("ts") >= lit("2025-01-01").cast("timestamp"))),
+    ).reduce(_.unionByName(_)).orderBy("check_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "corpus_expectations" -> corpusExpectations,
     "doc_chunk" -> docChunk,
     "chunk_dedup" -> chunkDedup,
     "chunk_dedup_fuzzy" -> chunkDedupFuzzy,
@@ -398,6 +433,21 @@ object PipelineOps {
       .reduce((acc, n) => s"($acc * 16 + $n)")
 
   val oracles: Map[String, String] = Map(
+    "corpus_expectations" ->
+      """SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
+           SELECT 'documents.doc_id.unique' AS check_name,
+             CAST((SELECT COUNT(*) FROM (SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations
+           UNION ALL SELECT 'documents.text.non_empty',
+             CAST((SELECT COUNT(*) FROM documents WHERE text IS NULL OR length(text) = 0) AS BIGINT)
+           UNION ALL SELECT 'documents.lang.in_domain',
+             CAST((SELECT COUNT(*) FROM documents WHERE lang NOT IN ('de','en','es','fr','zh')) AS BIGINT)
+           UNION ALL SELECT 'events.event_type.in_domain',
+             CAST((SELECT COUNT(*) FROM events WHERE event_type NOT IN ('view','click','purchase','signup','error')) AS BIGINT)
+           UNION ALL SELECT 'events.user_id.in_customer',
+             CAST((SELECT COUNT(*) FROM events e WHERE user_id NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+           UNION ALL SELECT 'events.ts.in_range',
+             CAST((SELECT COUNT(*) FROM events WHERE ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2025-01-01') AS BIGINT)
+         ) ORDER BY check_name""",
     "vocab_kmv" -> {
       val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
       s"""WITH t AS (SELECT unnest(string_split($norm, ' ')) AS tok FROM documents),
