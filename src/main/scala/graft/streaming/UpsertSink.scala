@@ -180,13 +180,38 @@ object UpsertSink {
       .orderBy((col(versionCol).desc +: col("_from_batch").desc
         +: tiebreakCols.map(col(_).desc)): _*)
     val delCol = deleteCol.getOrElse("_no_delete")
-    val batchTagged = (deleteCol match {
+    val batchTagged0 = (deleteCol match {
       case Some(c) => batch.withColumn(c, coalesce(col(c), lit(false)))
       case None => batch.withColumn(delCol, lit(false))
     }).withColumn("_from_batch", lit(1))
       .withColumn(BucketCol, bucketOf(keyCols, nBuckets))
 
-    val existing: Option[DataFrame] = readKeyedTableRaw(spark, path)
+    val existingRaw: Option[DataFrame] = readKeyedTableRaw(spark, path)
+
+    // Schema evolution: a batch may ADD columns (upstream DDL change) or
+    // arrive WITHOUT columns the table already carries. Widen BOTH sides
+    // to the union of data columns (the missing side null-filled) and
+    // drop the stored bucket column, which routes this merge through the
+    // whole-table rewrite: a per-bucket swap would leave mixed-schema
+    // bucket directories that a plain parquet read cannot assemble.
+    // Schema changes are rare; one rewrite per change is the honest cost.
+    val helperCols = Set(delCol, "_from_batch", BucketCol)
+    def addMissing(df: DataFrame,
+        want: Seq[org.apache.spark.sql.types.StructField]): DataFrame =
+      want.filterNot(f => df.columns.contains(f.name)).foldLeft(df)((acc, f) =>
+        acc.withColumn(f.name, lit(null).cast(f.dataType)))
+    val batchDataFields = batchTagged0.schema.fields.filterNot(f => helperCols(f.name)).toSeq
+    val exDataFields = existingRaw
+      .map(_.schema.fields.filterNot(_.name == BucketCol).toSeq).getOrElse(Nil)
+    val schemaChanged = existingRaw.isDefined &&
+      exDataFields.map(_.name).toSet != batchDataFields.map(_.name).toSet
+    val existing =
+      if (!schemaChanged) existingRaw
+      else existingRaw.map(ex => addMissing(
+        if (ex.columns.contains(BucketCol)) ex.drop(BucketCol) else ex,
+        batchDataFields))
+    val batchTagged =
+      if (!schemaChanged) batchTagged0 else addMissing(batchTagged0, exDataFields)
 
     // Buckets the batch touches — at most nBuckets values, so the driver
     // collect here is bounded by the layout constant, never by data size.

@@ -211,6 +211,26 @@ class StreamingSpec extends SparkSpec {
     assert(UpsertSink.readKeyedTable(spark, dir).get.count() == 100)
   }
 
+  test("upsert schema evolution: added column widens the table; narrower batch keeps it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("upsert_evo").toString + "/t"
+    UpsertSink.mergeBatch(Seq((1, "v1", 10L)).toDF("id", "v", "ver"),
+      Seq("id"), "ver", dir, nBuckets = 8)
+    // upstream DDL added a column: old rows must widen to null, and the
+    // table takes ONE full rewrite so no bucket dir keeps the old schema
+    UpsertSink.mergeBatch(Seq((2, "v2", 20L, "n2")).toDF("id", "v", "ver", "note"),
+      Seq("id"), "ver", dir, nBuckets = 8)
+    val widened = spark.read.parquet(dir).select("id", "v", "note")
+      .collect().map(r => r.getInt(0) -> Option(r.getString(2))).toMap
+    assert(widened == Map(1 -> None, 2 -> Some("n2")))
+    // a later batch WITHOUT the column must not drop it for stored rows
+    UpsertSink.mergeBatch(Seq((3, "v3", 30L)).toDF("id", "v", "ver"),
+      Seq("id"), "ver", dir, nBuckets = 8)
+    val after = spark.read.parquet(dir).select("id", "note")
+      .collect().map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(after == Map(1 -> None, 2 -> Some("n2"), 3 -> None))
+  }
+
   test("nBuckets change routes through a full rewrite; no stale duplicate keys") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
