@@ -211,6 +211,23 @@ class StreamingSpec extends SparkSpec {
     assert(UpsertSink.readKeyedTable(spark, dir).get.count() == 100)
   }
 
+  test("upsert merge is idempotent: replaying the identical batch changes nothing") {
+    import spark.implicits._
+    // the crash story leans on this: after a mid-swap crash the
+    // checkpoint re-delivers the batch, and re-merging it must converge
+    // to the same table, byte-for-byte row content
+    val dir = Files.createTempDirectory("upsert_idem").toString + "/t"
+    val b = Seq((1, "v1", 10L, false), (2, "v2", 20L, false), (3, "x", 5L, true))
+      .toDF("id", "v", "ver", "del")
+    UpsertSink.mergeBatch(b, Seq("id"), "ver", dir, deleteCol = Some("del"), nBuckets = 8)
+    val first = spark.read.parquet(dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    UpsertSink.mergeBatch(b, Seq("id"), "ver", dir, deleteCol = Some("del"), nBuckets = 8)
+    val second = spark.read.parquet(dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(first == second && first == Set((1, "v1", 10L), (2, "v2", 20L)))
+  }
+
   test("upsert schema evolution: added column widens the table; narrower batch keeps it") {
     import spark.implicits._
     val dir = Files.createTempDirectory("upsert_evo").toString + "/t"
