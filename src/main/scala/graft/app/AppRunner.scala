@@ -59,10 +59,19 @@ object AppRunner {
       // star expansion; declared columns a batch fixture legitimately
       // lacks (e.g. unmapped metadata) are skipped rather than failing.
       // case-insensitive resolution (a jdbc database may uppercase
-      // identifiers — Derby does), normalized back to the DDL's names
+      // identifiers — Derby does), normalized back to the DDL's names.
+      // Declared DATA and computed columns must all resolve — a silently
+      // narrowed view would misalign the positional sink mapping and
+      // "succeed" with the wrong output surface; only metadata columns
+      // may be legitimately absent (batch fixtures without a changelog
+      // transport have nothing to map them from).
       val byLower = derived.columns.map(c => c.toLowerCase -> c).toMap
-      val declared = (td.cols.map(_.name) ++ td.computed.map(_.name) ++
-        td.metadata.map(_.name))
+      val required = td.cols.map(_.name) ++ td.computed.map(_.name)
+      val missing = required.filterNot(n => byLower.contains(n.toLowerCase))
+      require(missing.isEmpty,
+        s"source ${td.name}: resolver did not provide declared column(s) " +
+          s"${missing.mkString(", ")} (resolved columns: ${derived.columns.mkString(", ")})")
+      val declared = (required ++ td.metadata.map(_.name))
         .flatMap(n => byLower.get(n.toLowerCase).map(actual => col(actual).as(n)))
       derived.select(declared: _*).createOrReplaceTempView(td.name)
     }

@@ -46,12 +46,18 @@ case class SimHashFingerprint(child: Expression)
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      md.reset()
-      val digest = md.digest(arr.getUTF8String(j).getBytes)
-      var b = 0
-      while (b < 64) {
-        counts(b) += (digest(b >> 3) >> (7 - (b & 7))) & 1
-        b += 1
+      // null tokens (possible through the open SQL surface, never from
+      // text_shingles) count toward n but set no bits — the same effect
+      // a null has in the aggregation form (sum skips it, count doesn't)
+      val tok = arr.getUTF8String(j)
+      if (tok != null) {
+        md.reset()
+        val digest = md.digest(tok.getBytes)
+        var b = 0
+        while (b < 64) {
+          counts(b) += (digest(b >> 3) >> (7 - (b & 7))) & 1
+          b += 1
+        }
       }
       j += 1
     }

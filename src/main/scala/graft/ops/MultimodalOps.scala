@@ -213,9 +213,12 @@ object MultimodalOps {
   /** Binary payloads per document; type assigned round-robin. The
     * mapPartitions shape matches a real ingest: encoder state could be
     * hoisted per partition (ImageIO's writer lookup is cached JVM-wide). */
-  private def blobs(s: SparkSession, d: String) = {
+  private def blobs(s: SparkSession, d: String) =
+    blobsOf(s, documents(s, d))
+
+  private def blobsOf(s: SparkSession, docs: org.apache.spark.sql.DataFrame) = {
     import s.implicits._
-    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         MediaBlob(id, mediaType(id), makeContent(id, text))
       })
@@ -275,8 +278,11 @@ object MultimodalOps {
     * whole-stage codegen. */
   val frameSample: Q = (s, d) => {
     import s.implicits._
-    blobs(s, d).mapPartitions(decodePartition).toDF()
-      .where(col("media_type") === "video")
+    // media type is a pure doc_id formula, so restrict to video rows
+    // BEFORE synthesis/decode — encoding and decoding the PNG/WAV blobs
+    // of the other two thirds just to filter them out is wasted work
+    blobsOf(s, documents(s, d).where(col("doc_id") % 3 === 2))
+      .mapPartitions(decodePartition).toDF()
       .withColumn("n_frames", col("channels")) // duration_sec × 1 fps
       .select(col("doc_id"),
         explode(expr("sequence(0, n_frames - 1, 4)")).as("frame_id"))

@@ -79,12 +79,17 @@ object UpsertSink {
   /** Whether a Delta Lake runtime can execute MERGE in this session:
     * the delta-spark jar must be on the classpath AND the session must
     * have been BUILT with Delta's SQL extension (it cannot be retrofitted
-    * onto a live session). Feature detection only — no compile-time
-    * dependency on Delta anywhere in this file. */
+    * onto a live session). The extension is visible either through the
+    * `spark.sql.extensions` conf (spark-submit style) or through the
+    * injected parser's class (programmatic `.withExtensions(...)` never
+    * sets the conf). Feature detection only — no compile-time dependency
+    * on Delta anywhere in this file. */
   def deltaAvailable(spark: SparkSession): Boolean =
-    scala.util.Try(Class.forName("io.delta.sql.DeltaSparkSessionExtension")).isSuccess &&
+    scala.util.Try(Class.forName("io.delta.sql.DeltaSparkSessionExtension")).isSuccess && {
       spark.conf.getOption("spark.sql.extensions")
-        .exists(_.contains("DeltaSparkSessionExtension"))
+        .exists(_.contains("DeltaSparkSessionExtension")) ||
+        spark.sessionState.sqlParser.getClass.getName.toLowerCase.contains("delta")
+    }
 
   /** Delta-format merge: same latest-per-key + tombstone + version-gate
     * semantics as the parquet path, expressed as one MERGE INTO statement
@@ -111,14 +116,27 @@ object UpsertSink {
       .orderBy((col(versionCol).desc +: tiebreakCols.map(col(_).desc)): _*)
     val latest = tagged.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")
-    val dataCols = latest.columns.filterNot(_ == delCol).toSeq
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path, "_delta_log"))) {
       latest.where(!col(delCol)).drop(delCol)
         .write.format("delta").mode("overwrite").save(path)
     } else {
+      // schema evolution, mirroring the parquet path: columns the batch
+      // ADDS are declared on the target first (ALTER TABLE — Delta
+      // metadata-only), columns the batch LACKS ride as nulls so the
+      // UPDATE/INSERT lists always reference the union surface
+      val stored = spark.read.format("delta").load(path).schema.fields.toSeq
+      val storedNames = stored.map(_.name).toSet
+      val batchAdds = latest.schema.fields
+        .filterNot(f => f.name == delCol || storedNames.contains(f.name))
+      if (batchAdds.nonEmpty)
+        spark.sql(s"ALTER TABLE delta.`$path` ADD COLUMNS (" +
+          batchAdds.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ")")
+      val widened = stored.filterNot(f => latest.columns.contains(f.name))
+        .foldLeft(latest)((acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
+      val dataCols = widened.columns.filterNot(_ == delCol).toSeq
       val view = s"graft_merge_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      latest.createOrReplaceTempView(view)
+      widened.createOrReplaceTempView(view)
       try {
         val onClause = keyCols.map(k => s"t.`$k` <=> s.`$k`").mkString(" AND ")
         val setClause = dataCols.map(c => s"t.`$c` = s.`$c`").mkString(", ")
@@ -203,8 +221,14 @@ object UpsertSink {
     val batchDataFields = batchTagged0.schema.fields.filterNot(f => helperCols(f.name)).toSeq
     val exDataFields = existingRaw
       .map(_.schema.fields.filterNot(_.name == BucketCol).toSeq).getOrElse(Nil)
+    // compare (name, type), not names alone: a TYPE change (upstream
+    // widened int → long) must also take the full rewrite, or touched
+    // buckets get the new physical type while untouched keep the old —
+    // exactly the mixed-schema layout this branch exists to prevent
+    def shape(fs: Seq[org.apache.spark.sql.types.StructField]) =
+      fs.map(f => f.name -> f.dataType.catalogString).toSet
     val schemaChanged = existingRaw.isDefined &&
-      exDataFields.map(_.name).toSet != batchDataFields.map(_.name).toSet
+      shape(exDataFields) != shape(batchDataFields)
     val existing =
       if (!schemaChanged) existingRaw
       else existingRaw.map(ex => addMissing(

@@ -33,6 +33,17 @@ class ExtensionsSpec extends AnyFunSuite {
         check("SELECT binary_to_struct(struct_to_binary(named_struct('a', 7)), 'a INT').a", 7)
         // the whole point of extensions over temp functions: clones keep them
         check("SELECT int_dot(array(2, 2), array(5, 5))", 20L, s.newSession())
+        // misuse gets a readable argument error, not an internal trace
+        def messageChain(t: Throwable): String = {
+          var cur = t; val sb = new StringBuilder
+          while (cur != null) { sb.append(cur.getMessage).append('|'); cur = cur.getCause }
+          sb.toString
+        }
+        val arity = intercept[Throwable](s.sql("SELECT text_shingles('a b c')").collect())
+        assert(messageChain(arity).contains("expects 2"), messageChain(arity))
+        val notLit = intercept[Throwable](
+          s.sql("SELECT minhash_sigs(array('x'), CAST(9 AS BIGINT))").collect())
+        assert(messageChain(notLit).contains("literal INT"), messageChain(notLit))
       } finally {
         // the derived session shares the context; just clear the handles
         SparkSession.clearActiveSession()

@@ -248,6 +248,23 @@ class StreamingSpec extends SparkSpec {
     assert(after == Map(1 -> None, 2 -> Some("n2"), 3 -> None))
   }
 
+  test("upsert schema evolution: a column TYPE change takes the full rewrite too") {
+    import spark.implicits._
+    // name sets match but 'amt' widens int -> long: a per-bucket swap
+    // would leave INT32 files in untouched buckets next to INT64 in
+    // touched ones — the full rewrite must homogenize the table
+    val dir = Files.createTempDirectory("upsert_tevo").toString + "/t"
+    UpsertSink.mergeBatch(Seq((1, 10, 10L)).toDF("id", "amt", "ver"),
+      Seq("id"), "ver", dir, nBuckets = 8)
+    UpsertSink.mergeBatch(Seq((2, 20L, 20L)).toDF("id", "amt", "ver"),
+      Seq("id"), "ver", dir, nBuckets = 8)
+    val t = spark.read.parquet(dir)
+    assert(t.schema("amt").dataType == org.apache.spark.sql.types.LongType,
+      s"table must homogenize to the widened type; got ${t.schema}")
+    val got = t.select("id", "amt").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 10L, 2 -> 20L))
+  }
+
   test("nBuckets change routes through a full rewrite; no stale duplicate keys") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
