@@ -564,8 +564,35 @@ object DedupOps {
       .orderBy("vec_id")
   }
 
+  /** Quality-aware keeper election: within each near-dup cluster (the
+    * [[cluster]] components over the jaccard pair graph), keep the BEST
+    * document — best quality tier first ([[TextOps.withQuality]]'s gate,
+    * so the tier definition can't drift from the curation ops), lowest
+    * doc_id as the deterministic tie-break — instead of the blind min
+    * doc_id. This is the dedup policy a real corpus wants: when a clean
+    * original and a mangled scrape collide, the original survives.
+    * Cost over [[cluster]]: one |paired docs|-sized join against the
+    * scan-shaped quality projection and the same tiny per-cluster
+    * aggregate (min of a (rank, id) struct — partial-agg friendly). */
+  val keepBest: Q = (s, d) => {
+    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
+    val labels = connectedComponents(pairs)._1
+    val ranked = TextOps.withQuality(documents(s, d))
+      .select(col("doc_id"),
+        when(col("quality") === "good", 0)
+          .when(col("quality") === "ok", 1).otherwise(2).cast("int").as("q_rank"))
+    labels.join(ranked, "doc_id")
+      .groupBy(col("cluster_keeper").as("cluster_id"))
+      .agg(min(struct(col("q_rank"), col("doc_id"))).as("k"),
+        count(lit(1)).as("n_docs"))
+      .select(col("cluster_id"), col("k.doc_id").as("best_doc"),
+        col("k.q_rank").as("best_rank"), col("n_docs"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
+    "dedup_keep_best" -> keepBest,
     "dedup_cluster" -> cluster,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_ngram_containment" -> ngramContainment,
@@ -627,6 +654,38 @@ object DedupOps {
           SELECT n.doc_id, LEAST(n.doc_id, MIN(r.t)) AS cluster_keeper
           FROM nodes n JOIN reach r ON r.s = n.doc_id
           GROUP BY n.doc_id ORDER BY n.doc_id""",
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $ShinglesSql,
+          sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          jpairs AS (SELECT doc_a, doc_b FROM jp
+                     JOIN sz sa ON sa.doc_id = doc_a
+                     JOIN sz sb ON sb.doc_id = doc_b
+                     WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3),
+          edges AS (SELECT doc_a AS s, doc_b AS t FROM jpairs
+                    UNION ALL SELECT doc_b, doc_a FROM jpairs),
+          reach(s, t) AS (
+            SELECT s, t FROM edges
+            UNION
+            SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+          nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+          labels AS (SELECT n.doc_id, LEAST(n.doc_id, MIN(r.t)) AS cluster_keeper
+                     FROM nodes n JOIN reach r ON r.s = n.doc_id
+                     GROUP BY n.doc_id),
+          qb AS (SELECT doc_id, ${TextOps.QualityColsSql} FROM documents),
+          rnk AS (SELECT doc_id,
+                    CAST(CASE ${TextOps.QualityCaseSql}
+                         WHEN 'good' THEN 0 WHEN 'ok' THEN 1 ELSE 2 END AS INT) AS q_rank
+                  FROM qb),
+          j AS (SELECT l.cluster_keeper AS cluster_id, l.doc_id, r.q_rank,
+                  row_number() OVER (PARTITION BY l.cluster_keeper
+                    ORDER BY r.q_rank, l.doc_id) AS rn,
+                  CAST(COUNT(*) OVER (PARTITION BY l.cluster_keeper) AS BIGINT) AS n_docs
+                FROM labels l JOIN rnk r USING (doc_id))
+          SELECT cluster_id, doc_id AS best_doc, q_rank AS best_rank, n_docs
+          FROM j WHERE rn = 1 ORDER BY cluster_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $ShinglesSql,
           sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -400,7 +400,57 @@ object PipelineOps {
     ).reduce(_.unionByName(_)).orderBy("check_name")
   }
 
+  private val Quantiles = Seq(0.5, 0.9, 0.99)
+
+  /** Exact doc-length quantiles (p50/p90/p99) via a histogram CDF —
+    * cross-engine exact where percentile_approx never can be. Shape:
+    * one shuffle collapses the corpus to a (length → count) histogram
+    * (bounded by the length DOMAIN, not the corpus size), the running
+    * CDF runs over that tiny frame (the unpartitioned window exchange
+    * carries |distinct lengths| rows, never document data), and each
+    * quantile is the min length whose cumulative count reaches
+    * ceil(q·n) — the type-1 (lower discrete) quantile, integer-exact in
+    * any engine. This is the scale path AND the exact path at once:
+    * Spark's exact `percentile` funnels all values through one reducer;
+    * the histogram form never moves more than the domain. */
+  val corpusQuantiles: Q = (s, d) => {
+    val hist = documents(s, d)
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val cdf = hist
+      .withColumn("cum", sum("cnt").over(Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(hist.agg(sum("cnt").as("n_docs")))) // 1-row total
+    cdf.select(col("n_chars"), col("cum"), col("n_docs"),
+        explode(array(Quantiles.map(lit): _*)).as("q"))
+      .where(col("cum") >= ceil(col("q") * col("n_docs")))
+      .groupBy("q")
+      .agg(min("n_chars").as("len_at_q"), min("n_docs").as("n_docs"))
+      .orderBy("q")
+  }
+
+  private val BpeTopN = 20
+
+  /** One BPE merge step at corpus scale: the TopN most frequent ADJACENT
+    * token pairs over the normalized text — the statistic a tokenizer
+    * trainer computes once per merge. Adjacent pairs stay inside the row
+    * (transform over the token array, then explode), so the whole op is
+    * scan + one shuffle on the pair key + TakeOrderedAndProject — the
+    * same two-phase top-k shape as text_ngram_topk, reusable per merge
+    * round with the vocabulary substituted in. */
+  val vocabBpePairs: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("w", split(graft.functions.Functions.normalizeText(col("text")), " "))
+      .where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), j -> concat(element_at(w, j), ' ', element_at(w, j + 1)))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(BpeTopN)
+
   val queries: Map[String, Q] = Map(
+    "corpus_quantiles" -> corpusQuantiles,
+    "vocab_bpe_pairs" -> vocabBpePairs,
     "corpus_expectations" -> corpusExpectations,
     "doc_chunk" -> docChunk,
     "chunk_dedup" -> chunkDedup,
@@ -433,6 +483,27 @@ object PipelineOps {
       .reduce((acc, n) => s"($acc * 16 + $n)")
 
   val oracles: Map[String, String] = Map(
+    "corpus_quantiles" ->
+      s"""WITH h AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM documents GROUP BY n_chars),
+          c AS (SELECT n_chars,
+                  SUM(cnt) OVER (ORDER BY n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM h),
+          t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs FROM h),
+          q AS (SELECT unnest([${Quantiles.mkString(", ")}]) AS q)
+          SELECT q, MIN(n_chars) AS len_at_q, MIN(n_docs) AS n_docs
+          FROM c, t, q WHERE cum >= ceil(q * n_docs)
+          GROUP BY q ORDER BY q""",
+    "vocab_bpe_pairs" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"""WITH w AS (SELECT string_split($norm, ' ') AS w FROM documents),
+          p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                  j -> w[j] || ' ' || w[j + 1])) AS pair
+                FROM w WHERE len(w) >= 2)
+          SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+          FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT $BpeTopN"""
+    },
     "corpus_expectations" ->
       """SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
            SELECT 'documents.doc_id.unique' AS check_name,

@@ -593,6 +593,52 @@ object RefOps {
       .orderBy("hour")
   }
 
+  /** Last-touch attribution: each purchase credits the most recent
+    * PRECEDING non-purchase event of its user (ties broken by event_id,
+    * like sessionize); purchases with no preceding touch are "direct".
+    * One window pass over the same user_id shuffle the other events
+    * operators use — the `last(_, ignoreNulls)` frame keeps a single
+    * value of running state per row, so the pass is O(n) per user
+    * partition with no self-join and no per-user history blowup. The
+    * final channel rollup is a tiny-key aggregate. */
+  val eventsAttribution: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("channel")
+  }
+
+  private val PathTopN = 20
+
+  /** Top-20 three-step event-type paths (the "common journeys" view):
+    * per-user ordered trigrams via two leads over one user_id window
+    * pass, counted globally. The top-k is TakeOrderedAndProject over the
+    * (tiny) path-key aggregate — at most 5³ = 125 distinct paths exist,
+    * so the final step is driver-merge of per-partition heaps, never a
+    * global sort of event data. */
+  val eventsPathTopk: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .where(col("t3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathTopN)
+  }
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
@@ -635,6 +681,8 @@ object RefOps {
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
     "events_error_spike" -> eventsErrorSpike,
+    "events_attribution" -> eventsAttribution,
+    "events_path_topk" -> eventsPathTopk,
   )
 
   val oracles: Map[String, String] = Map(
@@ -860,5 +908,26 @@ object RefOps {
            round(CASE WHEN var > 0 THEN (CAST(n_err AS DOUBLE) - mean) / sqrt(var) ELSE 0 END, 6) AS z_r,
            (CASE WHEN var > 0 THEN (CAST(n_err AS DOUBLE) - mean) / sqrt(var) ELSE 0 END) > 2.0 AS is_spike
          FROM z ORDER BY hour""",
+    "events_attribution" ->
+      """WITH t AS (SELECT user_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+           FROM events)
+         SELECT coalesce(touch, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM t WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
+    "events_path_topk" ->
+      s"""WITH t AS (SELECT event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM t WHERE t3 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT $PathTopN""",
   )
 }

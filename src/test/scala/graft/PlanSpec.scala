@@ -165,4 +165,36 @@ class PlanSpec extends SparkSpec {
     assert(exchangeIdx >= 0 && mapIdx > exchangeIdx,
       s"partition-local top-k should sit below the q_id exchange:\n$plan")
   }
+
+  test("corpus_quantiles: the CDF window sees the histogram, never document rows") {
+    val plan = finalPlan(graft.ops.PipelineOps.queries("corpus_quantiles")(spark, d))
+    // the single-partition exchange the running CDF needs must sit ABOVE
+    // the histogram aggregate (domain-bounded rows), with the corpus
+    // collapsed map-side first — and the scan reads only n_chars
+    val single = plan.indexOf("Exchange SinglePartition")
+    val partial = plan.indexOf("partial_count")
+    assert(single >= 0 && partial > single,
+      s"histogram partial agg must sit below the single-partition CDF exchange:\n$plan")
+    assert(plan.contains("ReadSchema: struct<n_chars:bigint>"), plan)
+  }
+
+  test("vocab_bpe_pairs: two-phase top-k over the pair aggregate; text-only scan") {
+    val plan = finalPlan(graft.ops.PipelineOps.queries("vocab_bpe_pairs")(spark, d))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-k must be per-partition heaps + driver merge, not a global sort:\n$plan")
+    assert(plan.contains("ReadSchema: struct<text:string>"), plan)
+  }
+
+  test("events attribution/paths: one user_id window pass feeding a tiny-key aggregate") {
+    for (name <- Seq("events_attribution", "events_path_topk")) {
+      val plan = finalPlan(graft.ops.RefOps.queries(name)(spark, d))
+      // exactly one user_id exchange for the window; the channel/path
+      // rollup partial-aggregates map-side above it. Count only the AQE
+      // final section — toString repeats the shapes under "Initial Plan".
+      val finalOnly = plan.split("== Initial Plan ==").head
+      assert("Exchange hashpartitioning\\(user_id".r.findAllIn(finalOnly).size == 1,
+        s"$name must shuffle event data once (the window pass):\n$plan")
+      assert(finalOnly.contains("partial_count"), plan)
+    }
+  }
 }
