@@ -79,6 +79,26 @@ class TwinReplaySpec extends SparkSpec {
   }
 
   test("twin replay: streaming as-of join over chunked MemoryStream == batch join_temporal_eventtime") {
+    asOfTwinReplay("asof_twin")
+  }
+
+  test("twin replay: as-of join on the RocksDB state store == batch (the 100 TB state backend)") {
+    // the HDFS-backed default store holds every key's state on-heap; a
+    // production deployment with more state than memory runs RocksDB.
+    // Same replay, same byte-equality bar, spill-capable backend — the
+    // stateful operator must not depend on in-memory store semantics.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try asOfTwinReplay("asof_twin_rocksdb")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def asOfTwinReplay(sinkName: String): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val ev = Tables.events(spark, D)
@@ -101,14 +121,14 @@ class TwinReplaySpec extends SparkSpec {
       .withWatermark("eventTime", "1 second")
       .as[AsOfJoin.AsOfEvent]
     val q = AsOfJoin.join(tagged).writeStream
-      .format("memory").queryName("asof_twin").outputMode("append").start()
+      .format("memory").queryName(sinkName).outputMode("append").start()
     try {
       // sentinel: far-future BUILD for a key no probe ever uses — builds
       // alone emit nothing, but the watermark advances and timers fire
       feedChunked(input, q, feed,
         Seq(("__wm__", maxUs + 10_000_000L, false, -1L),
           ("__wm__", maxUs + 20_000_000L, false, -1L)))
-      val streamed = spark.table("asof_twin").collect()
+      val streamed = spark.table(sinkName).collect()
         .map { r =>
           val probeId = new String(r.getAs[Array[Byte]]("probePayload")).toLong
           val buildId = Option(r.getAs[Array[Byte]]("buildPayload"))
