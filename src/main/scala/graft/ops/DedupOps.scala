@@ -418,7 +418,8 @@ object DedupOps {
   /** The exact-verified thresholded cosine pair set, UNSORTED — the
     * registered pair query adds the oracle's ORDER BY; the cluster
     * consumer must not pay a global sort it immediately discards. */
-  private def cosineLshPairs(s: SparkSession, d: String): DataFrame = {
+  private def cosineLshPairs(s: SparkSession, d: String,
+      candidateFilter: Column = lit(true)): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
@@ -429,6 +430,7 @@ object DedupOps {
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .where(candidateFilter) // cut before the distinct + embeddings join-back
       .distinct()
     pairs
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
@@ -442,6 +444,39 @@ object DedupOps {
 
   val embeddingCosineLsh: Q = (s, d) =>
     cosineLshPairs(s, d).orderBy("vec_a", "vec_b")
+
+  /** Incremental semantic dedup — the embedding-side lambda ingest shape
+    * (the vector twin of [[PipelineOps.chunkDedupIncremental]]): a new
+    * batch of vectors (odd vec_ids — the deterministic stand-in for
+    * today's ingest) dedups against the standing corpus (even vec_ids)
+    * WITHOUT recomputing corpus-corpus pairs. The candidate filter prunes
+    * the bucket self-join to batch-involving pairs BEFORE the distinct
+    * and the embeddings join-back, so the per-batch cost is
+    * Σ_buckets |batch∩bucket|·|bucket| — proportional to the batch, not
+    * the corpus². A batch vector is kept iff it cosine-matches (>0.3) no
+    * corpus vector and no earlier (lower-id) batch vector — the same
+    * first-occurrence policy as the chunk-level incremental op. Every
+    * decision is exact-verified (the LSH step only proposes). */
+  val embeddingIncremental: Q = (s, d) => {
+    val isBatch = (c: Column) => c % 2 === 1
+    val pairs = cosineLshPairs(s, d,
+      isBatch(col("vec_a")) || isBatch(col("vec_b")))
+    val matches = pairs.select(col("vec_a").as("v"), col("vec_b").as("partner"))
+      .unionByName(pairs.select(col("vec_b").as("v"), col("vec_a").as("partner")))
+    val perVec = matches.where(isBatch(col("v")))
+      .groupBy("v").agg(
+        sum(when(col("partner") % 2 === 0, 1L).otherwise(0L)).as("cm"),
+        sum(when(isBatch(col("partner")) && col("partner") < col("v"), 1L)
+          .otherwise(0L)).as("bm"))
+    embeddings(s, d).select(col("vec_id")).where(isBatch(col("vec_id")))
+      .join(perVec, col("vec_id") === col("v"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cm"), lit(0L)).as("n_corpus_matches"),
+        coalesce(col("bm"), lit(0L)).as("n_earlier_batch_matches"))
+      .withColumn("kept",
+        col("n_corpus_matches") === 0 && col("n_earlier_batch_matches") === 0)
+      .orderBy("vec_id")
+  }
 
   /** One large-star round over a canonical (u > v) edge list: every
     * node u points its LARGER neighbors at m(u) = min(Γ(u) ∪ {u}).
@@ -604,6 +639,7 @@ object DedupOps {
     "dedup_simhash_pairs_blocked" -> simhashPairsBlocked(6, 2),
     "dedup_embedding_cosine" -> embeddingCosine,
     "dedup_embedding_cosine_lsh" -> embeddingCosineLsh,
+    "dedup_embedding_incremental" -> embeddingIncremental,
     "dedup_semantic_cluster" -> semanticCluster,
   )
 
@@ -827,6 +863,24 @@ object DedupOps {
     "dedup_embedding_cosine_lsh" ->
       s"""WITH $CosineLshCtes
           SELECT vec_a, vec_b, sim_r FROM tpairs ORDER BY vec_a, vec_b""",
+    // the oracle replays the FULL pair set (the candidate filter is a
+    // pure perf cut: pairs with both sides even are never consulted by
+    // the batch-side aggregation, so full vs filtered agree exactly)
+    "dedup_embedding_incremental" ->
+      s"""WITH $CosineLshCtes,
+          m AS (SELECT vec_a AS v, vec_b AS partner FROM tpairs
+                UNION ALL SELECT vec_b, vec_a FROM tpairs),
+          bm AS (SELECT v,
+                   CAST(SUM(CASE WHEN partner % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cm,
+                   CAST(SUM(CASE WHEN partner % 2 = 1 AND partner < v THEN 1 ELSE 0 END) AS BIGINT) AS bm
+                 FROM m WHERE v % 2 = 1 GROUP BY v)
+          SELECT e.vec_id,
+            coalesce(bm.cm, 0) AS n_corpus_matches,
+            coalesce(bm.bm, 0) AS n_earlier_batch_matches,
+            (coalesce(bm.cm, 0) = 0 AND coalesce(bm.bm, 0) = 0) AS kept
+          FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) e
+          LEFT JOIN bm ON bm.v = e.vec_id
+          ORDER BY e.vec_id""",
     "dedup_semantic_cluster" ->
       s"""WITH RECURSIVE $CosineLshCtes,
           edges AS (SELECT vec_a AS s, vec_b AS t FROM tpairs

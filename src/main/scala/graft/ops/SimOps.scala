@@ -307,9 +307,14 @@ object SimOps {
     * crosses the wire), then the closure filter keeps every centroid
     * within the slack of that min. The corpus-keyed rejoin is an
     * index-build cost, not a query cost. */
-  private def ivfLists(s: SparkSession, d: String, cents: DataFrame): DataFrame = {
-    val dists = withCentDist(cents,
-      embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
+  private def ivfLists(s: SparkSession, d: String, cents: DataFrame): DataFrame =
+    closureAssign(cents, embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** Closure assignment of any (vec_id, embedding) frame to the given
+    * centroids — shared by the offline index build and the incremental
+    * append path, so the two can never drift. */
+  private[graft] def closureAssign(cents: DataFrame, vecs: DataFrame): DataFrame = {
+    val dists = withCentDist(cents, vecs, "embedding")
       .select(col("vec_id"), col("c_id"), col("c_dist"))
     val minD = dists.groupBy("vec_id").agg(min(col("c_dist")).as("min_dist"))
     // greatest(min_dist, 0): |e|²+|c|²−2e·c can cancel to a TINY NEGATIVE
@@ -387,6 +392,26 @@ object SimOps {
     cents.write.mode("overwrite").parquet(dir + "/centroids")
     ivfLists(s, d, cents).join(corpusWithNorm(s, d), "vec_id")
       .write.mode("overwrite").partitionBy("list_id").parquet(dir + "/lists")
+  }
+
+  /** Incremental index maintenance: closure-assign a NEW vector batch
+    * (vec_id, embedding) to the EXISTING centroids and append it to the
+    * partitioned lists — no re-cluster, no rewrite of standing rows.
+    * Appended files land inside their `list_id=` partition directories,
+    * so partition pruning covers old and new rows alike and a query
+    * needs no knowledge of which ingest wrote a vector. Centroids drift
+    * as the corpus grows; re-clustering cadence is an offline policy
+    * call — the append path keeps ingest O(|batch|·k) while recall on
+    * appended data stays measured, not assumed (IvfIndexSpec appends
+    * exact twins and asserts they surface at rank 1, sim 1.0). */
+  def appendToIvfIndex(s: SparkSession, dir: String, batch: DataFrame): Unit = {
+    graft.expressions.VectorExpressions.register(s)
+    val cents = s.read.parquet(dir + "/centroids")
+    val withNrm = batch.select(col("vec_id"), col("embedding"))
+      .withColumn("c_nrm", sqrt(expr("float_dot(embedding, embedding)")))
+    closureAssign(cents, withNrm.select("vec_id", "embedding"))
+      .join(withNrm, "vec_id")
+      .write.mode("append").partitionBy("list_id").parquet(dir + "/lists")
   }
 
   /** Query a PERSISTED IVF index: identical semantics to [[ivfTopK]],

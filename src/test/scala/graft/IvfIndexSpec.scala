@@ -33,4 +33,39 @@ class IvfIndexSpec extends SparkSpec {
     val listCols = spark.read.parquet(dir + "/lists").columns.toSet
     assert(Set("vec_id", "embedding", "c_nrm", "list_id").subsetOf(listCols))
   }
+
+  test("incremental append: twins of the corpus join the standing index and surface at rank 1") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    SimOps.buildIvfIndex(spark, D, dir)
+    val before = spark.read.parquet(dir + "/lists")
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+
+    // append EXACT TWINS of every corpus vector under new ids: same
+    // distances -> the closure rule must assign each twin to exactly its
+    // original's lists, and each query's nearest neighbor becomes its
+    // own twin at cosine 1.0 — proof the appended data is genuinely
+    // queryable, not just present on disk
+    val offset = 100000L
+    val twins = Tables.embeddings(spark, D)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+    SimOps.appendToIvfIndex(spark, dir, twins)
+
+    val after = spark.read.parquet(dir + "/lists")
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after.filter(_._1 < offset) == before,
+      "append must not touch standing index rows")
+    assert(after.filter(_._1 >= offset).map { case (v, l) => (v - offset, l) } == before,
+      "each twin must closure-assign to exactly its original's lists")
+
+    val top1 = SimOps.ivfTopKFromIndex(spark, D, dir)
+      .where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1.nonEmpty)
+    top1.foreach { case (q, n) =>
+      assert(n == q + offset,
+        s"query $q's rank-1 neighbor should be its appended twin, got $n")
+    }
+  }
 }
