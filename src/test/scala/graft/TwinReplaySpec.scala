@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{AsOfJoin, StreamingDedup, StreamingFunnel, TxnBuffer}
+import graft.streaming.{AsOfJoin, StreamingAttribution, StreamingDedup, StreamingFunnel, TxnBuffer}
 
 /** Twin-equality replays: each stateful streaming operator re-processes
   * the SAME sf0.001 harness data its batch twin runs on — fed through a
@@ -303,6 +303,45 @@ class TwinReplaySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       assert(streamed == batch,
         s"upsert table (${streamed.size} keys) != batch changelog collapse (${batch.size})")
+    } finally q.stop()
+  }
+
+  test("twin replay: streaming attribution over chunked MemoryStream == batch events_attribution") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, D)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._4).toSeq
+    val maxUs = rows.map(_._4).max
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF().toDF("userId", "eventId", "eventType", "us")
+      .select(col("userId"), col("eventId"), col("eventType"),
+        timestamp_micros(col("us")).as("eventTime"))
+      .withWatermark("eventTime", "1 second")
+      .as[StreamingAttribution.TouchEvent]
+    val q = StreamingAttribution.attribute(events).writeStream
+      .format("memory").queryName("attr_twin").outputMode("append").start()
+    try {
+      // sentinel type "noop" is a non-purchase for user -1: advances the
+      // watermark without attributing anything asserted
+      feedChunked(input, q, rows,
+        Seq((-1L, -1L, "noop", maxUs + 10_000_000L),
+          (-1L, -2L, "noop", maxUs + 20_000_000L)))
+      // the batch operator reports the channel rollup — aggregate the
+      // streamed per-purchase attributions the same way
+      val streamed = spark.table("attr_twin")
+        .where(col("userId") >= 0)
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("userId")).as("n_users"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = SparkEntry.queries("events_attribution")(spark, D).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed == batch,
+        s"streamed attribution $streamed != batch $batch")
     } finally q.stop()
   }
 
