@@ -866,6 +866,57 @@ class StreamingSpec extends SparkSpec {
     assert(tableIds() == Set(1, 2, 3))
   }
 
+  test("attribution state survives checkpoint restart: a purchase after the restart credits a touch from before it") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.StreamingAttribution
+    val dir = Files.createTempDirectory("attr_restart").toString
+    val srcDir = dir + "/src"
+    JFiles.createDirectories(JPaths.get(srcDir))
+    val t1 = 1_700_000_000_000_000L              // click (µs)
+    val t2 = t1 + 3_600_000_000L                 // purchase, 1h later
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]
+    def runOnce(): Unit = {
+      import spark.implicits._
+      val schema = "userId LONG, eventId LONG, eventType STRING, us LONG"
+      val events = spark.readStream.schema(schema).json(srcDir)
+        .select(col("userId"), col("eventId"), col("eventType"),
+          timestamp_micros(col("us")).as("eventTime"))
+        .withWatermark("eventTime", "1 second")
+        .as[StreamingAttribution.TouchEvent]
+      val q = StreamingAttribution.attribute(events).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", dir + "/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[StreamingAttribution.Attribution], _: Long) =>
+            b.collect().foreach(a => out.add((a.userId, a.eventId, a.channel)))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def feed(name: String, rows: (Long, Long, String, Long)*): Unit =
+      JFiles.writeString(JPaths.get(srcDir, name), rows.map { case (u, e, t, us) =>
+        s"""{"userId":$u,"eventId":$e,"eventType":"$t","us":$us}"""
+      }.mkString("", "\n", "\n"))
+    // run 1: click + purchase arrive, watermark still behind them — both
+    // buffer in state, nothing emits, the process "dies"
+    feed("f1.json", (1L, 10L, "click", t1), (1L, 11L, "purchase", t2))
+    runOnce()
+    assert(out.isEmpty, "nothing is decidable before the watermark passes")
+    // runs 2 & 3: only far-future noops for another user arrive. The
+    // restarted query must restore the buffered events AND the running
+    // last-touch from the checkpoint; the advancing watermark fires the
+    // event-time timer and the purchase finally credits the click that
+    // arrived BEFORE the first restart. (Two runs because a batch only
+    // sees the watermark checkpointed at the PREVIOUS run's end.)
+    feed("f2.json", (-1L, -1L, "noop", t2 + 10_000_000L))
+    runOnce()
+    feed("f3.json", (-1L, -2L, "noop", t2 + 20_000_000L))
+    runOnce()
+    assert(out.asScala.toSet == Set((1L, 11L, "click")),
+      s"expected the post-restart purchase to credit the pre-restart click, got ${out.asScala.toList}")
+  }
+
   private def txnEvents(input: MemoryStream[(Long, Boolean, Int, String)]) = {
     import spark.implicits._
     input.toDF().toDF("txId", "isBoundary", "expected", "pay")
