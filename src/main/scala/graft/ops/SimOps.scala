@@ -403,7 +403,12 @@ object SimOps {
     * as the corpus grows; re-clustering cadence is an offline policy
     * call — the append path keeps ingest O(|batch|·k) while recall on
     * appended data stays measured, not assumed (IvfIndexSpec appends
-    * exact twins and asserts they surface at rank 1, sim 1.0). */
+    * exact twins and asserts they surface at rank 1, sim 1.0).
+    * Retry safety: a sink-side retry double-appends files, and the query
+    * path dedups candidates (distinct) and vectors (dropDuplicates by
+    * vec_id), so replayed rows never change an answer — the same
+    * read-time-dedup posture the closure replication already requires
+    * (IvfIndexSpec pins it). Compaction is an offline concern. */
   def appendToIvfIndex(s: SparkSession, dir: String, batch: DataFrame): Unit = {
     graft.expressions.VectorExpressions.register(s)
     val cents = s.read.parquet(dir + "/centroids")

@@ -67,5 +67,16 @@ class IvfIndexSpec extends SparkSpec {
       assert(n == q + offset,
         s"query $q's rank-1 neighbor should be its appended twin, got $n")
     }
+
+    // retry safety: a sink-side retry double-appends the same batch; the
+    // query path dedups candidates (distinct) AND vectors (dropDuplicates
+    // by vec_id), so replayed rows must not change any answer
+    val before2 = SimOps.ivfTopKFromIndex(spark, D, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    SimOps.appendToIvfIndex(spark, dir, twins)
+    val after2 = SimOps.ivfTopKFromIndex(spark, D, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(after2 == before2,
+      "a replayed append must be invisible to queries (read-time dedup)")
   }
 }

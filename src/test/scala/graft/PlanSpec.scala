@@ -185,6 +185,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<text:string>"), plan)
   }
 
+  test("dedup_embedding_incremental: the batch-parity filter cuts candidates before the join-back") {
+    val plan = finalPlan(graft.ops.DedupOps.queries("dedup_embedding_incremental")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    // Catalyst folds the odd-parity candidate cut INTO the bucket join
+    // condition — corpus-corpus pairs are rejected inside the join,
+    // before the distinct or the embeddings join-back ever see a row.
+    // That folded predicate is the "per-batch cost ∝ batch" claim.
+    assert("""Join \[t#\d+, bucket#\d+\][^\n]*% 2\) = 1\) OR \(\(vec_id#\d+L % 2\) = 1""".r
+      .findFirstIn(finalOnly).isDefined,
+      s"the parity cut must ride inside the bucket join condition:\n$plan")
+  }
+
   test("events attribution/paths: one user_id window pass feeding a tiny-key aggregate") {
     for (name <- Seq("events_attribution", "events_path_topk")) {
       val plan = finalPlan(graft.ops.RefOps.queries(name)(spark, d))
