@@ -643,9 +643,14 @@ object DedupOps {
     "dedup_semantic_cluster" -> semanticCluster,
   )
 
-  /** Shared SQL fragments for the oracles (DuckDB dialect). */
-  private val NormSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  /** Shared SQL fragments for the oracles (DuckDB dialect). NormSql is
+    * THE cross-engine spelling of [[graft.functions.Functions.normalizeText]]
+    * — every text oracle must reference it, never re-inline the literal,
+    * so a normalization change can't silently break one oracle's parity
+    * while the others keep passing. */
+  private[ops] def normSqlOf(col: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($col), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private[ops] val NormSql = normSqlOf("text")
   private[ops] val ShinglesSql =
     s"""norm AS (SELECT doc_id, $NormSql AS t FROM documents),
         words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),

@@ -496,7 +496,7 @@ object PipelineOps {
           FROM c, t, q WHERE cum >= ceil(q * n_docs)
           GROUP BY q ORDER BY q""",
     "vocab_bpe_pairs" -> {
-      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      val norm = DedupOps.NormSql
       s"""WITH w AS (SELECT string_split($norm, ' ') AS w FROM documents),
           p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
                   j -> w[j] || ' ' || w[j + 1])) AS pair
@@ -520,7 +520,7 @@ object PipelineOps {
              CAST((SELECT COUNT(*) FROM events WHERE ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2025-01-01') AS BIGINT)
          ) ORDER BY check_name""",
     "vocab_kmv" -> {
-      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      val norm = DedupOps.NormSql
       s"""WITH t AS (SELECT unnest(string_split($norm, ' ')) AS tok FROM documents),
           dh AS (SELECT DISTINCT CAST(${hash32("md5(tok)")} AS BIGINT) AS h FROM t),
           kth AS (SELECT MAX(h) AS kth_min, CAST(COUNT(*) AS BIGINT) AS k_seen
@@ -538,8 +538,7 @@ object PipelineOps {
     },
     "doc_chunk" ->
       s"""WITH w AS (SELECT doc_id,
-              string_split(trim(regexp_replace(regexp_replace(lower(text),
-                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+              string_split(${DedupOps.NormSql}, ' ') AS w
             FROM documents),
           n AS (SELECT doc_id, w, len(w) AS len,
               CASE WHEN len(w) <= $ChunkWords THEN 1
@@ -552,8 +551,7 @@ object PipelineOps {
           FROM c ORDER BY doc_id, chunk_id""",
     "chunk_dedup" ->
       s"""WITH w AS (SELECT doc_id,
-              string_split(trim(regexp_replace(regexp_replace(lower(text),
-                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+              string_split(${DedupOps.NormSql}, ' ') AS w
             FROM documents),
           n AS (SELECT doc_id, w,
               CASE WHEN len(w) <= $ChunkWords THEN 1
@@ -572,8 +570,7 @@ object PipelineOps {
           ORDER BY chunk_hash""",
     "chunk_dedup_incremental" ->
       s"""WITH w AS (SELECT doc_id,
-              string_split(trim(regexp_replace(regexp_replace(lower(text),
-                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+              string_split(${DedupOps.NormSql}, ' ') AS w
             FROM documents),
           n AS (SELECT doc_id, w,
               CASE WHEN len(w) <= $ChunkWords THEN 1
@@ -600,8 +597,7 @@ object PipelineOps {
         s"SELECT doc_id, chunk_id, $b AS band, $key AS bkey FROM sig"
       }.mkString(" UNION ALL ")
       s"""WITH w AS (SELECT doc_id,
-              string_split(trim(regexp_replace(regexp_replace(lower(text),
-                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+              string_split(${DedupOps.NormSql}, ' ') AS w
             FROM documents),
           n AS (SELECT doc_id, w,
               CASE WHEN len(w) <= $ChunkWords THEN 1
@@ -658,8 +654,7 @@ object PipelineOps {
           dn AS (SELECT doc_id, COUNT(*) AS distinct3 FROM sh GROUP BY doc_id),
           b AS (SELECT d.doc_id, ${TextOps.QualityColsSql},
               CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS INT) AS ws_tokens,
-              greatest(len(string_split(trim(regexp_replace(regexp_replace(lower(d.text),
-                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) - 2, 1) AS total3,
+              greatest(len(string_split(${DedupOps.normSqlOf("d.text")}, ' ')) - 2, 1) AS total3,
               dn.distinct3
             FROM documents d JOIN dn ON dn.doc_id = d.doc_id),
           q AS (SELECT *, ${TextOps.QualityCaseSql} AS quality FROM b)

@@ -138,8 +138,7 @@ object TextOps {
     "text_repetition" -> repetition,
   )
 
-  private val Norm =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private val Norm = DedupOps.NormSql
 
   val oracles: Map[String, String] = Map(
     "text_token_count" ->

@@ -65,7 +65,7 @@ object AsOfJoin {
       isProbe: Boolean, payload: Array[Byte]) {
     /** Microsecond event time: getTime carries ms, getNanos the full
       * sub-second — combine without double-counting the ms part. */
-    def ts: Long = eventTime.getTime * 1000L + (eventTime.getNanos / 1000L) % 1000L
+    def ts: Long = EventTimeOps.tsMicros(eventTime)
   }
 
   /** Output: probe row + the dim version in effect at probe.ts (None if
@@ -85,7 +85,7 @@ object AsOfJoin {
     // (at-or-before semantics include equality). In µs terms every ts in
     // [wm, wm+999] shares the watermark's millisecond, so the strict gate
     // also holds probes in that not-yet-safe tail.
-    val (ready, pending) = st.probes.partition(_._1 < wm)
+    val (ready, pending) = st.probes.partition(e => EventTimeOps.ripe(e._1, wm))
     val out = ready.sortBy(_._1).map { case (pts, ppay) =>
       val m = sortedBuilds.takeWhile(_._1 <= pts).lastOption
       AsOfJoined(key, pts, ppay, m.map(_._1), m.map(_._2))
@@ -98,13 +98,10 @@ object AsOfJoin {
 
   private def updateFn(streaming: Boolean)(key: String, rows: Iterator[AsOfEvent],
       state: GroupState[AsOfState]): Iterator[AsOfJoined] = {
-    // Batch mode = complete input: flush everything. (Some Spark versions
-    // report watermark 0 rather than throwing in batch, so an explicit
-    // flag is safer than Try.)
-    val wmMs =
-      if (!streaming) Long.MaxValue
-      else scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
-    val wm = if (wmMs == Long.MaxValue) Long.MaxValue else wmMs * 1000L
+    // Batch mode = complete input: flush everything (EventTimeOps uses
+    // the explicit flag, not Try — some Spark versions report watermark
+    // 0 rather than throwing in batch).
+    val (wm, wmMs) = EventTimeOps.watermarkMicros(streaming, state)
     if (sys.env.contains("GRAFT_ASOF_DEBUG"))
       System.err.println(s"[asof] key=$key wm=$wm timedOut=${state.hasTimedOut} hasState=${state.exists}")
     val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
@@ -121,8 +118,7 @@ object AsOfJoin {
         if (next.probes.nonEmpty) {
           // wake up when the watermark passes the earliest pending probe
           // (timeouts are in watermark ms; probe times are µs)
-          state.setTimeoutTimestamp(
-            math.max(next.probes.map(_._1).min / 1000L + 1, wmMs + 1))
+          EventTimeOps.armWake(state, next.probes.map(_._1).min, wmMs)
         } else if (next.builds.size > 1) {
           // builds-only key with prunable history: re-run GC later even
           // if no further event ever arrives for this key, so superseded

@@ -21,7 +21,7 @@ object StreamingAttribution {
 
   case class TouchEvent(userId: Long, eventId: Long, eventType: String,
       eventTime: java.sql.Timestamp) {
-    def ts: Long = eventTime.getTime * 1000L + (eventTime.getNanos / 1000L) % 1000L
+    def ts: Long = EventTimeOps.tsMicros(eventTime)
   }
 
   /** A finalized attribution: purchase `eventId` at `ts` (µs) credited
@@ -31,11 +31,13 @@ object StreamingAttribution {
   case class AttrState(buffer: List[(Long, Long, String)],
       lastTouch: Option[String])
 
-  /** Apply every buffered event with ts <= wm in (ts, eventId) order:
-    * non-purchases advance the running touch, purchases emit. */
+  /** Apply every buffered event the watermark has STRICTLY passed
+    * ([[EventTimeOps.ripe]] — an event at exactly wm may still arrive)
+    * in (ts, eventId) order: non-purchases advance the running touch,
+    * purchases emit. */
   private def applyReady(userId: Long, st: AttrState, wm: Long):
       (List[Attribution], AttrState) = {
-    val (ready, pending) = st.buffer.partition(_._1 <= wm)
+    val (ready, pending) = st.buffer.partition(e => EventTimeOps.ripe(e._1, wm))
     var lt = st.lastTouch
     val out = List.newBuilder[Attribution]
     ready.sortBy(e => (e._1, e._2)).foreach { case (ts, id, tpe) =>
@@ -48,10 +50,7 @@ object StreamingAttribution {
   private def updateFn(streaming: Boolean)(userId: Long,
       rows: Iterator[TouchEvent], state: GroupState[AttrState]):
       Iterator[Attribution] = {
-    val wmMs =
-      if (!streaming) Long.MaxValue
-      else scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
-    val wm = if (wmMs == Long.MaxValue) Long.MaxValue else wmMs * 1000L
+    val (wm, wmMs) = EventTimeOps.watermarkMicros(streaming, state)
     val prev = state.getOption.getOrElse(AttrState(Nil, None))
     val incoming = rows.map(e => (e.ts, e.eventId, e.eventType)).toList
     val (out, next) = applyReady(userId,
@@ -60,8 +59,7 @@ object StreamingAttribution {
     if (wm != Long.MaxValue && next.buffer.nonEmpty)
       // wake when the watermark passes the earliest buffered event so a
       // quiet user's pending purchases still attribute
-      state.setTimeoutTimestamp(
-        math.max(next.buffer.map(_._1).min / 1000L + 1, wmMs + 1))
+      EventTimeOps.armWake(state, next.buffer.map(_._1).min, wmMs)
     out.iterator
   }
 

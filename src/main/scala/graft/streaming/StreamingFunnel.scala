@@ -31,7 +31,7 @@ object StreamingFunnel {
 
   case class FunnelEvent(userId: Long, eventType: String,
       eventTime: java.sql.Timestamp) {
-    def ts: Long = eventTime.getTime * 1000L + (eventTime.getNanos / 1000L) % 1000L
+    def ts: Long = EventTimeOps.tsMicros(eventTime)
   }
 
   /** A user reaching funnel stage 1/2/3 at event time `ts` (µs). */
@@ -40,11 +40,14 @@ object StreamingFunnel {
   case class FunnelState(buffer: List[(Long, Int)],
       vTs: Option[Long], cTs: Option[Long], pTs: Option[Long])
 
-  /** Apply every buffered event with ts <= wm in (ts, rank) order;
-    * returns transitions + the advanced state with the pending rest. */
+  /** Apply every buffered event the watermark has STRICTLY passed
+    * ([[EventTimeOps.ripe]] — Spark admits a row at exactly wm as on
+    * time, so a same-timestamp lower-rank stage may still arrive) in
+    * (ts, rank) order; returns transitions + the advanced state with
+    * the pending rest. */
   private def applyReady(userId: Long, st: FunnelState, wm: Long):
       (List[StageReached], FunnelState) = {
-    val (ready, pending) = st.buffer.partition(_._1 <= wm)
+    val (ready, pending) = st.buffer.partition(e => EventTimeOps.ripe(e._1, wm))
     var (v, c, p) = (st.vTs, st.cTs, st.pTs)
     val out = scala.collection.mutable.ListBuffer.empty[StageReached]
     ready.sorted.foreach { case (ts, rank) =>
@@ -66,10 +69,7 @@ object StreamingFunnel {
   private def updateFn(streaming: Boolean)(userId: Long,
       rows: Iterator[FunnelEvent], state: GroupState[FunnelState]):
       Iterator[StageReached] = {
-    val wmMs =
-      if (!streaming) Long.MaxValue
-      else scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
-    val wm = if (wmMs == Long.MaxValue) Long.MaxValue else wmMs * 1000L
+    val (wm, wmMs) = EventTimeOps.watermarkMicros(streaming, state)
     val prev = state.getOption.getOrElse(FunnelState(Nil, None, None, None))
     val incoming = rows.flatMap(e =>
       StageRank.get(e.eventType).map(r => (e.ts, r))).toList
@@ -85,8 +85,7 @@ object StreamingFunnel {
     if (wm != Long.MaxValue && next.buffer.nonEmpty)
       // wake when the watermark passes the earliest buffered event so a
       // quiet user's pending transitions still emit
-      state.setTimeoutTimestamp(
-        math.max(next.buffer.map(_._1).min / 1000L + 1, wmMs + 1))
+      EventTimeOps.armWake(state, next.buffer.map(_._1).min, wmMs)
     out.iterator
   }
 
