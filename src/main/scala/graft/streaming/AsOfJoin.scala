@@ -79,12 +79,14 @@ object AsOfJoin {
   private def flush(key: String, st: AsOfState, wm: Long):
       (List[AsOfJoined], AsOfState) = {
     val sortedBuilds = st.builds.sortBy(_._1)
-    // STRICTLY below the watermark: Spark admits rows with ts == watermark
-    // as on-time, so a build row at exactly wm may still arrive — a probe
-    // at wm must keep waiting or it could miss an equal-timestamp version
-    // (at-or-before semantics include equality). In µs terms every ts in
-    // [wm, wm+999] shares the watermark's millisecond, so the strict gate
-    // also holds probes in that not-yet-safe tail.
+    // STRICTLY below the watermark: Spark's late filter admits the µs
+    // tail (wm, wm+999] of the watermark's own millisecond (measured —
+    // see EventTimeOps), so a build row in that tail may still arrive;
+    // a probe in the same millisecond must keep waiting or it could
+    // miss an at-or-before version. Dropping of rows at ts <= wm is
+    // only "expected, not guaranteed" by the docs — the strict gate
+    // also orders any such straggler correctly instead of relying on
+    // the drop.
     val (ready, pending) = st.probes.partition(e => EventTimeOps.ripe(e._1, wm))
     val out = ready.sortBy(_._1).map { case (pts, ppay) =>
       val m = sortedBuilds.takeWhile(_._1 <= pts).lastOption

@@ -9,10 +9,14 @@ import org.apache.spark.sql.streaming.GroupState
   *
   *  - timestamps are MICROSECONDS end-to-end (the parquet feed's grain);
   *  - a buffered row is ripe only when the watermark has STRICTLY
-  *    passed it — Spark admits rows with eventTime == watermark as ON
-  *    TIME, so a row at exactly wm may still arrive, and in µs terms
-  *    every ts in [wm, wm+999] shares the watermark's millisecond: the
-  *    strict gate holds that whole not-yet-safe tail;
+  *    passed it. Measured on this Spark (StreamingSpec's boundary-
+  *    contract test): the stateful late filter DROPS rows with
+  *    ts <= watermark but ADMITS the µs tail (wm, wm+999] of the
+  *    watermark's own millisecond — and the docs promise only that
+  *    late rows are "expected, not guaranteed" to drop. The strict
+  *    gate holds everything at-or-after wm, so both the admissible
+  *    tail and any not-guaranteed-dropped straggler still apply in
+  *    (ts, id) order before anything they precede is finalized;
   *  - batch mode (isStreaming = false) = complete input: the watermark
   *    is +∞ and everything flushes;
   *  - event-time timers re-arm past the earliest buffered event so a

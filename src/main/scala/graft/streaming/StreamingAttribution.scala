@@ -32,9 +32,9 @@ object StreamingAttribution {
       lastTouch: Option[String])
 
   /** Apply every buffered event the watermark has STRICTLY passed
-    * ([[EventTimeOps.ripe]] — an event at exactly wm may still arrive)
-    * in (ts, eventId) order: non-purchases advance the running touch,
-    * purchases emit. */
+    * ([[EventTimeOps.ripe]] — the µs tail of wm's millisecond can still
+    * arrive) in (ts, eventId) order: non-purchases advance the running
+    * touch, purchases emit. */
   private def applyReady(userId: Long, st: AttrState, wm: Long):
       (List[Attribution], AttrState) = {
     val (ready, pending) = st.buffer.partition(e => EventTimeOps.ripe(e._1, wm))

@@ -41,8 +41,8 @@ object StreamingFunnel {
       vTs: Option[Long], cTs: Option[Long], pTs: Option[Long])
 
   /** Apply every buffered event the watermark has STRICTLY passed
-    * ([[EventTimeOps.ripe]] — Spark admits a row at exactly wm as on
-    * time, so a same-timestamp lower-rank stage may still arrive) in
+    * ([[EventTimeOps.ripe]] — the µs tail of wm's millisecond can still
+    * arrive, so a same-millisecond lower-rank stage may yet land) in
     * (ts, rank) order; returns transitions + the advanced state with
     * the pending rest. */
   private def applyReady(userId: Long, st: FunnelState, wm: Long):

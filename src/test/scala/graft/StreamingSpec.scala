@@ -866,6 +866,58 @@ class StreamingSpec extends SparkSpec {
     assert(tableIds() == Set(1, 2, 3))
   }
 
+  test("watermark boundary contract: the µs tail is admitted and ordered; at-watermark rows are never finalized early") {
+    // Measured Spark boundary (this test IS the measurement the
+    // EventTimeOps doc cites): the stateful late filter drops rows with
+    // ts <= watermark but ADMITS the µs tail (wm, wm+999] of the
+    // watermark's own millisecond. Two guarantees pinned here:
+    //  (a) an event at ts == wm is NOT flushed while the watermark sits
+    //      on it (the pre-fix <= gate emitted it one batch early);
+    //  (b) a touch landing in the admitted µs tail AFTER later events
+    //      already arrived still applies before the purchase it
+    //      precedes — late arrival cannot flip the (ts, id) order.
+    import spark.implicits._
+    import graft.streaming.StreamingAttribution
+    implicit val sqlCtx = spark.sqlContext
+    val T = 1_700_000_000_000_000L // µs, on a whole millisecond
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF().toDF("userId", "eventId", "eventType", "us")
+      .select(col("userId"), col("eventId"), col("eventType"),
+        timestamp_micros(col("us")).as("eventTime"))
+      .withWatermark("eventTime", "1 second")
+      .as[StreamingAttribution.TouchEvent]
+    val q = StreamingAttribution.attribute(events).writeStream
+      .format("memory").queryName("strict_gate").outputMode("append").start()
+    try {
+      // batch 1: user 1's purchase sits in wm's µs tail (T+800), user 2's
+      // exactly ON the watermark (T); the sentinel parks wm at T
+      input.addData(Seq((1L, 9L, "purchase", T + 800L), (2L, 19L, "purchase", T),
+        (-1L, -5L, "noop", T + 1_000_000L)))
+      q.processAllAvailable()
+      // batch 2: later events invoke both groups while wm == T. The
+      // strict gate must hold BOTH purchases (user 2's is at ts == wm —
+      // the <= gate finalized it here); nothing may emit yet
+      input.addData(Seq((1L, 8L, "view", T + 600_000L), (2L, 18L, "view", T + 600_000L)))
+      q.processAllAvailable()
+      assert(spark.table("strict_gate").count() == 0,
+        "no purchase may finalize while the watermark still sits on its millisecond")
+      // batch 3: user 1's touch arrives LATE in wall-clock order but in
+      // the admitted µs tail (T+300 > wm) and BEFORE the purchase in
+      // event time — it must still win the credit
+      input.addData(Seq((1L, 3L, "click", T + 300L)))
+      q.processAllAvailable()
+      // advance the watermark far past everything; timers flush the tail
+      for (i <- 1 to 2) {
+        input.addData(Seq((-1L, -5L - i, "noop", T + i * 10_000_000_000L)))
+        q.processAllAvailable()
+      }
+      val got = spark.table("strict_gate").where(col("userId") >= 0)
+        .collect().map(r => (r.getAs[Long]("eventId"), r.getAs[String]("channel"))).toSet
+      assert(got == Set((9L, "click"), (19L, "direct")),
+        s"tail-admitted touch must credit its purchase; got $got")
+    } finally q.stop()
+  }
+
   test("attribution state survives checkpoint restart: a purchase after the restart credits a touch from before it") {
     import java.nio.file.{Files => JFiles, Paths => JPaths}
     import scala.jdk.CollectionConverters._
