@@ -181,9 +181,14 @@ object PipelineOps {
         when(col("k_seen") < KmvK, col("k_seen").cast("double"))
           .otherwise(round(lit((KmvK - 1).toDouble) * 4294967296.0 /
             col("kth_min").cast("double"), 6)).as("kmv_estimate_r"))
+      // empty corpus: 0 distinct tokens is a legal answer and the error
+      // ratio is undefined — NULL, not a division-by-zero throw (ANSI
+      // mode errors on 0/0; both engines take the same guarded branch)
       .withColumn("rel_err_r",
-        round(abs(col("kmv_estimate_r") - col("exact_distinct").cast("double")) /
-          col("exact_distinct").cast("double"), 6))
+        when(col("exact_distinct") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            abs(col("kmv_estimate_r") - col("exact_distinct").cast("double")) /
+              col("exact_distinct").cast("double"), 6)))
   }
 
   /** Dataset-card statistics per quality tier, fused into ONE aggregation
@@ -532,8 +537,9 @@ object PipelineOps {
                                 / CAST(kth.kth_min AS DOUBLE), 6) END AS kmv_estimate_r
                   FROM ex, kth)
           SELECT exact_distinct, k_seen, kmv_estimate_r,
-            round(abs(kmv_estimate_r - CAST(exact_distinct AS DOUBLE))
-              / CAST(exact_distinct AS DOUBLE), 6) AS rel_err_r
+            CASE WHEN exact_distinct = 0 THEN NULL
+                 ELSE round(abs(kmv_estimate_r - CAST(exact_distinct AS DOUBLE))
+                        / CAST(exact_distinct AS DOUBLE), 6) END AS rel_err_r
           FROM est"""
     },
     "doc_chunk" ->

@@ -20,7 +20,13 @@ class DeterminismSpec extends SparkSpec {
     "dedup_minhash_estimate", // multi-join over checkpointed inputs
     "dedup_semantic_cluster", // CC fixpoint over the cosine pair graph
     "events_funnel",        // chained min-aggs with left joins
-    "events_sessionize")    // lag window + running sum
+    "events_sessionize",    // lag window + running sum
+    "events_attribution",   // running last() over the user window
+    "events_path_topk",     // lead window + desc-count top-k (tie-broken)
+    "corpus_quantiles",     // histogram CDF under one single-partition window
+    "vocab_bpe_pairs",      // two-phase top-k (tie-broken by pair)
+    "dedup_keep_best",      // CC fixpoint + min(struct) keeper election
+    "dedup_embedding_incremental") // parity-cut LSH candidates + agg
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

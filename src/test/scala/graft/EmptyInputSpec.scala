@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Empty-input discipline: an empty ingest day, an empty quality-gate
+  * survivor set, or an empty join side is ROUTINE at pipeline scale —
+  * every scan/join-shaped operator must degrade to an empty (or
+  * all-zero aggregate) result, never throw. Index-BUILD operators
+  * (k-means IVF) are deliberately out of scope: clustering an empty
+  * corpus is a configuration error, not a data condition.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    def write(name: String, schema: StructType): Unit =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .write.parquet(s"$dir/$name.parquet")
+    write("documents", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))))
+    // ts as long: the real feed is TIMESTAMP(NANOS), which the loader
+    // reads as long nanos — an empty long column takes the same path
+    write("events", StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType))))
+    write("embeddings", StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+    // corpus_expectations' referential check joins events → customer
+    write("customer", StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))))
+    dir
+  }
+
+  /** Row-producing ops: empty corpus in, zero rows out. */
+  private val emptyOut = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_cluster", "dedup_keep_best",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_lsh",
+    "dedup_embedding_incremental",
+    "doc_chunk", "chunk_dedup", "chunk_dedup_fuzzy", "chunk_dedup_incremental",
+    "corpus_quantiles", "vocab_bpe_pairs", "text_ngram_topk",
+    "text_quality_score", "text_token_count", "text_fingerprint",
+    "sample_split_hash", "sample_stratified", "corpus_mix", "corpus_stats",
+    "pack_sequences", "corpus_curate", "emb_quantize_int8", "sim_brute_topk",
+    "sim_lsh_topk",
+    "events_sessionize", "events_funnel", "events_retention",
+    "events_attribution", "events_path_topk", "mm_frame_sample")
+
+  /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
+    * correct empty-corpus answer — they must run, not throw. */
+  private val runsOnly = Seq("vocab_kmv", "corpus_expectations", "events_error_spike")
+
+  for (name <- emptyOut) {
+    test(s"$name returns zero rows on an empty corpus") {
+      assert(SparkEntry.queries(name)(spark, emptyDir).count() == 0L)
+    }
+  }
+
+  for (name <- runsOnly) {
+    test(s"$name runs on an empty corpus (zero-count report, no throw)") {
+      SparkEntry.queries(name)(spark, emptyDir).collect()
+    }
+  }
+}
