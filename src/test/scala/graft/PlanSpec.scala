@@ -197,6 +197,36 @@ class PlanSpec extends SparkSpec {
       s"the parity cut must ride inside the bucket join condition:\n$plan")
   }
 
+  test("runtime bloom-filter join pruning fires on a selective fact join (the 100 TB SMJ lever)") {
+    // When neither side broadcasts, Catalyst can inject a bloom filter
+    // built from the selective side's join keys into the big side's scan
+    // — shuffled bytes drop by the filter's selectivity. At real scale
+    // the default thresholds (10 GB application-side scan) pass
+    // naturally; here they are lowered to prove the injection and its
+    // shape on this engine version, so the deployment knobs in PLANS.md
+    // are measured, not assumed.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+      val ord = spark.read.parquet(s"$d/orders.parquet").filter("o_totalprice > 400000")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val plan = finalPlan(j)
+      assert(plan.contains("bloom_filter_agg"),
+        s"the selective side must build a bloom filter:\n$plan")
+      assert(plan.contains("might_contain"),
+        s"the big side's scan must apply the bloom filter:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("events attribution/paths: one user_id window pass feeding a tiny-key aggregate") {
     for (name <- Seq("events_attribution", "events_path_topk")) {
       val plan = finalPlan(graft.ops.RefOps.queries(name)(spark, d))
