@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{AsOfJoin, StreamingAttribution, StreamingDedup, StreamingFunnel, TxnBuffer}
+import graft.streaming.{AsOfJoin, StreamingAttribution, StreamingDedup, StreamingFunnel, StreamingRetention, TxnBuffer}
 
 /** Twin-equality replays: each stateful streaming operator re-processes
   * the SAME sf0.001 harness data its batch twin runs on — fed through a
@@ -342,6 +342,40 @@ class TwinReplaySpec extends SparkSpec {
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       assert(streamed == batch,
         s"streamed attribution $streamed != batch $batch")
+    } finally q.stop()
+  }
+
+  test("twin replay: streaming retention over chunked MemoryStream == batch events_retention") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, D)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._2).toSeq
+    val maxUs = rows.map(_._2).max
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("userId", "us")
+      .select(col("userId"), timestamp_micros(col("us")).as("eventTime"))
+      .withWatermark("eventTime", "1 second")
+      .as[StreamingRetention.ActivityEvent]
+    val q = StreamingRetention.returns(events).writeStream
+      .format("memory").queryName("ret_twin").outputMode("append").start()
+    try {
+      feedChunked(input, q, rows,
+        Seq((-1L, maxUs + 10_000_000_000L), (-1L, maxUs + 20_000_000_000L)))
+      // aggregate the streamed per-user returns the way the batch
+      // operator's (cohort, offset) count does; the sentinel user's own
+      // single return row is excluded
+      val streamed = spark.table("ret_twin")
+        .where(col("userId") >= 0)
+        .groupBy("cohortDayUs", "dayOffset")
+        .agg(count(lit(1)).as("n_users"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val batch = SparkEntry.queries("events_retention")(spark, D).collect()
+        .map(r => (usOf(r.getTimestamp(0)), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"streamed retention (${streamed.size} cells) != batch (${batch.size})")
     } finally q.stop()
   }
 
