@@ -141,7 +141,7 @@ object DedupOps {
   /** Deduped candidate pairs of the banded signature index (no output
     * sort) — shared by the LSH query and the estimate audit, so the two
     * can never silently disagree on what a candidate is. */
-  private def bandPairs(sig: DataFrame): DataFrame = {
+  private def bandPairs(sig: DataFrame, bucketCap: Option[Int] = None): DataFrame = {
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       // delimited join: today's signatures are fixed-width md5 hex (no
       // ambiguity), but a separator keeps distinct signature tuples from
@@ -151,19 +151,48 @@ object DedupOps {
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    bands.as("a")
-      .join(bands.as("b"),
+    // hot-band cap (same posture as the shingle DfCap): a band bucket of
+    // n docs costs n² in the self-join, and a bucket every templated doc
+    // falls into is boilerplate, not near-duplication — dropping buckets
+    // over the cap bounds Σ|bucket|² without touching discriminative
+    // buckets. The hot set is tiny by construction → broadcast anti-join.
+    val kept = bucketCap match {
+      case None => bands
+      case Some(cap) =>
+        val hot = bands.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+          .where(col("n") > cap).select("band", "bkey")
+        bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    }
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
 
+  /** Band-bucket cap for [[minhashLshCapped]]: at the harness scale no
+    * real bucket exceeds it (capped ≡ uncapped — the oracle checks
+    * that), and LshCapSpec proves the cap FIRES on a corpus where 15
+    * identical templates flood every bucket. */
+  private[graft] val BandBucketCap = 10
+
   /** MinHash + LSH banding: 9 hashes, 3 bands of 3; docs sharing any band
     * key are candidate near-dups. Shuffles on (band, bandkey) — the
     * classic sub-quadratic dedup at corpus scale. */
   val minhashLsh: Q = (s, d) =>
     bandPairs(minhashSignatures(s, d)).orderBy("doc_a", "doc_b")
+
+  /** The 100 TB-safe form of [[minhashLsh]]: identical banding with
+    * buckets over [[BandBucketCap]] docs dropped before the self-join —
+    * the hot-band skew bound for heavily templated corpora, where one
+    * boilerplate band key would otherwise concentrate n² join work on a
+    * single reducer. Semantics: pairs that ONLY collide through a
+    * universal bucket are (deliberately) not candidates; genuinely
+    * near-duplicate pairs keep their discriminative buckets. */
+  val minhashLshCapped: Q = (s, d) =>
+    bandPairs(minhashSignatures(s, d), Some(BandBucketCap))
+      .orderBy("doc_a", "doc_b")
 
   /** MinHash as an ESTIMATOR, not just a bucketizer: for each LSH
     * candidate pair, the fraction of agreeing signature components is an
@@ -633,6 +662,7 @@ object DedupOps {
     "dedup_ngram_containment" -> ngramContainment,
     "dedup_ngram_jaccard_capped" -> ngramJaccardCapped,
     "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_minhash_lsh_capped" -> minhashLshCapped,
     "dedup_minhash_estimate" -> minhashEstimate,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
@@ -777,6 +807,19 @@ object DedupOps {
           bands AS ($bandSelects)
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+          ORDER BY doc_a, doc_b""",
+    "dedup_minhash_lsh_capped" ->
+      s"""WITH $ShinglesSql,
+          sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+          bands AS ($bandSelects),
+          hot AS (SELECT band, bkey FROM bands GROUP BY band, bkey
+                  HAVING COUNT(*) > $BandBucketCap),
+          kept AS (SELECT b.* FROM bands b
+                   WHERE NOT EXISTS (SELECT 1 FROM hot h
+                                     WHERE h.band = b.band AND h.bkey = b.bkey))
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
           ORDER BY doc_a, doc_b""",
     "dedup_minhash_estimate" -> {
