@@ -396,13 +396,28 @@ object DedupOps {
     * scale the same threshold query runs over sim_lsh buckets instead
     * (sub-quadratic). Dot products accumulate left-to-right in double —
     * bit-reproducible. */
-  val embeddingCosine: Q = (s, d) => {
+  private val EmbDim = 64
+
+  /** Corrupt-vector gate for the cosine family: wrong-length, null,
+    * zero, and NaN vectors have no usable direction — and ANSI mode
+    * turns the truncated `element_at` into a stage-killing exception.
+    * One filtered frame (`size == EmbDim`, `nrm > 0` — NaN norms fail
+    * both) feeds every cosine operator; the oracles carry the same
+    * explicit WHERE so both engines drop the same rows instead of
+    * relying on engine-specific NULL/NaN propagation. */
+  private def cleanEmbeddings(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
+    embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .where(size(col("embedding")) === EmbDim)
+      .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
+      .where(col("nrm") > 0)
+  }
+
+  val embeddingCosine: Q = (s, d) => {
     // Precompute each vector's norm once (O(n)) instead of per pair
     // (O(n²)); float_dot is the codegen'd expression — identical doubles,
     // ~50× less interpreted work than the lambda form.
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
+    val e = cleanEmbeddings(s, d)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -449,9 +464,7 @@ object DedupOps {
     * consumer must not pay a global sort it immediately discards. */
   private def cosineLshPairs(s: SparkSession, d: String,
       candidateFilter: Column = lit(true)): DataFrame = {
-    graft.expressions.VectorExpressions.register(s)
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
+    val e = cleanEmbeddings(s, d)
     val bk = e.select(col("vec_id"),
       posexplode(pairBuckets("embedding")).as(Seq("t", "bucket")))
     val pairs = bk.as("a")
@@ -497,7 +510,7 @@ object DedupOps {
         sum(when(col("partner") % 2 === 0, 1L).otherwise(0L)).as("cm"),
         sum(when(isBatch(col("partner")) && col("partner") < col("v"), 1L)
           .otherwise(0L)).as("bm"))
-    embeddings(s, d).select(col("vec_id")).where(isBatch(col("vec_id")))
+    cleanEmbeddings(s, d).select(col("vec_id")).where(isBatch(col("vec_id")))
       .join(perVec, col("vec_id") === col("v"), "left")
       .select(col("vec_id"),
         coalesce(col("cm"), lit(0L)).as("n_corpus_matches"),
@@ -898,7 +911,8 @@ object DedupOps {
 
   private lazy val cosineOracles: Map[String, String] = Map(
     "dedup_embedding_cosine" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+      s"""WITH $EmbCleanSql,
+          e AS (SELECT vec_id, embedding FROM embc)
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
             round(${DotSql("a.embedding", "b.embedding")} /
               (sqrt(${DotSql("a.embedding", "a.embedding")}) *
@@ -926,7 +940,7 @@ object DedupOps {
             coalesce(bm.cm, 0) AS n_corpus_matches,
             coalesce(bm.bm, 0) AS n_earlier_batch_matches,
             (coalesce(bm.cm, 0) = 0 AND coalesce(bm.bm, 0) = 0) AS kept
-          FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) e
+          FROM (SELECT vec_id FROM embc WHERE vec_id % 2 = 1) e
           LEFT JOIN bm ON bm.v = e.vec_id
           ORDER BY e.vec_id""",
     "dedup_semantic_cluster" ->
@@ -946,14 +960,24 @@ object DedupOps {
   /** Multi-table sign-LSH candidate chain ending in the exact-verified
     * thresholded pair set `tpairs(vec_a, vec_b, sim_r)` — shared by the
     * pair query and the semantic-cluster recursion. */
+  /** DuckDB spelling of [[cleanEmbeddings]] — the corrupt-vector gate
+    * both engines apply identically. */
+  // lazy: declared after the oracles val that interpolates it (same
+  // initialization-order constraint as CosineLshCtes below)
+  private[ops] lazy val EmbCleanSql =
+    s"""embc AS (SELECT vec_id, embedding FROM embeddings
+         WHERE len(embedding) = $EmbDim
+           AND sqrt(${DotSql("embedding", "embedding")}) > 0)"""
+
   private lazy val CosineLshCtes = {
     val tableSql = (0 until PairLshTables).map { t =>
       val key = (0 until PairLshBits).map(j =>
         s"CASE WHEN embedding[${PairLshBits * t + j + 1}] >= 0 THEN '1' ELSE '0' END")
         .mkString("(", " || ", ")")
-      s"SELECT vec_id, $t AS t, $key AS bucket FROM embeddings"
+      s"SELECT vec_id, $t AS t, $key AS bucket FROM embc"
     }.mkString(" UNION ALL ")
-    s"""bk AS ($tableSql),
+    s"""$EmbCleanSql,
+        bk AS ($tableSql),
         cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
                  FROM bk a JOIN bk b
                    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
@@ -962,8 +986,8 @@ object DedupOps {
               (sqrt(${DotSql("a.embedding", "a.embedding")}) *
                sqrt(${DotSql("b.embedding", "b.embedding")})), 6) AS sim_r
           FROM cand p
-          JOIN embeddings a ON a.vec_id = p.vec_a
-          JOIN embeddings b ON b.vec_id = p.vec_b
+          JOIN embc a ON a.vec_id = p.vec_a
+          JOIN embc b ON b.vec_id = p.vec_b
           WHERE ${DotSql("a.embedding", "b.embedding")} /
               (sqrt(${DotSql("a.embedding", "a.embedding")}) *
                sqrt(${DotSql("b.embedding", "b.embedding")})) > 0.3)"""

@@ -29,10 +29,19 @@ object SimOps {
   private def qset(s: SparkSession, d: String): DataFrame =
     qset2(s, d).where(col("q_id") < NQueries) // filter pushes to the scan
 
+  private val EmbDim = 64
+
+  /** Corrupt-vector gate (see DedupOps.cleanEmbeddings for the full
+    * rationale): wrong-length vectors crash the fixed-index bucket
+    * expressions under ANSI; zero/NaN vectors have no direction. Both
+    * ANN entry frames drop them. No-op on the harness corpus (all
+    * vectors are clean 64-dim), so the DuckDB oracles are unchanged. */
   private def corpusWithNorm(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
-    embeddings(s, d).select(col("vec_id"), col("embedding"),
-      sqrt(expr("float_dot(embedding, embedding)")).as("c_nrm"))
+    embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .where(size(col("embedding")) === EmbDim)
+      .withColumn("c_nrm", sqrt(expr("float_dot(embedding, embedding)")))
+      .where(col("c_nrm") > 0)
   }
 
   /** Partition-local exact top-k per query under the final total order
@@ -469,12 +478,10 @@ object SimOps {
 
   /** All-corpus (q_id, q_emb, q_nrm) frame — the probe side of
     * [[labelPurity]] (qset restricted to nothing). */
-  private def qset2(s: SparkSession, d: String): DataFrame = {
-    graft.expressions.VectorExpressions.register(s)
-    embeddings(s, d)
+  private def qset2(s: SparkSession, d: String): DataFrame =
+    corpusWithNorm(s, d)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        sqrt(expr("float_dot(embedding, embedding)")).as("q_nrm"))
-  }
+        col("c_nrm").as("q_nrm"))
 
   /** The scored-candidate frame of the IVF index (query × probed-list
     * members) — exposed so Bench can report the candidate fraction. */

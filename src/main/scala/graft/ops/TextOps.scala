@@ -36,7 +36,7 @@ object TextOps {
       .withColumn("n_stop",
         expr("size(filter(split(lower(text), '\\\\s+'), x -> x IN ('the','a','and','of','to','in','is')))"))
       .withColumn("quality",
-        when(col("len") >= 100 && expr("n_alpha * 100 div len") >= 70 &&
+        when(col("len") >= 100 && expr("n_alpha * 100 div greatest(len, 1)") >= 70 &&
           col("n_stop") >= 1, "good")
           .when(col("len") >= 30, "ok")
           .otherwise("junk"))
@@ -49,14 +49,14 @@ object TextOps {
          CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
               x -> x IN ('the','a','and','of','to','in','is'))) AS INT) AS n_stop"""
   private[ops] val QualityCaseSql =
-    """CASE WHEN len >= 100 AND n_alpha * 100 // len >= 70 AND n_stop >= 1 THEN 'good'
+    """CASE WHEN len >= 100 AND n_alpha * 100 // greatest(len, 1) >= 70 AND n_stop >= 1 THEN 'good'
             WHEN len >= 30 THEN 'ok' ELSE 'junk' END"""
 
   /** Quality scoring from length / alphabetic ratio / stopword ratio. */
   val qualityScore: Q = (s, d) =>
     withQuality(documents(s, d))
       .withColumn("n_digit", length(regexp_replace(col("text"), "[^0-9]", "")))
-      .withColumn("alpha_pct", expr("n_alpha * 100 div len"))
+      .withColumn("alpha_pct", expr("n_alpha * 100 div greatest(len, 1)"))
       .select("doc_id", "len", "n_alpha", "n_digit", "n_stop", "alpha_pct", "quality")
       .orderBy("doc_id")
 
@@ -151,7 +151,7 @@ object TextOps {
              CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digit
            FROM documents)
            SELECT doc_id, len, n_alpha, n_digit, n_stop,
-             CAST(n_alpha * 100 // len AS INT) AS alpha_pct,
+             CAST(n_alpha * 100 // greatest(len, 1) AS INT) AS alpha_pct,
              $QualityCaseSql AS quality
            FROM b ORDER BY doc_id""",
     "text_lang_id" ->

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corrupt-row discipline: at corpus scale some rows WILL carry null
+  * text, empty strings, null/empty/truncated embedding vectors — and
+  * one bad row must never kill a stage. Every custom expression is
+  * null-safe by construction (nullSafeEval / min-length truncation);
+  * this spec drives the REGISTERED operators over a corpus seeded with
+  * every corrupt shape and pins: no throw, clean rows still processed,
+  * corrupt rows either propagate as null/absent or degrade per the
+  * operator's documented semantics — never crash. */
+class CorruptInputSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = Seq(
+      Row(1L, "a perfectly ordinary document with enough words to shingle and chunk", "en", "src0", 69L),
+      Row(2L, "a perfectly ordinary document with enough words to shingle and chunk", "en", "src2", 69L),
+      Row(3L, null, "en", "src0", 0L),          // null text
+      Row(4L, "", "en", "src2", 0L),            // empty text
+      Row(5L, "   \t  ", "en", "src0", 6L),     // whitespace-only
+      Row(6L, "short", null, null, 5L))         // null metadata
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(docs).asJava),
+      docSchema).write.parquet(s"$d/documents.parquet")
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val clean = Array.tabulate(64)(i => (if (i % 2 == 0) 0.5f else -0.5f))
+    val embs = Seq(
+      Row(1L, clean.toSeq, 0),
+      Row(2L, clean.map(v => v * 0.9f).toSeq, 0),
+      Row(3L, null, 0),                          // null vector
+      Row(4L, Seq.empty[Float], 0),              // empty vector
+      Row(5L, clean.take(8).toSeq, 0),           // truncated vector
+      Row(6L, Seq.fill(64)(Float.NaN), 0))       // NaN vector
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(embs).asJava),
+      embSchema).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private val mustNotThrow = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
+    "dedup_simhash", "doc_chunk", "chunk_dedup_fuzzy",
+    "text_token_count", "text_quality_score", "text_lang_id",
+    "text_fingerprint", "text_repetition", "sample_stratified",
+    "corpus_curate", "corpus_stats", "vocab_bpe_pairs", "corpus_quantiles",
+    "emb_quantize_int8", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh", "dedup_embedding_incremental",
+    "sim_brute_topk", "sim_lsh_topk")
+
+  for (name <- mustNotThrow) {
+    test(s"$name survives null/empty/truncated rows") {
+      SparkEntry.queries(name)(spark, dir).collect()
+    }
+  }
+
+  test("clean rows still dedup across the corrupt neighbors") {
+    // docs 1 and 2 are byte-identical; the corrupt rows around them must
+    // not stop the pair from being found
+    val exact = SparkEntry.queries("dedup_exact")(spark, dir)
+      .where(col("n_copies") > 1).collect()
+    assert(exact.exists(_.getAs[Long]("keeper") == 1L),
+      "the clean duplicate pair must survive corrupt neighbors")
+    val cos = SparkEntry.queries("dedup_embedding_cosine_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cos.contains((1L, 2L)),
+      "the clean near-identical vectors must pair despite corrupt neighbors")
+  }
+}
