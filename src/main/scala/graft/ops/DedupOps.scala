@@ -520,6 +520,33 @@ object DedupOps {
       .orderBy("vec_id")
   }
 
+  /** The audit the O(n²) baseline exists FOR, registered as a measured
+    * one-row table (the minhash_estimate / lang_id_eval philosophy):
+    * exact thresholded pairs vs the bucketed sign-LSH pairs, their
+    * intersection, and the resulting precision/recall — integer counts
+    * and one guarded division, so the quality of the sub-quadratic
+    * default is an oracle-checked NUMBER every round, not a bench-only
+    * observation. (LSH precision is 1.0 by construction — every emitted
+    * pair is exact-verified; recall is the corpus-dependent quantity.)
+    * At 100 TB the exact side runs on a SAMPLE (filter the input); the
+    * report shape is unchanged. */
+  val embeddingLshEval: Q = (s, d) => {
+    val exact = embeddingCosine(s, d).select("vec_a", "vec_b")
+    val lsh = cosineLshPairs(s, d).select("vec_a", "vec_b")
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nBoth = exact.join(lsh, Seq("vec_a", "vec_b"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    nExact.crossJoin(nLsh).crossJoin(nBoth) // three 1-row frames
+      .select(col("n_exact"), col("n_lsh"), col("n_both"),
+        when(col("n_lsh") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double") / col("n_lsh").cast("double"), 6))
+          .as("precision_r"),
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double") / col("n_exact").cast("double"), 6))
+          .as("recall_r"))
+  }
+
   /** One large-star round over a canonical (u > v) edge list: every
     * node u points its LARGER neighbors at m(u) = min(Γ(u) ∪ {u}).
     * m(u) is a partial-aggregated min — a hub's edges collapse map-side,
@@ -683,6 +710,7 @@ object DedupOps {
     "dedup_embedding_cosine" -> embeddingCosine,
     "dedup_embedding_cosine_lsh" -> embeddingCosineLsh,
     "dedup_embedding_incremental" -> embeddingIncremental,
+    "dedup_embedding_lsh_eval" -> embeddingLshEval,
     "dedup_semantic_cluster" -> semanticCluster,
   )
 
@@ -943,6 +971,24 @@ object DedupOps {
           FROM (SELECT vec_id FROM embc WHERE vec_id % 2 = 1) e
           LEFT JOIN bm ON bm.v = e.vec_id
           ORDER BY e.vec_id""",
+    "dedup_embedding_lsh_eval" ->
+      s"""WITH $CosineLshCtes,
+          ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                 FROM embc a JOIN embc b ON a.vec_id < b.vec_id
+                 WHERE ${DotSql("a.embedding", "b.embedding")} /
+                     (sqrt(${DotSql("a.embedding", "a.embedding")}) *
+                      sqrt(${DotSql("b.embedding", "b.embedding")})) > 0.3),
+          ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),
+          nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM tpairs),
+          nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+                 FROM ex WHERE EXISTS (SELECT 1 FROM tpairs t
+                                       WHERE t.vec_a = ex.vec_a AND t.vec_b = ex.vec_b))
+          SELECT n_exact, n_lsh, n_both,
+            CASE WHEN n_lsh = 0 THEN NULL
+                 ELSE round(CAST(n_both AS DOUBLE) / CAST(n_lsh AS DOUBLE), 6) END AS precision_r,
+            CASE WHEN n_exact = 0 THEN NULL
+                 ELSE round(CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) END AS recall_r
+          FROM ne, nl, nb""",
     "dedup_semantic_cluster" ->
       s"""WITH RECURSIVE $CosineLshCtes,
           edges AS (SELECT vec_a AS s, vec_b AS t FROM tpairs
