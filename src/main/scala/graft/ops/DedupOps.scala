@@ -396,21 +396,26 @@ object DedupOps {
     * scale the same threshold query runs over sim_lsh buckets instead
     * (sub-quadratic). Dot products accumulate left-to-right in double —
     * bit-reproducible. */
-  private val EmbDim = 64
+  /** THE corrupt-vector gate, single-sourced for the cosine family
+    * (here), the ANN family (SimOps.corpusWithNorm) and the index
+    * append path: wrong-length, null, zero, and NaN vectors have no
+    * usable direction — and ANSI mode turns the truncated `element_at`
+    * into a stage-killing exception. `!isnan` is load-bearing: BOTH
+    * engines order NaN above every number, so `nrm > 0` alone ADMITS an
+    * all-NaN vector, whose NaN cosine then outranks every real neighbor
+    * under DESC sort. The oracles carry the same explicit WHERE
+    * ([[EmbCleanSql]]) so the engines drop identical rows. */
+  private[ops] object EmbGate {
+    val Dim = 64
+    def clean(df: DataFrame, normName: String): DataFrame =
+      df.where(size(col("embedding")) === Dim)
+        .withColumn(normName, sqrt(expr("float_dot(embedding, embedding)")))
+        .where(col(normName) > 0 && !isnan(col(normName)))
+  }
 
-  /** Corrupt-vector gate for the cosine family: wrong-length, null,
-    * zero, and NaN vectors have no usable direction — and ANSI mode
-    * turns the truncated `element_at` into a stage-killing exception.
-    * One filtered frame (`size == EmbDim`, `nrm > 0` — NaN norms fail
-    * both) feeds every cosine operator; the oracles carry the same
-    * explicit WHERE so both engines drop the same rows instead of
-    * relying on engine-specific NULL/NaN propagation. */
   private def cleanEmbeddings(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
-    embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .where(size(col("embedding")) === EmbDim)
-      .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
-      .where(col("nrm") > 0)
+    EmbGate.clean(embeddings(s, d).select(col("vec_id"), col("embedding")), "nrm")
   }
 
   val embeddingCosine: Q = (s, d) => {
@@ -1012,8 +1017,9 @@ object DedupOps {
   // initialization-order constraint as CosineLshCtes below)
   private[ops] lazy val EmbCleanSql =
     s"""embc AS (SELECT vec_id, embedding FROM embeddings
-         WHERE len(embedding) = $EmbDim
-           AND sqrt(${DotSql("embedding", "embedding")}) > 0)"""
+         WHERE len(embedding) = ${EmbGate.Dim}
+           AND sqrt(${DotSql("embedding", "embedding")}) > 0
+           AND NOT isnan(sqrt(${DotSql("embedding", "embedding")})))"""
 
   private lazy val CosineLshCtes = {
     val tableSql = (0 until PairLshTables).map { t =>

@@ -630,6 +630,11 @@ object RefOps {
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      // null-typed events are treated as nonexistent BEFORE the window
+      // (adjacency skips over them) — and the oracle filters the same
+      // way, because the engines otherwise diverge on a null inside a
+      // trigram: Spark's concat_ws skips it, SQL's || nulls the path
+      .where(col("event_type").isNotNull)
       .withColumn("t2", lead("event_type", 1).over(w))
       .withColumn("t3", lead("event_type", 2).over(w))
       .where(col("t3").isNotNull)
@@ -923,7 +928,7 @@ object RefOps {
       s"""WITH t AS (SELECT event_type,
              lead(event_type, 1) OVER w AS t2,
              lead(event_type, 2) OVER w AS t3
-           FROM events
+           FROM events WHERE event_type IS NOT NULL
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          SELECT event_type || '>' || t2 || '>' || t3 AS path,
            CAST(COUNT(*) AS BIGINT) AS n

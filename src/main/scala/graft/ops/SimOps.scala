@@ -29,19 +29,16 @@ object SimOps {
   private def qset(s: SparkSession, d: String): DataFrame =
     qset2(s, d).where(col("q_id") < NQueries) // filter pushes to the scan
 
-  private val EmbDim = 64
-
-  /** Corrupt-vector gate (see DedupOps.cleanEmbeddings for the full
-    * rationale): wrong-length vectors crash the fixed-index bucket
-    * expressions under ANSI; zero/NaN vectors have no direction. Both
-    * ANN entry frames drop them. No-op on the harness corpus (all
-    * vectors are clean 64-dim), so the DuckDB oracles are unchanged. */
+  /** Corrupt-vector gate — THE shared [[DedupOps.EmbGate]] (see its doc
+    * for the NaN subtlety): wrong-length vectors crash the fixed-index
+    * bucket expressions under ANSI; zero/NaN vectors have no direction
+    * and a NaN cosine would outrank every real neighbor. Both ANN entry
+    * frames drop them. No-op on the harness corpus (all vectors are
+    * clean 64-dim), so the DuckDB oracles are unchanged. */
   private def corpusWithNorm(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
-    embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .where(size(col("embedding")) === EmbDim)
-      .withColumn("c_nrm", sqrt(expr("float_dot(embedding, embedding)")))
-      .where(col("c_nrm") > 0)
+    DedupOps.EmbGate.clean(
+      embeddings(s, d).select(col("vec_id"), col("embedding")), "c_nrm")
   }
 
   /** Partition-local exact top-k per query under the final total order
@@ -421,8 +418,12 @@ object SimOps {
   def appendToIvfIndex(s: SparkSession, dir: String, batch: DataFrame): Unit = {
     graft.expressions.VectorExpressions.register(s)
     val cents = s.read.parquet(dir + "/centroids")
-    val withNrm = batch.select(col("vec_id"), col("embedding"))
-      .withColumn("c_nrm", sqrt(expr("float_dot(embedding, embedding)")))
+    // the SAME gate the offline build applies (via corpusWithNorm) — an
+    // ungated append would let one corrupt ingest vector into the
+    // standing index, where its NaN/inf cosine outranks every real
+    // neighbor at query time
+    val withNrm = DedupOps.EmbGate.clean(
+      batch.select(col("vec_id"), col("embedding")), "c_nrm")
     closureAssign(cents, withNrm.select("vec_id", "embedding"))
       .join(withNrm, "vec_id")
       .write.mode("append").partitionBy("list_id").parquet(dir + "/lists")

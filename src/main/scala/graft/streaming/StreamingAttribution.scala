@@ -28,21 +28,30 @@ object StreamingAttribution {
     * to `channel` ("direct" when no touch preceded it). */
   case class Attribution(userId: Long, eventId: Long, ts: Long, channel: String)
 
+  /** lastTouch keeps its (ts, eventId) key, not just the type: a
+    * straggler BELOW the watermark (which Spark only "expects", never
+    * guarantees, to drop — EventTimeOps) is immediately ripe on
+    * arrival, and a bare-string state would let that OLDER touch
+    * overwrite a newer one, flipping the credit of every later
+    * purchase. The keyed max keeps the running touch monotone in
+    * (ts, eventId) no matter what order events apply in. */
   case class AttrState(buffer: List[(Long, Long, String)],
-      lastTouch: Option[String])
+      lastTouch: Option[(Long, Long, String)])
 
   /** Apply every buffered event the watermark has STRICTLY passed
     * ([[EventTimeOps.ripe]] — the µs tail of wm's millisecond can still
     * arrive) in (ts, eventId) order: non-purchases advance the running
-    * touch, purchases emit. */
+    * touch (monotone max by (ts, eventId)), purchases emit. */
   private def applyReady(userId: Long, st: AttrState, wm: Long):
       (List[Attribution], AttrState) = {
     val (ready, pending) = st.buffer.partition(e => EventTimeOps.ripe(e._1, wm))
     var lt = st.lastTouch
     val out = List.newBuilder[Attribution]
     ready.sortBy(e => (e._1, e._2)).foreach { case (ts, id, tpe) =>
-      if (tpe == "purchase") out += Attribution(userId, id, ts, lt.getOrElse("direct"))
-      else lt = Some(tpe)
+      if (tpe == "purchase")
+        out += Attribution(userId, id, ts, lt.map(_._3).getOrElse("direct"))
+      else if (lt.forall(p => ts > p._1 || (ts == p._1 && id > p._2)))
+        lt = Some((ts, id, tpe))
     }
     (out.result(), AttrState(pending, lt))
   }

@@ -42,7 +42,13 @@ object StreamingRetention {
       val day = Math.floorDiv(ts, DayUs)
       if (cohort.isEmpty) cohort = Some(day)
       val off = (day - cohort.get).toInt
-      if (!emitted.contains(off)) {
+      // off < 0 only for a sub-watermark straggler older than the
+      // finalized cohort day (Spark "expects", never guarantees, to
+      // drop those — EventTimeOps). The cohort cannot be re-minned
+      // retroactively, and the batch twin can never produce a negative
+      // offset — so the straggler is dropped, not emitted as a corrupt
+      // (cohort, -n) cell.
+      if (off >= 0 && !emitted.contains(off)) {
         emitted += off
         out += Return(userId, cohort.get * DayUs, off)
       }

@@ -45,6 +45,22 @@ class CorruptInputSpec extends SparkSpec {
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(embs).asJava),
       embSchema).write.parquet(s"$d/embeddings.parquet")
+    // events with null-typed rows interleaved (ts in nanos, the real
+    // feed's physical type)
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val base = 1_700_000_000_000_000_000L
+    val evs = Seq(
+      Row(1L, base, 7L, "view", 1.0, """{"k":1}"""),
+      Row(2L, base + 60_000_000_000L, 7L, null, 1.0, null), // null type
+      Row(3L, base + 120_000_000_000L, 7L, "click", 1.0, """{"k":2}"""),
+      Row(4L, base + 180_000_000_000L, 7L, null, 1.0, """{"k":3}"""),
+      Row(5L, base + 240_000_000_000L, 7L, "purchase", 1.0, """{"k":4}"""))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(evs).asJava),
+      evSchema).write.parquet(s"$d/events.parquet")
     d
   }
 
@@ -56,12 +72,41 @@ class CorruptInputSpec extends SparkSpec {
     "corpus_curate", "corpus_stats", "vocab_bpe_pairs", "corpus_quantiles",
     "emb_quantize_int8", "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh", "dedup_embedding_incremental",
-    "sim_brute_topk", "sim_lsh_topk")
+    "dedup_embedding_lsh_eval", "sim_brute_topk", "sim_lsh_topk",
+    "events_sessionize", "events_funnel", "events_attribution",
+    "events_path_topk", "events_retention")
 
   for (name <- mustNotThrow) {
     test(s"$name survives null/empty/truncated rows") {
       SparkEntry.queries(name)(spark, dir).collect()
     }
+  }
+
+  test("NaN vectors are gated out: no NaN pair emitted, no NaN rank-1 hijack") {
+    // both engines order NaN above every number, so an ungated all-NaN
+    // vector passes `nrm > 0`, its NaN cosine passes `> 0.3`, and DESC
+    // sort makes it the rank-1 neighbor of every query — the gate's
+    // !isnan is what this pins
+    val pairs = SparkEntry.queries("dedup_embedding_cosine")(spark, dir)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(_ >= 3L),
+      s"corrupt vectors (ids 3-6) must never appear in cosine pairs, got $pairs")
+    val top = SparkEntry.queries("sim_brute_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(top.forall(_._3 < 3L),
+      s"corrupt vectors must never rank as neighbors, got ${top.toSeq}")
+    assert(top.contains((1L, 1, 2L)),
+      "the clean near-identical vector must be the rank-1 neighbor")
+  }
+
+  test("null-typed events vanish identically from the path trigrams") {
+    // Spark's concat_ws SKIPS a null inside a trigram while SQL's ||
+    // nulls the whole path — both sides now filter null-typed events
+    // before the window, so adjacency skips over them consistently
+    val paths = SparkEntry.queries("events_path_topk")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(paths == Map("view>click>purchase" -> 1L),
+      s"null-typed events must be invisible to adjacency, got $paths")
   }
 
   test("clean rows still dedup across the corrupt neighbors") {
