@@ -644,6 +644,37 @@ object RefOps {
       .limit(PathTopN)
   }
 
+  /** Per-type revenue statistics with ORDER-INDEPENDENT exactness: the
+    * double `value` column is cast to DECIMAL(18,6) before summing, so
+    * the aggregate is exact and deterministic under any shuffle order
+    * (a double sum is neither), then cast back for the report. One
+    * map-side-combining shuffle on the tiny type key. */
+  val eventsRevenueStats: Q = (s, d) =>
+    events(s, d)
+      .select(col("event_type"), col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("v").cast("double").as("total_v"),
+        min("v").cast("double").as("min_v"),
+        max("v").cast("double").as("max_v"))
+      .withColumn("mean_r",
+        round(col("total_v") / col("n").cast("double"), 6))
+      .orderBy("event_type")
+
+  /** Props-key histogram — the schema-drift detector a JSON ingest runs
+    * next to its decode: every key appearing in the `props` payloads,
+    * with occurrence counts. Invalid or null JSON contributes nothing
+    * (both engines filter identically — Spark's from_json nulls out,
+    * the oracle guards with json_valid). Scan + one shuffle on the
+    * (tiny) key space; a new upstream field or a typo'd key shows up as
+    * a new row, not a silent decode null three jobs later. */
+  val eventsPropsKeys: Q = (s, d) =>
+    events(s, d)
+      .select(explode(map_keys(from_json(col("props"), "map<string,string>",
+        Map.empty[String, String]))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n_events"))
+      .orderBy("key")
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
@@ -688,6 +719,8 @@ object RefOps {
     "events_error_spike" -> eventsErrorSpike,
     "events_attribution" -> eventsAttribution,
     "events_path_topk" -> eventsPathTopk,
+    "events_revenue_stats" -> eventsRevenueStats,
+    "events_props_keys" -> eventsPropsKeys,
   )
 
   val oracles: Map[String, String] = Map(
@@ -934,5 +967,18 @@ object RefOps {
            CAST(COUNT(*) AS BIGINT) AS n
          FROM t WHERE t3 IS NOT NULL
          GROUP BY 1 ORDER BY n DESC, path LIMIT $PathTopN""",
+    "events_revenue_stats" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_v,
+           CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_v,
+           CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_v,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_r
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "events_props_keys" ->
+      """SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM (SELECT unnest(json_keys(props)) AS key FROM events
+               WHERE props IS NOT NULL AND json_valid(props))
+         GROUP BY key ORDER BY key""",
   )
 }

@@ -74,7 +74,8 @@ class CorruptInputSpec extends SparkSpec {
     "dedup_embedding_cosine_lsh", "dedup_embedding_incremental",
     "dedup_embedding_lsh_eval", "sim_brute_topk", "sim_lsh_topk",
     "events_sessionize", "events_funnel", "events_attribution",
-    "events_path_topk", "events_retention")
+    "events_path_topk", "events_retention", "events_revenue_stats",
+    "events_props_keys")
 
   for (name <- mustNotThrow) {
     test(s"$name survives null/empty/truncated rows") {

@@ -51,7 +51,8 @@ class EmptyInputSpec extends SparkSpec {
     "pack_sequences", "corpus_curate", "emb_quantize_int8", "sim_brute_topk",
     "sim_lsh_topk",
     "events_sessionize", "events_funnel", "events_retention",
-    "events_attribution", "events_path_topk", "mm_frame_sample")
+    "events_attribution", "events_path_topk", "events_revenue_stats",
+    "events_props_keys", "mm_frame_sample")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
