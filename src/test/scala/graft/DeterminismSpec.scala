@@ -26,7 +26,9 @@ class DeterminismSpec extends SparkSpec {
     "corpus_quantiles",     // histogram CDF under one single-partition window
     "vocab_bpe_pairs",      // two-phase top-k (tie-broken by pair)
     "dedup_keep_best",      // CC fixpoint + min(struct) keeper election
-    "dedup_embedding_incremental") // parity-cut LSH candidates + agg
+    "dedup_embedding_incremental", // parity-cut LSH candidates + agg
+    "events_revenue_stats", // decimal sums — THE order-independence claim
+    "events_props_keys")    // json key histogram
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {
