@@ -651,14 +651,21 @@ object RefOps {
     * map-side-combining shuffle on the tiny type key. */
   val eventsRevenueStats: Q = (s, d) =>
     events(s, d)
-      .select(col("event_type"), col("value").cast("decimal(18,6)").as("v"))
+      // null types bucket under an explicit label: their revenue is
+      // still revenue, and a raw null group would sort NULLS FIRST in
+      // Spark but NULLS LAST in the oracle's ORDER BY — a positional
+      // compare mismatch waiting for the first corrupt row
+      .select(coalesce(col("event_type"), lit("unknown")).as("event_type"),
+        col("value").cast("decimal(18,6)").as("v"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
+        count(col("v")).as("n_value"), // null revenues excluded from the mean
         sum("v").cast("double").as("total_v"),
         min("v").cast("double").as("min_v"),
         max("v").cast("double").as("max_v"))
       .withColumn("mean_r",
-        round(col("total_v") / col("n").cast("double"), 6))
+        when(col("n_value") === 0, lit(null).cast("double"))
+          .otherwise(round(col("total_v") / col("n_value").cast("double"), 6)))
       .orderBy("event_type")
 
   /** Props-key histogram — the schema-drift detector a JSON ingest runs
@@ -968,13 +975,16 @@ object RefOps {
          FROM t WHERE t3 IS NOT NULL
          GROUP BY 1 ORDER BY n DESC, path LIMIT $PathTopN""",
     "events_revenue_stats" ->
-      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      """SELECT coalesce(event_type, 'unknown') AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(value) AS BIGINT) AS n_value,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_v,
            CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_v,
            CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_v,
-           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_r
-         FROM events GROUP BY event_type ORDER BY event_type""",
+           CASE WHEN COUNT(value) = 0 THEN NULL
+                ELSE round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(COUNT(value) AS DOUBLE), 6) END AS mean_r
+         FROM events GROUP BY 1 ORDER BY 1""",
     "events_props_keys" ->
       """SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events
          FROM (SELECT unnest(json_keys(props)) AS key FROM events

@@ -57,7 +57,8 @@ class CorruptInputSpec extends SparkSpec {
       Row(2L, base + 60_000_000_000L, 7L, null, 1.0, null), // null type
       Row(3L, base + 120_000_000_000L, 7L, "click", 1.0, """{"k":2}"""),
       Row(4L, base + 180_000_000_000L, 7L, null, 1.0, """{"k":3}"""),
-      Row(5L, base + 240_000_000_000L, 7L, "purchase", 1.0, """{"k":4}"""))
+      Row(5L, base + 240_000_000_000L, 7L, "purchase", 1.0, """{"k":4}"""),
+      Row(6L, base + 300_000_000_000L, 7L, null, null, null)) // fully null tail
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(evs).asJava),
       evSchema).write.parquet(s"$d/events.parquet")
@@ -108,6 +109,18 @@ class CorruptInputSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(paths == Map("view>click>purchase" -> 1L),
       s"null-typed events must be invisible to adjacency, got $paths")
+  }
+
+  test("revenue stats: null types bucket as 'unknown', null values never dilute the mean") {
+    val rows = SparkEntry.queries("events_revenue_stats")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    // two null-typed rows (one with revenue, one fully null): the mean
+    // is over the ONE observed value, not diluted by the null
+    assert(rows("unknown") == ((3L, 2L, Some(1.0))),
+      s"unknown bucket must count 3 rows, 2 observed values, mean 1.0: ${rows("unknown")}")
+    assert(rows("purchase") == ((1L, 1L, Some(1.0))), rows.toString)
   }
 
   test("clean rows still dedup across the corrupt neighbors") {
