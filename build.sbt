@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout through VERBATIM instead of re-logging
+// each line with an "[info] " prefix: the bench contract is ONE
+// machine-parseable JSON line on stdout, and `json.loads("[info] {…}")`
+// fails — r2 proved the line can be fully present in a log tail and
+// still unparseable purely because of the prefix.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,13 +21,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Hard recall@3 floors per registered index family — a regression in
     * any usable-default ANN path fails the bench loudly. Every
-    * registered sim_* key either has a floor here or carries `baseline`
-    * in its name (the single-table pedagogical baseline, recall ≈ 0 by
-    * construction, is deliberately floorless). The multi-table knee
-    * exhibit is floored at 0.5, just under its measured 0.542, so a
-    * silent drift of the 4-table configuration still fails. */
+    * registered sim_* key has a floor. The multi-probe default is
+    * floored at 0.8 (measured 0.875); the multi-table knee exhibit at
+    * 0.5, just under its measured 0.542, so a silent drift of the
+    * 4-table configuration still fails. */
   private val RecallFloors = Map(
-    "sim_lsh_topk" -> 0.6,
+    "sim_lsh_topk" -> 0.8,
     "sim_lsh_multi_topk" -> 0.5,
     "sim_ivf_topk" -> 0.9,
     "sim_q8_topk" -> 0.9,
@@ -116,7 +115,7 @@ object Bench {
           .groupBy(_.getAs[Long]("q_id"))
           .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
       val truth = topSet("sim_brute_topk")
-      val annNames = Seq("sim_lsh_topk", "sim_lsh_1table_baseline_topk",
+      val annNames = Seq("sim_lsh_topk",
         "sim_lsh_multi_topk", "sim_ivf_topk", "sim_q8_topk", "sim_ivf_q8_topk",
         "sim_knn_graph")
       val recalls = annNames.map { n =>
@@ -132,9 +131,9 @@ object Bench {
       val nQ = truth.size.toDouble
       val fractions = Seq(
         "sim_lsh_topk" ->
-          ops.SimOps.lshCandidatePairs(spark, sfDir, ops.SimOps.DefaultTables).count(),
+          ops.SimOps.lshCandidatePairs(spark, sfDir, ops.SimOps.DefaultLsh).count(),
         "sim_lsh_multi_topk" ->
-          ops.SimOps.lshCandidatePairs(spark, sfDir, ops.SimOps.KneeTables).count(),
+          ops.SimOps.lshCandidatePairs(spark, sfDir, ops.SimOps.KneeLsh).count(),
         "sim_ivf_topk" -> ops.SimOps.ivfCandidates(spark, sfDir).count(),
       ).map { case (n, c) => n -> c / (nCorpus * nQ) }
       val rJson = recalls.map { case (n, r) => "\"" + n + "\":" + r }

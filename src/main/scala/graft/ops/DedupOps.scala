@@ -410,7 +410,13 @@ object DedupOps {
     def clean(df: DataFrame, normName: String): DataFrame =
       df.where(size(col("embedding")) === Dim)
         .withColumn(normName, sqrt(expr("float_dot(embedding, embedding)")))
-        .where(col(normName) > 0 && !isnan(col(normName)))
+        // finiteness is three-sided: NaN norm (all-NaN vector), +Inf
+        // norm (a +Inf element — Inf/Inf cosine is NaN, which outranks
+        // every real neighbor under DESC in both engines), and the
+        // mixed ±Inf vector whose dot is already NaN. `> 0` alone
+        // admits ALL of these because NaN sorts above every number.
+        .where(col(normName) > 0 && !isnan(col(normName)) &&
+          col(normName) < lit(Double.PositiveInfinity))
   }
 
   private def cleanEmbeddings(s: SparkSession, d: String): DataFrame = {
@@ -1019,7 +1025,8 @@ object DedupOps {
     s"""embc AS (SELECT vec_id, embedding FROM embeddings
          WHERE len(embedding) = ${EmbGate.Dim}
            AND sqrt(${DotSql("embedding", "embedding")}) > 0
-           AND NOT isnan(sqrt(${DotSql("embedding", "embedding")})))"""
+           AND NOT isnan(sqrt(${DotSql("embedding", "embedding")}))
+           AND NOT isinf(sqrt(${DotSql("embedding", "embedding")})))"""
 
   private lazy val CosineLshCtes = {
     val tableSql = (0 until PairLshTables).map { t =>

@@ -419,7 +419,11 @@ object PipelineOps {
     * Spark's exact `percentile` funnels all values through one reducer;
     * the histogram form never moves more than the domain. */
   val corpusQuantiles: Q = (s, d) => {
-    val hist = documents(s, d)
+    // null lengths out FIRST: a null histogram bucket sorts NULLS FIRST
+    // in Spark's window ORDER BY but NULLS LAST in DuckDB's, shifting
+    // the running CDF (and thus every threshold) between engines —
+    // quantiles are defined over observed lengths only
+    val hist = documents(s, d).where(col("n_chars").isNotNull)
       .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
     val cdf = hist
       .withColumn("cum", sum("cnt").over(Window.orderBy("n_chars")
@@ -490,7 +494,8 @@ object PipelineOps {
   val oracles: Map[String, String] = Map(
     "corpus_quantiles" ->
       s"""WITH h AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
-                     FROM documents GROUP BY n_chars),
+                     FROM documents WHERE n_chars IS NOT NULL
+                     GROUP BY n_chars),
           c AS (SELECT n_chars,
                   SUM(cnt) OVER (ORDER BY n_chars
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum

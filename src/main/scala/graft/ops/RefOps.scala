@@ -671,14 +671,19 @@ object RefOps {
   /** Props-key histogram — the schema-drift detector a JSON ingest runs
     * next to its decode: every key appearing in the `props` payloads,
     * with occurrence counts. Invalid or null JSON contributes nothing
-    * (both engines filter identically — Spark's from_json nulls out,
-    * the oracle guards with json_valid). Scan + one shuffle on the
-    * (tiny) key space; a new upstream field or a typo'd key shows up as
-    * a new row, not a silent decode null three jobs later. */
+    * (both engines filter identically — Spark's json_object_keys nulls
+    * out, the oracle guards with json_valid). json_object_keys, NOT
+    * from_json into a map: map BUILDING throws DUPLICATED_MAP_KEY under
+    * the default mapKeyDedupPolicy=EXCEPTION, so one valid-but-
+    * duplicate-key payload would kill the stage — key listing never
+    * builds a map. Per-row distinct on BOTH engines pins the
+    * duplicate-key count to 1 regardless of how each JSON parser
+    * surfaces repeats. Scan + one shuffle on the (tiny) key space; a
+    * new upstream field or a typo'd key shows up as a new row, not a
+    * silent decode null three jobs later. */
   val eventsPropsKeys: Q = (s, d) =>
     events(s, d)
-      .select(explode(map_keys(from_json(col("props"), "map<string,string>",
-        Map.empty[String, String]))).as("key"))
+      .select(explode(array_distinct(json_object_keys(col("props")))).as("key"))
       .groupBy("key").agg(count(lit(1)).as("n_events"))
       .orderBy("key")
 
@@ -987,7 +992,7 @@ object RefOps {
          FROM events GROUP BY 1 ORDER BY 1""",
     "events_props_keys" ->
       """SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events
-         FROM (SELECT unnest(json_keys(props)) AS key FROM events
+         FROM (SELECT unnest(list_distinct(json_keys(props))) AS key FROM events
                WHERE props IS NOT NULL AND json_valid(props))
          GROUP BY key ORDER BY key""",
   )

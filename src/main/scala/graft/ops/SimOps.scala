@@ -97,96 +97,133 @@ object SimOps {
           expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
       K)
 
-  /** Sign-bit bucket of an embedding: 4 axis-aligned hyperplanes
-    * (dims 1, 17, 33, 49) → 16 buckets. A real deployment derives many
-    * more planes; 4 keeps the oracle readable while exercising the
-    * bucket-join shape. */
-  private def bucketExpr(emb: String): org.apache.spark.sql.Column =
-    concat(Seq(1, 17, 33, 49).map(i =>
-      when(element_at(col(emb), i) >= 0, "1").otherwise("0")): _*)
-
-  /** Single-table LSH ANN, kept as the pedagogical baseline: one 4-bit
-    * sign bucket bounds candidates to ~1/16 of the corpus, which on the
-    * harness's near-random embeddings yields recall@3 ≈ 0 — the measured
-    * failure mode that motivates the multi-table default
-    * ([[lshMultiTopK]]). The registered `sim_lsh_topk` is the 8-table
-    * form; this stays queryable as `sim_lsh_1table_baseline_topk` —
-    * the `baseline` in the name is deliberate, so nobody reaches for a
-    * recall-0 index thinking it's a usable default (it is the one ANN
-    * key without a Bench recall floor, for the same reason). */
-  val lsh1TableTopK: Q = (s, d) => {
-    val corpus = corpusWithNorm(s, d).withColumn("bucket", bucketExpr("embedding"))
-    val q = qset(s, d).withColumn("q_bucket", bucketExpr("q_emb"))
-    rankTopK(
-      corpus.join(broadcast(q),
-          col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-        .withColumn("sim",
-          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
-      3)
-  }
-
-  /** Default table count for `sim_lsh_topk` — past the knee of the
-    * measured recall curve (see [[tableBucketExpr]]) so the operator a
-    * user reaches for first clears the 0.6 recall floor Bench asserts. */
-  private[graft] val DefaultTables = 8
-
-  /** The measured candidates-per-recall knee, registered as
-    * `sim_lsh_multi_topk` — shared with Bench's fraction report. */
-  private[graft] val KneeTables = 4
-
-  /** Sign bits of table `t` out of `nTables`: 4 hyperplanes drawn from
-    * the t-th stride of the 64 dims (dim = 64/nTables·t + 1 +
-    * 16/nTables·j), disjoint across tables. Tables see DIFFERENT
-    * projections, so a true neighbor split from its query by one table's
-    * planes usually collides in another — the standard multi-table recall
-    * repair for sign-LSH (a single 4-bit table scores recall ≈ 0 on
-    * near-random embeddings; the Bench recall_at_3 field tracks both).
-    *
-    * Table-count trade-off, measured at sf0.1 (candidates as a fraction
-    * of corpus×queries → recall@3): 4×4-bit 22%→0.54, 8×4-bit 40%→0.67,
-    * 8×3-bit or 16×4-bit 65%→0.875. The harness embeddings are
-    * near-RANDOM, the adversarial case where recall is provably bound by
-    * the candidate fraction — more tables just converge on brute force.
-    * 4 tables is the knee of candidates-per-recall; the REGISTERED
-    * default is 8 because an ANN default below a 0.6 recall floor is not
-    * usable, and on real (clustered) embedding corpora the same 8 tables
-    * cost a far smaller candidate fraction than they do here. */
-  private def tableBucketExpr(emb: String, t: Int, nTables: Int): org.apache.spark.sql.Column = {
-    val stride = 64 / nTables
-    require(64 % nTables == 0 && stride >= 4,
-      s"nTables must divide 64 with stride >= 4 dims/table (got $nTables); " +
+  /** A sign-LSH index shape: `nTables` tables of `bits` hyperplane sign
+    * bits each, the query probing its own bucket plus `nProbes - 1`
+    * neighbor buckets per table (lowest-summed-|margin| 1-2 bit
+    * perturbation sets, Lv et al. VLDB'07). Every (table, bit) reads its
+    * own dim — disjoint projections, so a true neighbor split from its
+    * query by one table's planes usually collides in another. */
+  private[graft] final case class LshCfg(nTables: Int, bits: Int, nProbes: Int,
+      interleaved: Boolean = false) {
+    require(64 % nTables == 0 && 64 / nTables >= bits,
+      s"nTables must divide 64 with stride >= bits dims/table (got $this); " +
         "a narrower stride would read the same dimension for several bits")
-    concat((0 until 4).map(j =>
-      when(element_at(col(emb), stride * t + 1 + (stride / 4) * j) >= 0, "1")
-        .otherwise("0")): _*)
+    require(nProbes >= 1 && nProbes <= 1 + bits + bits * (bits - 1) / 2,
+      s"probes are the exact bucket + perturbation sets of 1-2 bits per " +
+        s"table, so 1 <= nProbes <= 1 + bits + C(bits,2) (got $this)")
+    /** Bit (t, j) reads a dim no other (table, bit) reads. `interleaved`
+      * strides each table's bits ACROSS the whole vector (dim = t +
+      * nTables·j + 1) instead of packing them into the table's own
+      * 64/nTables block — same disjointness, different projections. */
+    def dim(t: Int, j: Int): Int =
+      if (interleaved) t + nTables * j + 1
+      else { val stride = 64 / nTables; stride * t + 1 + (stride / bits) * j }
   }
 
-  private def tableBuckets(emb: String, nTables: Int): org.apache.spark.sql.Column =
-    array((0 until nTables).map(t => tableBucketExpr(emb, t, nTables)): _*)
+  /** `sim_lsh_topk`'s configuration — multi-probe, chosen on the measured
+    * recall/fraction curve at sf0.1: 8 tables × 7-bit interleaved
+    * buckets, each query probing its exact bucket + the 7 smallest
+    * 1-2-bit perturbation sets per table. Measured recall@3 0.875 at
+    * candidate fraction 0.405 — vs 0.667 at 0.406 for the best
+    * single-probe configuration (8×4-bit exact): multi-probe reaches
+    * into wider (cheaper) buckets for MORE recall at the same scan
+    * fraction. Sweep highlights (sf0.1, recall@3 / fraction):
+    * 8×4-bit exact .667/.406 · 8×6-bit +3 flips .833/.403 ·
+    * 8×7-bit +7 .875/.405 · 8×8-bit +13 .750/.361 — wider than 7 bits
+    * starves the exact bucket faster than 2-bit probes can repair on
+    * near-random vectors. */
+  private[graft] val DefaultLsh =
+    LshCfg(nTables = 8, bits = 7, nProbes = 8, interleaved = true)
 
-  /** Multi-table sign-LSH ANN: a candidate is any corpus vector sharing a
-    * bucket with the query in ANY of the `nTables` tables. Candidate
-    * pairs are deduped BEFORE scoring (a pair colliding in 3 tables is
-    * scored once), then joined back to the vectors — the pair set carries
-    * only (q_id, vec_id), never duplicated embeddings, so the extra
-    * recall costs one distinct + one corpus-keyed join, still bounded by
-    * bucket sizes rather than |Q|·N. */
-  def lshMultiTopK(nTables: Int): Q = (s, d) => {
-    rankTopK(lshCandidatePairs(s, d, nTables)
+  /** The measured candidates-per-recall knee of the PLAIN (no-probe)
+    * family, registered as `sim_lsh_multi_topk` — shared with Bench's
+    * fraction report. */
+  private[graft] val KneeLsh = LshCfg(nTables = 4, bits = 4, nProbes = 1)
+
+  /** Multi-table, multi-probe sign-LSH ANN: a candidate is any corpus
+    * vector whose table-t bucket matches ANY of the query's probed
+    * buckets for table t. Candidate pairs are deduped BEFORE scoring (a
+    * pair colliding in 3 tables is scored once), then joined back to the
+    * vectors — the pair set carries only (q_id, vec_id), never duplicated
+    * embeddings, so the extra recall costs one distinct + one
+    * corpus-keyed join, still bounded by bucket sizes rather than |Q|·N. */
+  def lshTopK(cfg: LshCfg): Q = (s, d) => {
+    rankTopK(lshCandidatePairs(s, d, cfg)
         .join(corpusWithNorm(s, d), "vec_id").join(broadcast(qset(s, d)), "q_id")
         .withColumn("sim",
           expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
       3)
   }
 
-  /** The deduped (q_id, vec_id) candidate set of the multi-table index —
+  /** Integer sign bucket of table `t`: bit j set iff embedding[dim(t,j)]
+    * >= 0. Integers (not bit strings) so a probe is one XOR. */
+  private def tableBucketExpr(emb: String, cfg: LshCfg, t: Int): org.apache.spark.sql.Column =
+    (0 until cfg.bits).map(j =>
+      when(element_at(col(emb), cfg.dim(t, j)) >= 0, lit(1 << j)).otherwise(lit(0)): org.apache.spark.sql.Column)
+      .reduce(_ + _)
+
+  /** The probed (q_id, t, bucket) set: the exact bucket of every table,
+    * plus a GLOBAL budget of `nProbes - 1` single-bit flips ranked by
+    * |projection| across ALL tables — the multi-probe repair (Lv et al.,
+    * VLDB'07): a true neighbor that misses the query's bucket almost
+    * always disagrees on the bit whose projection sits closest to its
+    * hyperplane, so probing that flip buys most of another table's
+    * recall at zero extra index size. Perturbation sets are every
+    * subset of 1 or 2 bits, ranked by SUMMED margin — a true neighbor
+    * typically disagrees on 2-3 low-margin bits of a wide bucket, which
+    * no single-bit sequence can reach. The budget is PER TABLE (measured
+    * better than a global ranking here: margins on near-random data are
+    * iid, so a global budget concentrates flips in few tables whose
+    * probed buckets correlate — spreading them keeps each probe an
+    * independent chance). Ties on margin break by the XOR mask in BOTH
+    * engines (masks are unique per table, so the order is total). The
+    * rank window is per (query, table) over bits + C(bits,2) rows —
+    * driver-trivial at any query-batch size. */
+  private def queryProbes(q: DataFrame, cfg: LshCfg): DataFrame = {
+    val perTable = q.select(col("q_id"), posexplode(
+      array((0 until cfg.nTables).map(t => struct(
+        lit(t).as("t"),
+        tableBucketExpr("q_emb", cfg, t).as("bucket"),
+        array((0 until cfg.bits).map(j =>
+          abs(element_at(col("q_emb"), cfg.dim(t, j))).cast("double")): _*).as("margins"))): _*))
+      .as(Seq("pos", "tb")))
+      .select(col("q_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"),
+        col("tb.margins").as("margins"))
+    if (cfg.nProbes == 1) perTable.select("q_id", "t", "bucket")
+    else {
+      val singles = perTable
+        .select(col("q_id"), col("t"), col("bucket"),
+          posexplode(col("margins")).as(Seq("j", "m")))
+        .select(col("q_id"), col("t"), col("bucket"),
+          expr("shiftleft(1, j)").as("mask"), col("m").cast("double").as("m"))
+      val a = singles.select(col("q_id"), col("t"), col("bucket"),
+        col("mask").as("mask_a"), col("m").as("m_a"))
+      val b = singles.select(col("q_id").as("qb"), col("t").as("tb"),
+        col("mask").as("mask_b"), col("m").as("m_b"))
+      val pairs2 = a.join(b,
+          col("q_id") === col("qb") && col("t") === col("tb") &&
+            col("mask_a") < col("mask_b"))
+        .select(col("q_id"), col("t"), col("bucket"),
+          (col("mask_a") + col("mask_b")).as("mask"),
+          (col("m_a") + col("m_b")).as("m"))
+      val flips = singles.unionByName(pairs2)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id", "t").orderBy(col("m"), col("mask"))))
+        .where(col("rn") <= cfg.nProbes - 1)
+        .select(col("q_id"), col("t"), expr("bucket ^ mask").as("bucket"))
+      perTable.select("q_id", "t", "bucket").unionByName(flips)
+    }
+  }
+
+  /** The deduped (q_id, vec_id) candidate set of the multi-probe index —
     * exposed so Bench can report the candidate fraction next to recall. */
   private[graft] def lshCandidatePairs(s: SparkSession, d: String,
-      nTables: Int): DataFrame = {
+      cfg: LshCfg): DataFrame = {
     val c = corpusWithNorm(s, d).select(col("vec_id"),
-      posexplode(tableBuckets("embedding", nTables)).as(Seq("t", "bucket")))
-    val qb = qset(s, d).select(col("q_id"),
-      posexplode(tableBuckets("q_emb", nTables)).as(Seq("qt", "q_bucket")))
+      posexplode(array((0 until cfg.nTables).map(t =>
+        tableBucketExpr("embedding", cfg, t)): _*)).as(Seq("t", "bucket")))
+    val qb = queryProbes(qset(s, d), cfg)
+      .withColumnRenamed("t", "qt").withColumnRenamed("bucket", "q_bucket")
     c.join(broadcast(qb),
         col("t") === col("qt") && col("bucket") === col("q_bucket") &&
           col("vec_id") =!= col("q_id"))
@@ -564,9 +601,8 @@ object SimOps {
     "sim_brute_topk" -> bruteTopK,
     "emb_quantize_int8" -> quantizeInt8,
     "sim_q8_topk" -> q8TopK,
-    "sim_lsh_topk" -> lshMultiTopK(DefaultTables), // the usable default
-    "sim_lsh_1table_baseline_topk" -> lsh1TableTopK,
-    "sim_lsh_multi_topk" -> lshMultiTopK(KneeTables),
+    "sim_lsh_topk" -> lshTopK(DefaultLsh), // the usable default
+    "sim_lsh_multi_topk" -> lshTopK(KneeLsh),
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_q8_topk" -> ivfQ8TopK,
     "sim_label_purity" -> labelPurity,
@@ -624,28 +660,53 @@ object SimOps {
                  FROM q_d) t WHERE rn <= $NProbe),
         pairs AS (SELECT DISTINCT q.q_id, l.vec_id
                   FROM lists l JOIN q ON l.list_id = q.probe_list AND l.vec_id <> q.q_id)"""
-  private val BucketSql = (e: String) =>
-    s"""(CASE WHEN $e[1] >= 0 THEN '1' ELSE '0' END ||
-         CASE WHEN $e[17] >= 0 THEN '1' ELSE '0' END ||
-         CASE WHEN $e[33] >= 0 THEN '1' ELSE '0' END ||
-         CASE WHEN $e[49] >= 0 THEN '1' ELSE '0' END)"""
+  /** DuckDB spelling of [[tableBucketExpr]] — the same integer sign
+    * bucket, bit for bit. */
+  private def tableBucketSql(e: String, cfg: LshCfg, t: Int): String =
+    (0 until cfg.bits).map(j =>
+      s"CASE WHEN $e[${cfg.dim(t, j)}] >= 0 THEN ${1 << j} ELSE 0 END")
+      .mkString("(", " + ", ")")
 
-  private def tableBucketSql(e: String, t: Int, nTables: Int): String = {
-    val stride = 64 / nTables
-    (0 until 4).map(j =>
-      s"CASE WHEN $e[${stride * t + 1 + (stride / 4) * j}] >= 0 THEN '1' ELSE '0' END")
-      .mkString("(", " || ", ")")
-  }
-
-  private def multiTableSql(nTables: Int): String = (0 until nTables).map(t =>
-    s"SELECT vec_id, $t AS t, ${tableBucketSql("embedding", t, nTables)} AS bucket FROM embeddings")
+  private def multiTableSql(cfg: LshCfg): String = (0 until cfg.nTables).map(t =>
+    s"SELECT vec_id, $t AS t, ${tableBucketSql("embedding", cfg, t)} AS bucket FROM embeddings")
     .mkString(" UNION ALL ")
 
-  private def multiTableOracle(nTables: Int): String =
-    s"""WITH ct AS (${multiTableSql(nTables)}),
+  /** DuckDB spelling of [[queryProbes]]: exact buckets, plus the 1- and
+    * 2-bit perturbation sets ranked per (query, table) by (summed
+    * |margin|, mask) — identical tie-break to the Spark window. */
+  /** One row per (query, table, bit): the table bucket, the bit's XOR
+    * mask, and its |margin|. */
+  private def singleFlipSql(cfg: LshCfg): String =
+    (0 until cfg.nTables).flatMap(t => (0 until cfg.bits).map(j =>
+      s"""SELECT q.q_id, $t AS t, ${tableBucketSql("q.embedding", cfg, t)} AS bucket,
+            ${1 << j} AS mask, abs(CAST(q.embedding[${cfg.dim(t, j)}] AS DOUBLE)) AS m
+          FROM qv q""")).mkString(" UNION ALL ")
+
+  private def queryProbesSql(cfg: LshCfg): String = {
+    val exact = s"SELECT q_id, t, bucket FROM qt"
+    if (cfg.nProbes == 1) exact
+    else {
+      s"""$exact UNION ALL
+          SELECT q_id, t, xor(bucket, mask) AS bucket FROM (
+            SELECT q_id, t, bucket, mask,
+              row_number() OVER (PARTITION BY q_id, t ORDER BY m, mask) AS rn
+            FROM (SELECT * FROM sgl
+                  UNION ALL
+                  SELECT a.q_id, a.t, a.bucket, a.mask + b.mask AS mask, a.m + b.m AS m
+                  FROM sgl a JOIN sgl b
+                    ON a.q_id = b.q_id AND a.t = b.t AND a.mask < b.mask))
+          WHERE rn <= ${cfg.nProbes - 1}"""
+    }
+  }
+
+  private def multiTableOracle(cfg: LshCfg): String =
+    s"""WITH ct AS (${multiTableSql(cfg)}),
+        qv AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < $NQueries),
         qt AS (SELECT vec_id AS q_id, t, bucket FROM ct WHERE vec_id < $NQueries),
+        sgl AS (${singleFlipSql(cfg)}),
+        probes AS (${queryProbesSql(cfg)}),
         pairs AS (SELECT DISTINCT q.q_id, c.vec_id
-                  FROM ct c JOIN qt q ON c.t = q.t AND c.bucket = q.bucket
+                  FROM ct c JOIN probes q ON c.t = q.t AND c.bucket = q.bucket
                   WHERE c.vec_id <> q.q_id),
         scored AS (SELECT p.q_id, p.vec_id,
                      ${cos("qe.embedding", "ce.embedding")} AS sim
@@ -727,20 +788,8 @@ object SimOps {
             FROM scored)
           SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
           FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
-    "sim_lsh_topk" -> multiTableOracle(DefaultTables),
-    "sim_lsh_1table_baseline_topk" ->
-      s"""WITH c AS (SELECT vec_id, embedding, ${BucketSql("embedding")} AS bucket FROM embeddings),
-          q AS (SELECT vec_id AS q_id, embedding AS q_emb, ${BucketSql("embedding")} AS q_bucket
-                FROM embeddings WHERE vec_id < $NQueries),
-          scored AS (SELECT q.q_id, c.vec_id,
-                       ${cos("q.q_emb", "c.embedding")} AS sim
-                     FROM c JOIN q ON c.bucket = q.q_bucket AND c.vec_id <> q.q_id),
-          ranked AS (SELECT q_id, vec_id,
-                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
-                     FROM scored)
-          SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
-          FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
-    "sim_lsh_multi_topk" -> multiTableOracle(KneeTables),
+    "sim_lsh_topk" -> multiTableOracle(DefaultLsh),
+    "sim_lsh_multi_topk" -> multiTableOracle(KneeLsh),
     "sim_label_purity" ->
       s"""WITH ${ivfPairsCtesWhere("")},
           scored AS (SELECT p.q_id, p.vec_id,

@@ -26,7 +26,8 @@ class CorruptInputSpec extends SparkSpec {
       Row(3L, null, "en", "src0", 0L),          // null text
       Row(4L, "", "en", "src2", 0L),            // empty text
       Row(5L, "   \t  ", "en", "src0", 6L),     // whitespace-only
-      Row(6L, "short", null, null, 5L))         // null metadata
+      Row(6L, "short", null, null, 5L),         // null metadata
+      Row(7L, "metadata-less but textful", "en", "src0", null)) // null n_chars
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(docs).asJava),
       docSchema).write.parquet(s"$d/documents.parquet")
@@ -41,7 +42,10 @@ class CorruptInputSpec extends SparkSpec {
       Row(3L, null, 0),                          // null vector
       Row(4L, Seq.empty[Float], 0),              // empty vector
       Row(5L, clean.take(8).toSeq, 0),           // truncated vector
-      Row(6L, Seq.fill(64)(Float.NaN), 0))       // NaN vector
+      Row(6L, Seq.fill(64)(Float.NaN), 0),       // NaN vector
+      // +Inf vector: nrm = Infinity passes `nrm > 0 && !isnan(nrm)`,
+      // and its Inf/Inf cosine is NaN — the finiteness side of EmbGate
+      Row(7L, Seq.fill(64)(Float.PositiveInfinity), 0))
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(embs).asJava),
       embSchema).write.parquet(s"$d/embeddings.parquet")
@@ -58,7 +62,11 @@ class CorruptInputSpec extends SparkSpec {
       Row(3L, base + 120_000_000_000L, 7L, "click", 1.0, """{"k":2}"""),
       Row(4L, base + 180_000_000_000L, 7L, null, 1.0, """{"k":3}"""),
       Row(5L, base + 240_000_000_000L, 7L, "purchase", 1.0, """{"k":4}"""),
-      Row(6L, base + 300_000_000_000L, 7L, null, null, null)) // fully null tail
+      Row(6L, base + 300_000_000_000L, 7L, null, null, null), // fully null tail
+      // valid JSON with a DUPLICATE key: map building (from_json into
+      // map<string,string>) throws DUPLICATED_MAP_KEY under the default
+      // dedup policy — key listing must survive it
+      Row(7L, base + 360_000_000_000L, 8L, "view", 1.0, """{"dup":1,"dup":2,"k":5}"""))
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(evs).asJava),
       evSchema).write.parquet(s"$d/events.parquet")
@@ -99,6 +107,37 @@ class CorruptInputSpec extends SparkSpec {
       s"corrupt vectors must never rank as neighbors, got ${top.toSeq}")
     assert(top.contains((1L, 1, 2L)),
       "the clean near-identical vector must be the rank-1 neighbor")
+  }
+
+  test("Inf vectors are gated out: infinite norm never reaches a cosine") {
+    // nrm = Infinity passes `> 0` and `!isnan`, but Inf/Inf = NaN and
+    // NaN outranks every real sim under DESC in BOTH engines — the
+    // finiteness clause of EmbGate is what this pins
+    val pairs = SparkEntry.queries("dedup_embedding_cosine")(spark, dir)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains(7L), s"the all-Inf vector must be gated, got $pairs")
+    val top = SparkEntry.queries("sim_brute_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(top.forall(_._3 != 7L),
+      s"the all-Inf vector must never rank as a neighbor, got ${top.toSeq}")
+  }
+
+  test("duplicate-key props count the key once and never kill the stage") {
+    val keys = SparkEntry.queries("events_props_keys")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keys("dup") == 1L, s"duplicate key must count once per event: $keys")
+    assert(keys("k") == 5L, s"clean keys must all survive: $keys")
+  }
+
+  test("null n_chars stays out of the quantile CDF") {
+    // a null bucket sorts NULLS FIRST in Spark's window but NULLS LAST
+    // in DuckDB's — excluded up front, the CDF sees only observed
+    // lengths (docs 1-6: 69,69,0,0,6,5 → CDF 0:2 5:3 6:4 69:6;
+    // ceil(.5*6)=3 → p50=5, ceil(.9*6)=6 → p90=69, p99=69)
+    val q = SparkEntry.queries("corpus_quantiles")(spark, dir)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(q == Map(0.5 -> 5L, 0.9 -> 69L, 0.99 -> 69L),
+      s"quantiles must be over non-null lengths only, got $q")
   }
 
   test("null-typed events vanish identically from the path trigrams") {
