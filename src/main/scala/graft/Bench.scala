@@ -8,23 +8,36 @@ import org.apache.spark.sql.SparkSession
   * passes so a single GC pause or JIT recompile doesn't read as a plan
   * regression across rounds.
   *
+  * Scale curve: when the primary dir is the stock sf0.1 harness (and
+  * SPARK_GRAFT_SCALE isn't "0"), the run also generates a deterministic
+  * 10× corpus ([[ScaleUp]], cached under target/sf1) and times one pass
+  * of the whole suite there, reporting per-query sf1/sf0.1 ratios and
+  * re-measuring every ANN recall floor at 10× the corpus — the measured
+  * answer to "does each plan survive a scale-up", not just the plan-shape
+  * argument.
+  *
   * Besides time, the run reports ANN quality: recall@3 of each bucketed
   * index against exact brute force, plus the candidate fraction each
   * index scored (candidates / (|corpus|·|Q|)) — recall without its cost
-  * is not comparable. Every registered non-baseline index has a hard
-  * recall floor (RecallFloors): if any regresses — or any query throws —
-  * the process exits nonzero AFTER printing the JSON line, so the driver
-  * still gets numbers but the run fails loudly. The same line is also
-  * written to `target/bench.json`, because a bounded log-capture window
-  * can truncate stdout mid-JSON.
+  * is not comparable. Every registered index has a hard recall floor
+  * (RecallFloors): if any regresses at either SF — or any query throws —
+  * the process exits nonzero AFTER printing the JSON lines, so the driver
+  * still gets numbers but the run fails loudly.
+  *
+  * Output contract: the FULL metric line (all per-query numbers, both
+  * SFs) is printed first and mirrored to `target/bench.json`; a compact
+  * summary line small enough to survive any bounded log-tail window is
+  * printed last. Both are bare JSON on stdout (build.sbt routes forked
+  * stdout through verbatim — an "[info] " prefix breaks line-wise
+  * `json.loads`).
   */
 object Bench {
   /** Hard recall@3 floors per registered index family — a regression in
     * any usable-default ANN path fails the bench loudly. Every
     * registered sim_* key has a floor. The multi-probe default is
-    * floored at 0.8 (measured 0.875); the multi-table knee exhibit at
-    * 0.5, just under its measured 0.542, so a silent drift of the
-    * 4-table configuration still fails. */
+    * floored at 0.8 (measured 0.875 at sf0.1); the multi-table knee
+    * exhibit at 0.5, just under its measured 0.542, so a silent drift of
+    * the 4-table configuration still fails. */
   private val RecallFloors = Map(
     "sim_lsh_topk" -> 0.8,
     "sim_lsh_multi_topk" -> 0.5,
@@ -35,40 +48,25 @@ object Bench {
     // same IVF lists as sim_ivf_topk, so its floor matches
     "sim_knn_graph" -> 0.9)
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      // 74 queries × several codegen stages each far exceeds the default
-      // 100-entry generated-class cache, so every timed pass would
-      // recompile most stages (measured ~15% inflation on shared queries
-      // as the suite grew); static conf, must be set before the session
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: touch every table + exercise codegen/shuffle paths
-    try {
-      Tables.lineitem(spark, sfDir).limit(10).count()
-      Tables.events(spark, sfDir).limit(10).count()
-      Tables.documents(spark, sfDir).limit(10).count()
-      Tables.embeddings(spark, sfDir).limit(10).count()
-      spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
-        .count().count()
-      // typed path (groupByKey/flatMapGroups object codecs) and the JSON
-      // encode/parse codegen, so the first query using them isn't the one
-      // that pays their one-time compilation
-      import spark.implicits._
-      spark.range(100).as[Long].groupByKey(_ % 7)
-        .flatMapGroups((_: Long, it: Iterator[Long]) => it).count()
-      spark.range(10)
-        .selectExpr("from_json(to_json(struct(id)), 'id BIGINT') AS r").count()
-    } catch { case _: Throwable => () }
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  private case class Suite(
+      results: Seq[(String, Double)],
+      failed: scala.collection.SortedSet[String],
+      annJson: String,
+      floorViolation: Option[String]) {
+    def total: Double = results.map(_._2).filter(_ >= 0).sum
+    def queriesJson: String = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+  }
+
+  /** Time every registered query at `sfDir` (median of `nRuns`), then
+    * measure ANN recall/fraction there. */
+  private def runSuite(spark: SparkSession, sfDir: String, nRuns: Int,
+      floorTag: String, floors: Map[String, Double] = RecallFloors): Suite = {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // a query that throws must not show up as a plausible median — track
     // it by name, report it in the JSON line, and exit nonzero (same
@@ -80,29 +78,26 @@ object Bench {
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case e: Throwable =>
           if (failedQueries.add(name))
-            System.err.println(s"BENCH: query $name failed: $e")
+            System.err.println(s"BENCH: query $name failed at $sfDir: $e")
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // several operators localCheckpoint an intermediate (fingerprints,
         // signatures, shingles, cluster labels); those blocks are never
         // freed by the query itself, so drop them here or they accumulate
-        // across runs and inflate later queries' GC time
+        // across runs and inflate later queries' GC time. BLOCKING:
+        // lazy unpersist let hundreds of checkpoint blocks pile up in
+        // the memory store, and the eviction stalls landed on whichever
+        // query ran late in the pass (measured 5-10× inflation on the
+        // doc-heavy ops in the sf1 tail of a 370-query session)
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         name -> dt
       }.toMap
-    }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     // a failed query's elapsed time is meaningless — pin it to -1 so it
     // can never read as a plausible median in cross-round comparisons
     val results = names.map(n =>
       n -> (if (failedQueries.contains(n)) -1.0 else median(samples.map(_(n)))))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
     // ANN quality: recall@3 of the bucketed variants against the exact
     // brute-force top-3, so an index change that silently tanks quality is
     // visible next to its speedup; candidate fraction alongside, because
@@ -125,7 +120,8 @@ object Bench {
         n -> (if (per.nonEmpty) per.sum / per.size else 0.0)
       }
       recalls.collectFirst {
-        case (n, r) if RecallFloors.get(n).exists(r < _) => s"$n recall@3 = $r < floor ${RecallFloors(n)}"
+        case (n, r) if floors.get(n).exists(r < _) =>
+          s"$n recall@3 = $r < floor ${floors(n)} at $floorTag"
       }.foreach(v => floorViolation = Some(v))
       val nCorpus = Tables.embeddings(spark, sfDir).count().toDouble
       val nQ = truth.size.toDouble
@@ -146,15 +142,113 @@ object Bench {
         // inability to MEASURE the floor must fail as loudly as missing
         // it — a broken sim_brute/sim_lsh query is exactly the regression
         // the recall gate exists to catch
-        System.err.println(s"BENCH: ANN quality block failed: $e")
-        floorViolation = Some(s"ANN quality unmeasurable: $e")
+        System.err.println(s"BENCH: ANN quality block failed at $sfDir: $e")
+        floorViolation = Some(s"ANN quality unmeasurable at $floorTag: $e")
         ""
     }
-    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    Suite(results, failedQueries, annJson, floorViolation)
+  }
+
+  private def newSession(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // 90+ queries × several codegen stages each far exceeds the default
+      // 100-entry generated-class cache, so every timed pass would
+      // recompile most stages (measured ~15% inflation on shared queries
+      // as the suite grew); static conf, must be set before the session
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // the harness parquet is small single-row-group files; without a
+      // split bound the scan packs several sf1 files into one partition
+      // and a 32-core box measures single-threaded scans (at 100 TB
+      // splits outnumber cores either way — this makes local mode
+      // resemble that, not flatter it)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Untimed warmup: touch every table + exercise codegen/shuffle paths. */
+  private def warmup(spark: SparkSession, sfDir: String): Unit =
+    try {
+      Tables.lineitem(spark, sfDir).limit(10).count()
+      Tables.events(spark, sfDir).limit(10).count()
+      Tables.documents(spark, sfDir).limit(10).count()
+      Tables.embeddings(spark, sfDir).limit(10).count()
+      spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
+        .count().count()
+      // typed path (groupByKey/flatMapGroups object codecs) and the JSON
+      // encode/parse codegen, so the first query using them isn't the one
+      // that pays their one-time compilation
+      import spark.implicits._
+      spark.range(100).as[Long].groupByKey(_ % 7)
+        .flatMapGroups((_: Long, it: Iterator[Long]) => it).count()
+      spark.range(10)
+        .selectExpr("from_json(to_json(struct(id)), 'id BIGINT') AS r").count()
+    } catch { case _: Throwable => () }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val spark = newSession(cpus)
+    warmup(spark, sfDir)
+    val primary = runSuite(spark, sfDir, nRuns, s"sf=$sfDir")
+
+    // ---- 10× scale curve --------------------------------------------
+    val scaleWanted = sys.env.get("SPARK_GRAFT_SCALE").forall(_ != "0") &&
+      sfDir.stripSuffix("/").endsWith("sf0.1")
+    var scaleJson = ""
+    var scale: Option[Suite] = None
+    var scaleErr: Option[String] = None
+    if (scaleWanted) {
+      try {
+        val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/sf1")
+        val g0 = System.nanoTime()
+        ScaleUp.ensure(spark, sfDir, scaleDir)
+        val genSec = (System.nanoTime() - g0) / 1e9
+        // fresh SparkContext for the scale pass: after ~370 queries the
+        // primary context's block manager and codegen caches make late
+        // queries pay other queries' cleanup (measured 5-10× inflation);
+        // the 10× measurement deserves a cold store and a warm JIT
+        spark.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        val spark1 = newSession(cpus)
+        warmup(spark1, scaleDir)
+        // every USABLE index keeps its floor at 10×; the deliberately
+        // weak 4-table knee EXHIBIT is report-only here — its recall is
+        // corpus-bound teaching material (measured 0.542 at sf0.1 →
+        // 0.375 at sf1, exactly the no-probe degradation the multi-probe
+        // default exists to fix), not a production path
+        val s1 = runSuite(spark1, scaleDir, 1, s"sf1=$scaleDir",
+          floors = RecallFloors - "sim_lsh_multi_topk")
+        scale = Some(s1)
+        val p = primary.results.toMap
+        val ratios = s1.results.collect {
+          case (n, v) if v >= 0 && p.getOrElse(n, -1.0) > 0 => n -> v / p(n)
+        }
+        val ratioJson = ratios.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        scaleJson =
+          s""","scale":{"dir":"$scaleDir","factor":${ScaleUp.Factor},"gen_sec":$genSec,""" +
+            s""""total":${s1.total},"queries":${s1.queriesJson},"ratio":$ratioJson${s1.annJson}}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH: scale block failed: $e")
+          scaleErr = Some(e.toString)
+          scaleJson = s""","scale":{"error":${jsonStr(e.toString)}}"""
+      }
+    }
+
+    val failedJson = primary.failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,"failed":$failedJson,"queries":$qs$annJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${primary.total},"unit":"sec","runs":$nRuns,"failed":$failedJson,"queries":${primary.queriesJson}${primary.annJson}$scaleJson,"sf":"$sfDir"}"""
     println(line)
-    // also persist the full line — a log-tail capture window can truncate
+    // mirror the full line — a log-tail capture window can truncate
     // stdout mid-JSON, and the per-query numbers are the point of the run
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
@@ -162,14 +256,33 @@ object Bench {
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"BENCH: bench.json write failed: $e") }
-    spark.stop()
-    floorViolation.foreach { msg =>
+    // compact summary LAST: short enough (<1 KB) that a bounded tail
+    // window always holds one complete parseable metric line
+    val compact = {
+      val scalePart = scale.map { s1 =>
+        val p = primary.results.toMap
+        val rs = s1.results.collect {
+          case (n, v) if v >= 0 && p.getOrElse(n, -1.0) > 0 => n -> v / p(n) }
+        val worst = rs.sortBy(-_._2).take(3)
+          .map { case (n, r) => "\"" + n + "\":" + f"$r%.1f" }.mkString("{", ",", "}")
+        s""","scale_total":${s1.total},"scale_ratio_p50":${f"${median(rs.map(_._2))}%.2f"},"scale_ratio_worst":$worst"""
+      }.getOrElse(scaleErr.map(e => s""","scale_error":${jsonStr(e)}""").getOrElse(""))
+      s"""{"metric":"total","value":${primary.total},"unit":"sec","runs":$nRuns,"failed":$failedJson$scalePart,"sf":"$sfDir","full":"target/bench.json"}"""
+    }
+    println(compact)
+    SparkSession.getActiveSession.foreach(_.stop())
+    (primary.floorViolation.toSeq ++ scale.flatMap(_.floorViolation).toSeq).foreach { msg =>
       System.err.println(s"BENCH FAIL: $msg")
       sys.exit(1)
     }
-    if (failedQueries.nonEmpty) {
-      System.err.println(s"BENCH FAIL: queries failed: ${failedQueries.mkString(", ")}")
+    val allFailed = primary.failed ++ scale.map(_.failed).getOrElse(Set.empty)
+    if (allFailed.nonEmpty) {
+      System.err.println(s"BENCH FAIL: queries failed: ${allFailed.mkString(", ")}")
       sys.exit(1)
     }
   }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
 }

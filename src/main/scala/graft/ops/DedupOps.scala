@@ -541,9 +541,28 @@ object DedupOps {
     * pair is exact-verified; recall is the corpus-dependent quantity.)
     * At 100 TB the exact side runs on a SAMPLE (filter the input); the
     * report shape is unchanged. */
+  private val EvalCap = 2000.0
+
   val embeddingLshEval: Q = (s, d) => {
-    val exact = embeddingCosine(s, d).select("vec_a", "vec_b")
-    val lsh = cosineLshPairs(s, d).select("vec_a", "vec_b")
+    // the exact (truth) side is quadratic, so it runs on a deterministic
+    // 1-in-step vec_id subsample capped near EvalCap vectors — the
+    // audit stays O(EvalCap²) at ANY corpus size while the LSH side
+    // still exercises the full production index (then restricted to
+    // sampled pairs, so precision/recall are measured on the same
+    // universe). step = 1 at every verify sf (n = 500), so the oracle
+    // sees the unsampled semantics wherever parity is checked.
+    val clean = cleanEmbeddings(s, d)
+    val step = math.max(1L, math.ceil(clean.count() / EvalCap.toDouble).toLong)
+    val sampled = clean.where(pmod(col("vec_id"), lit(step)) === 0)
+    val a = sampled.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = sampled.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val exact = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", expr("float_dot(ea, eb)") / (col("na") * col("nb")))
+      .where(col("sim") > 0.3)
+      .select("vec_a", "vec_b")
+    val lsh = cosineLshPairs(s, d)
+      .where(pmod(col("vec_a"), lit(step)) === 0 && pmod(col("vec_b"), lit(step)) === 0)
+      .select("vec_a", "vec_b")
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
     val nBoth = exact.join(lsh, Seq("vec_a", "vec_b"), "left_semi")
@@ -984,15 +1003,19 @@ object DedupOps {
           ORDER BY e.vec_id""",
     "dedup_embedding_lsh_eval" ->
       s"""WITH $CosineLshCtes,
+          stp AS (SELECT greatest(1, CAST(ceil(COUNT(*) / 2000.0) AS BIGINT)) AS step FROM embc),
+          smp AS (SELECT vec_id, embedding FROM embc, stp WHERE vec_id % step = 0),
           ex AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-                 FROM embc a JOIN embc b ON a.vec_id < b.vec_id
+                 FROM smp a JOIN smp b ON a.vec_id < b.vec_id
                  WHERE ${DotSql("a.embedding", "b.embedding")} /
                      (sqrt(${DotSql("a.embedding", "a.embedding")}) *
                       sqrt(${DotSql("b.embedding", "b.embedding")})) > 0.3),
+          tp AS (SELECT t.* FROM tpairs t, stp
+                 WHERE t.vec_a % step = 0 AND t.vec_b % step = 0),
           ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),
-          nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM tpairs),
+          nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM tp),
           nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
-                 FROM ex WHERE EXISTS (SELECT 1 FROM tpairs t
+                 FROM ex WHERE EXISTS (SELECT 1 FROM tp t
                                        WHERE t.vec_a = ex.vec_a AND t.vec_b = ex.vec_b))
           SELECT n_exact, n_lsh, n_both,
             CASE WHEN n_lsh = 0 THEN NULL

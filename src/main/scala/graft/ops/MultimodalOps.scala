@@ -220,7 +220,9 @@ object MultimodalOps {
     import s.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        MediaBlob(id, mediaType(id), makeContent(id, text))
+        // a null-text doc still owns a media slot: synthesize the
+        // zero-payload container instead of NPE-ing the whole stage
+        MediaBlob(id, mediaType(id), makeContent(id, if (text == null) "" else text))
       })
   }
 

@@ -41,6 +41,18 @@ object SimOps {
       embeddings(s, d).select(col("vec_id"), col("embedding")), "c_nrm")
   }
 
+  /** The same gate without the norm column — the entry frame for the
+    * index-BUILD paths (k-means init/assignment, quantization, IVF
+    * lists, corpus-wide probes): a null/truncated/NaN/Inf vector must
+    * never seed a centroid (driver NPE), quantize to a zero-norm code
+    * (ANSI divide-by-zero at scoring), or probe the index as a query.
+    * The DuckDB oracles keep reading the raw table — the verify corpora
+    * are all-clean, where the gate is a no-op (EmbGate's doc). */
+  private def gatedVecs(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    DedupOps.EmbGate.clean(embeddings(s, d), "g_nrm").drop("g_nrm")
+  }
+
   /** Partition-local exact top-k per query under the final total order
     * (sim DESC, vec_id ASC), applied BEFORE the per-query rank window.
     *
@@ -230,8 +242,26 @@ object SimOps {
       .select("q_id", "vec_id").distinct()
   }
 
-  private val NCentroids = 16
-  private val NProbe = 2
+  /** List count scales as ~sqrt(n/2), floored at the oracle shape:
+    * with FIXED lists every IVF probe costs nprobe·n/lists = O(n), so a
+    * corpus-wide job (sim_knn_graph, sim_label_purity: n probes) is
+    * O(n²/lists) — measured 40-58× for 10× data at lists=16. sqrt lists
+    * make the probe O(sqrt n) and the corpus-wide jobs O(n^1.5)
+    * (measured back under ~4× per 10×). The floor of 16 is what the
+    * UNROLLED DuckDB oracle ([[kmeansCtesSql]]) hardcodes — every
+    * verify-gated sf has n = 500 embeddings, where the rule lands on
+    * the floor, so operator and oracle agree wherever parity is
+    * checked; the cap keeps the broadcast codebook driver-trivial. */
+  private[ops] def nCentroids(n: Long): Int =
+    math.max(16, math.min(256, math.sqrt(n / 4.0).toInt))
+  /** nprobe stays CONSTANT as lists grow sqrt-style (a probe that
+    * scaled with lists would put per-query cost back at O(n)): 3 lists
+    * buys back the recall the narrower sqrt-sized lists cost vs the old
+    * fixed-16 layout. Measured at sf0.1: sqrt(n/2)=31 lists gave ivf
+    * recall 0.875/0.917/0.917 at nprobe 2/3/4 — closure-bound past 3 —
+    * while sqrt(n/4)=22 lists × nprobe 3 restores full recall at a
+    * probed fraction still below the old 16-list/nprobe-2 0.237. */
+  private val NProbe = 3
   private[ops] val KMeansIters = 3
 
   /** One centroid refresh per sf dir per JVM: an IVF index is built once
@@ -241,7 +271,7 @@ object SimOps {
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Float])]]
 
   /** K-means centroids for the IVF index: deterministic init (the
-    * vec_id < NCentroids sample) refined by [[KMeansIters]] Lloyd
+    * vec_id < nCentroids(n) sample) refined by [[KMeansIters]] Lloyd
     * iterations, each a pair of DataFrame jobs — assignment is the same
     * broadcast + partial `min_by` shape the index itself uses; the update
     * computes per-(cluster, dim) means with an ORDER BY vec_id sorted
@@ -250,10 +280,11 @@ object SimOps {
     * boundaries depend on shuffle order. Means are rounded back to
     * float4 (IEEE, identical in DuckDB) so the probe path keeps the
     * codegen'd float_dot. Empty clusters keep their previous centroid.
-    * The per-iteration driver collect is 16 centroid rows — the standard
+    * The per-iteration driver collect is the codebook (16-256 rows,
+    * [[nCentroids]]) — the standard
     * broadcast-k-means shape (assignments never leave the cluster).
     *
-    * Iteration count, measured at sf0.1 (recall@3 at 16 lists, nprobe=2,
+    * Iteration count, measured at sf0.1 pre-sqrt-lists (16 lists, nprobe=2,
     * rank-1 assignment): 3 → 0.958, 4 → 0.917, 5 → 0.875 at a flat
     * ~0.123 candidate fraction — more Lloyd rounds balance the lists
     * harder, which on structureless data only sharpens the fraction
@@ -262,9 +293,10 @@ object SimOps {
     centroidCache.getOrElseUpdate(d, {
       graft.expressions.VectorExpressions.register(s)
       import s.implicits._
-      val corpus = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val corpus = gatedVecs(s, d).select(col("vec_id"), col("embedding"))
+      val k = nCentroids(corpus.count())
       var cents: Seq[(Long, Seq[Float])] = corpus
-        .where(col("vec_id") < NCentroids).orderBy("vec_id").collect()
+        .where(col("vec_id") < k).orderBy("vec_id").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
       for (_ <- 1 to KMeansIters) {
         // cast: local-relation arrays are containsNull=false, float_dot
@@ -346,12 +378,12 @@ object SimOps {
 
   /** Closure-assigned inverted lists (vec_id, list_id) of the IVF index.
     * Index build (offline): per-vector min distance collapses map-side
-    * (partial min before the exchange — the ×NCentroids blowup never
+    * (partial min before the exchange — the ×codebook blowup never
     * crosses the wire), then the closure filter keeps every centroid
     * within the slack of that min. The corpus-keyed rejoin is an
     * index-build cost, not a query cost. */
   private def ivfLists(s: SparkSession, d: String, cents: DataFrame): DataFrame =
-    closureAssign(cents, embeddings(s, d).select(col("vec_id"), col("embedding")))
+    closureAssign(cents, gatedVecs(s, d).select(col("vec_id"), col("embedding")))
 
   /** Closure assignment of any (vec_id, embedding) frame to the given
     * centroids — shared by the offline index build and the incremental
@@ -371,8 +403,8 @@ object SimOps {
   }
 
   /** The nprobe nearest lists of each probe-side row (q_id, probe_list).
-    * The rank-n window runs over |probe side|·NCentroids rows with 16
-    * rows per key — bounded fan-in per key, never corpus-wide state. */
+    * The rank-n window runs over |probe side|·|codebook| rows with a
+    * bounded fan-in per key, never corpus-wide state. */
   private def probeLists(s: SparkSession, d: String, cents: DataFrame,
       probes: DataFrame, embCol: String): DataFrame = {
     val wq = Window.partitionBy("q_id").orderBy(col("c_dist").asc, col("c_id").asc)
@@ -502,7 +534,7 @@ object SimOps {
     val cents = centroidFrame(s, d)
     val lists = ivfLists(s, d, cents)
     val probes = probeLists(s, d, cents,
-      embeddings(s, d).select(col("vec_id").as("q_id"),
+      gatedVecs(s, d).select(col("vec_id").as("q_id"),
         col("embedding").as("q_emb")), "q_emb")
     val pairs = lists.join(probes,
         col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
@@ -560,7 +592,7 @@ object SimOps {
     * over the scan. */
   private def quantized(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
-    embeddings(s, d)
+    gatedVecs(s, d)
       .withColumn("scale",
         expr("greatest(array_max(transform(embedding, x -> abs(cast(x as double)))), 1e-30d) / 127.0d"))
       .withColumn("qvec",
@@ -727,7 +759,9 @@ object SimOps {
     * carry-forward. */
   private def kmeansCtesSql(iters: Int): String = {
     val sb = new StringBuilder(
-      s"cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NCentroids)")
+      // literal 16: the oracle is only ever replayed at the verify SFs,
+      // where n = 500 puts nCentroids(n) exactly on its floor of 16
+      s"cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16)")
     for (i <- 1 to iters) {
       val p = s"cents${i - 1}"
       val d2 = s"${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")} - 2 * ${dot("e.embedding", "c.c_emb")}"

@@ -83,7 +83,13 @@ object UpsertSink {
     * `spark.sql.extensions` conf (spark-submit style) or through the
     * injected parser's class (programmatic `.withExtensions(...)` never
     * sets the conf). Feature detection only — no compile-time dependency
-    * on Delta anywhere in this file. */
+    * on Delta anywhere in this file.
+    *
+    * Sandbox note: no delta-spark jar exists in /opt/spark/jars or the
+    * offline coursier cache (verified round 5; the environment has zero
+    * egress), so the MERGE branch's dispatch and guard are tested but
+    * the MERGE SQL itself has never executed here — it runs the first
+    * time the library meets a real Delta-enabled session. */
   def deltaAvailable(spark: SparkSession): Boolean =
     scala.util.Try(Class.forName("io.delta.sql.DeltaSparkSessionExtension")).isSuccess && {
       spark.conf.getOption("spark.sql.extensions")

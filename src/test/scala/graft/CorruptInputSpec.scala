@@ -70,23 +70,64 @@ class CorruptInputSpec extends SparkSpec {
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(evs).asJava),
       evSchema).write.parquet(s"$d/events.parquet")
+    // the TPC-H-shaped tables, with nulls in every nullable position —
+    // so the relational/CDC/function ops run the same gauntlet as the
+    // document/embedding/event ops above
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    write(d, "region", Seq(
+      StructField("r_regionkey", IntegerType), StructField("r_name", StringType)),
+      Seq(Row(0, "EUROPE"), Row(1, null)))
+    write(d, "nation", Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)),
+      Seq(Row(0, "FRANCE", 0), Row(1, null, 1), Row(2, "NOWHERE", null)))
+    write(d, "customer", Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)),
+      Seq(Row(7L, "Customer#7", 0, 100.0, "BUILDING"),
+        Row(8L, null, null, null, null), // all-null attributes
+        Row(9L, "Customer#9", 2, -1.0, "AUTOMOBILE")))
+    write(d, "supplier", Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)),
+      Seq(Row(1L, "Supplier#1", 0, 10.0), Row(2L, null, null, null)))
+    write(d, "part", Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_brand", StringType), StructField("p_type", StringType),
+      StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType)),
+      Seq(Row(1L, "part one", "B#1", "STANDARD", 5, 9.99),
+        Row(2L, null, null, null, null, null)))
+    write(d, "orders", Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)),
+      Seq(Row(100L, 7L, "O", 50.0, ts("2024-03-01 10:00:00"), "1-URGENT"),
+        Row(101L, null, null, null, null, null), // null FK + attrs
+        Row(102L, 9L, "F", 0.0, ts("2024-03-02 11:30:00"), "5-LOW")))
+    write(d, "lineitem", Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType)),
+      Seq(Row(100L, 1L, 1L, 1, 2.0, 20.0, 0.1, 0.05, "N", "O", ts("2024-03-05 00:00:00")),
+        Row(100L, 2L, 2L, 2, null, null, null, null, null, null, null),
+        Row(102L, null, null, null, 1.0, 5.0, 0.0, 0.0, "R", "F", ts("2024-03-06 00:00:00"))))
     d
   }
 
-  private val mustNotThrow = Seq(
-    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
-    "dedup_simhash", "doc_chunk", "chunk_dedup_fuzzy",
-    "text_token_count", "text_quality_score", "text_lang_id",
-    "text_fingerprint", "text_repetition", "sample_stratified",
-    "corpus_curate", "corpus_stats", "vocab_bpe_pairs", "corpus_quantiles",
-    "emb_quantize_int8", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh", "dedup_embedding_incremental",
-    "dedup_embedding_lsh_eval", "sim_brute_topk", "sim_lsh_topk",
-    "events_sessionize", "events_funnel", "events_attribution",
-    "events_path_topk", "events_retention", "events_revenue_stats",
-    "events_props_keys")
+  private def write(d: String, name: String, fields: Seq[StructField], rows: Seq[Row]): Unit =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(fields)).write.parquet(s"$d/$name.parquet")
 
-  for (name <- mustNotThrow) {
+  // THE ENTIRE REGISTRY, no opt-in list: every key SparkEntry exposes
+  // must survive the corrupt corpus, and a newly registered operator is
+  // enrolled automatically. No exemptions — even src_datagen (which
+  // ignores the directory) costs nothing to keep under the net.
+  for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name survives null/empty/truncated rows") {
       SparkEntry.queries(name)(spark, dir).collect()
     }

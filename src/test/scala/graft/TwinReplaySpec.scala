@@ -41,6 +41,45 @@ class TwinReplaySpec extends SparkSpec {
   private def usOf(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
+  /** Kill-and-resume replay: the same chunked feed as [[feedChunked]],
+    * but every chunk is processed by a FRESH streaming query resuming
+    * from the shared checkpoint (file source + Trigger.AvailableNow) —
+    * the process "dies" between every micro-batch. Restart-mid-stream is
+    * where stateful operators break: buffered state, the running
+    * watermark, and armed event-time timers must all come back from the
+    * checkpoint, and the final output must STILL equal the one-shot
+    * batch form. `sentinels` are extra far-future rows, each fed in its
+    * own run (a resumed batch only sees the watermark checkpointed at
+    * the previous run's end, so flushing the tail takes one run per
+    * watermark step plus one for the timers it arms). */
+  private def restartReplay(tag: String, jsonRows: Seq[String],
+      sentinels: Seq[String], schema: String)(
+      mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val dir = JFiles.createTempDirectory(s"twin_restart_$tag").toString
+    val srcDir = s"$dir/src"
+    JFiles.createDirectories(JPaths.get(srcDir))
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]
+    var nFile = 0
+    def feed(rows: Seq[String]): Unit = {
+      JFiles.writeString(JPaths.get(srcDir, f"f$nFile%03d.json"),
+        rows.mkString("", "\n", "\n"))
+      nFile += 1
+      val events = spark.readStream.schema(schema).json(srcDir)
+      val q = mk(events).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(out.add)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    jsonRows.grouped(math.max(jsonRows.size / NChunks, 1)).foreach(c => feed(c))
+    sentinels.foreach(s => feed(Seq(s)))
+    scala.jdk.CollectionConverters.IteratorHasAsScala(out.iterator()).asScala.toSeq
+  }
+
   test("twin replay: streaming funnel over chunked MemoryStream == batch events_funnel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -141,6 +180,135 @@ class TwinReplaySpec extends SparkSpec {
       assert(streamed == batch,
         s"streamed as-of (${streamed.size} rows) != batch (${batch.size} rows)")
     } finally q.stop()
+  }
+
+  test("restart replay: as-of join killed between every chunk == batch join_temporal_eventtime") {
+    import spark.implicits._
+    val ev = Tables.events(spark, D)
+    val builds = ev.where(col("event_type") === "signup")
+      .groupBy("user_id", "ts").agg(max("event_id").as("pl"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), lit(false).as("isProbe"), col("pl"))
+    val probes = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), lit(true).as("isProbe"),
+        col("event_id").as("pl"))
+    val feed = builds.unionByName(probes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+      .sortBy(_._2).toSeq
+    val maxUs = feed.map(_._2).max
+    val json = feed.map { case (k, us, p, pl) =>
+      s"""{"k":"$k","us":$us,"isProbe":$p,"pl":$pl}""" }
+    val sentinels = (1 to 3).map(i =>
+      s"""{"k":"__wm__","us":${maxUs + i * 10_000_000L},"isProbe":false,"pl":-1}""")
+    val rows = restartReplay("asof", json, sentinels,
+      "k STRING, us LONG, isProbe BOOLEAN, pl LONG") { df =>
+      AsOfJoin.join(df
+        .select(col("k"), timestamp_micros(col("us")).as("eventTime"), col("isProbe"),
+          col("pl").cast("string").cast("binary").as("payload"))
+        .withWatermark("eventTime", "1 second")
+        .as[AsOfJoin.AsOfEvent]).toDF()
+    }
+    val streamed = rows.map { r =>
+      val probeId = new String(r.getAs[Array[Byte]]("probePayload")).toLong
+      val buildId = Option(r.getAs[Array[Byte]]("buildPayload")).map(new String(_).toLong)
+      (probeId, r.getAs[String]("k").toLong, buildId)
+    }.toSet
+    val batch = SparkEntry.queries("join_temporal_eventtime")(spark, D).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(streamed == batch,
+      s"restarted as-of (${streamed.size} rows) != batch (${batch.size} rows)")
+  }
+
+  test("restart replay: txn buffer killed between every chunk == batch txn_buffered_emit") {
+    import spark.implicits._
+    val h = Tables.events(spark, D).agg(max("event_id")).head().getLong(0) - 9
+    val data = Tables.events(spark, D).where(col("event_id") < h)
+      .select(col("event_id"), col("event_type"), expr("event_id div 20").as("tx"))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getString(1)))
+      .sortBy(_._2).toSeq
+    // early-boundary order again, with the boundary batch ALSO separated
+    // from every event batch by a restart
+    val json = data.map(_._1).distinct.sorted
+        .map(tx => s"""{"txId":$tx,"isBoundary":true,"expected":20,"pl":null}""") ++
+      data.map { case (tx, id, tpe) =>
+        s"""{"txId":$tx,"isBoundary":false,"expected":0,"pl":"$id:$tpe"}""" }
+    val rows = restartReplay("txn", json, Nil,
+      "txId LONG, isBoundary BOOLEAN, expected INT, pl STRING") { df =>
+      TxnBuffer.buffer(df
+        .select(col("txId"), col("isBoundary"), col("expected"),
+          col("pl").cast("binary").as("payload"))
+        .as[TxnBuffer.TxnEvent]).toDF()
+    }
+    val streamed = rows.map { r =>
+      val Array(id, tpe) = new String(r.getAs[Array[Byte]]("payload")).split(':')
+      (id.toLong, tpe, r.getAs[Long]("txId"), r.getAs[Boolean]("complete"))
+    }.toSet
+    val batch = SparkEntry.queries("txn_buffered_emit")(spark, D).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), true)).toSet
+    assert(streamed == batch,
+      s"restarted txn emit (${streamed.size} rows) != batch (${batch.size} rows)")
+  }
+
+  test("restart replay: session windows killed between every chunk == batch events_sessionize") {
+    val rows0 = Tables.events(spark, D)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3).toSeq
+    val maxUs = rows0.map(_._3).max
+    val json = rows0.map { case (u, e, us) =>
+      s"""{"user_id":$u,"event_id":$e,"us":$us}""" }
+    val sentinels = (1 to 3).map(i =>
+      s"""{"user_id":-1,"event_id":${-i},"us":${maxUs + i * 7_200_000_000L}}""")
+    val rows = restartReplay("sess", json, sentinels,
+      "user_id LONG, event_id LONG, us LONG") { df =>
+      df.select(col("user_id"), col("event_id"), timestamp_micros(col("us")).as("ts"))
+        .withWatermark("ts", "1 second")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event"),
+          max("event_id").as("last_event"))
+        .selectExpr("user_id", "session_window.start AS st",
+          "n_events", "first_event", "last_event")
+    }
+    val streamed = rows
+      .filter(_.getLong(0) >= 0)
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+      .map { case (u, ss) =>
+        u -> ss.sortBy(_._2).zipWithIndex
+          .map { case ((_, _, n, f, l), i) => (i + 1L, n, f, l) }.toSeq }
+    val batch = SparkEntry.queries("events_sessionize")(spark, D).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+      .map { case (u, ss) =>
+        u -> ss.sortBy(_._2).map { case (_, sid, n, f, l) => (sid, n, f, l) }.toSeq }
+    assert(streamed == batch,
+      s"restarted sessions (${streamed.size} users) != batch (${batch.size} users)")
+  }
+
+  test("restart replay: retention killed between every chunk == batch events_retention") {
+    import spark.implicits._
+    val rows0 = Tables.events(spark, D)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._2).toSeq
+    val maxUs = rows0.map(_._2).max
+    val json = rows0.map { case (u, us) => s"""{"userId":$u,"us":$us}""" }
+    val sentinels = (1 to 3).map(i =>
+      s"""{"userId":-1,"us":${maxUs + i * 10_000_000_000L}}""")
+    val rows = restartReplay("ret", json, sentinels, "userId LONG, us LONG") { df =>
+      StreamingRetention.returns(df
+        .select(col("userId"), timestamp_micros(col("us")).as("eventTime"))
+        .withWatermark("eventTime", "1 second")
+        .as[StreamingRetention.ActivityEvent]).toDF()
+    }
+    val streamed = rows.filter(_.getAs[Long]("userId") >= 0)
+      .groupBy(r => (r.getAs[Long]("cohortDayUs"), r.getAs[Int]("dayOffset")))
+      .map { case (k, rs) => k -> rs.size.toLong }
+    val batch = SparkEntry.queries("events_retention")(spark, D).collect()
+      .map(r => (usOf(r.getTimestamp(0)), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"restarted retention (${streamed.size} cells) != batch (${batch.size})")
   }
 
   test("twin replay: streaming txn buffer over chunked MemoryStream == batch txn_buffered_emit") {
