@@ -424,11 +424,33 @@ object DedupOps {
     EmbGate.clean(embeddings(s, d).select(col("vec_id"), col("embedding")), "nrm")
   }
 
+  /** Exact-audit instrument bound: the exact pairwise ops run on a
+    * deterministic 1-in-step vec_id subsample capped near this many
+    * vectors, so the audit is O(EvalCap²) at ANY corpus size. step = 1
+    * at every verify sf (n = 500) — the oracle sees the unsampled
+    * semantics wherever parity is checked; at 100 TB the same query is
+    * a bounded audit job, not an accidental n² pairwise pass. */
+  private val EvalCap = 2000.0
+
+  /** The cleaned corpus restricted to the deterministic audit sample,
+    * with the step it used (for restricting a SECOND frame to the same
+    * universe). Sampling on `vec_id % step` rather than a random split
+    * keeps both engines — and any two ops sharing the sample — on
+    * byte-identical universes. */
+  private def sampledCleanEmbeddings(s: SparkSession, d: String): (DataFrame, Long) = {
+    val clean = cleanEmbeddings(s, d)
+    val step = math.max(1L, math.ceil(clean.count() / EvalCap).toLong)
+    (clean.where(pmod(col("vec_id"), lit(step)) === 0), step)
+  }
+
   val embeddingCosine: Q = (s, d) => {
     // Precompute each vector's norm once (O(n)) instead of per pair
     // (O(n²)); float_dot is the codegen'd expression — identical doubles,
-    // ~50× less interpreted work than the lambda form.
-    val e = cleanEmbeddings(s, d)
+    // ~50× less interpreted work than the lambda form. The exact
+    // baseline is an AUDIT, so it runs on the deterministic EvalCap
+    // sample (a no-op at verify SFs): registered queries must all be
+    // runnable at any corpus size, including the truth instrument.
+    val (e, _) = sampledCleanEmbeddings(s, d)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -539,21 +561,19 @@ object DedupOps {
     * default is an oracle-checked NUMBER every round, not a bench-only
     * observation. (LSH precision is 1.0 by construction — every emitted
     * pair is exact-verified; recall is the corpus-dependent quantity.)
-    * At 100 TB the exact side runs on a SAMPLE (filter the input); the
-    * report shape is unchanged. */
-  private val EvalCap = 2000.0
-
+    * At 100 TB both sides stay bounded: the exact truth side IS the
+    * [[embeddingCosine]] audit sample, and the LSH side is restricted
+    * to the same universe, so precision/recall are measured on
+    * identical pair sets in both engines. */
   val embeddingLshEval: Q = (s, d) => {
-    // the exact (truth) side is quadratic, so it runs on a deterministic
-    // 1-in-step vec_id subsample capped near EvalCap vectors — the
-    // audit stays O(EvalCap²) at ANY corpus size while the LSH side
-    // still exercises the full production index (then restricted to
-    // sampled pairs, so precision/recall are measured on the same
-    // universe). step = 1 at every verify sf (n = 500), so the oracle
-    // sees the unsampled semantics wherever parity is checked.
-    val clean = cleanEmbeddings(s, d)
-    val step = math.max(1L, math.ceil(clean.count() / EvalCap.toDouble).toLong)
-    val sampled = clean.where(pmod(col("vec_id"), lit(step)) === 0)
+    // the exact (truth) side is quadratic, so it runs on the
+    // deterministic EvalCap subsample — the audit stays O(EvalCap²) at
+    // ANY corpus size while the LSH side still exercises the full
+    // production index (then restricted to sampled pairs, so
+    // precision/recall are measured on the same universe). step = 1 at
+    // every verify sf (n = 500), so the oracle sees the unsampled
+    // semantics wherever parity is checked.
+    val (sampled, step) = sampledCleanEmbeddings(s, d)
     val a = sampled.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = sampled.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     val exact = a.join(b, col("vec_a") < col("vec_b"))
@@ -968,9 +988,12 @@ object DedupOps {
           WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
 
   private lazy val cosineOracles: Map[String, String] = Map(
+    // stp/smp mirror sampledCleanEmbeddings: step = 1 at every verify
+    // sf (n = 500), so the sample is the whole corpus here
     "dedup_embedding_cosine" ->
       s"""WITH $EmbCleanSql,
-          e AS (SELECT vec_id, embedding FROM embc)
+          stp AS (SELECT greatest(1, CAST(ceil(COUNT(*) / 2000.0) AS BIGINT)) AS step FROM embc),
+          e AS (SELECT vec_id, embedding FROM embc, stp WHERE vec_id % step = 0)
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
             round(${DotSql("a.embedding", "b.embedding")} /
               (sqrt(${DotSql("a.embedding", "a.embedding")}) *
