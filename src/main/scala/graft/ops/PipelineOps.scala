@@ -239,6 +239,42 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled source mixing (temperature T = 2, i.e. source
+    * weight w_s ∝ sqrt(n_s)): the standard flattening of a skewed
+    * source distribution toward uniform — small curated sources are
+    * up-weighted relative to big web dumps, the multilingual-sampling
+    * trick applied to the `source` column. Keep rate
+    * r_s = min(1, target·p_s / n_s) with p_s = w_s / Σw_s and
+    * target = ⌈total/2⌉ docs. The weights are rounded to 1e-6 and
+    * summed as INTEGERS, so Σw_s is exact under any shuffle order, and
+    * every remaining double op (sqrt, ×, ÷, floor — all IEEE
+    * correctly-rounded) runs in one fixed association: both engines
+    * and any partitioning derive the identical per-source threshold.
+    * Membership is the same content-stable salted-md5 as the other
+    * sampling ops (salt "temp:", 32-bit bucket). Plan: one tiny
+    * per-source agg (|sources| keys) → 1-row total frame → broadcast
+    * join back onto the scan — no full-corpus shuffle at any size. */
+  val sampleTemperature: Q = (s, d) => {
+    val docs = documents(s, d)
+    val w = docs.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_s"))
+      .withColumn("w_s",
+        round(sqrt(col("n_s").cast("double")) * 1e6, 0).cast("long"))
+    val tot = w.agg(sum("n_s").as("total"), sum("w_s").as("wsum"))
+    val rates = w.crossJoin(broadcast(tot)) // tot is one row
+      .withColumn("rate", least(lit(1.0), expr(
+        "((CAST((total + 1) div 2 AS DOUBLE) * CAST(w_s AS DOUBLE)) / CAST(wsum AS DOUBLE)) / CAST(n_s AS DOUBLE)")))
+      .withColumn("thresh", floor(col("rate") * lit(4294967296.0)).cast("long"))
+      .select("source", "thresh")
+    docs.select(col("doc_id"), col("source"),
+        conv(substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").as("temp_bucket"))
+      .join(broadcast(rates), "source")
+      .where(col("temp_bucket") < col("thresh"))
+      .select("doc_id", "source", "temp_bucket")
+      .orderBy("doc_id")
+  }
+
   /** Confusion counts of the lang-ID heuristic against the labeled
     * `lang` column — the accuracy of `text_lang_id` as a MEASURED table
     * (the corpus labels five languages incl. zh, which the four-lexicon
@@ -469,6 +505,7 @@ object PipelineOps {
     "sample_split_hash" -> sampleSplitHash,
     "sample_stratified" -> sampleStratified,
     "corpus_mix" -> corpusMix,
+    "sample_temperature" -> sampleTemperature,
     "lang_id_eval" -> langIdEval,
     "corpus_stats" -> corpusStats,
     "text_ngram_topk" -> ngramTopK,
@@ -689,6 +726,27 @@ object PipelineOps {
           SELECT doc_id, quality, strat_bucket
           FROM h WHERE strat_bucket < $StratRateSql
           ORDER BY doc_id""",
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+            FROM documents GROUP BY source),
+          w AS (SELECT source, n_s,
+              CAST(round(sqrt(CAST(n_s AS DOUBLE)) * 1000000) AS BIGINT) AS w_s
+            FROM c),
+          t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS total,
+                       CAST(SUM(w_s) AS BIGINT) AS wsum FROM w),
+          r AS (SELECT source, least(CAST(1.0 AS DOUBLE),
+              ((CAST((total + 1) // 2 AS DOUBLE) * CAST(w_s AS DOUBLE))
+                / CAST(wsum AS DOUBLE)) / CAST(n_s AS DOUBLE)) AS rate
+            FROM w, t),
+          th AS (SELECT source,
+              CAST(floor(rate * 4294967296.0) AS BIGINT) AS thresh FROM r),
+          h AS (SELECT doc_id, source,
+              md5('temp:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+          b AS (SELECT doc_id, source,
+              CAST(${hash32("m")} AS BIGINT) AS temp_bucket FROM h)
+          SELECT doc_id, source, temp_bucket
+          FROM b JOIN th USING (source)
+          WHERE temp_bucket < thresh ORDER BY doc_id""",
     "sample_split_hash" ->
       s"""WITH h AS (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
           b AS (SELECT doc_id,

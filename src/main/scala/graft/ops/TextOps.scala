@@ -129,6 +129,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Letter alphabet for [[entropy]], in the fixed order both engines
+    * must associate the floating sums in. */
+  private lazy val Letters: Seq[Char] = 'a' to 'z'
+
+  /** Shared Spark/DuckDB SQL fragments for [[entropy]] — generated from
+    * the same letter list so the two engines evaluate byte-identical
+    * arithmetic (left-associated a→z; the dialects agree on replace /
+    * length / coalesce / log2 / round). lazy: referenced from `oracles`. */
+  private lazy val cntSqls: Seq[String] = Letters.map(c =>
+    s"CAST(length(coalesce(text, '')) - length(replace(coalesce(text, ''), '$c', '')) AS BIGINT) AS c_$c")
+  private lazy val nLettersSql = Letters.map(c => s"c_$c").mkString(" + ")
+  private lazy val distinctLettersSql =
+    Letters.map(c => s"CASE WHEN c_$c > 0 THEN 1 ELSE 0 END").mkString(" + ")
+  private lazy val entropyTermsSql = Letters.map { c =>
+    val p = s"CAST(c_$c AS DOUBLE) / CAST(n_letters AS DOUBLE)"
+    s"CASE WHEN c_$c > 0 THEN -($p) * log2($p) ELSE CAST(0.0 AS DOUBLE) END"
+  }.mkString(" + ")
+
+  /** Character-entropy quality signal: Shannon entropy (bits) of each
+    * document's a–z letter distribution — the classic gibberish /
+    * encoded-blob / keyboard-mash filter (natural English sits near 4.1
+    * bits, single-char runs near 0, uniform noise near log2(26) ≈ 4.7).
+    * Letter counts come from 26 replace-length subtractions, NOT a
+    * per-char explode (which would shuffle n_chars rows): the whole op
+    * is one codegen'd projection over the scan, scan-local at any
+    * corpus size. The CASE guard keeps the division unevaluated for
+    * absent letters, so an all-null / empty corpus scores 0 without a
+    * divide; the only cross-engine wiggle is log2's last ulp, absorbed
+    * by round(…, 6). */
+  val entropy: Q = (s, d) =>
+    documents(s, d)
+      .selectExpr("doc_id" +: cntSqls: _*)
+      .selectExpr(Seq("doc_id",
+        s"CAST($nLettersSql AS BIGINT) AS n_letters",
+        s"CAST($distinctLettersSql AS INT) AS distinct_letters") ++
+        Letters.map(c => s"c_$c"): _*)
+      .selectExpr("doc_id", "n_letters", "distinct_letters",
+        s"round($entropyTermsSql, 6) AS entropy_r")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "text_token_count" -> tokenCount,
     "text_quality_score" -> qualityScore,
@@ -136,6 +176,7 @@ object TextOps {
     "text_fingerprint" -> fingerprint,
     "text_pii_scrub" -> piiScrub,
     "text_repetition" -> repetition,
+    "text_entropy" -> entropy,
   )
 
   private val Norm = DedupOps.NormSql
@@ -194,5 +235,16 @@ object TextOps {
             round(1.0 - CAST(dn.distinct_ngrams AS DOUBLE) /
               CAST(w.total_ngrams AS DOUBLE), 6) AS rep_frac
           FROM w JOIN dn USING (doc_id) ORDER BY doc_id""",
+    "text_entropy" ->
+      s"""WITH cnt AS (SELECT doc_id, ${cntSqls.mkString(",\n             ")}
+            FROM documents),
+          tot AS (SELECT doc_id,
+              CAST($nLettersSql AS BIGINT) AS n_letters,
+              CAST($distinctLettersSql AS INT) AS distinct_letters,
+              ${Letters.map(c => s"c_$c").mkString(", ")}
+            FROM cnt)
+          SELECT doc_id, n_letters, distinct_letters,
+            round($entropyTermsSql, 6) AS entropy_r
+          FROM tot ORDER BY doc_id""",
   )
 }

@@ -28,7 +28,8 @@ class DeterminismSpec extends SparkSpec {
     "dedup_keep_best",      // CC fixpoint + min(struct) keeper election
     "dedup_embedding_incremental", // parity-cut LSH candidates + agg
     "events_revenue_stats", // decimal sums — THE order-independence claim
-    "events_props_keys")    // json key histogram
+    "events_props_keys",    // json key histogram
+    "sample_temperature")   // integer-weight Σw_s — THE order-exact claim
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {
