@@ -115,12 +115,25 @@ class PlanSpec extends SparkSpec {
     // text_repetition and sample_stratified claim pure scan+map shape —
     // the only Exchange allowed is the rangepartitioning for the final
     // deterministic ORDER BY (which exists solely for the oracle gate).
-    for (name <- Seq("text_repetition", "sample_stratified")) {
+    for (name <- Seq("text_repetition", "sample_stratified", "text_entropy")) {
       val plan = finalPlan(SparkEntry.queries(name)(spark, d))
       val exchanges = "Exchange \\w+".r.findAllIn(plan).toSeq
       assert(exchanges.forall(_.contains("rangepartitioning")),
         s"$name must not shuffle before the output sort:\n$plan")
     }
+  }
+
+  test("sample_temperature: rates broadcast back; only the tiny source agg shuffles") {
+    val plan = finalPlan(graft.ops.PipelineOps.queries("sample_temperature")(spark, d))
+    // the membership join must be broadcast (documents never shuffle for
+    // it), and the only hash exchanges allowed are the per-source count
+    // agg — partial-aggregated map-side, so |sources| rows move, never docs
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val exchanges = "Exchange \\w+partitioning\\(\\w*".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(e =>
+      e.contains("rangepartitioning") || e.contains("hashpartitioning(source")),
+      s"documents must not hash-shuffle for the membership join:\n$plan")
+    assert(plan.contains("partial_count"), plan)
   }
 
   test("events_retention: activity collapses to distinct (user, day) BEFORE the cohort join") {

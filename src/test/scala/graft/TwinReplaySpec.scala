@@ -286,6 +286,42 @@ class TwinReplaySpec extends SparkSpec {
       s"restarted sessions (${streamed.size} users) != batch (${batch.size} users)")
   }
 
+  test("restart replay: funnel killed between every chunk == batch events_funnel") {
+    import spark.implicits._
+    val evRows = Tables.events(spark, D)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._3).toSeq
+    val maxUs = evRows.map(_._3).max
+    val json = evRows.map { case (u, t, us) =>
+      s"""{"userId":$u,"eventType":"$t","us":$us}""" }
+    // "noop" has no funnel rank: each sentinel run advances the
+    // restored watermark one step and fires the timers it re-arms
+    val sentinels = (1 to 3).map(i =>
+      s"""{"userId":-1,"eventType":"noop","us":${maxUs + i * 10_000_000L}}""")
+    val rows = restartReplay("funnel", json, sentinels,
+      "userId LONG, eventType STRING, us LONG") { df =>
+      StreamingFunnel.funnel(df
+        .select(col("userId"), col("eventType"),
+          timestamp_micros(col("us")).as("eventTime"))
+        .withWatermark("eventTime", "1 second")
+        .as[StreamingFunnel.FunnelEvent]).toDF()
+    }
+    val streamed = rows.filter(_.getLong(0) >= 0)
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(t => t._2 -> t._3).toMap }
+    val batch = SparkEntry.queries("events_funnel")(spark, D).collect()
+      .map { r =>
+        def us(i: Int): Option[Long] = Option(r.getTimestamp(i)).map(usOf)
+        r.getLong(0) -> Seq(1 -> us(1), 2 -> us(2), 3 -> us(3))
+          .collect { case (s, Some(t)) => s -> t }.toMap
+      }.toMap
+    assert(streamed == batch,
+      s"restarted funnel (${streamed.size} users) != batch (${batch.size} users)")
+  }
+
   test("restart replay: retention killed between every chunk == batch events_retention") {
     import spark.implicits._
     val rows0 = Tables.events(spark, D)
@@ -472,6 +508,53 @@ class TwinReplaySpec extends SparkSpec {
       assert(streamed == batch,
         s"upsert table (${streamed.size} keys) != batch changelog collapse (${batch.size})")
     } finally q.stop()
+  }
+
+  test("restart replay: upsert sink killed between every chunk == batch changelog_upsert") {
+    // the sink's crash story: every chunk is merged by a FRESH query
+    // resuming from the shared checkpoint, so the changelog spans many
+    // process lifetimes; the version-gated merge must come out identical
+    // to the batch collapse regardless (and a replayed batch after an
+    // unclean stop must be idempotent). Same deterministic
+    // content-shuffled order as the one-process twin — the harder case.
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val rows = Tables.events(spark, D)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ver_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => java.util.UUID.nameUUIDFromBytes(t._2.toString.getBytes).toString)
+      .toSeq
+    val json = rows.map { case (u, e, t, v) =>
+      s"""{"user_id":$u,"event_id":$e,"event_type":"$t","ver_us":$v}""" }
+    val root = JFiles.createTempDirectory("upsert_restart").toString
+    val srcDir = s"$root/src"
+    JFiles.createDirectories(JPaths.get(srcDir))
+    val table = s"$root/table"
+    var nFile = 0
+    def feed(chunk: Seq[String]): Unit = {
+      JFiles.writeString(JPaths.get(srcDir, f"f$nFile%03d.json"),
+        chunk.mkString("", "\n", "\n"))
+      nFile += 1
+      val q = spark.readStream
+        .schema("user_id LONG, event_id LONG, event_type STRING, ver_us LONG")
+        .json(srcDir)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.UpsertSink.mergeBatch(b, Seq("user_id"), "ver_us",
+            table, tiebreakCols = Seq("event_id"), nBuckets = 8)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    json.grouped(math.max(json.size / NChunks, 1)).foreach(feed)
+    val streamed = graft.streaming.UpsertSink.readKeyedTable(spark, table).get
+      .select("user_id", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = SparkEntry.queries("changelog_upsert")(spark, D).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch,
+      s"restarted upsert table (${streamed.size} keys) != batch (${batch.size})")
   }
 
   test("twin replay: streaming attribution over chunked MemoryStream == batch events_attribution") {
