@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Analytic goldens for operators whose output has a closed form the
+  * DuckDB oracle can't distinguish from a wrong-but-matching
+  * implementation (both engines would agree on a shared mistake):
+  * entropy extremes pin the formula itself, and the temperature-sampling
+  * cap pins the rate derivation, against hand-computed values. */
+class OpGoldensSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[Row]): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_goldens").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      docSchema).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("text_entropy analytic extremes: constant 0, pair 1, uniform alphabet log2(26)") {
+    val dir = writeDocs(Seq(
+      Row(1L, "aaaa", "en", "s0", 4L),                        // one letter: H = 0
+      Row(2L, "abab", "en", "s0", 4L),                        // two equiprobable: H = 1
+      Row(3L, "abcdefghijklmnopqrstuvwxyz", "en", "s0", 26L), // uniform: H = log2(26)
+      Row(4L, "0123 !?", "en", "s0", 7L)))                    // no letters: H = 0, count 0
+    val got = ops.TextOps.entropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 1, 0.0)))
+    assert(got(2L)._1 == 4L && got(2L)._2 == 2 && math.abs(got(2L)._3 - 1.0) < 1e-9)
+    val log2_26 = math.log(26.0) / math.log(2.0)
+    assert(got(3L)._1 == 26L && got(3L)._2 == 26 &&
+      math.abs(got(3L)._3 - log2_26) < 1e-5, s"uniform alphabet: ${got(3L)}")
+    assert(got(4L) == ((0L, 0, 0.0)))
+  }
+
+  test("sample_temperature: capped small sources keep everything, the big source thins") {
+    // sources 90/9/1: w = (9.487k, 3k, 1k scaled), target = 50 →
+    // rate_A = 50·(√90/Σ√n)/90 ≈ 0.39, rate_B ≈ 1.24 → capped 1,
+    // rate_C ≈ 3.7 → capped 1. The caps are exact assertions; the big
+    // source's thinning is hash-dependent, so only bounded.
+    val rows =
+      (1L to 90L).map(i => Row(i, s"doc $i", "en", "srcA", 6L)) ++
+      (91L to 99L).map(i => Row(i, s"doc $i", "en", "srcB", 6L)) :+
+      Row(100L, "doc 100", "en", "srcC", 7L)
+    val dir = writeDocs(rows)
+    val kept = ops.PipelineOps.sampleTemperature(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySrc.getOrElse("srcB", Set.empty) == (91L to 99L).toSet,
+      s"capped srcB must keep all 9: ${bySrc.get("srcB")}")
+    assert(bySrc.getOrElse("srcC", Set.empty) == Set(100L),
+      s"capped srcC must keep its 1: ${bySrc.get("srcC")}")
+    val nA = bySrc.getOrElse("srcA", Set.empty).size
+    assert(nA > 0 && nA < 90, s"srcA must thin, not vanish or pass through: $nA")
+  }
+}
