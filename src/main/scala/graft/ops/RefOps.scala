@@ -252,6 +252,21 @@ object RefOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type", "hr")
 
+  /** Flink HOP window (sliding 2 h every 1 h) as Spark's native sliding
+    * `window()` — each event lands in size/slide = 2 windows, assigned
+    * inside the partial aggregate (map-side), so the shuffle moves
+    * (type, window) partial counts, never 2× the events. The null-ts
+    * guard is explicit because Spark's window expression silently drops
+    * null timestamps while a SQL UNION-ALL oracle would keep a null
+    * bucket — same rows, stated in both engines. */
+  val aggHopCount: Q = (s, d) =>
+    events(s, d)
+      .where(col("ts").isNotNull)
+      .groupBy(col("event_type"), window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("window.start").as("win_start"), col("n"))
+      .orderBy("event_type", "win_start")
+
   // -- §2.5 scalar functions ----------------------------------------------
 
   /** JSON_VALUE with RETURNING INT (05-kafka-logical-msg-flink.json:14). */
@@ -708,6 +723,7 @@ object RefOps {
     "agg_group_json_arrayagg" -> aggGroupJsonArrayAgg,
     "agg_pg_json_agg" -> aggPgJsonAgg,
     "agg_hourly_count" -> aggHourlyCount,
+    "agg_hop_count" -> aggHopCount,
     "fn_json_value" -> fnJsonValue,
     "fn_json_query" -> fnJsonQuery,
     "fn_from_base64" -> fnFromBase64,
@@ -825,6 +841,16 @@ object RefOps {
       """SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hr,
          COUNT(*) AS n FROM events GROUP BY event_type, hr
          ORDER BY event_type, hr""",
+    "agg_hop_count" ->
+      """WITH w AS (
+           SELECT event_type, date_trunc('hour', ts) AS win_start
+           FROM events WHERE ts IS NOT NULL
+           UNION ALL
+           SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR
+           FROM events WHERE ts IS NOT NULL)
+         SELECT event_type, win_start, COUNT(*) AS n
+         FROM w GROUP BY event_type, win_start
+         ORDER BY event_type, win_start""",
     "fn_json_value" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
          FROM events ORDER BY event_id""",

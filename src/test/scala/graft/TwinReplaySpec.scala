@@ -471,6 +471,38 @@ class TwinReplaySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("twin replay: streaming hop-window counts over chunked MemoryStream == batch agg_hop_count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, D)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+    val maxUs = rows.map(_._2).max
+    val input = MemoryStream[(String, Long)]
+    // the sliding window is streaming-native: same (type, win_start, n)
+    // shape as the batch operator, compared directly once finalized
+    val agg = input.toDF().toDF("event_type", "us")
+      .select(col("event_type"), timestamp_micros(col("us")).as("ts"))
+      .withWatermark("ts", "1 second")
+      .groupBy(col("event_type"), window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("hop_twin")
+      .outputMode("append").start()
+    try {
+      feedChunked(input, q, rows,
+        Seq(("__wm__", maxUs + 7_200_000_000L), ("__wm__", maxUs + 14_400_000_000L)))
+      val streamed = spark.table("hop_twin")
+        .where(col("event_type") =!= "__wm__")
+        .selectExpr("event_type", "window.start AS ws", "n")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
+      val batch = SparkEntry.queries("agg_hop_count")(spark, D).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"streamed hop windows (${streamed.size} groups) != batch (${batch.size} groups)")
+    } finally q.stop()
+  }
+
   test("twin replay: upsert sink over chunked shuffled MemoryStream == batch changelog_upsert") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
