@@ -34,7 +34,10 @@ object RefOps {
     lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .where(col("l_quantity") > 45)
-      .orderBy("l_orderkey", "l_linenumber")
+      // the harness data has duplicate (l_orderkey, l_linenumber) pairs,
+      // so the sort includes every output column — a total order on the
+      // SELECTED row, or engines may disagree on tie order at scale
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
   /** Scan of a registered view (the reference pushes its join into a PG
     * view, how-to-aiven/02-view-based-jdbc.md:11-33; here the view is an
@@ -754,7 +757,8 @@ object RefOps {
   val oracles: Map[String, String] = Map(
     "src_jdbc_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-         WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""",
+         WHERE l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "src_jdbc_view_scan" ->
       """SELECT o_orderkey, c_name FROM
          (SELECT o_orderkey, c_name, o_totalprice FROM orders
