@@ -270,6 +270,34 @@ object RefOps {
       .select(col("event_type"), col("window.start").as("win_start"), col("n"))
       .orderBy("event_type", "win_start")
 
+  /** Flink CUMULATE window (1-day period growing in 6-h steps): every
+    * event lands in each window that starts at its day boundary and
+    * ends at 6 h, 12 h, … after it — the early-partial-results pattern
+    * (a dashboard shows the day's running total four times before the
+    * day closes). The scale-correct plan aggregates FIRST: one tumbling
+    * 6-h step aggregate (map-side partial, tiny (type, step) frame),
+    * THEN explodes each step row into the ≤ 4 cumulate windows it feeds
+    * and re-aggregates — the explode multiplies a frame of size
+    * |types|·|steps|, never the event stream. Windows align to epoch in
+    * both engines (6 h and 1 day divide the epoch origin). */
+  val aggCumulateCount: Q = (s, d) => {
+    val StepUs = 21_600_000_000L // 6 hours
+    val step = events(s, d)
+      .where(col("ts").isNotNull)
+      .groupBy(col("event_type"), window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        unix_micros(col("window.start")).as("step_us"), col("n"))
+    step
+      .withColumn("day_us", expr("(step_us div 86400000000) * 86400000000"))
+      .withColumn("win_end_us", explode(expr(
+        s"sequence(step_us + ${StepUs}L, day_us + 86400000000L, ${StepUs}L)")))
+      .groupBy(col("event_type"), timestamp_micros(col("day_us")).as("win_start"),
+        timestamp_micros(col("win_end_us")).as("win_end"))
+      .agg(sum("n").as("n"))
+      .orderBy("event_type", "win_start", "win_end")
+  }
+
   // -- §2.5 scalar functions ----------------------------------------------
 
   /** JSON_VALUE with RETURNING INT (05-kafka-logical-msg-flink.json:14). */
@@ -727,6 +755,7 @@ object RefOps {
     "agg_pg_json_agg" -> aggPgJsonAgg,
     "agg_hourly_count" -> aggHourlyCount,
     "agg_hop_count" -> aggHopCount,
+    "agg_cumulate_count" -> aggCumulateCount,
     "fn_json_value" -> fnJsonValue,
     "fn_json_query" -> fnJsonQuery,
     "fn_from_base64" -> fnFromBase64,
@@ -845,6 +874,24 @@ object RefOps {
       """SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hr,
          COUNT(*) AS n FROM events GROUP BY event_type, hr
          ORDER BY event_type, hr""",
+    "agg_cumulate_count" ->
+      """WITH st AS (
+           SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS step_s,
+             COUNT(*) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         ex AS (
+           SELECT event_type, (step_s // 86400) * 86400 AS day_s,
+             unnest(generate_series(step_s + 21600,
+               (step_s // 86400) * 86400 + 86400, 21600)) AS end_s,
+             n
+           FROM st)
+         SELECT event_type,
+           TIMESTAMP '1970-01-01' + day_s * INTERVAL 1 SECOND AS win_start,
+           TIMESTAMP '1970-01-01' + end_s * INTERVAL 1 SECOND AS win_end,
+           CAST(SUM(n) AS BIGINT) AS n
+         FROM ex GROUP BY 1, 2, 3
+         ORDER BY event_type, win_start, win_end""",
     "agg_hop_count" ->
       """WITH w AS (
            SELECT event_type, date_trunc('hour', ts) AS win_start

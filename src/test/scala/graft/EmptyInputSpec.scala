@@ -48,7 +48,7 @@ class EmptyInputSpec extends SparkSpec {
     "corpus_quantiles", "vocab_bpe_pairs", "text_ngram_topk",
     "text_quality_score", "text_token_count", "text_fingerprint",
     "sample_split_hash", "sample_stratified", "corpus_mix", "corpus_stats",
-    "sample_temperature", "text_entropy",
+    "sample_temperature", "text_entropy", "agg_hop_count", "agg_cumulate_count",
     "pack_sequences", "corpus_curate", "emb_quantize_int8", "sim_brute_topk",
     "sim_lsh_topk",
     "events_sessionize", "events_funnel", "events_retention",

@@ -503,6 +503,50 @@ class TwinReplaySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("twin replay: streaming cumulate (6h steps) over chunked MemoryStream == batch agg_cumulate_count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // CUMULATE = a stateful tumbling STEP aggregate (the only streaming
+    // state) + a deterministic expansion of each finalized step into the
+    // day windows it feeds — two stacked stateful aggs are illegal in
+    // append mode, and the batch operator makes the same split, so the
+    // twin streams the step agg and expands finalized rows identically
+    val rows = Tables.events(spark, D)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+    val maxUs = rows.map(_._2).max
+    val input = MemoryStream[(String, Long)]
+    val agg = input.toDF().toDF("event_type", "us")
+      .select(col("event_type"), timestamp_micros(col("us")).as("ts"))
+      .withWatermark("ts", "1 second")
+      .groupBy(col("event_type"), window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("cumulate_twin")
+      .outputMode("append").start()
+    try {
+      feedChunked(input, q, rows,
+        Seq(("__wm__", maxUs + 21_600_000_000L), ("__wm__", maxUs + 43_200_000_000L)))
+      val StepUs = 21_600_000_000L
+      val DayUs = 86_400_000_000L
+      val streamed = spark.table("cumulate_twin")
+        .where(col("event_type") =!= "__wm__")
+        .selectExpr("event_type", "unix_micros(window.start) AS step_us", "n")
+        .collect()
+        .flatMap { r =>
+          val (t, stepUs, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+          val dayUs = (stepUs / DayUs) * DayUs
+          ((stepUs + StepUs) to (dayUs + DayUs) by StepUs)
+            .map(endUs => (t, dayUs, endUs) -> n)
+        }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      val batch = SparkEntry.queries("agg_cumulate_count")(spark, D).collect()
+        .map(r => (r.getString(0), usOf(r.getTimestamp(1)), usOf(r.getTimestamp(2))) ->
+          r.getLong(3)).toMap
+      assert(streamed == batch,
+        s"streamed cumulate (${streamed.size} windows) != batch (${batch.size} windows)")
+    } finally q.stop()
+  }
+
   test("twin replay: upsert sink over chunked shuffled MemoryStream == batch changelog_upsert") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
