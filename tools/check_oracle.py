@@ -31,6 +31,18 @@ def main(sf_dir: str, out_dir: str):
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table dir (e.g. target/sf1)
             p = f"{p}/*.parquet"
+        if t == "events":
+            # ScaleUp-written events store ts as int64 nanos (Spark cannot
+            # write TIMESTAMP(NANOS)); normalize to the micros truncation
+            # the Spark-side Tables.events reader applies, so every events
+            # oracle is replayable at the scale dir with identical semantics
+            typ = con.execute(f"SELECT typeof(ts) FROM '{p}' LIMIT 1").fetchone()
+            if typ and typ[0] == "BIGINT":
+                con.execute(
+                    f"CREATE VIEW events AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) "
+                    f"FROM '{p}'")
+                continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
