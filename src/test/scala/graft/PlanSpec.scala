@@ -136,6 +136,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("agg_cumulate_count: the explode sits above the step aggregate, never on events") {
+    val plan = finalPlan(graft.ops.RefOps.queries("agg_cumulate_count")(spark, d))
+    // the cumulate expansion (Generate) must consume the tiny finalized
+    // (type, step) frame — i.e. appear ABOVE the step aggregate's
+    // partial/final pair — or the explode multiplies the event stream
+    val gen = plan.indexOf("Generate explode")
+    val partial = plan.indexOf("partial_count")
+    assert(gen >= 0 && partial > gen,
+      s"explode must run on the aggregated step frame, not the events:\n$plan")
+  }
+
   test("events_retention: activity collapses to distinct (user, day) BEFORE the cohort join") {
     val plan = finalPlan(graft.ops.RefOps.queries("events_retention")(spark, d))
     // the distinct must partial-aggregate below its exchange so the join
