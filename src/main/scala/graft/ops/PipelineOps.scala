@@ -163,6 +163,21 @@ object PipelineOps {
       .select(explode(expr("text_shingles(text, 1)")).as("tok")))
   }
 
+  /** Approximate distinct USERS over the event stream, via the same
+    * cross-engine-exact KMV sketch as [[vocabKmv]] (one shared SQL tail
+    * on both sides — the sketch semantics cannot drift between
+    * instances). Spark's approx_count_distinct (HLL++) and DuckDB's
+    * sketch disagree by construction, so KMV is the oracle-checkable
+    * spelling of "count distinct users without the exact-distinct
+    * shuffle": at 100 TB the estimate is one scan + a k-row top-k
+    * (partial ORDER BY LIMIT collapses map-side), and the exact side
+    * this harness instance also reports is the AUDIT, filterable to a
+    * sample exactly like the cosine baseline. */
+  val eventsUniqueUsersKmv: Q = (s, d) =>
+    kmvSketch(events(s, d)
+      .where(col("user_id").isNotNull)
+      .select(col("user_id").cast("string").as("tok")))
+
   /** The KMV sketch core over any single-column `tok` frame — shared by
     * [[vocabKmv]] and the saturated-branch property test. */
   private[graft] def kmvSketch(tokens: DataFrame): DataFrame = {
@@ -502,6 +517,7 @@ object PipelineOps {
     "chunk_dedup_fuzzy" -> chunkDedupFuzzy,
     "chunk_dedup_incremental" -> chunkDedupIncremental,
     "vocab_kmv" -> vocabKmv,
+    "events_unique_users_kmv" -> eventsUniqueUsersKmv,
     "sample_split_hash" -> sampleSplitHash,
     "sample_stratified" -> sampleStratified,
     "corpus_mix" -> corpusMix,
@@ -521,6 +537,26 @@ object PipelineOps {
   private val StratRateSql = StratRates
     .map { case (q, r) => s"WHEN '$q' THEN $r" }
     .mkString("CASE quality ", " ", " END")
+
+  /** The KMV oracle tail over any single-column `tok` CTE body — the
+    * DuckDB half of [[kmvSketch]], shared by every registered KMV
+    * instance so sketch semantics can never drift between them. */
+  private def kmvOracleSql(tokenSelect: String): String =
+    s"""WITH t AS ($tokenSelect),
+        dh AS (SELECT DISTINCT CAST(${hash32("md5(tok)")} AS BIGINT) AS h FROM t),
+        kth AS (SELECT MAX(h) AS kth_min, CAST(COUNT(*) AS BIGINT) AS k_seen
+                FROM (SELECT h FROM dh ORDER BY h LIMIT $KmvK)),
+        ex AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct FROM t),
+        est AS (SELECT ex.exact_distinct, kth.k_seen,
+                  CASE WHEN kth.k_seen < $KmvK THEN CAST(kth.k_seen AS DOUBLE)
+                       ELSE round(${(KmvK - 1).toDouble} * 4294967296.0
+                              / CAST(kth.kth_min AS DOUBLE), 6) END AS kmv_estimate_r
+                FROM ex, kth)
+        SELECT exact_distinct, k_seen, kmv_estimate_r,
+          CASE WHEN exact_distinct = 0 THEN NULL
+               ELSE round(abs(kmv_estimate_r - CAST(exact_distinct AS DOUBLE))
+                      / CAST(exact_distinct AS DOUBLE), 6) END AS rel_err_r
+        FROM est"""
 
   /** 8-nibble (32-bit) value of the md5 prefix — DuckDB's spelling of
     * Spark's conv(substring(md5, 1, 8), 16, 10). */
@@ -566,24 +602,10 @@ object PipelineOps {
            UNION ALL SELECT 'events.ts.in_range',
              CAST((SELECT COUNT(*) FROM events WHERE ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2025-01-01') AS BIGINT)
          ) ORDER BY check_name""",
-    "vocab_kmv" -> {
-      val norm = DedupOps.NormSql
-      s"""WITH t AS (SELECT unnest(string_split($norm, ' ')) AS tok FROM documents),
-          dh AS (SELECT DISTINCT CAST(${hash32("md5(tok)")} AS BIGINT) AS h FROM t),
-          kth AS (SELECT MAX(h) AS kth_min, CAST(COUNT(*) AS BIGINT) AS k_seen
-                  FROM (SELECT h FROM dh ORDER BY h LIMIT $KmvK)),
-          ex AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct FROM t),
-          est AS (SELECT ex.exact_distinct, kth.k_seen,
-                    CASE WHEN kth.k_seen < $KmvK THEN CAST(kth.k_seen AS DOUBLE)
-                         ELSE round(${(KmvK - 1).toDouble} * 4294967296.0
-                                / CAST(kth.kth_min AS DOUBLE), 6) END AS kmv_estimate_r
-                  FROM ex, kth)
-          SELECT exact_distinct, k_seen, kmv_estimate_r,
-            CASE WHEN exact_distinct = 0 THEN NULL
-                 ELSE round(abs(kmv_estimate_r - CAST(exact_distinct AS DOUBLE))
-                        / CAST(exact_distinct AS DOUBLE), 6) END AS rel_err_r
-          FROM est"""
-    },
+    "vocab_kmv" -> kmvOracleSql(
+      s"SELECT unnest(string_split(${DedupOps.NormSql}, ' ')) AS tok FROM documents"),
+    "events_unique_users_kmv" -> kmvOracleSql(
+      "SELECT CAST(user_id AS VARCHAR) AS tok FROM events WHERE user_id IS NOT NULL"),
     "doc_chunk" ->
       s"""WITH w AS (SELECT doc_id,
               string_split(${DedupOps.NormSql}, ' ') AS w

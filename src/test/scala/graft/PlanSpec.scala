@@ -136,6 +136,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("agg_hop_count: dual window assignment is map-side (one partial-agg exchange)") {
+    val plan = finalPlan(graft.ops.RefOps.queries("agg_hop_count")(spark, d))
+    // both window assignments must land in the partial aggregate below
+    // the one hash exchange — the shuffle carries (type, window)
+    // partials, never 2× the event rows. Count in the final section
+    // only: the AQE toString repeats the plan under "== Initial Plan =="
+    val fin = plan.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(fin).length
+    assert(exchanges == 1, s"hop must shuffle once, on window partials:\n$plan")
+    assert(fin.indexOf("partial_count") > fin.indexOf("Exchange hashpartitioning"), plan)
+    assert(fin.contains("Expand"), plan) // the dual assignment operator itself
+  }
+
   test("agg_cumulate_count: the explode sits above the step aggregate, never on events") {
     val plan = finalPlan(graft.ops.RefOps.queries("agg_cumulate_count")(spark, d))
     // the cumulate expansion (Generate) must consume the tiny finalized
