@@ -29,7 +29,10 @@ class DeterminismSpec extends SparkSpec {
     "dedup_embedding_incremental", // parity-cut LSH candidates + agg
     "events_revenue_stats", // decimal sums — THE order-independence claim
     "events_props_keys",    // json key histogram
-    "sample_temperature")   // integer-weight Σw_s — THE order-exact claim
+    "sample_temperature",   // integer-weight Σw_s — THE order-exact claim
+    "agg_hop_count",        // dual map-side window assignment
+    "agg_cumulate_count",   // step agg + explode re-agg
+    "events_unique_users_kmv") // k-th min over distinct hashes (unique → total order)
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {
