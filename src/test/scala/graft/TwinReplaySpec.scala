@@ -503,6 +503,33 @@ class TwinReplaySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart replay: hop windows killed between every chunk == batch agg_hop_count") {
+    // sliding windows keep MULTIPLE open windows per key in the state
+    // store — a distinct checkpoint format from the session-window and
+    // flatMapGroups restarts already pinned; kill-and-resume must
+    // restore every half-open window
+    val rows0 = Tables.events(spark, D)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+    val maxUs = rows0.map(_._2).max
+    val json = rows0.map { case (t, us) => s"""{"event_type":"$t","us":$us}""" }
+    val sentinels = (1 to 3).map(i =>
+      s"""{"event_type":"__wm__","us":${maxUs + i * 7_200_000_000L}}""")
+    val rows = restartReplay("hop", json, sentinels, "event_type STRING, us LONG") { df =>
+      df.select(col("event_type"), timestamp_micros(col("us")).as("ts"))
+        .withWatermark("ts", "1 second")
+        .groupBy(col("event_type"), window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .selectExpr("event_type", "window.start AS ws", "n")
+    }
+    val streamed = rows.filter(_.getString(0) != "__wm__")
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
+    val batch = SparkEntry.queries("agg_hop_count")(spark, D).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"restarted hop windows (${streamed.size}) != batch (${batch.size})")
+  }
+
   test("twin replay: streaming cumulate (6h steps) over chunked MemoryStream == batch agg_cumulate_count") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
