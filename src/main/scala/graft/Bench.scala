@@ -263,9 +263,16 @@ object Bench {
         val p = primary.results.toMap
         val rs = s1.results.collect {
           case (n, v) if v >= 0 && p.getOrElse(n, -1.0) > 0 => n -> v / p(n) }
+        // Locale.ROOT: the `f` interpolator renders "1,5" under a
+        // comma-decimal default locale and the line stops being JSON
+        def num(d: Double, digits: Int): String =
+          String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(d))
         val worst = rs.sortBy(-_._2).take(3)
-          .map { case (n, r) => "\"" + n + "\":" + f"$r%.1f" }.mkString("{", ",", "}")
-        s""","scale_total":${s1.total},"scale_ratio_p50":${f"${median(rs.map(_._2))}%.2f"},"scale_ratio_worst":$worst"""
+          .map { case (n, r) => "\"" + n + "\":" + num(r, 1) }.mkString("{", ",", "}")
+        // rs can be empty if every query failed at one SF — a null p50
+        // keeps the line parseable instead of crashing past the full line
+        val p50 = if (rs.isEmpty) "null" else num(median(rs.map(_._2)), 2)
+        s""","scale_total":${s1.total},"scale_ratio_p50":$p50,"scale_ratio_worst":$worst"""
       }.getOrElse(scaleErr.map(e => s""","scale_error":${jsonStr(e)}""").getOrElse(""))
       s"""{"metric":"total","value":${primary.total},"unit":"sec","runs":$nRuns,"failed":$failedJson$scalePart,"sf":"$sfDir","full":"target/bench.json"}"""
     }

@@ -104,7 +104,10 @@ object ScaleUp {
             ELSE array_join(transform(split(text, '\\\\s+'),
               (w, i) -> CASE WHEN i % 4 = r % 4 THEN concat(w, 'q', CAST(r AS STRING)) ELSE w END), ' ')
             END"""))
-      .withColumn("n_chars", coalesce(length(col("text")), col("n_chars")))
+      // replica 0 must stay the source bit-for-bit, including any
+      // n_chars the harness wrote that disagrees with length(text)
+      .withColumn("n_chars", when(col("r") === 0, col("n_chars"))
+        .otherwise(coalesce(length(col("text")), col("n_chars"))))
       .withColumn("doc_id", shifted("doc_id", docB)), "documents", 16)
 
     write(replicate(table(spark, srcDir, "embeddings"))

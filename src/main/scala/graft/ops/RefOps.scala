@@ -253,7 +253,7 @@ object RefOps {
     events(s, d)
       .groupBy(col("event_type"), hour(col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("event_type", "hr")
+      .orderBy(col("event_type").asc_nulls_first, col("hr"))
 
   /** Flink HOP window (sliding 2 h every 1 h) as Spark's native sliding
     * `window()` — each event lands in size/slide = 2 windows, assigned
@@ -268,7 +268,7 @@ object RefOps {
       .groupBy(col("event_type"), window(col("ts"), "2 hours", "1 hour"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"), col("window.start").as("win_start"), col("n"))
-      .orderBy("event_type", "win_start")
+      .orderBy(col("event_type").asc_nulls_first, col("win_start"))
 
   /** Flink CUMULATE window (1-day period growing in 6-h steps): every
     * event lands in each window that starts at its day boundary and
@@ -295,7 +295,7 @@ object RefOps {
       .groupBy(col("event_type"), timestamp_micros(col("day_us")).as("win_start"),
         timestamp_micros(col("win_end_us")).as("win_end"))
       .agg(sum("n").as("n"))
-      .orderBy("event_type", "win_start", "win_end")
+      .orderBy(col("event_type").asc_nulls_first, col("win_start"), col("win_end"))
   }
 
   // -- §2.5 scalar functions ----------------------------------------------
@@ -873,7 +873,7 @@ object RefOps {
     "agg_hourly_count" ->
       """SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hr,
          COUNT(*) AS n FROM events GROUP BY event_type, hr
-         ORDER BY event_type, hr""",
+         ORDER BY event_type NULLS FIRST, hr""",
     "agg_cumulate_count" ->
       """WITH st AS (
            SELECT event_type,
@@ -891,7 +891,7 @@ object RefOps {
            TIMESTAMP '1970-01-01' + end_s * INTERVAL 1 SECOND AS win_end,
            CAST(SUM(n) AS BIGINT) AS n
          FROM ex GROUP BY 1, 2, 3
-         ORDER BY event_type, win_start, win_end""",
+         ORDER BY event_type NULLS FIRST, win_start, win_end""",
     "agg_hop_count" ->
       """WITH w AS (
            SELECT event_type, date_trunc('hour', ts) AS win_start
@@ -901,7 +901,7 @@ object RefOps {
            FROM events WHERE ts IS NOT NULL)
          SELECT event_type, win_start, COUNT(*) AS n
          FROM w GROUP BY event_type, win_start
-         ORDER BY event_type, win_start""",
+         ORDER BY event_type NULLS FIRST, win_start""",
     "fn_json_value" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
          FROM events ORDER BY event_id""",

@@ -175,8 +175,8 @@ object SimOps {
       .reduce(_ + _)
 
   /** The probed (q_id, t, bucket) set: the exact bucket of every table,
-    * plus a GLOBAL budget of `nProbes - 1` single-bit flips ranked by
-    * |projection| across ALL tables — the multi-probe repair (Lv et al.,
+    * plus `nProbes - 1` perturbed buckets PER TABLE ranked by summed
+    * |projection| margin — the multi-probe repair (Lv et al.,
     * VLDB'07): a true neighbor that misses the query's bucket almost
     * always disagrees on the bit whose projection sits closest to its
     * hyperplane, so probing that flip buys most of another table's
