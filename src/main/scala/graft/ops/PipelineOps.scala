@@ -508,9 +508,138 @@ object PipelineOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(BpeTopN)
 
+  /** Merge rounds for [[vocabBpeTrain]]: enough to exercise multi-char
+    * symbol growth (round-k merges routinely pair a round-j output) while
+    * keeping the unrolled oracle CTE chain readable. */
+  private[ops] val BpeTrainRounds = 8
+
+  /** Word-frequency vocabulary cap for [[vocabBpeTrain]], the standard
+    * trainer pruning (BPE quality is set by the frequent types; web-scale
+    * corpora grow unbounded typo/number tail). Deterministic top-k by
+    * (cnt, word), mirrored in the oracle; every verify corpus sits far
+    * under it, so parity is checked on unpruned semantics. */
+  private[ops] val BpeMaxWords = 1 << 18
+
+  /** BPE tokenizer TRAINING (Sennrich et al., ACL'16 — the algorithm is
+    * public; the reference pipeline has no tokenizer stage at all): N
+    * greedy merge rounds, each promoting the most frequent adjacent
+    * symbol pair into a new vocabulary symbol. Output is the merge table
+    * — (round, lhs, rhs, merged, n) — the artifact a tokenizer actually
+    * ships.
+    *
+    * The scale shape is the whole point: the CORPUS is touched exactly
+    * once, by the word-frequency aggregate (one shuffle on the word key,
+    * map-side partial). Every merge round after that runs over the
+    * DISTINCT-WORD frame — vocabulary-sized (Heaps' law; capped at
+    * [[BpeMaxWords]]), orders of magnitude smaller than the corpus and
+    * INDEPENDENT of corpus size — so 100 TB of text costs one aggregate
+    * plus N rounds of work on a ~256k-row frame. Each round is: adjacent
+    * pairs form INSIDE the row (transform over the symbol array — no
+    * per-char explode of the corpus), one shuffle of (lhs, rhs) partial
+    * sums, a 1-row driver collect (the argmax — the only driver state),
+    * and one codegen'd string replace.
+    *
+    * Symbol sequences are space-delimited strings (" l o w ") and a
+    * merge is `replace(seq, ' l o ', ' lo ')`. The merge rule is
+    * replace()'s: left-to-right, non-overlapping, delimiter-consuming —
+    * so a consecutive run collapses ONE pair per round (" a a a a " →
+    * " aa a a "; the leftover occurrences stay the most frequent pair
+    * and re-merge next round). This differs from Sennrich's zero-width
+    * boundary regex only in WHICH ROUND a run finishes collapsing
+    * (lookbehind doesn't exist in RE2, so the regex spelling could
+    * never be mirrored in the oracle); the rule here is deterministic
+    * and byte-identical across engines BY CONSTRUCTION — both replace()s
+    * define the same scan — and OpGoldensSpec pins the run-collapse
+    * order. The alphabet is normalizeText's [a-z0-9], so interpolating
+    * the chosen pair into the next round's expression is injection-safe
+    * by construction. Ties on pair count break by (lhs, rhs) binary
+    * order in both engines. */
+  val vocabBpeTrain: Q = (s, d) => {
+    import s.implicits._
+    val wf = documents(s, d)
+      .select(explode(split(graft.functions.Functions.normalizeText(col("text")), " "))
+        .as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(BpeMaxWords)
+      // reused by all N rounds — checkpoint so round k doesn't recompute
+      // the corpus aggregate k times
+      .localCheckpoint()
+    var syms = wf.withColumn("seq",
+      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var round = 1
+    var converged = false
+    while (round <= BpeTrainRounds && !converged) {
+      val top = syms
+        .select(col("cnt"), split(trim(col("seq")), " ").as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(w) - 1), j -> struct(element_at(w, j) AS lhs, element_at(w, j + 1) AS rhs))"))
+          .as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1)
+        .collect()
+      top.headOption match {
+        case Some(r) =>
+          val (l, rr, n) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += ((round, l, rr, l + rr, n))
+          syms = syms.withColumn("seq",
+            expr(s"replace(seq, ' $l $rr ', ' $l$rr ')"))
+        case None =>
+          // no pairs left (every word fully merged / single-char corpus):
+          // the vocabulary is converged — later rounds would be identical
+          converged = true
+      }
+      round += 1
+    }
+    merges.toSeq.toDF("merge_round", "lhs", "rhs", "merged", "n")
+      .orderBy("merge_round")
+  }
+
+  /** Unrolled DuckDB mirror of [[vocabBpeTrain]]: one (pairs, top-1,
+    * replace) CTE block per merge round. The chosen pair is a scalar
+    * subquery, so an empty round nulls the sequence column and every
+    * later round stays empty — the same convergence the Spark driver
+    * loop reaches by stopping. */
+  private def bpeTrainOracleSql: String = {
+    val norm = DedupOps.NormSql
+    val sb = new StringBuilder(
+      s"""WITH wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split($norm, ' ')) AS word FROM documents)
+            WHERE word <> '' GROUP BY word
+            ORDER BY cnt DESC, word LIMIT $BpeMaxWords),
+          s0 AS MATERIALIZED (SELECT cnt, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq FROM wf)""")
+    for (i <- 1 to BpeTrainRounds) {
+      val prev = s"s${i - 1}"
+      sb.append(s""",
+          p$i AS MATERIALIZED (SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(SUM(cnt) AS BIGINT) AS n
+                  FROM (SELECT cnt, unnest(list_transform(generate_series(1, len(w) - 1),
+                          j -> struct_pack(lhs := w[j], rhs := w[j + 1]))) AS p
+                        FROM (SELECT cnt, string_split(trim(seq), ' ') AS w FROM $prev)
+                        WHERE len(w) >= 2)
+                  GROUP BY 1, 2),
+          t$i AS MATERIALIZED (SELECT lhs, rhs, n FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1),
+          s$i AS MATERIALIZED (SELECT cnt, replace(seq,
+                    ' ' || (SELECT lhs FROM t$i) || ' ' || (SELECT rhs FROM t$i) || ' ',
+                    ' ' || (SELECT lhs FROM t$i) || (SELECT rhs FROM t$i) || ' ') AS seq
+                  FROM $prev)""")
+    }
+    val union = (1 to BpeTrainRounds)
+      .map(i => s"SELECT $i AS merge_round, lhs, rhs, n FROM t$i")
+      .mkString("\n          UNION ALL ")
+    sb.append(s"""
+          SELECT CAST(merge_round AS INT) AS merge_round, lhs, rhs,
+            lhs || rhs AS merged, n
+          FROM ($union) ORDER BY merge_round""")
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
     "corpus_quantiles" -> corpusQuantiles,
     "vocab_bpe_pairs" -> vocabBpePairs,
+    "vocab_bpe_train" -> vocabBpeTrain,
     "corpus_expectations" -> corpusExpectations,
     "doc_chunk" -> docChunk,
     "chunk_dedup" -> chunkDedup,
@@ -587,6 +716,7 @@ object PipelineOps {
           SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
           FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT $BpeTopN"""
     },
+    "vocab_bpe_train" -> bpeTrainOracleSql,
     "corpus_expectations" ->
       """SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
            SELECT 'documents.doc_id.unique' AS check_name,

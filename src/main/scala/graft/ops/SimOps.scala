@@ -759,9 +759,16 @@ object SimOps {
     * carry-forward. */
   private def kmeansCtesSql(iters: Int): String = {
     val sb = new StringBuilder(
-      // literal 16: the oracle is only ever replayed at the verify SFs,
-      // where n = 500 puts nCentroids(n) exactly on its floor of 16
-      s"cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16)")
+      // k mirrors nCentroids(n) — max(16, min(256, floor(sqrt(n/4)))) —
+      // computed from the table, so the oracle replays at ANY corpus
+      // size, not just the verify SFs where the rule lands on its floor
+      // of 16. floor() before CAST: DuckDB CAST(double AS INT) rounds,
+      // Scala .toInt truncates. Raw COUNT(*) matches the Spark side's
+      // gated count on every parity corpus (all-clean; EmbGate's doc).
+      s"""kparam AS (SELECT GREATEST(16, LEAST(256,
+            CAST(floor(sqrt(COUNT(*) / 4.0)) AS INT))) AS k FROM embeddings),
+          cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+                     WHERE vec_id < (SELECT k FROM kparam))""")
     for (i <- 1 to iters) {
       val p = s"cents${i - 1}"
       val d2 = s"${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")} - 2 * ${dot("e.embedding", "c.c_emb")}"

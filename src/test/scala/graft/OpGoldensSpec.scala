@@ -87,4 +87,34 @@ class OpGoldensSpec extends SparkSpec {
     val nA = bySrc.getOrElse("srcA", Set.empty).size
     assert(nA > 0 && nA < 90, s"srcA must thin, not vanish or pass through: $nA")
   }
+
+  test("vocab_bpe_train: merge chain on a compositional corpus, hand-computed") {
+    // wf: "ab" ×2, "abc" ×1. Round 1: (a,b) n=3 beats (b,c) n=1 →
+    // " ab ", " ab c ". Round 2: (ab,c) n=1 → "abc". Round 3: no pairs
+    // left → converged, exactly 2 merge rows.
+    val dir = writeDocs(Seq(
+      Row(1L, "ab ab", "en", "s0", 5L),
+      Row(2L, "abc", "en", "s0", 3L)))
+    val got = ops.PipelineOps.vocabBpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "a", "b", "ab", 3L),
+      (2, "ab", "c", "abc", 1L)), s"merge chain: ${got.toSeq}")
+  }
+
+  test("vocab_bpe_train: delimiter-consuming run collapse, one pair per round") {
+    // " a a a a " + (a,a) → " aa a a " (replace() consumes the shared
+    // space, so the run collapses one pair per round — the documented
+    // divergence from the zero-width-boundary regex spelling). Round 2
+    // re-merges (a,a) (ties with (aa,a) at n=2; 'a' < 'aa' binary), and
+    // round 3 closes the word: (aa,aa) → "aaaa".
+    val dir = writeDocs(Seq(
+      Row(1L, "aaaa aaaa", "en", "s0", 9L)))
+    val got = ops.PipelineOps.vocabBpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "a", "aa", 2L),
+      (3, "aa", "aa", "aaaa", 2L)), s"run collapse: ${got.toSeq}")
+  }
 }
