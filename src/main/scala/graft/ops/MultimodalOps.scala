@@ -174,6 +174,133 @@ object MultimodalOps {
     }
   }
 
+  /** PNG IHDR + JPEG SOF header reader — the Mp4 box-walk discipline
+    * applied to images: at 100 TB you do NOT decode rasters to learn
+    * dimensions; you read the first ~64 header bytes (PNG pins IHDR as
+    * the first chunk; JPEG marker segments carry their own lengths, so
+    * the frame header is reachable without entropy-coded data). This is
+    * the bytes-level contrast to [[decodePartition]]'s ImageIO path,
+    * which decodes the full raster — correct, and exactly what a
+    * metadata pass must not pay. Fails loudly on malformed bytes
+    * (bad signature, wrong first chunk, truncated segment, missing
+    * frame header) rather than inventing metadata.
+    *
+    * Public layouts: PNG (RFC 2083 §3: 8-byte signature, then
+    * length-tagged chunks, IHDR required first — width, height, bit
+    * depth, color type); JPEG (ITU-T T.81 §B: SOI, then FF-marker
+    * segments with 2-byte big-endian lengths; SOFn payload is
+    * precision, height, width, component count). */
+  private[graft] object ImageHeader {
+    case class Meta(format: String, width: Int, height: Int, channels: Int)
+
+    private def u16(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    private def u32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+    def parse(bytes: Array[Byte]): Meta = {
+      require(bytes.length >= 2, s"image payload too short: ${bytes.length} bytes")
+      val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
+      if (b0 == 0x89 && b1 == 'P'.toInt) parsePng(bytes)
+      else if (b0 == 0xff && b1 == 0xd8) parseJpeg(bytes)
+      else throw new IllegalArgumentException(
+        f"unrecognized image signature: first bytes $b0%02x $b1%02x")
+    }
+
+    private val PngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def parsePng(b: Array[Byte]): Meta = {
+      require(b.length >= 33, s"PNG shorter than signature+IHDR: ${b.length} bytes")
+      require(b.slice(0, 8).sameElements(PngSig), "corrupt PNG signature")
+      // the spec pins IHDR as the FIRST chunk — no walk needed
+      require(u32(b, 8) == 13, s"first PNG chunk length ${u32(b, 8)} != 13 (IHDR)")
+      val tpe = new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(tpe == "IHDR", s"first PNG chunk is '$tpe', not IHDR")
+      val w = u32(b, 16); val h = u32(b, 20)
+      require(w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue,
+        s"PNG dimensions out of range: ${w}x$h")
+      val colorType = b(25) & 0xff
+      val channels = colorType match {
+        case 0 => 1 // greyscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette index
+        case 4 => 2 // grey + alpha
+        case 6 => 4 // truecolor + alpha
+        case c => throw new IllegalArgumentException(s"invalid PNG color type $c")
+      }
+      Meta("png", w.toInt, h.toInt, channels)
+    }
+
+    private def parseJpeg(b: Array[Byte]): Meta = {
+      // SOI already checked; walk marker segments to the frame header.
+      // SOF markers are C0-CF minus C4 (DHT), C8 (JPG ext), CC (DAC).
+      var off = 2
+      while (off + 4 <= b.length) {
+        require((b(off) & 0xff) == 0xff, f"expected JPEG marker at $off, got ${b(off) & 0xff}%02x")
+        var m = b(off + 1) & 0xff
+        while (m == 0xff && off + 2 < b.length) { off += 1; m = b(off + 1) & 0xff } // fill bytes
+        require(m != 0xd9 && m != 0xda,
+          s"JPEG reached ${if (m == 0xd9) "EOI" else "scan data"} before any frame header")
+        if (m >= 0xd0 && m <= 0xd7) { off += 2 } // RSTn: standalone, no length
+        else {
+          val len = u16(b, off + 2)
+          require(len >= 2 && off + 2 + len <= b.length,
+            s"truncated JPEG segment ${f"$m%02x"} at $off: len=$len of ${b.length}")
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            require(len >= 8, s"JPEG frame header too short: $len")
+            val h = u16(b, off + 5); val w = u16(b, off + 7)
+            val nComp = b(off + 9) & 0xff
+            require(w > 0 && h > 0 && nComp > 0, s"JPEG frame header out of range: ${w}x$h/$nComp")
+            return Meta("jpeg", w, h, nComp)
+          }
+          off += 2 + len
+        }
+      }
+      throw new IllegalArgumentException("JPEG ended before any frame header")
+    }
+  }
+
+  /** Decoded header metadata for one image blob. */
+  case class ImageMeta(doc_id: Long, fmt: String, width: Int, height: Int, channels: Int)
+
+  /** Image fixture for [[imageMeta]]: the alpha rows encode as REAL
+    * PNGs (alpha needs it), the rest as REAL baseline JPEGs — both via
+    * JDK ImageIO, so the parsed bytes are a production encoder's, not
+    * this file's. */
+  private def makeImageBytes(id: Long, text: String): Array[Byte] = {
+    val (w, h) = (imgWidth(id), imgHeight(text.length))
+    val kind =
+      if (imgHasAlpha(id)) java.awt.image.BufferedImage.TYPE_INT_ARGB
+      else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val img = new java.awt.image.BufferedImage(w, h, kind)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((id * 2654435761L + x * 31 + y) & 0xffffff).toInt)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, if (imgHasAlpha(id)) "png" else "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Header-level image metadata over the image-typed rows: synthesize
+    * real PNG/JPEG bytes, then recover format, dimensions and channel
+    * count from the FIRST BYTES ALONE ([[ImageHeader]] — no raster
+    * decode, the pass a 100 TB metadata sweep actually affords). The
+    * oracle re-states the closed-form fixture metadata, so it only
+    * matches if the header walk truly read the IHDR chunk / SOFn
+    * segment. */
+  val imageMeta: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d).where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = makeImageBytes(id, if (text == null) "" else text)
+        val m = ImageHeader.parse(bytes)
+        ImageMeta(id, m.format, m.width, m.height, m.channels)
+      }).toDF()
+      .orderBy("doc_id")
+  }
+
   /** Fixture stage: synthesize the binary payload. Image rows carry a
     * REAL PNG (encoded with the JDK's ImageIO), audio rows a REAL
     * 16-bit PCM WAV (encoded with the JDK's AudioSystem), video rows a
@@ -297,6 +424,7 @@ object MultimodalOps {
   val queries: Map[String, Q] = Map(
     "mm_decode_meta" -> decodeMeta,
     "mm_frame_sample" -> frameSample,
+    "mm_image_meta" -> imageMeta,
   )
 
   val oracles: Map[String, String] = Map(
@@ -331,5 +459,15 @@ object MultimodalOps {
          SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
            md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_id AS VARCHAR)) AS frame_hash
          FROM f ORDER BY doc_id, frame_id""",
+    // image rows only; fmt/channels follow the alpha formula (alpha
+    // forces PNG; the rest are baseline JPEG), dimensions the fixture
+    // formulas — recoverable only by truly reading IHDR / SOFn bytes
+    "mm_image_meta" ->
+      """SELECT doc_id,
+           CASE WHEN (doc_id // 3) % 2 = 1 THEN 'png' ELSE 'jpeg' END AS fmt,
+           CAST(4 + doc_id % 29 AS INT) AS width,
+           CAST(3 + length(text) % 17 AS INT) AS height,
+           CAST(CASE WHEN (doc_id // 3) % 2 = 1 THEN 4 ELSE 3 END AS INT) AS channels
+         FROM documents WHERE CAST(doc_id % 3 AS INT) = 0 ORDER BY doc_id""",
   )
 }
