@@ -144,7 +144,7 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
-  private val KmvK = 256
+  private[graft] val KmvK = 256
 
   /** Corpus vocabulary cardinality via a KMV (k-minimum-values) sketch,
     * next to the exact distinct count and the relative error — sketch

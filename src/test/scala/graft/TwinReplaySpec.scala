@@ -771,4 +771,115 @@ class TwinReplaySpec extends SparkSpec {
       assert(streamed.size == docs.size, "every replayed duplicate must be dropped")
     } finally q.stop()
   }
+
+  test("restart replay: cumulate steps killed between every chunk == batch agg_cumulate_count") {
+    // cumulate's streaming state is the tumbling 6h STEP aggregate (the
+    // explode runs above it); hop pinned multiple open windows per key,
+    // this pins the single-window step under kill-and-resume, expanded
+    // identically to the batch operator's split
+    val rows0 = Tables.events(spark, D)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+    val maxUs = rows0.map(_._2).max
+    val json = rows0.map { case (t, us) => s"""{"event_type":"$t","us":$us}""" }
+    val sentinels = (1 to 3).map(i =>
+      s"""{"event_type":"__wm__","us":${maxUs + i * 21_600_000_000L}}""")
+    val rows = restartReplay("cumulate", json, sentinels, "event_type STRING, us LONG") { df =>
+      df.select(col("event_type"), timestamp_micros(col("us")).as("ts"))
+        .withWatermark("ts", "1 second")
+        .groupBy(col("event_type"), window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n"))
+        .selectExpr("event_type", "unix_micros(window.start) AS step_us", "n")
+    }
+    val StepUs = 21_600_000_000L
+    val DayUs = 86_400_000_000L
+    val streamed = rows.filter(_.getString(0) != "__wm__")
+      .flatMap { r =>
+        val (t, stepUs, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+        val dayUs = (stepUs / DayUs) * DayUs
+        ((stepUs + StepUs) to (dayUs + DayUs) by StepUs)
+          .map(endUs => (t, dayUs, endUs) -> n)
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val batch = SparkEntry.queries("agg_cumulate_count")(spark, D).collect()
+      .map(r => (r.getString(0), usOf(r.getTimestamp(1)), usOf(r.getTimestamp(2))) ->
+        r.getLong(3)).toMap
+    assert(streamed == batch,
+      s"restarted cumulate (${streamed.size} windows) != batch (${batch.size} windows)")
+  }
+
+  private val KmvDayUs = 86_400_000_000L
+
+  /** The per-day batch sketches the KMV twins must reproduce: the
+    * oracle-green kmvSketch core applied to each day's tokens. */
+  private def kmvBatchByDay(rows: Seq[(String, Long)]):
+      Map[Long, (Long, Long, Double, Option[Double])] = {
+    import spark.implicits._
+    rows.groupBy { case (_, us) => (us / KmvDayUs) * KmvDayUs }
+      .map { case (day, dayRows) =>
+        val r = graft.ops.PipelineOps
+          .kmvSketch(dayRows.map(_._1).toDF("tok")).collect().head
+        day -> ((r.getLong(0), r.getLong(1), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+      }
+  }
+
+  private def kmvEventRows(): Seq[(String, Long)] =
+    Tables.events(spark, D).where(col("user_id").isNotNull)
+      .select(col("user_id").cast("string").as("tok"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+
+  private def kmvMergeStreamed(parts: Seq[graft.streaming.StreamingKmv.KmvPartial],
+      realDays: Set[Long]): Map[Long, (Long, Long, Double, Option[Double])] =
+    parts.filter(p => realDays.contains(p.dayUs)).groupBy(_.dayUs)
+      .map { case (day, ps) =>
+        val s = graft.streaming.StreamingKmv.finalizeDay(day, ps)
+        day -> ((s.exactDistinct, s.kSeen, s.kmvEstimateR, s.relErrR))
+      }
+
+  test("twin replay: per-day KMV partials over chunked MemoryStream merge to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = kmvEventRows()
+    val maxUs = rows.map(_._2).max
+    val input = MemoryStream[(String, Long)]
+    val toks = input.toDF().toDF("tok", "us")
+      .select(col("tok"), timestamp_micros(col("us")).as("eventTime"))
+      .withWatermark("eventTime", "1 second")
+    val q = graft.streaming.StreamingKmv.partials(toks).writeStream
+      .format("memory").queryName("kmv_twin").outputMode("append").start()
+    try {
+      // sentinel tokens land in far-future days (excluded below); two
+      // steps so the second's watermark closes every real day
+      feedChunked(input, q, rows,
+        Seq(("__wm1__", maxUs + KmvDayUs), ("__wm2__", maxUs + 2 * KmvDayUs)))
+      val parts = spark.table("kmv_twin")
+        .as[graft.streaming.StreamingKmv.KmvPartial].collect().toSeq
+      val realDays = rows.map { case (_, us) => (us / KmvDayUs) * KmvDayUs }.toSet
+      val streamed = kmvMergeStreamed(parts, realDays)
+      val batch = kmvBatchByDay(rows)
+      assert(streamed == batch,
+        s"streamed KMV days ${streamed.keySet.toSeq.sorted} != batch ${batch.keySet.toSeq.sorted}: $streamed vs $batch")
+    } finally q.stop()
+  }
+
+  test("restart replay: KMV partials killed between every chunk == batch per-day sketch") {
+    val rows = kmvEventRows()
+    val maxUs = rows.map(_._2).max
+    val json = rows.map { case (tok, us) => s"""{"tok":"$tok","us":$us}""" }
+    val sentinels = (1 to 3).map(i =>
+      s"""{"tok":"__wm${i}__","us":${maxUs + i * KmvDayUs}}""")
+    val out = restartReplay("kmv", json, sentinels, "tok STRING, us LONG") { df =>
+      graft.streaming.StreamingKmv.partials(
+        df.select(col("tok"), timestamp_micros(col("us")).as("eventTime"))
+          .withWatermark("eventTime", "1 second")).toDF()
+    }
+    val parts = out.map(r => graft.streaming.StreamingKmv.KmvPartial(
+      r.getLong(0), r.getInt(1), r.getLong(2), r.getSeq[Long](3)))
+    val realDays = rows.map { case (_, us) => (us / KmvDayUs) * KmvDayUs }.toSet
+    val streamed = kmvMergeStreamed(parts, realDays)
+    val batch = kmvBatchByDay(rows)
+    assert(streamed == batch,
+      s"restarted KMV (${streamed.size} days) != batch (${batch.size} days)")
+  }
 }
