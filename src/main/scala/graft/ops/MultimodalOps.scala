@@ -262,6 +262,82 @@ object MultimodalOps {
     }
   }
 
+  /** WAV RIFF/fmt chunk reader — the header-walk discipline on the
+    * audio container: sample rate, channel count, sample width and
+    * frame count all live in the first ~50 bytes (RIFF magic, then
+    * length-tagged chunks; `fmt ` carries the format fields, `data`'s
+    * size over the frame stride is the frame count) — no sample decode.
+    * RIFF is LITTLE-endian throughout, the opposite of PNG/MP4 — a pin
+    * that the walkers read real layouts, not a shared helper's
+    * assumption. Fails loudly on malformed bytes. Public layout:
+    * RIFF/WAVE (IBM/Microsoft, 1991), chunk walk per the EA-IFF85
+    * convention (odd-sized chunks pad one byte). */
+  private[graft] object WavHeader {
+    case class Meta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+        nFrames: Long)
+
+    private def u16le(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def u32le(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def parse(b: Array[Byte]): Meta = {
+      require(b.length >= 12, s"WAV payload too short: ${b.length} bytes")
+      require(fourcc(b, 0) == "RIFF", s"not a RIFF container: '${fourcc(b, 0)}'")
+      require(fourcc(b, 8) == "WAVE", s"RIFF form is '${fourcc(b, 8)}', not WAVE")
+      var off = 12
+      var rate = -1; var ch = -1; var bits = -1; var blockAlign = -1
+      var frames = -1L
+      while (off + 8 <= b.length) {
+        val id = fourcc(b, off)
+        val size = u32le(b, off + 4)
+        require(size >= 0 && off + 8 + size <= b.length,
+          s"truncated WAV chunk '$id' at $off: size=$size of ${b.length}")
+        id match {
+          case "fmt " =>
+            require(size >= 16, s"fmt chunk too short: $size")
+            val fmtTag = u16le(b, off + 8)
+            require(fmtTag == 1, s"not PCM (fmt tag $fmtTag)")
+            ch = u16le(b, off + 10)
+            rate = u32le(b, off + 12).toInt
+            blockAlign = u16le(b, off + 20)
+            bits = u16le(b, off + 22)
+            require(ch > 0 && rate > 0 && blockAlign > 0 && bits > 0,
+              s"fmt fields out of range: ch=$ch rate=$rate align=$blockAlign bits=$bits")
+          case "data" =>
+            require(blockAlign > 0, "data chunk before fmt — frame stride unknown")
+            frames = size / blockAlign
+          case _ => () // fact, LIST, ...: skip by the size tag
+        }
+        off += 8 + size.toInt + (size.toInt & 1) // odd chunks pad a byte
+      }
+      require(rate > 0 && frames >= 0,
+        "WAV missing fmt or data chunk — not a parseable container")
+      Meta(rate, ch, bits, frames)
+    }
+  }
+
+  /** Decoded header metadata for one audio blob. */
+  case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_frames: Long)
+
+  /** Header-level audio metadata over the audio-typed rows — the
+    * [[imageMeta]] pass for WAV: real AudioSystem bytes, metadata
+    * recovered from the chunk walk alone. */
+  val audioMeta: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d).where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val m = WavHeader.parse(makeContent(id, if (text == null) "" else text))
+        AudioMeta(id, m.sampleRate, m.channels, m.bitsPerSample, m.nFrames)
+      }).toDF()
+      .orderBy("doc_id")
+  }
+
   /** Decoded header metadata for one image blob. */
   case class ImageMeta(doc_id: Long, fmt: String, width: Int, height: Int, channels: Int)
 
@@ -425,6 +501,7 @@ object MultimodalOps {
     "mm_decode_meta" -> decodeMeta,
     "mm_frame_sample" -> frameSample,
     "mm_image_meta" -> imageMeta,
+    "mm_audio_meta" -> audioMeta,
   )
 
   val oracles: Map[String, String] = Map(
@@ -469,5 +546,13 @@ object MultimodalOps {
            CAST(3 + length(text) % 17 AS INT) AS height,
            CAST(CASE WHEN (doc_id // 3) % 2 = 1 THEN 4 ELSE 3 END AS INT) AS channels
          FROM documents WHERE CAST(doc_id % 3 AS INT) = 0 ORDER BY doc_id""",
+    // audio rows only; the closed form the RIFF chunk walk must recover
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(16 AS INT) AS bits_per_sample,
+           CAST(50 + length(text) % 100 AS BIGINT) AS n_frames
+         FROM documents WHERE CAST(doc_id % 3 AS INT) = 1 ORDER BY doc_id""",
   )
 }

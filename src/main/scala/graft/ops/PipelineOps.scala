@@ -554,8 +554,11 @@ object PipelineOps {
     * the chosen pair into the next round's expression is injection-safe
     * by construction. Ties on pair count break by (lhs, rhs) binary
     * order in both engines. */
-  val vocabBpeTrain: Q = (s, d) => {
-    import s.implicits._
+  /** The shared train loop: returns the merge table AND the final
+    * per-word symbol frame (word, cnt, seq) — [[vocabBpeTrain]] reports
+    * the former, [[vocabBpeApply]] aggregates the latter. */
+  private def bpeTrain(s: SparkSession, d: String):
+      (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val wf = documents(s, d)
       .select(explode(split(graft.functions.Functions.normalizeText(col("text")), " "))
         .as("word"))
@@ -594,8 +597,33 @@ object PipelineOps {
       }
       round += 1
     }
-    merges.toSeq.toDF("merge_round", "lhs", "rhs", "merged", "n")
+    (merges.toSeq, syms)
+  }
+
+  val vocabBpeTrain: Q = (s, d) => {
+    import s.implicits._
+    bpeTrain(s, d)._1.toDF("merge_round", "lhs", "rhs", "merged", "n")
       .orderBy("merge_round")
+  }
+
+  /** Tokenize-with-the-trained-vocabulary — the APPLY half of BPE: the
+    * corpus token-frequency table after the [[BpeTrainRounds]] learned
+    * merges, top [[BpeTopN]] by weight. Runs the train loop, then ONE
+    * aggregate over the final vocabulary-sized symbol frame: corpus
+    * token counts are Σ (word count × in-word symbol count), so the
+    * corpus is never re-tokenized row by row — at 100 TB the apply step
+    * costs the same one word-frequency aggregate the trainer already
+    * paid, plus vocabulary-sized work (a real tokenizer service would
+    * instead bake the merges into a scan-local chained-replace
+    * projection; the counts here are identical either way, which is
+    * what the oracle checks). */
+  val vocabBpeApply: Q = (s, d) => {
+    val (_, syms) = bpeTrain(s, d)
+    syms
+      .select(col("cnt"), explode(split(trim(col("seq")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(sum("cnt").as("n"))
+      .orderBy(col("n").desc, col("token")).limit(BpeTopN)
   }
 
   /** Unrolled DuckDB mirror of [[vocabBpeTrain]]: one (pairs, top-1,
@@ -603,7 +631,7 @@ object PipelineOps {
     * subquery, so an empty round nulls the sequence column and every
     * later round stays empty — the same convergence the Spark driver
     * loop reaches by stopping. */
-  private def bpeTrainOracleSql: String = {
+  private def bpeCtesSql: String = {
     val norm = DedupOps.NormSql
     val sb = new StringBuilder(
       s"""WITH wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -621,25 +649,39 @@ object PipelineOps {
                         WHERE len(w) >= 2)
                   GROUP BY 1, 2),
           t$i AS MATERIALIZED (SELECT lhs, rhs, n FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1),
-          s$i AS MATERIALIZED (SELECT cnt, replace(seq,
+          s$i AS MATERIALIZED (SELECT cnt, COALESCE(replace(seq,
                     ' ' || (SELECT lhs FROM t$i) || ' ' || (SELECT rhs FROM t$i) || ' ',
-                    ' ' || (SELECT lhs FROM t$i) || (SELECT rhs FROM t$i) || ' ') AS seq
+                    ' ' || (SELECT lhs FROM t$i) || (SELECT rhs FROM t$i) || ' '), seq) AS seq
                   FROM $prev)""")
     }
+    sb.toString
+  }
+
+  private def bpeTrainOracleFinal: String = {
     val union = (1 to BpeTrainRounds)
       .map(i => s"SELECT $i AS merge_round, lhs, rhs, n FROM t$i")
       .mkString("\n          UNION ALL ")
-    sb.append(s"""
+    s"""${bpeCtesSql}
           SELECT CAST(merge_round AS INT) AS merge_round, lhs, rhs,
             lhs || rhs AS merged, n
-          FROM ($union) ORDER BY merge_round""")
-    sb.toString
+          FROM ($union) ORDER BY merge_round"""
   }
+
+  /** Mirror of [[vocabBpeApply]]: the same CTE chain, aggregated over
+    * the FINAL symbol frame instead of the per-round argmax rows. */
+  private def bpeApplyOracleSql: String =
+    s"""${bpeCtesSql}
+        SELECT token, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM (SELECT cnt, unnest(string_split(trim(seq), ' ')) AS token
+              FROM s$BpeTrainRounds)
+        WHERE token <> ''
+        GROUP BY token ORDER BY n DESC, token LIMIT $BpeTopN"""
 
   val queries: Map[String, Q] = Map(
     "corpus_quantiles" -> corpusQuantiles,
     "vocab_bpe_pairs" -> vocabBpePairs,
     "vocab_bpe_train" -> vocabBpeTrain,
+    "vocab_bpe_apply" -> vocabBpeApply,
     "corpus_expectations" -> corpusExpectations,
     "doc_chunk" -> docChunk,
     "chunk_dedup" -> chunkDedup,
@@ -716,7 +758,8 @@ object PipelineOps {
           SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
           FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT $BpeTopN"""
     },
-    "vocab_bpe_train" -> bpeTrainOracleSql,
+    "vocab_bpe_train" -> bpeTrainOracleFinal,
+    "vocab_bpe_apply" -> bpeApplyOracleSql,
     "corpus_expectations" ->
       """SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
            SELECT 'documents.doc_id.unique' AS check_name,

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main: isolated stage-level timings for the ANN family at
+  * one SF dir — the instrument behind the round-6 "price of the
+  * multi-probe/sqrt-IVF recall buy" numbers. Test scope on purpose: it
+  * is a measurement harness, not part of the library surface. Run on a
+  * QUIET box (the bench's own contention discipline applies doubly to
+  * stage splits). */
+object AnnProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(tag: String)(f: => Long): Unit = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); val n = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        (dt, n)
+      }
+      val med = runs.map(_._1).sorted.apply(1)
+      println(f"STAGE $tag%-14s median=$med%7.3f s  runs=${runs.map(r => f"${r._1}%.3f").mkString(",")}  rows=${runs.head._2}")
+    }
+
+    // warmup: codegen + centroid cache + file listing
+    Seq("sim_brute_topk", "sim_lsh_topk", "sim_ivf_q8_topk")
+      .foreach(q => SparkEntry.queries(q)(spark, d).count())
+
+    time("lsh_pairs")(ops.SimOps.lshCandidatePairs(spark, d, ops.SimOps.DefaultLsh).count())
+    time("lsh_full")(SparkEntry.queries("sim_lsh_topk")(spark, d).count())
+    time("knee_pairs")(ops.SimOps.lshCandidatePairs(spark, d, ops.SimOps.KneeLsh).count())
+    time("knee_full")(SparkEntry.queries("sim_lsh_multi_topk")(spark, d).count())
+    time("ivf_cands")(ops.SimOps.ivfCandidates(spark, d).count())
+    time("ivf_full")(SparkEntry.queries("sim_ivf_topk")(spark, d).count())
+    time("q8_full")(SparkEntry.queries("sim_q8_topk")(spark, d).count())
+    time("ivf_q8_full")(SparkEntry.queries("sim_ivf_q8_topk")(spark, d).count())
+    time("brute_full")(SparkEntry.queries("sim_brute_topk")(spark, d).count())
+    spark.stop()
+  }
+}

@@ -2,7 +2,7 @@
 """Local pre-validation of SparkEntry oracles, mimicking the driver's
 DuckDB compare: run Verify output parquet vs oracle SQL on the same
 tables; columns sorted by name, values compared exactly."""
-import sys, os, json, math
+import sys, os, json, math, argparse, threading
 import duckdb
 import pandas as pd
 
@@ -25,7 +25,7 @@ def cells_equal(a, b) -> bool:
             return False
     return str(a) == str(b)
 
-def main(sf_dir: str, out_dir: str):
+def main(sf_dir: str, out_dir: str, skip=(), timeout_sec=0):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -45,14 +45,27 @@ def main(sf_dir: str, out_dir: str):
                 continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            # loud, never silent: a skipped oracle is an exemption the
+            # caller must justify, not a pass
+            print(f"SKIP {name} (exempted by --skip)")
+            n_skip += 1
+            continue
+        timer = None
+        if timeout_sec:
+            timer = threading.Timer(timeout_sec, con.interrupt)
+            timer.start()
         try:
             want = norm(con.execute(sql).df())
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         pdir = f"{out_dir}/{name}"
         if not os.path.isdir(pdir):
             print(f"FAIL {name}: no spark output at {pdir}")
@@ -97,8 +110,19 @@ def main(sf_dir: str, out_dir: str):
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    tail = f" / {n_skip} skipped" if n_skip else ""
+    print(f"\n{n_pass} pass / {n_fail} fail{tail}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--skip", default="",
+                    help="comma-separated oracle names to exempt (printed loudly)")
+    ap.add_argument("--timeout-sec", type=int, default=0,
+                    help="per-query DuckDB timeout (interrupt -> FAIL)")
+    a = ap.parse_args()
+    main(a.sf_dir, a.out_dir,
+         skip=frozenset(x for x in a.skip.split(",") if x),
+         timeout_sec=a.timeout_sec)
