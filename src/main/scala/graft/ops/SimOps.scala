@@ -143,7 +143,22 @@ object SimOps {
     * 8×4-bit exact .667/.406 · 8×6-bit +3 flips .833/.403 ·
     * 8×7-bit +7 .875/.405 · 8×8-bit +13 .750/.361 — wider than 7 bits
     * starves the exact bucket faster than 2-bit probes can repair on
-    * near-random vectors. */
+    * near-random vectors.
+    *
+    * The TIME price of the recall buy, measured (sf0.1, quiet box,
+    * fresh JVM, median of 3): the old single-probe default ran 0.56 s;
+    * this config runs 1.6-2.1 s, ~95% of it in candidate-pair
+    * GENERATION (probe-set rank window + the 8-probe bucket join +
+    * the pair distinct), not scoring. Time is nearly FLAT in the probe
+    * budget — p=1..8 all measure 1.0-1.9 s at recall .250→.875 — so
+    * the cost is the pipeline's fixed stage count, not per-candidate
+    * work, and it amortizes at scale (sf1/sf0.1 ratio ≈ 1.5×, measured
+    * sub-linear). Cheaper table counts were measured and rejected:
+    * every 4-table variant tops out below the 0.8 floor
+    * (4×7-bit p=16: .792 @ 1.11 s; 4×8-bit p=12: .458; 2×8-bit p=24:
+    * .333) — eight disjoint tables are what the union recall is made
+    * of. +0.21 recall@3 for ~+1.2 s of fixed overhead at sf0.1 is the
+    * documented trade; at 100 TB the same plan's overhead is noise. */
   private[graft] val DefaultLsh =
     LshCfg(nTables = 8, bits = 7, nProbes = 8, interleaved = true)
 
@@ -566,7 +581,17 @@ object SimOps {
     * float vector), with exact integer dot products. At 100 TB this is
     * the deployable shape: centroid-partitioned code table, float
     * vectors never touched at query time. Bench reports its recall@3 so
-    * the compounded approximation stays a measured number. */
+    * the compounded approximation stays a measured number.
+    *
+    * Cost after the round-5 sqrt-lists change, measured (sf0.1, quiet
+    * box, fresh JVM, median of 3): 1.26 s total — candidate generation
+    * (centroid probe join over the sqrt-scaled lists) 1.07 s, q8
+    * rescore ~0.2 s — i.e. 1.39× the round-4 fixed-16-lists median
+    * (0.905 s), within the 2× bar at strictly better scaling (the
+    * fixed-16 layout was O(n²/16) corpus-wide). The 4.4 s in the r5
+    * bench artifact was co-tenant contention + cold codegen, refuted
+    * by this isolated probe (the bench now reprobes such tails
+    * itself). */
   val ivfQ8TopK: Q = (s, d) => {
     val qz = quantized(s, d).select(col("vec_id"), col("qvec"))
       .withColumn("qn2",

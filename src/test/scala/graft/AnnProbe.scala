@@ -46,6 +46,42 @@ object AnnProbe {
     time("q8_full")(SparkEntry.queries("sim_q8_topk")(spark, d).count())
     time("ivf_q8_full")(SparkEntry.queries("sim_ivf_q8_topk")(spark, d).count())
     time("brute_full")(SparkEntry.queries("sim_brute_topk")(spark, d).count())
+
+    // probe-budget sweep: time AND recall for the default config family,
+    // so the time-per-recall-point tradeoff is a measured table
+    import org.apache.spark.sql.functions.col
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.where(col("rank") <= 3).collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val truth = topSet(SparkEntry.queries("sim_brute_topk")(spark, d))
+    val variants = Seq(
+      ops.SimOps.DefaultLsh.copy(nProbes = 1),
+      ops.SimOps.DefaultLsh.copy(nProbes = 2),
+      ops.SimOps.DefaultLsh.copy(nProbes = 4),
+      ops.SimOps.DefaultLsh.copy(nProbes = 6),
+      ops.SimOps.DefaultLsh,
+      ops.SimOps.LshCfg(nTables = 4, bits = 7, nProbes = 8, interleaved = true),
+      ops.SimOps.LshCfg(nTables = 4, bits = 7, nProbes = 16, interleaved = true),
+      ops.SimOps.LshCfg(nTables = 4, bits = 8, nProbes = 12, interleaved = true),
+      ops.SimOps.LshCfg(nTables = 2, bits = 8, nProbes = 24, interleaved = true))
+    for (cfg <- variants) {
+      val q = ops.SimOps.lshTopK(cfg)
+      q(spark, d).count() // codegen warm
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); q(spark, d).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        dt
+      }
+      val approx = topSet(q(spark, d))
+      val recall = truth.toSeq.map { case (qid, t) =>
+        approx.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+        .sum / truth.size
+      val frac = ops.SimOps.lshCandidatePairs(spark, d, cfg).count().toDouble /
+        (Tables.embeddings(spark, d).count().toDouble * truth.size)
+      println(f"SWEEP t=${cfg.nTables} b=${cfg.bits} p=${cfg.nProbes} median=${runs.sorted.apply(1)}%6.3f s  recall@3=$recall%.3f  fraction=$frac%.3f")
+    }
     spark.stop()
   }
 }
