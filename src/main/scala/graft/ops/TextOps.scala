@@ -169,6 +169,49 @@ object TextOps {
         s"round($entropyTermsSql, 6) AS entropy_r")
       .orderBy("doc_id")
 
+  /** Corpus-LM negative log-likelihood per document — the CCNet-style
+    * perplexity quality filter: train a unigram model on the corpus
+    * itself (token → count, one vocabulary-sized aggregate), then score
+    * each document's mean token NLL against it. Documents whose tokens
+    * are corpus-typical score low; rare-token soup (mojibake, codes,
+    * exotic boilerplate) scores high — the standard complement to the
+    * rule-based quality gate, as a measured column.
+    *
+    * Scale shape: the model IS the token-frequency table (vocabulary-
+    * sized, Heaps' law), so scoring is a shuffle join on the token key
+    * where the build side has ONE row per key — Zipf skew on hot tokens
+    * is harmless (AQE splits the probe side; nothing explodes). Two
+    * corpus scans (model build + scoring — a real pipeline materializes
+    * the model once and streams documents against it), one per-doc fold.
+    * Every token is in-vocabulary by construction (train == score
+    * corpus), so p(tok) = cnt/N exactly and no smoothing constant needs
+    * cross-engine pinning.
+    *
+    * Determinism: mean NLL = ln(N) − Σ ln(cnt) / n_tok, where the
+    * per-document Σ folds over the (token, ln cnt) list SORTED by token
+    * — double addition is order-sensitive, and a plain SUM would make
+    * the last bit shuffle-order-dependent (the kmeans-update
+    * discipline). Zero-token documents (null/empty text) have no
+    * likelihood and emit no row in either engine. */
+  val unigramNll: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(normalizeText(col("text")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totals = model.agg(sum("cnt").as("n_total"))
+    toks.join(model, "tok")
+      .select(col("doc_id"), col("tok"), log(col("cnt")).as("lnc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        aggregate(array_sort(collect_list(struct(col("tok"), col("lnc")))),
+          lit(0.0), (acc, x) => acc + x.getField("lnc")).as("s"))
+      .crossJoin(totals) // 1-row broadcast frame
+      .select(col("doc_id"), col("n_tok"),
+        round(log(col("n_total")) - col("s") / col("n_tok"), 6).as("avg_nll_r"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_token_count" -> tokenCount,
     "text_quality_score" -> qualityScore,
@@ -177,6 +220,7 @@ object TextOps {
     "text_pii_scrub" -> piiScrub,
     "text_repetition" -> repetition,
     "text_entropy" -> entropy,
+    "text_unigram_nll" -> unigramNll,
   )
 
   private val Norm = DedupOps.NormSql
@@ -246,5 +290,20 @@ object TextOps {
           SELECT doc_id, n_letters, distinct_letters,
             round($entropyTermsSql, 6) AS entropy_r
           FROM tot ORDER BY doc_id""",
+    // mirrors unigramNll: same model, same token-sorted double fold
+    "text_unigram_nll" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($Norm, ' ')) AS tok
+                     FROM documents),
+          tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+          m AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tt GROUP BY tok),
+          tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM m),
+          j AS (SELECT tt.doc_id, tt.tok, ln(m.cnt) AS lnc
+                FROM tt JOIN m USING (tok)),
+          d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                  list_sum(list(lnc ORDER BY tok, lnc)) AS s
+                FROM j GROUP BY doc_id)
+          SELECT doc_id, n_tok,
+            round(ln((SELECT n_total FROM tot)) - s / n_tok, 6) AS avg_nll_r
+          FROM d ORDER BY doc_id""",
   )
 }

@@ -88,6 +88,26 @@ class OpGoldensSpec extends SparkSpec {
     assert(nA > 0 && nA < 90, s"srcA must thin, not vanish or pass through: $nA")
   }
 
+  test("text_unigram_nll analytic extremes: all-same-token 0, all-unique ln(N)") {
+    // a corpus of one repeated token has p=1 per token → NLL 0 exactly;
+    // a corpus of N distinct tokens has p=1/N per token → NLL ln(N) —
+    // both closed forms a shared cross-engine mistake could not fake
+    val dir = writeDocs(Seq(
+      Row(1L, "same same same same", "en", "s0", 19L),
+      Row(2L, "alpha beta gamma delta", "en", "s0", 22L)))
+    val got = ops.TextOps.unigramNll(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 1: its 4 tokens are 'same' (cnt 4), N = 8 → nll = ln(8) - ln(4) = ln(2)
+    val ln2 = math.log(2.0)
+    assert(got(1L)._1 == 4L && math.abs(got(1L)._2 - ln2) < 1e-6, s"doc1: ${got(1L)}")
+    // doc 2: 4 unique tokens (cnt 1 each), N = 8 → nll = ln(8)
+    assert(got(2L)._1 == 4L && math.abs(got(2L)._2 - math.log(8.0)) < 1e-6, s"doc2: ${got(2L)}")
+    // single-corpus extreme: only one doc, one repeated token → exactly 0
+    val dir2 = writeDocs(Seq(Row(1L, "x x x", "en", "s0", 5L)))
+    val z = ops.TextOps.unigramNll(spark, dir2).collect().head
+    assert(z.getLong(1) == 3L && z.getDouble(2) == 0.0)
+  }
+
   test("vocab_bpe_train: merge chain on a compositional corpus, hand-computed") {
     // wf: "ab" ×2, "abc" ×1. Round 1: (a,b) n=3 beats (b,c) n=1 →
     // " ab ", " ab c ". Round 2: (ab,c) n=1 → "abc". Round 3: no pairs
