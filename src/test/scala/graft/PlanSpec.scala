@@ -276,4 +276,30 @@ class PlanSpec extends SparkSpec {
       assert(finalOnly.contains("partial_count"), plan)
     }
   }
+
+  test("text_unigram_nll: no cartesian except the 1-row totals frame; model join partial-aggregates") {
+    val plan = finalPlan(graft.ops.TextOps.queries("text_unigram_nll")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    // the model build partial-aggregates map-side before its shuffle
+    assert(finalOnly.contains("partial_count"), plan)
+    // the only nested-loop join is the 1-row totals crossJoin — never
+    // a corpus-sized cartesian
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalOnly).size <= 1, plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("vocab_bpe_train: the word-frequency cap is a two-phase top-k, text-only scan") {
+    // the train loop's ONLY corpus-touching job; everything after runs
+    // on the checkpointed vocabulary frame
+    val wf = graft.Tables.documents(spark, d)
+      .select(explode(split(graft.functions.Functions.normalizeText(col("text")), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(1 << 18)
+    val plan = finalPlan(wf)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the vocab cap must be per-partition heaps + driver merge, not a global sort:\n$plan")
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("ReadSchema: struct<text:string>"), plan)
+  }
 }
