@@ -667,6 +667,34 @@ object PipelineOps {
           FROM ($union) ORDER BY merge_round"""
   }
 
+  /** Mirror of [[vocabBpeTokenize]]: the merge scalars surface as one
+    * 1-row `mg` CTE (lambdas can reference correlated columns but not
+    * scalar subqueries), and each document's words run the same
+    * char-split + COALESCE-guarded replace chain. */
+  private def bpeTokenizeOracleSql: String = {
+    // an empty round's pattern defaults to chr(1) — outside the
+    // normalized [a-z0-9] alphabet, so its replace is a no-op (a
+    // COALESCE wrapper would double the expression text per round)
+    val mgCols = (1 to BpeTrainRounds).map(i =>
+      s"COALESCE((SELECT lhs FROM t$i), chr(1)) AS l$i, COALESCE((SELECT rhs FROM t$i), chr(1)) AS r$i")
+      .mkString(",\n            ")
+    var wordExpr = """' ' || regexp_replace(w, '(.)', '\1 ', 'g')"""
+    for (i <- 1 to BpeTrainRounds)
+      wordExpr = s"replace($wordExpr, ' ' || l$i || ' ' || r$i || ' ', ' ' || l$i || r$i || ' ')"
+    s"""${bpeCtesSql},
+        mg AS (SELECT $mgCols),
+        d0 AS (SELECT doc_id,
+                 list_filter(string_split(${DedupOps.NormSql}, ' '), w -> w <> '') AS ws
+               FROM documents),
+        tok AS (SELECT doc_id,
+                  flatten(list_transform(ws, w ->
+                    list_filter(string_split(trim($wordExpr), ' '), t -> t <> ''))) AS toks
+                FROM d0 CROSS JOIN mg)
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          array_to_string(toks[1:5], ' ') AS head_tokens
+        FROM tok ORDER BY doc_id"""
+  }
+
   /** Mirror of [[vocabBpeApply]]: the same CTE chain, aggregated over
     * the FINAL symbol frame instead of the per-round argmax rows. */
   private def bpeApplyOracleSql: String =
@@ -677,11 +705,39 @@ object PipelineOps {
         WHERE token <> ''
         GROUP BY token ORDER BY n DESC, token LIMIT $BpeTopN"""
 
+  /** The production tokenize step: the [[BpeTrainRounds]] learned
+    * merges baked into ONE codegen'd projection over the corpus scan —
+    * per word, the char split and the merge chain are plain nested
+    * string functions inside a `transform` lambda, so tokenizing 100 TB
+    * is a scan + map with NO shuffle (the output sort here exists only
+    * for the oracle compare) and no model join: the merge table rides
+    * into the plan as literals, exactly how a tokenizer service ships
+    * its merges file. Emits per-document token count and the first five
+    * tokens (the inspectable prefix); the train loop runs once on the
+    * driver to obtain the merges, after which the corpus pass is
+    * embarrassingly parallel. */
+  val vocabBpeTokenize: Q = (s, d) => {
+    val merges = bpeTrain(s, d)._1
+    var wordExpr = "concat(' ', regexp_replace(w, '(.)', '$1 '))"
+    for ((_, l, r, _, _) <- merges)
+      wordExpr = s"replace($wordExpr, ' $l $r ', ' $l$r ')"
+    documents(s, d)
+      .select(col("doc_id"),
+        split(graft.functions.Functions.normalizeText(col("text")), " ").as("ws0"))
+      .withColumn("toks", expr(
+        s"flatten(transform(filter(ws0, w -> w != ''), w -> filter(split(trim($wordExpr), ' '), t -> t != '')))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        array_join(slice(col("toks"), 1, 5), " ").as("head_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "corpus_quantiles" -> corpusQuantiles,
     "vocab_bpe_pairs" -> vocabBpePairs,
     "vocab_bpe_train" -> vocabBpeTrain,
     "vocab_bpe_apply" -> vocabBpeApply,
+    "vocab_bpe_tokenize" -> vocabBpeTokenize,
     "corpus_expectations" -> corpusExpectations,
     "doc_chunk" -> docChunk,
     "chunk_dedup" -> chunkDedup,
@@ -760,6 +816,7 @@ object PipelineOps {
     },
     "vocab_bpe_train" -> bpeTrainOracleFinal,
     "vocab_bpe_apply" -> bpeApplyOracleSql,
+    "vocab_bpe_tokenize" -> bpeTokenizeOracleSql,
     "corpus_expectations" ->
       """SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
            SELECT 'documents.doc_id.unique' AS check_name,

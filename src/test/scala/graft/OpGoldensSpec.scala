@@ -122,6 +122,17 @@ class OpGoldensSpec extends SparkSpec {
       (2, "ab", "c", "abc", 1L)), s"merge chain: ${got.toSeq}")
   }
 
+  test("vocab_bpe_tokenize: the learned merges tokenize the corpus they came from") {
+    // same corpus as the train golden: merges (a,b)->ab then (ab,c)->abc
+    // fully re-fuse both words, so the tokenizer must emit whole words
+    val dir = writeDocs(Seq(
+      Row(1L, "ab ab", "en", "s0", 5L),
+      Row(2L, "abc", "en", "s0", 3L)))
+    val got = ops.PipelineOps.vocabBpeTokenize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 2L, "ab ab"), (2L, 1L, "abc")), s"tokens: ${got.toSeq}")
+  }
+
   test("vocab_bpe_train: delimiter-consuming run collapse, one pair per round") {
     // " a a a a " + (a,a) → " aa a a " (replace() consumes the shared
     // space, so the run collapses one pair per round — the documented
