@@ -23,14 +23,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long and truncate to
-    * microseconds (same floor-truncation DuckDB applies), yielding a
-    * standard TimestampType column. */
+  /** The harness has shipped `events.ts` in two physical shapes —
+    * TIMESTAMP(NANOS) (readable only as nanos-long, truncated here to
+    * micros exactly as DuckDB floor-truncates it) and plain
+    * TIMESTAMP(MICROS) without a UTC flag (arrives as TIMESTAMP_NTZ).
+    * Branch on what the file actually contains and normalize both to the
+    * engine-standard TimestampType (UTC session TZ, SURVEY §1.3) so every
+    * downstream operator sees one ts type regardless of harness vintage. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
