@@ -654,6 +654,200 @@ object SimOps {
       3)
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization + asymmetric distance (Jégou, Douze, Schmid,
+  // "Product Quantization for Nearest Neighbor Search", TPAMI 2011)
+  // ------------------------------------------------------------------
+
+  /** PQ geometry: the 64-dim vector splits into [[PqM]] contiguous
+    * [[PqDsub]]-dim subspaces, each quantized against its own
+    * [[PqKsub]]-centroid codebook — a 256 B float vector becomes
+    * [[PqM]] 4-bit codes = 8 B (+ one reconstruction norm), the 4-bit
+    * PQ variant. Geometry measured at sf0.1 (pure-ADC recall@3): 8
+    * subspaces × 8 dims = 32-bit codes → 0.208; 16 × 4 = 64-bit codes →
+    * 0.500 at identical code-table bytes per row — on near-random
+    * embeddings the finer cells matter more than the per-subspace
+    * dimensionality, so 16×4 is the keeper. Production PQ uses 8-bit
+    * sub-codebooks; k stays 16 here so per-subspace Lloyd is
+    * non-degenerate at the 500-vector verify corpora (256 centroids
+    * over 500 subvectors would memorize the data) and the unrolled
+    * oracle CTE stays tractable — the machinery is k-independent. */
+  private val PqM = 16
+  private val PqDsub = 4
+  private val PqKsub = 16
+  private[ops] val PqIters = 2
+
+  /** (vec_id, sub, subv): each gated vector split into its subvectors.
+    * One projection + explode of an 8-element struct array — rows ×8,
+    * but each row carries one 8-float slice, so bytes stay ~constant. */
+  private def subVecs(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${PqM - 1}), s -> struct(s AS sub, slice(embedding, s * $PqDsub + 1, $PqDsub) AS subv))")).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.subv").as("subv"))
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Long, Seq[Float])]]
+
+  /** Per-subspace k-means codebooks, one Lloyd loop over ALL subspaces at
+    * once: the (sub) column rides along as a grouping key, so the 8
+    * codebooks train in the same two DataFrame jobs per iteration the
+    * 64-dim [[kmeansCentroids]] uses — deterministic init (subvectors of
+    * vec_id < k), (dist, c_id) assignment tie-break, ORDER BY vec_id
+    * double fold for the means (shuffle-order-independent bits), float4
+    * rounding, empty-cluster carry-forward. The collected codebook is
+    * [[PqM]]·[[PqKsub]] = 128 rows — the same driver-trivial broadcast
+    * class as the IVF codebook. */
+  private[ops] def pqCodebook(s: SparkSession, d: String): Seq[(Int, Long, Seq[Float])] =
+    pqCache.getOrElseUpdate(d, {
+      graft.expressions.VectorExpressions.register(s)
+      import s.implicits._
+      val sv = subVecs(gatedVecs(s, d).select(col("vec_id"), col("embedding")))
+      var cents: Seq[(Int, Long, Seq[Float])] = sv
+        .where(col("vec_id") < PqKsub).orderBy("sub", "vec_id").collect()
+        .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Float](2).toSeq)).toSeq
+      for (_ <- 1 to PqIters) {
+        val cdf = cents.toDF("sub", "c_id", "c_emb")
+          .select(col("sub"), col("c_id"),
+            col("c_emb").cast("array<float>").as("c_emb"))
+        val assigned = sv.join(broadcast(cdf), "sub")
+          .withColumn("c_dist", expr(
+            "float_dot(subv, subv) + float_dot(c_emb, c_emb) - 2 * float_dot(subv, c_emb)"))
+          .groupBy("vec_id", "sub")
+          .agg(min_by(struct(col("c_id"), col("subv")),
+            struct(col("c_dist"), col("c_id"))).as("m"))
+          .select(col("sub"), col("vec_id"), col("m.c_id").as("c_id"),
+            col("m.subv").as("subv"))
+        val upd = assigned
+          .select(col("sub"), col("c_id"), col("vec_id"),
+            posexplode(col("subv")).as(Seq("dim", "v")))
+          .groupBy("sub", "c_id", "dim")
+          .agg(
+            aggregate(array_sort(collect_list(struct(col("vec_id"), col("v")))),
+              lit(0.0), (acc, x) => acc + x.getField("v").cast("double")).as("sm"),
+            count(lit(1)).as("n"))
+          .withColumn("m", col("sm") / col("n"))
+          .groupBy("sub", "c_id")
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+          .select(col("sub"), col("c_id"),
+            expr("transform(dm, x -> CAST(x.m AS FLOAT))").as("c_emb"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Float](2).toSeq).toMap
+        cents = cents.map { case (sub, id, old) =>
+          (sub, id, upd.getOrElse((sub, id), old)) }
+      }
+      cents
+    })
+
+  /** The trained codebook as a broadcastable frame, with each centroid's
+    * squared norm precomputed (the `cn2` the reconstruction norm sums).
+    * Centroid ids are RE-KEYED DENSE per subspace (rank of the training
+    * id): the flat ADC LUT indexes `s · k + code`, which silently
+    * assumed the init ids 0..15 all survived the clean-vector gate — on
+    * a corrupt corpus where only some of the first 16 vectors are clean,
+    * the training ids are sparse and the fixed-stride lookup walks off
+    * the array (caught by CorruptInputSpec). Every subspace trains on
+    * the same init id set, so the dense k is uniform across subs. */
+  private def pqCodebookFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dense = pqCodebook(s, d).groupBy(_._1).toSeq.flatMap {
+      case (sub, rows) => rows.sortBy(_._2).zipWithIndex.map {
+        case ((_, _, emb), i) => (sub, i.toLong, emb) }
+    }
+    dense.toDF("sub", "c_id", "c_emb")
+      .select(col("sub"), col("c_id"),
+        col("c_emb").cast("array<float>").as("c_emb"))
+      .withColumn("cn2", expr("float_dot(c_emb, c_emb)"))
+  }
+
+  /** PQ-encoded corpus (vec_id, codes, rn2) — the offline ENCODE job.
+    * rn2 = |x̂|² = Σ_sub |c_sub|², exact because the subspaces are
+    * orthogonal coordinate blocks of the reconstruction x̂. The encode
+    * is a broadcast join + per-(vec, sub) argmin that collapses map-side
+    * (min_by partial aggregation) — index-build cost, never query
+    * cost. */
+  private def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebookFrame(s, d)
+    subVecs(gatedVecs(s, d).select(col("vec_id"), col("embedding")))
+      .join(broadcast(cb), "sub")
+      .withColumn("c_dist", expr(
+        "float_dot(subv, subv) + float_dot(c_emb, c_emb) - 2 * float_dot(subv, c_emb)"))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(struct(col("c_id"), col("cn2")),
+        struct(col("c_dist"), col("c_id"))).as("m"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"),
+        col("m.c_id").as("code"), col("m.cn2").as("cn2")))).as("sc"))
+      .select(col("vec_id"),
+        expr("transform(sc, x -> CAST(x.code AS INT))").as("codes"),
+        expr("aggregate(sc, 0D, (acc, x) -> acc + x.cn2)").as("rn2"))
+  }
+
+  /** The encoded table as an inspectable query (codes CSV + rounded
+    * reconstruction norm) — the PQ analogue of [[quantizeInt8]]. */
+  val pqCodesQuery: Q = (s, d) =>
+    pqCodes(s, d).select(col("vec_id"),
+      expr("array_join(transform(codes, x -> cast(x as string)), ',')").as("codes"),
+      round(col("rn2"), 6).as("rn2_r"))
+      .orderBy("vec_id")
+
+  /** ADC top-k: each query precomputes one lookup table of its subvector
+    * dot products against every sub-centroid (8 queries × 128 entries —
+    * a broadcast frame computed relationally, no driver math), and
+    * scoring a candidate is [[PqM]] table lookups summed left-to-right —
+    * the asymmetric distance computation of Jégou et al.
+    *
+    * The 100 TB shape: query-time work is ONE scan of the codes table
+    * (~12 B/row: 8 codes + rn2) with a broadcast 8-row LUT and ZERO
+    * exchange before the bounded top-k — no float vector is touched at
+    * query time, a ~20× scan-volume cut vs the float corpus and ~6× vs
+    * the int8 codes, steeper than both at the price of approximating the
+    * candidate's side of the dot (the query side stays exact). Unlike
+    * IVF this scans every code row (candidate fraction 1.0) — the two
+    * compose in principle, but the measured composition is left until a
+    * corpus where PQ recall affords it. */
+  /** ADC shortlist size: the exact-rescore stage reads this many float
+    * vectors per query. Pure ADC ranks approximately (0.500 recall@3 at
+    * sf0.1 under the 16×4 geometry — near-ties invert), which is why
+    * deployed PQ rescores a shortlist (Jégou et al. §5.2): with R=32
+    * the measured recall@3 is 0.833 at a float-read budget of 32 rows
+    * per query (0.6% of the sf0.1 corpus). */
+  private val PqRescore = 32
+
+  val pqTopK: Q = (s, d) => {
+    val cb = pqCodebookFrame(s, d)
+    val qlut = subVecs(qset(s, d).select(col("q_id").as("vec_id"),
+        col("q_emb").as("embedding")))
+      .join(broadcast(cb), "sub")
+      .withColumn("pdot", expr("float_dot(subv, c_emb)"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("c_id"), col("pdot")))).as("sp"))
+      .select(col("vec_id").as("q_id"),
+        expr("transform(sp, x -> x.pdot)").as("lut"))
+    val scored = pqCodes(s, d)
+      .join(broadcast(qlut.join(qset(s, d).select(col("q_id"), col("q_nrm")), "q_id")),
+        col("vec_id") =!= col("q_id"))
+      // stride = the ACTUAL per-subspace codebook size (size(lut)/M), not
+      // the nominal PqKsub — a degenerate corpus can train fewer than 16
+      // centroids per subspace (see pqCodebookFrame's dense re-key)
+      .withColumn("adot", expr(
+        s"aggregate(sequence(0, ${PqM - 1}), 0D, (acc, s) -> acc + element_at(lut, cast(s * (size(lut) div $PqM) + element_at(codes, s + 1) + 1 as int)))"))
+      .withColumn("sim", col("adot") / (col("q_nrm") * sqrt(col("rn2"))))
+    // ADC top-R shortlist under the same total order as every ranking here
+    val wr = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    val shortlist = partitionTopK(scored, PqRescore)
+      .withColumn("r", row_number().over(wr)).where(col("r") <= PqRescore)
+      .select("q_id", "vec_id")
+    // exact rescore of R·|Q| rows: a broadcast point-lookup join against
+    // the float table (bucketed by vec_id in deployment — a pruned fetch,
+    // not a second corpus pass)
+    rankTopK(
+      broadcast(shortlist).join(corpusWithNorm(s, d), "vec_id")
+        .join(broadcast(qset(s, d)), "q_id")
+        .withColumn("sim",
+          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
+      3)
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_brute_topk" -> bruteTopK,
     "emb_quantize_int8" -> quantizeInt8,
@@ -664,6 +858,8 @@ object SimOps {
     "sim_ivf_q8_topk" -> ivfQ8TopK,
     "sim_label_purity" -> labelPurity,
     "sim_knn_graph" -> knnGraph,
+    "emb_pq_codes" -> pqCodesQuery,
+    "sim_pq_topk" -> pqTopK,
   )
 
   private def dot(a: String, b: String) =
@@ -812,7 +1008,83 @@ object SimOps {
     sb.toString
   }
 
+  private def dot8(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, $PqDsub), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def pqDist8(v: String, c: String) =
+    s"${dot8(s"$v.subv", s"$v.subv")} + ${dot8(s"$c.c_emb", s"$c.c_emb")} - 2 * ${dot8(s"$v.subv", s"$c.c_emb")}"
+
+  /** Per-subspace k-means + encode as unrolled CTEs, ending in
+    * `pqcb(s, c_id, c_emb, cn2)` and `pqcodes(vec_id, codes, rn2)` —
+    * mirrors [[pqCodebook]]/[[pqCodes]] bit for bit: same deterministic
+    * init, same (dist, c_id) tie-break, same ORDER BY vec_id double fold
+    * for the means, same float4 rounding, same carry-forward, same
+    * ORDER BY s fold for rn2. */
+  private def pqCtes: String = {
+    val sb = new StringBuilder(
+      s"""subv AS (SELECT e.vec_id, t.s, list_transform(generate_series(1, $PqDsub),
+              i -> e.embedding[t.s * $PqDsub + i]) AS subv
+            FROM embeddings e CROSS JOIN generate_series(0, ${PqM - 1}) t(s)),
+          pq0 AS (SELECT s, vec_id AS c_id, subv AS c_emb FROM subv WHERE vec_id < $PqKsub)""")
+    for (i <- 1 to PqIters) {
+      val p = s"pq${i - 1}"
+      sb.append(s""",
+        pa$i AS (SELECT v.vec_id, v.s, c.c_id FROM subv v JOIN $p c ON c.s = v.s
+                 QUALIFY row_number() OVER (PARTITION BY v.vec_id, v.s
+                   ORDER BY ${pqDist8("v", "c")}, c.c_id) = 1),
+        pu$i AS (SELECT a.s, a.c_id, d.i AS dim,
+                   list_sum(list(CAST(v.subv[d.i] AS DOUBLE) ORDER BY v.vec_id)) / COUNT(*) AS m
+                 FROM pa$i a JOIN subv v ON v.vec_id = a.vec_id AND v.s = a.s
+                 CROSS JOIN generate_series(1, $PqDsub) d(i)
+                 GROUP BY a.s, a.c_id, d.i),
+        pn$i AS (SELECT s, c_id, list(CAST(m AS FLOAT4) ORDER BY dim) AS c_emb FROM pu$i GROUP BY s, c_id),
+        pq$i AS (SELECT p.s, p.c_id, COALESCE(n.c_emb, p.c_emb) AS c_emb
+                 FROM $p p LEFT JOIN pn$i n USING (s, c_id))""")
+    }
+    sb.append(s""",
+      pqcb AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY c_id) - 1 AS c_id,
+                 c_emb, ${dot8("c_emb", "c_emb")} AS cn2 FROM pq$PqIters),
+      pasg AS (SELECT v.vec_id, v.s, c.c_id, c.cn2 FROM subv v JOIN pqcb c ON c.s = v.s
+               QUALIFY row_number() OVER (PARTITION BY v.vec_id, v.s
+                 ORDER BY ${pqDist8("v", "c")}, c.c_id) = 1),
+      pqcodes AS (SELECT vec_id, list(CAST(c_id AS INT) ORDER BY s) AS codes,
+                    list_sum(list(cn2 ORDER BY s)) AS rn2
+                  FROM pasg GROUP BY vec_id)""")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "emb_pq_codes" ->
+      s"""WITH $pqCtes
+          SELECT vec_id,
+            array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',') AS codes,
+            round(rn2, 6) AS rn2_r
+          FROM pqcodes ORDER BY vec_id""",
+    "sim_pq_topk" ->
+      s"""WITH $pqCtes,
+          qlut0 AS (SELECT v.vec_id AS q_id, v.s, c.c_id, ${dot8("v.subv", "c.c_emb")} AS pdot
+                    FROM subv v JOIN pqcb c ON c.s = v.s WHERE v.vec_id < $NQueries),
+          qlut AS (SELECT q_id, list(pdot ORDER BY s, c_id) AS lut FROM qlut0 GROUP BY q_id),
+          qn AS (SELECT vec_id AS q_id, sqrt(${dot("embedding", "embedding")}) AS q_nrm
+                 FROM embeddings WHERE vec_id < $NQueries),
+          adc AS (SELECT l.q_id, c.vec_id,
+                    list_sum(list_transform(generate_series(0, ${PqM - 1}),
+                      s -> l.lut[s * (len(l.lut) // $PqM) + c.codes[s + 1] + 1]))
+                      / (q.q_nrm * sqrt(c.rn2)) AS sim
+                  FROM pqcodes c CROSS JOIN qlut l JOIN qn q ON q.q_id = l.q_id
+                  WHERE c.vec_id <> l.q_id),
+          shortlist AS (SELECT q_id, vec_id FROM adc
+                        QUALIFY row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim DESC, vec_id) <= $PqRescore),
+          scored AS (SELECT sl.q_id, sl.vec_id,
+                       ${cos("qe.embedding", "ce.embedding")} AS sim
+                     FROM shortlist sl
+                     JOIN embeddings ce ON ce.vec_id = sl.vec_id
+                     JOIN embeddings qe ON qe.vec_id = sl.q_id),
+          ranked AS (SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+          FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
     "sim_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQueries),
           scored AS (SELECT q.q_id, e.vec_id,
