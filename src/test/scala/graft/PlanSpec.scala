@@ -176,6 +176,21 @@ class PlanSpec extends SparkSpec {
       .findAllIn(plan).size >= 2, plan)
   }
 
+  test("sim_pq_topk: ADC scoring is broadcast-joined, never a corpus-side shuffle") {
+    val plan = finalPlan(graft.ops.SimOps.queries("sim_pq_topk")(spark, d))
+    // the codes x LUT pairing has no equi-key (vec_id <> q_id), so the
+    // correct shape is a broadcast NESTED-LOOP join with the 8-row
+    // LUT on the broadcast side — a shuffle here would move the whole
+    // code table per query batch
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the exact-rescore fetch broadcasts the R·|Q| shortlist against the
+    // float table (point-lookup join), never the reverse
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // both ranking stages ride the two-phase top-k (partition-local
+    // selection below the q_id exchange)
+    assert("MapPartitions".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("dedup_ngram_containment: both directions read the materialized pair frame, no recompute") {
     val plan = finalPlan(graft.ops.DedupOps.queries("dedup_ngram_containment")(spark, d))
     // the expensive shingle self-join must appear ONCE (checkpointed);
