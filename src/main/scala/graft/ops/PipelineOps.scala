@@ -36,6 +36,35 @@ object PipelineOps {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** Shard count for the training-layout writer. Tiny on the harness
+    * corpus; at 100 TB the same plan holds at any count because per-shard
+    * state is one counter, never the shard's rows. */
+  private val NShardsOut = 16
+
+  /** Deterministic training-shard layout — the WRITE-side step a training
+    * pipeline ends with: each document lands in one of [[NShardsOut]]
+    * shards by content-stable salted hash, ordered inside its shard by
+    * (hash, doc_id), with its running byte offset. The shard file bytes
+    * are then a pure function of corpus CONTENT: reproducible across
+    * runs, partition counts (DeterminismSpec), and input order — where a
+    * `repartition(N)`-then-write layout churns on every one of those.
+    * Plan: one projection + one rank window PARTITIONED BY SHARD — the
+    * exchange is exactly the `repartition(shard)` the writer needs
+    * anyway, and the window state per shard is a counter + running sum,
+    * never the shard's documents. */
+  val corpusShardAssign: Q = (s, d) => {
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    documents(s, d)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("shard", (col("h") % NShardsOut).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .withColumn("byte_start", sum(col("n_chars")).over(w) - col("n_chars"))
+      .select("doc_id", "shard", "pos", "byte_start")
+      .orderBy("shard", "pos")
+  }
+
   private val TopN = 20
 
   /** Corpus-level n-gram statistics: the TopN word-3-grams by document
@@ -746,6 +775,7 @@ object PipelineOps {
     "vocab_kmv" -> vocabKmv,
     "events_unique_users_kmv" -> eventsUniqueUsersKmv,
     "sample_split_hash" -> sampleSplitHash,
+    "corpus_shard_assign" -> corpusShardAssign,
     "sample_stratified" -> sampleStratified,
     "corpus_mix" -> corpusMix,
     "sample_temperature" -> sampleTemperature,
@@ -999,6 +1029,18 @@ object PipelineOps {
           SELECT doc_id, source, temp_bucket
           FROM b JOIN th USING (source)
           WHERE temp_bucket < thresh ORDER BY doc_id""",
+    "corpus_shard_assign" ->
+      s"""WITH hm AS (SELECT doc_id, COALESCE(n_chars, 0) AS n_chars,
+               md5('shard:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+          hb AS (SELECT doc_id, n_chars,
+                   CAST(${nib("m", 1)} * 4096 + ${nib("m", 2)} * 256 +
+                        ${nib("m", 3)} * 16 + ${nib("m", 4)} AS BIGINT) AS h
+                 FROM hm),
+          sh AS (SELECT doc_id, n_chars, h, CAST(h % $NShardsOut AS INT) AS shard FROM hb)
+          SELECT doc_id, shard,
+            CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos,
+            CAST(SUM(n_chars) OVER (PARTITION BY shard ORDER BY h, doc_id) - n_chars AS BIGINT) AS byte_start
+          FROM sh ORDER BY shard, pos""",
     "sample_split_hash" ->
       s"""WITH h AS (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
           b AS (SELECT doc_id,
