@@ -617,11 +617,17 @@ object RefOps {
     * bit-identical in any engine — no order-dependent double
     * accumulation anywhere. Plan: one shuffle for the hourly aggregate;
     * the corpus-wide moments are a 1-row broadcast horizon. */
-  val eventsErrorSpike: Q = (s, d) => {
-    val hourly = events(s, d)
+  val eventsErrorSpike: Q = (s, d) =>
+    errorSpikeFinalize(events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_total"),
-        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err")))
+
+  /** The z-finalize over any `(hour, n_total, n_err)` frame — factored
+    * out so the streaming twin scores its watermark-finalized hourly
+    * partials with the EXACT batch arithmetic (TwinReplaySpec), the same
+    * single-source discipline as the KMV finalization. */
+  private[graft] def errorSpikeFinalize(hourly: DataFrame): DataFrame = {
     val stats = hourly.agg(count(lit(1)).as("n_hours"),
       sum("n_err").as("s"), sum(col("n_err") * col("n_err")).as("q"))
     val z = hourly.crossJoin(broadcast(stats)) // 1-row moments frame

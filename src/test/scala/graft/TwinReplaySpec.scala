@@ -471,6 +471,42 @@ class TwinReplaySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("twin replay: streaming hourly partials + shared z-finalize == batch events_error_spike") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, D)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+    val maxUs = rows.map(_._2).max
+    val input = MemoryStream[(String, Long)]
+    // the stateful piece is the per-(type, hour) count — the proven
+    // tumbling-window shape; the corpus-wide z needs ALL hours, so the
+    // moments live in the CONSUMER-side finalize (exactly the batch
+    // arithmetic via RefOps.errorSpikeFinalize), not in a stacked
+    // stateful aggregate
+    val agg = input.toDF().toDF("event_type", "us")
+      .select(col("event_type"), timestamp_micros(col("us")).as("ts"))
+      .withWatermark("ts", "1 second")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("spike_twin")
+      .outputMode("append").start()
+    try {
+      feedChunked(input, q, rows,
+        Seq(("__wm__", maxUs + 7_200_000_000L), ("__wm__", maxUs + 14_400_000_000L)))
+      val hourly = spark.table("spike_twin")
+        .where(col("event_type") =!= "__wm__")
+        .selectExpr("event_type", "window.start AS hour", "n")
+        .groupBy("hour")
+        .agg(sum("n").as("n_total"),
+          sum(when(col("event_type") === "error", col("n")).otherwise(0L)).as("n_err"))
+      val streamed = graft.ops.RefOps.errorSpikeFinalize(hourly).collect().toSeq
+      val batch = SparkEntry.queries("events_error_spike")(spark, D).collect().toSeq
+      assert(streamed == batch,
+        s"streamed spike frame (${streamed.size} hours) != batch (${batch.size})")
+    } finally q.stop()
+  }
+
   test("twin replay: streaming hop-window counts over chunked MemoryStream == batch agg_hop_count") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
