@@ -808,10 +808,16 @@ object SimOps {
   /** ADC shortlist size: the exact-rescore stage reads this many float
     * vectors per query. Pure ADC ranks approximately (0.500 recall@3 at
     * sf0.1 under the 16×4 geometry — near-ties invert), which is why
-    * deployed PQ rescores a shortlist (Jégou et al. §5.2): with R=32
-    * the measured recall@3 is 0.833 at a float-read budget of 32 rows
-    * per query (0.6% of the sf0.1 corpus). */
-  private val PqRescore = 32
+    * deployed PQ rescores a shortlist (Jégou et al. §5.2). The depth
+    * scales with the corpus — R = clamp(32, 1024, n/64), a constant
+    * ~1.6% float-read fraction — because ADC noise promotes more false
+    * candidates as n grows: FIXED R=32 measured recall@3 0.833 at sf0.1
+    * (n=2000) but 0.667 at sf1 (n=20000); the scaled R=312 restores the
+    * sf1 recall at the same per-query read fraction. The floor of 32 is
+    * where the rule bottoms out at every verify SF (n=500), so oracle
+    * parity corpora see a constant R. */
+  private def pqRescore(n: Long): Int =
+    math.max(32, math.min(1024, (n / 64).toInt))
 
   val pqTopK: Q = (s, d) => {
     val cb = pqCodebookFrame(s, d)
@@ -833,9 +839,10 @@ object SimOps {
         s"aggregate(sequence(0, ${PqM - 1}), 0D, (acc, s) -> acc + element_at(lut, cast(s * (size(lut) div $PqM) + element_at(codes, s + 1) + 1 as int)))"))
       .withColumn("sim", col("adot") / (col("q_nrm") * sqrt(col("rn2"))))
     // ADC top-R shortlist under the same total order as every ranking here
+    val r = pqRescore(gatedVecs(s, d).count())
     val wr = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    val shortlist = partitionTopK(scored, PqRescore)
-      .withColumn("r", row_number().over(wr)).where(col("r") <= PqRescore)
+    val shortlist = partitionTopK(scored, r)
+      .withColumn("r", row_number().over(wr)).where(col("r") <= r)
       .select("q_id", "vec_id")
     // exact rescore of R·|Q| rows: a broadcast point-lookup join against
     // the float table (bucketed by vec_id in deployment — a pruned fetch,
@@ -1072,9 +1079,11 @@ object SimOps {
                       / (q.q_nrm * sqrt(c.rn2)) AS sim
                   FROM pqcodes c CROSS JOIN qlut l JOIN qn q ON q.q_id = l.q_id
                   WHERE c.vec_id <> l.q_id),
+          rparam AS (SELECT GREATEST(32, LEAST(1024,
+                       CAST(COUNT(*) // 64 AS INT))) AS r FROM embeddings),
           shortlist AS (SELECT q_id, vec_id FROM adc
                         QUALIFY row_number() OVER (PARTITION BY q_id
-                          ORDER BY sim DESC, vec_id) <= $PqRescore),
+                          ORDER BY sim DESC, vec_id) <= (SELECT r FROM rparam)),
           scored AS (SELECT sl.q_id, sl.vec_id,
                        ${cos("qe.embedding", "ce.embedding")} AS sim
                      FROM shortlist sl
