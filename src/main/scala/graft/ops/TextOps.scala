@@ -178,34 +178,42 @@ object TextOps {
     * rule-based quality gate, as a measured column.
     *
     * Scale shape: the model IS the token-frequency table (vocabulary-
-    * sized, Heaps' law), so scoring is a shuffle join on the token key
-    * where the build side has ONE row per key — Zipf skew on hot tokens
-    * is harmless (AQE splits the probe side; nothing explodes). Two
-    * corpus scans (model build + scoring — a real pipeline materializes
-    * the model once and streams documents against it), one per-doc fold.
+    * sized, Heaps' law). The probe side is NOT the raw occurrence
+    * stream: tokens are first aggregated to (doc_id, tok, cnt_d) —
+    * partial map-side, so the hot-token rows collapse before any
+    * shuffle — and the model join then sees at most one row per
+    * (document, token). That breaks the Zipf skew a per-occurrence
+    * probe would put on the "the"/"of" partitions (a constant fraction
+    * of the corpus landing on a handful of reducers) and shrinks the
+    * join input by the corpus repetition factor. The model itself is a
+    * second aggregate OVER the same (doc_id, tok) frame (one scan
+    * total), and the per-doc fold runs over distinct tokens, not
+    * occurrences. Two shuffles, both on keys with bounded fan-in.
     * Every token is in-vocabulary by construction (train == score
     * corpus), so p(tok) = cnt/N exactly and no smoothing constant needs
     * cross-engine pinning.
     *
-    * Determinism: mean NLL = ln(N) − Σ ln(cnt) / n_tok, where the
-    * per-document Σ folds over the (token, ln cnt) list SORTED by token
-    * — double addition is order-sensitive, and a plain SUM would make
-    * the last bit shuffle-order-dependent (the kmeans-update
+    * Determinism: mean NLL = ln(N) − Σ cnt_d·ln(cnt) / n_tok, where the
+    * per-document Σ folds over the (token, cnt_d·ln cnt) list SORTED by
+    * token — double addition is order-sensitive, and a plain SUM would
+    * make the last bit shuffle-order-dependent (the kmeans-update
     * discipline). Zero-token documents (null/empty text) have no
     * likelihood and emit no row in either engine. */
   val unigramNll: Q = (s, d) => {
-    val toks = documents(s, d)
+    val docTok = documents(s, d)
       .select(col("doc_id"),
         explode(split(normalizeText(col("text")), " ")).as("tok"))
       .where(col("tok") =!= "")
-    val model = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt_d"))
+    val model = docTok.groupBy("tok").agg(sum("cnt_d").as("cnt"))
     val totals = model.agg(sum("cnt").as("n_total"))
-    toks.join(model, "tok")
-      .select(col("doc_id"), col("tok"), log(col("cnt")).as("lnc"))
+    docTok.join(model, "tok")
+      .select(col("doc_id"), col("tok"),
+        (col("cnt_d") * log(col("cnt"))).as("wlnc"), col("cnt_d"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"),
-        aggregate(array_sort(collect_list(struct(col("tok"), col("lnc")))),
-          lit(0.0), (acc, x) => acc + x.getField("lnc")).as("s"))
+      .agg(sum("cnt_d").as("n_tok"),
+        aggregate(array_sort(collect_list(struct(col("tok"), col("wlnc")))),
+          lit(0.0), (acc, x) => acc + x.getField("wlnc")).as("s"))
       .crossJoin(totals) // 1-row broadcast frame
       .select(col("doc_id"), col("n_tok"),
         round(log(col("n_total")) - col("s") / col("n_tok"), 6).as("avg_nll_r"))
@@ -290,17 +298,19 @@ object TextOps {
           SELECT doc_id, n_letters, distinct_letters,
             round($entropyTermsSql, 6) AS entropy_r
           FROM tot ORDER BY doc_id""",
-    // mirrors unigramNll: same model, same token-sorted double fold
+    // mirrors unigramNll: same (doc_id, tok, cnt_d) pre-aggregate before
+    // the model join, same token-sorted weighted double fold
     "text_unigram_nll" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split($Norm, ' ')) AS tok
                      FROM documents),
-          tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
-          m AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tt GROUP BY tok),
+          dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt_d
+                 FROM t WHERE tok <> '' GROUP BY doc_id, tok),
+          m AS (SELECT tok, CAST(SUM(cnt_d) AS BIGINT) AS cnt FROM dt GROUP BY tok),
           tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM m),
-          j AS (SELECT tt.doc_id, tt.tok, ln(m.cnt) AS lnc
-                FROM tt JOIN m USING (tok)),
-          d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
-                  list_sum(list(lnc ORDER BY tok, lnc)) AS s
+          j AS (SELECT dt.doc_id, dt.tok, dt.cnt_d * ln(m.cnt) AS wlnc, dt.cnt_d
+                FROM dt JOIN m USING (tok)),
+          d AS (SELECT doc_id, CAST(SUM(cnt_d) AS BIGINT) AS n_tok,
+                  list_sum(list(wlnc ORDER BY tok)) AS s
                 FROM j GROUP BY doc_id)
           SELECT doc_id, n_tok,
             round(ln((SELECT n_total FROM tot)) - s / n_tok, 6) AS avg_nll_r

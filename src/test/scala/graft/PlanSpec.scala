@@ -297,8 +297,14 @@ class PlanSpec extends SparkSpec {
   test("text_unigram_nll: no cartesian except the 1-row totals frame; model join partial-aggregates") {
     val plan = finalPlan(graft.ops.TextOps.queries("text_unigram_nll")(spark, d))
     val finalOnly = plan.split("== Initial Plan ==").head
-    // the model build partial-aggregates map-side before its shuffle
+    // the (doc_id, tok) pre-aggregate partial-aggregates map-side before
+    // its shuffle — hot tokens collapse per-document before any exchange
     assert(finalOnly.contains("partial_count"), plan)
+    // the model-join probe side is the aggregated (doc_id, tok, cnt_d)
+    // frame, never the raw occurrence stream: its exchange hashes on the
+    // composite (doc_id, tok) key, which only exists post-aggregation
+    assert("hashpartitioning\\(doc_id#\\d+L?, tok#\\d+".r.findFirstIn(finalOnly).isDefined,
+      s"probe side must be the (doc_id, tok) aggregate, not raw occurrences:\n$plan")
     // the only nested-loop join is the 1-row totals crossJoin — never
     // a corpus-sized cartesian
     assert("BroadcastNestedLoopJoin".r.findAllIn(finalOnly).size <= 1, plan)

@@ -25,7 +25,7 @@ def cells_equal(a, b) -> bool:
             return False
     return str(a) == str(b)
 
-def main(sf_dir: str, out_dir: str, skip=(), timeout_sec=0):
+def main(sf_dir: str, out_dir: str, skip=(), timeout_sec=0, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -47,6 +47,8 @@ def main(sf_dir: str, out_dir: str, skip=(), timeout_sec=0):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         if name in skip:
             # loud, never silent: a skipped oracle is an exemption the
             # caller must justify, not a pass
@@ -122,7 +124,10 @@ if __name__ == "__main__":
                     help="comma-separated oracle names to exempt (printed loudly)")
     ap.add_argument("--timeout-sec", type=int, default=0,
                     help="per-query DuckDB timeout (interrupt -> FAIL)")
+    ap.add_argument("--only", default="",
+                    help="comma-separated oracle names to check (local fast loop)")
     a = ap.parse_args()
     main(a.sf_dir, a.out_dir,
          skip=frozenset(x for x in a.skip.split(",") if x),
-         timeout_sec=a.timeout_sec)
+         timeout_sec=a.timeout_sec,
+         only=frozenset(x for x in a.only.split(",") if x) or None)
