@@ -87,6 +87,32 @@ object Bench {
       .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
     catch { case _: Throwable => Seq.empty }
 
+  /** Quiet-window gate for the single-pass scale measurement: the
+    * reprobe machinery can refute a contaminated tail after the fact,
+    * but each reprobe burns a fresh context (~30 s) and the headline
+    * numbers keep an asterisk — better to not START from a noisy
+    * window. Poll the 1-min load and delay (bounded) until it drops
+    * below the threshold; the artifact records the wait so a run that
+    * proceeded loud-box is visible. Threshold 4.0 on the 32-core box:
+    * this process is idle between passes, so sustained load above that
+    * is a co-tenant. No-op off-Linux (empty loadAvg). */
+  private val QuietLoad =
+    sys.env.get("SPARK_GRAFT_QUIET_LOAD").map(_.toDouble).getOrElse(4.0)
+  private val QuietWaitMaxSec =
+    sys.env.get("SPARK_GRAFT_QUIET_WAIT_SEC").map(_.toInt).getOrElse(600)
+  private def awaitQuietWindow(): Double = {
+    val t0 = System.nanoTime()
+    def elapsed = (System.nanoTime() - t0) / 1e9
+    var l = loadAvg
+    while (l.headOption.exists(_ > QuietLoad) && elapsed < QuietWaitMaxSec) {
+      System.err.println(
+        f"BENCH: 1-min load ${l.head}%.1f > $QuietLoad%.1f - waiting for a quiet window (${elapsed}%.0f s)")
+      Thread.sleep(15000)
+      l = loadAvg
+    }
+    elapsed
+  }
+
   private def loadJson(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
 
   private case class Suite(
@@ -265,6 +291,7 @@ object Bench {
         // corpus-bound teaching material (measured 0.542 at sf0.1 →
         // 0.375 at sf1, exactly the no-probe degradation the multi-probe
         // default exists to fix), not a production path
+        val quietWaitSec = awaitQuietWindow()
         val loadScale0 = loadAvg
         val s1 = runSuite(spark1, scaleDir, 1, s"sf1=$scaleDir",
           floors = RecallFloors - "sim_lsh_multi_topk")
@@ -311,6 +338,7 @@ object Bench {
         }
         scaleJson =
           s""","scale":{"dir":"$scaleDir","factor":${ScaleUp.Factor},"gen_sec":$genSec,""" +
+            s""""quiet_wait_sec":$quietWaitSec,""" +
             s""""load_before":${loadJson(loadScale0)},"load_after":${loadJson(loadScale1)},""" +
             s""""total":${s1.total},"queries":${s1.queriesJson},"ratio":$ratioJson$reprobeJson${s1.annJson}}"""
       } catch {

@@ -38,7 +38,15 @@ object Tables {
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-      case _ => df
+      // a UTC-flagged TIMESTAMP(MICROS) vintage arrives as TimestampType
+      // already — the normalization target; pass through unchanged
+      case org.apache.spark.sql.types.TimestampType => df
+      // anything else (string, int96, a future vintage) must fail HERE,
+      // at the normalization point, not as an obscure cast error in
+      // whichever downstream operator first touches ts
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other in $d/events.parquet - " +
+          "expected TIMESTAMP(NANOS) (nanos-long), TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -53,6 +53,24 @@ object SimOps {
     DedupOps.EmbGate.clean(embeddings(s, d), "g_nrm").drop("g_nrm")
   }
 
+  /** Gated corpus cardinality, one count job per sf dir per JVM: the
+    * scale-adaptive parameters (k-means list count, PQ codebook size,
+    * PQ rescore depth) all derive from n, and deriving it eagerly on
+    * every query construction would re-scan the corpus each time.
+    *
+    * PARITY NOTE: the DuckDB oracles' kparam/kqparam/rparam CTEs use
+    * raw COUNT(*) over embeddings, while this is the POST-gate count —
+    * on a corpus with corrupt (gated-out) vectors above a parameter
+    * knee the two engines would derive different k/R and the results
+    * legitimately diverge. Parity therefore relies on the all-clean
+    * verify-corpus convention (EmbGate's doc), same as every other gate
+    * use — but unlike membership filtering, this one changes plan
+    * PARAMETERS, so the reliance is called out here explicitly. */
+  private val gatedCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def gatedCount(s: SparkSession, d: String): Long =
+    gatedCountCache.getOrElseUpdate(d, gatedVecs(s, d).count())
+
   /** Partition-local exact top-k per query under the final total order
     * (sim DESC, vec_id ASC), applied BEFORE the per-query rank window.
     *
@@ -309,7 +327,7 @@ object SimOps {
       graft.expressions.VectorExpressions.register(s)
       import s.implicits._
       val corpus = gatedVecs(s, d).select(col("vec_id"), col("embedding"))
-      val k = nCentroids(corpus.count())
+      val k = nCentroids(gatedCount(s, d))
       var cents: Seq[(Long, Seq[Float])] = corpus
         .where(col("vec_id") < k).orderBy("vec_id").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
@@ -661,25 +679,35 @@ object SimOps {
 
   /** PQ geometry: the 64-dim vector splits into [[PqM]] contiguous
     * [[PqDsub]]-dim subspaces, each quantized against its own
-    * [[PqKsub]]-centroid codebook — a 256 B float vector becomes
-    * [[PqM]] 4-bit codes = 8 B (+ one reconstruction norm), the 4-bit
-    * PQ variant. Geometry measured at sf0.1 (pure-ADC recall@3): 8
-    * subspaces × 8 dims = 32-bit codes → 0.208; 16 × 4 = 64-bit codes →
-    * 0.500 at identical code-table bytes per row — on near-random
-    * embeddings the finer cells matter more than the per-subspace
-    * dimensionality, so 16×4 is the keeper. Production PQ uses 8-bit
-    * sub-codebooks; k stays 16 here so per-subspace Lloyd is
-    * non-degenerate at the 500-vector verify corpora (256 centroids
-    * over 500 subvectors would memorize the data) and the unrolled
-    * oracle CTE stays tractable — the machinery is k-independent. */
+    * [[pqKsub]]-centroid codebook — a 256 B float vector becomes
+    * [[PqM]] small codes (4-bit at the verify-floor k=16, 8-bit at the
+    * production cap k=256) plus one reconstruction norm. Geometry
+    * measured at sf0.1 (pure-ADC recall@3): 8 subspaces × 8 dims =
+    * 32-bit codes → 0.208; 16 × 4 = 64-bit codes → 0.500 at identical
+    * code-table bytes per row — on near-random embeddings the finer
+    * cells matter more than the per-subspace dimensionality, so 16×4 is
+    * the keeper. */
   private val PqM = 16
   private val PqDsub = 4
-  private val PqKsub = 16
+  /** Per-subspace codebook size, clamped by the corpus exactly like
+    * [[nCentroids]]: max(16, min(256, floor(sqrt(n/4)))). Production PQ
+    * uses a fixed k=256 (8-bit codes); a fixed 256 here would memorize
+    * the 500-vector verify corpora (256 centroids over 500 subvectors —
+    * degenerate Lloyd), while a fixed 16 leaves ADC resolution on the
+    * table at scale. The clamp gives the verify SFs the non-degenerate
+    * floor (n=500 → 16, so the unrolled oracle replays identically
+    * wherever parity is hash-checked) and grows the codebook toward the
+    * production geometry with the corpus (sf0.1 n=2000 → 22, sf1
+    * n=20000 → 70, k=256 from n ≥ ~262k). The ADC LUT stride and the
+    * dense re-key are already k-from-data (size(lut) div M), so only
+    * the Lloyd init and the oracle's pq0 CTE carry the parameter. */
+  private[ops] def pqKsub(n: Long): Int = nCentroids(n)
   private[ops] val PqIters = 2
 
   /** (vec_id, sub, subv): each gated vector split into its subvectors.
-    * One projection + explode of an 8-element struct array — rows ×8,
-    * but each row carries one 8-float slice, so bytes stay ~constant. */
+    * One projection + explode of a [[PqM]]-element struct array — rows
+    * ×16, but each row carries one 4-float slice, so bytes stay
+    * ~constant. */
   private def subVecs(vecs: DataFrame): DataFrame =
     vecs.select(col("vec_id"), explode(expr(
       s"transform(sequence(0, ${PqM - 1}), s -> struct(s AS sub, slice(embedding, s * $PqDsub + 1, $PqDsub) AS subv))")).as("e"))
@@ -689,21 +717,23 @@ object SimOps {
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Long, Seq[Float])]]
 
   /** Per-subspace k-means codebooks, one Lloyd loop over ALL subspaces at
-    * once: the (sub) column rides along as a grouping key, so the 8
+    * once: the (sub) column rides along as a grouping key, so the 16
     * codebooks train in the same two DataFrame jobs per iteration the
     * 64-dim [[kmeansCentroids]] uses — deterministic init (subvectors of
-    * vec_id < k), (dist, c_id) assignment tie-break, ORDER BY vec_id
-    * double fold for the means (shuffle-order-independent bits), float4
-    * rounding, empty-cluster carry-forward. The collected codebook is
-    * [[PqM]]·[[PqKsub]] = 128 rows — the same driver-trivial broadcast
-    * class as the IVF codebook. */
+    * vec_id < k, k = [[pqKsub]](n)), (dist, c_id) assignment tie-break,
+    * ORDER BY vec_id double fold for the means (shuffle-order-
+    * independent bits), float4 rounding, empty-cluster carry-forward.
+    * The collected codebook is [[PqM]]·k rows (256 at the verify-floor
+    * k=16, ≤4096 at the production cap) — the same driver-trivial
+    * broadcast class as the IVF codebook. */
   private[ops] def pqCodebook(s: SparkSession, d: String): Seq[(Int, Long, Seq[Float])] =
     pqCache.getOrElseUpdate(d, {
       graft.expressions.VectorExpressions.register(s)
       import s.implicits._
       val sv = subVecs(gatedVecs(s, d).select(col("vec_id"), col("embedding")))
       var cents: Seq[(Int, Long, Seq[Float])] = sv
-        .where(col("vec_id") < PqKsub).orderBy("sub", "vec_id").collect()
+        .where(col("vec_id") < pqKsub(gatedCount(s, d)))
+        .orderBy("sub", "vec_id").collect()
         .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Float](2).toSeq)).toSeq
       for (_ <- 1 to PqIters) {
         val cdf = cents.toDF("sub", "c_id", "c_emb")
@@ -791,13 +821,14 @@ object SimOps {
       .orderBy("vec_id")
 
   /** ADC top-k: each query precomputes one lookup table of its subvector
-    * dot products against every sub-centroid (8 queries × 128 entries —
-    * a broadcast frame computed relationally, no driver math), and
+    * dot products against every sub-centroid (|Q| queries × PqM·k
+    * entries, 256 at the verify-floor k — a broadcast frame computed
+    * relationally, no driver math), and
     * scoring a candidate is [[PqM]] table lookups summed left-to-right —
     * the asymmetric distance computation of Jégou et al.
     *
     * The 100 TB shape: query-time work is ONE scan of the codes table
-    * (~12 B/row: 8 codes + rn2) with a broadcast 8-row LUT and ZERO
+    * (~24 B/row: 16 codes + rn2) with a broadcast |Q|-row LUT and ZERO
     * exchange before the bounded top-k — no float vector is touched at
     * query time, a ~20× scan-volume cut vs the float corpus and ~6× vs
     * the int8 codes, steeper than both at the price of approximating the
@@ -833,13 +864,13 @@ object SimOps {
       .join(broadcast(qlut.join(qset(s, d).select(col("q_id"), col("q_nrm")), "q_id")),
         col("vec_id") =!= col("q_id"))
       // stride = the ACTUAL per-subspace codebook size (size(lut)/M), not
-      // the nominal PqKsub — a degenerate corpus can train fewer than 16
+      // the nominal pqKsub(n) — a degenerate corpus can train fewer than k
       // centroids per subspace (see pqCodebookFrame's dense re-key)
       .withColumn("adot", expr(
         s"aggregate(sequence(0, ${PqM - 1}), 0D, (acc, s) -> acc + element_at(lut, cast(s * (size(lut) div $PqM) + element_at(codes, s + 1) + 1 as int)))"))
       .withColumn("sim", col("adot") / (col("q_nrm") * sqrt(col("rn2"))))
     // ADC top-R shortlist under the same total order as every ranking here
-    val r = pqRescore(gatedVecs(s, d).count())
+    val r = pqRescore(gatedCount(s, d))
     val wr = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     val shortlist = partitionTopK(scored, r)
       .withColumn("r", row_number().over(wr)).where(col("r") <= r)
@@ -1028,10 +1059,17 @@ object SimOps {
     * ORDER BY s fold for rn2. */
   private def pqCtes: String = {
     val sb = new StringBuilder(
-      s"""subv AS (SELECT e.vec_id, t.s, list_transform(generate_series(1, $PqDsub),
+      // kq mirrors pqKsub(n) = nCentroids(n) — computed from the table
+      // (same floor()+CAST discipline as kparam), so the oracle replays
+      // at ANY corpus size: the verify SFs land on the floor of 16, the
+      // sf1 replay trains the same 70-centroid codebooks Spark does.
+      s"""kqparam AS (SELECT GREATEST(16, LEAST(256,
+            CAST(floor(sqrt(COUNT(*) / 4.0)) AS INT))) AS kq FROM embeddings),
+          subv AS (SELECT e.vec_id, t.s, list_transform(generate_series(1, $PqDsub),
               i -> e.embedding[t.s * $PqDsub + i]) AS subv
             FROM embeddings e CROSS JOIN generate_series(0, ${PqM - 1}) t(s)),
-          pq0 AS (SELECT s, vec_id AS c_id, subv AS c_emb FROM subv WHERE vec_id < $PqKsub)""")
+          pq0 AS (SELECT s, vec_id AS c_id, subv AS c_emb FROM subv
+                  WHERE vec_id < (SELECT kq FROM kqparam))""")
     for (i <- 1 to PqIters) {
       val p = s"pq${i - 1}"
       sb.append(s""",

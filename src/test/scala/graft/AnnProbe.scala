@@ -55,6 +55,16 @@ object AnnProbe {
         .groupBy(_.getAs[Long]("q_id"))
         .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
     val truth = topSet(SparkEntry.queries("sim_brute_topk")(spark, d))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = topSet(df)
+      truth.toSeq.map { case (qid, t) =>
+        approx.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+        .sum / truth.size
+    }
+    // PQ with the corpus-clamped codebook (pqKsub(n)): recall at this SF
+    val pqR = recallOf(SparkEntry.queries("sim_pq_topk")(spark, d))
+    println(f"PQ     recall@3=$pqR%.3f (k=pqKsub(n), corpus-clamped)")
+    time("pq_full")(SparkEntry.queries("sim_pq_topk")(spark, d).count())
     val variants = Seq(
       ops.SimOps.DefaultLsh.copy(nProbes = 1),
       ops.SimOps.DefaultLsh.copy(nProbes = 2),

@@ -170,9 +170,9 @@ class PlanSpec extends SparkSpec {
       s"distinct (user, day) must sit below the cohort join:\n$plan")
     assert(plan.contains("partial_count"), plan) // final (cohort, offset) combine
     // both scans pruned to the two referenced columns (ts's physical type
-    // varies by harness vintage — nanos-long vs timestamp_ntz; the pin is
-    // about PRUNING, not the type)
-    assert("ReadSchema: struct<ts:(bigint|timestamp_ntz),user_id:bigint>".r
+    // varies by harness vintage — nanos-long, timestamp_ntz, or UTC-flagged
+    // timestamp; the pin is about PRUNING, not the type)
+    assert("ReadSchema: struct<ts:(bigint|timestamp_ntz|timestamp),user_id:bigint>".r
       .findAllIn(plan).size >= 2, plan)
   }
 
