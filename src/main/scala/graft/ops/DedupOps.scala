@@ -1046,9 +1046,14 @@ object DedupOps {
             CASE WHEN n_exact = 0 THEN NULL
                  ELSE round(CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) END AS recall_r
           FROM ne, nl, nb""",
+    // edges is MATERIALIZED: the recursive fixpoint re-reads it every
+    // iteration, and without the hint DuckDB inlines the whole LSH
+    // candidate chain into each step — the sf1 replay recomputed the
+    // 8-table bucket join per iteration and ran >50 min; materialized,
+    // each step joins a computed-once edge list (sf1 replay ~seconds)
     "dedup_semantic_cluster" ->
       s"""WITH RECURSIVE $CosineLshCtes,
-          edges AS (SELECT vec_a AS s, vec_b AS t FROM tpairs
+          edges AS MATERIALIZED (SELECT vec_a AS s, vec_b AS t FROM tpairs
                     UNION ALL SELECT vec_b, vec_a FROM tpairs),
           reach(s, t) AS (
             SELECT s, t FROM edges

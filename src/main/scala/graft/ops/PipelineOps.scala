@@ -39,7 +39,22 @@ object PipelineOps {
   /** Shard count for the training-layout writer. Tiny on the harness
     * corpus; at 100 TB the same plan holds at any count because per-shard
     * state is one counter, never the shard's rows. */
-  private val NShardsOut = 16
+  private[graft] val NShardsOut = 16
+
+  /** The content-stable shard hash — shared with the streaming ingest
+    * form ([[graft.streaming.ShardAssign]]) so the two can never place
+    * the same document differently. */
+  private[graft] def shardHash(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("shard:"), c.cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+
+  /** (doc_id, n_chars, h, shard) — the hashed pre-assignment frame both
+    * shard-layout operators start from. */
+  private[graft] def shardHashed(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        shardHash(col("doc_id")).as("h"))
+      .withColumn("shard", (col("h") % NShardsOut).cast("int"))
 
   /** Deterministic training-shard layout — the WRITE-side step a training
     * pipeline ends with: each document lands in one of [[NShardsOut]]
@@ -54,14 +69,44 @@ object PipelineOps {
     * never the shard's documents. */
   val corpusShardAssign: Q = (s, d) => {
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    documents(s, d)
-      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_chars"),
-        conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
-          .cast("long").as("h"))
-      .withColumn("shard", (col("h") % NShardsOut).cast("int"))
+    shardHashed(s, d)
       .withColumn("pos", row_number().over(w))
       .withColumn("byte_start", sum(col("n_chars")).over(w) - col("n_chars"))
       .select("doc_id", "shard", "pos", "byte_start")
+      .orderBy("shard", "pos")
+  }
+
+  /** Incremental shard layout — the lambda-ingest form of
+    * [[corpusShardAssign]] (same split convention as
+    * [[chunkDedupIncremental]]: even doc_ids are the standing corpus,
+    * odd the new ingest): appended documents take positions AFTER the
+    * standing shard tails, ordered among themselves by (h, doc_id),
+    * and every standing document keeps its exact (pos, byte_start) —
+    * the append-only property that lets an ingest extend shard files
+    * in place instead of rewriting the layout. The only state carried
+    * between ingests is the per-shard tail (count + byte total): a
+    * [[NShardsOut]]-row broadcast frame, never the shard's rows —
+    * which is also exactly the state of the restart-safe streaming
+    * form ([[graft.streaming.ShardAssign]], twin-replayed against
+    * this in TwinReplaySpec). */
+  val corpusShardAssignIncremental: Q = (s, d) => {
+    val hd = shardHashed(s, d)
+    val standing = hd.where(col("doc_id") % 2 === 0)
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    val base = standing
+      .withColumn("pos", row_number().over(w))
+      .withColumn("byte_start", sum(col("n_chars")).over(w) - col("n_chars"))
+    val tails = standing.groupBy("shard")
+      .agg(count(lit(1)).cast("int").as("n0"), sum("n_chars").as("b0"))
+    val appended = hd.where(col("doc_id") % 2 === 1)
+      .join(broadcast(tails), Seq("shard"), "left")
+      .withColumn("pos", (row_number().over(w) + coalesce(col("n0"), lit(0))).cast("int"))
+      .withColumn("byte_start",
+        coalesce(col("b0"), lit(0L)) + sum(col("n_chars")).over(w) - col("n_chars"))
+    base.select(col("doc_id"), col("shard"), col("pos"), col("byte_start"),
+        lit(false).as("ingested"))
+      .unionByName(appended.select(col("doc_id"), col("shard"), col("pos"),
+        col("byte_start"), lit(true).as("ingested")))
       .orderBy("shard", "pos")
   }
 
@@ -776,6 +821,7 @@ object PipelineOps {
     "events_unique_users_kmv" -> eventsUniqueUsersKmv,
     "sample_split_hash" -> sampleSplitHash,
     "corpus_shard_assign" -> corpusShardAssign,
+    "corpus_shard_assign_incremental" -> corpusShardAssignIncremental,
     "sample_stratified" -> sampleStratified,
     "corpus_mix" -> corpusMix,
     "sample_temperature" -> sampleTemperature,
@@ -1041,6 +1087,37 @@ object PipelineOps {
             CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos,
             CAST(SUM(n_chars) OVER (PARTITION BY shard ORDER BY h, doc_id) - n_chars AS BIGINT) AS byte_start
           FROM sh ORDER BY shard, pos""",
+    // mirrors corpusShardAssignIncremental: standing = even doc_ids laid
+    // out by the plain rule, odd doc_ids appended after each shard tail
+    "corpus_shard_assign_incremental" ->
+      s"""WITH hm AS (SELECT doc_id, COALESCE(n_chars, 0) AS n_chars,
+               md5('shard:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+          hb AS (SELECT doc_id, n_chars,
+                   CAST(${nib("m", 1)} * 4096 + ${nib("m", 2)} * 256 +
+                        ${nib("m", 3)} * 16 + ${nib("m", 4)} AS BIGINT) AS h
+                 FROM hm),
+          sh AS (SELECT doc_id, n_chars, h, CAST(h % $NShardsOut AS INT) AS shard FROM hb),
+          st AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+          base AS (SELECT doc_id, shard,
+              CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos,
+              CAST(SUM(n_chars) OVER (PARTITION BY shard ORDER BY h, doc_id) - n_chars AS BIGINT) AS byte_start
+            FROM st),
+          tails AS (SELECT shard, CAST(COUNT(*) AS INT) AS n0,
+                      CAST(SUM(n_chars) AS BIGINT) AS b0
+                    FROM st GROUP BY shard),
+          ing AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+          app AS (SELECT i.doc_id, i.shard,
+              CAST(row_number() OVER (PARTITION BY i.shard ORDER BY i.h, i.doc_id)
+                + COALESCE(t.n0, 0) AS INT) AS pos,
+              CAST(COALESCE(t.b0, 0)
+                + SUM(i.n_chars) OVER (PARTITION BY i.shard ORDER BY i.h, i.doc_id)
+                - i.n_chars AS BIGINT) AS byte_start
+            FROM ing i LEFT JOIN tails t ON t.shard = i.shard)
+          SELECT * FROM (
+            SELECT doc_id, shard, pos, byte_start, FALSE AS ingested FROM base
+            UNION ALL
+            SELECT doc_id, shard, pos, byte_start, TRUE AS ingested FROM app)
+          ORDER BY shard, pos""",
     "sample_split_hash" ->
       s"""WITH h AS (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
           b AS (SELECT doc_id,

@@ -176,7 +176,18 @@ object SimOps {
     * (4×7-bit p=16: .792 @ 1.11 s; 4×8-bit p=12: .458; 2×8-bit p=24:
     * .333) — eight disjoint tables are what the union recall is made
     * of. +0.21 recall@3 for ~+1.2 s of fixed overhead at sf0.1 is the
-    * documented trade; at 100 TB the same plan's overhead is noise. */
+    * documented trade; at 100 TB the same plan's overhead is noise.
+    *
+    * Re-swept at sf1 (10× corpus, round 7) — recall@3 sf0.1 → sf1:
+    * 8×7 p=8 (this default) .875 → 1.000 @ fraction .405; 8×7 p=6
+    * .750 → .958 @ .321; 8×7 p=4 .542 → .917 @ .224; 4×7 p=16
+    * .792 → .875 @ .414; 4×8 p=12 .458 → .583; 2×8 p=24 .333 → .542.
+    * Every config's recall RISES at 10× (denser buckets make the true
+    * top-3 easier to collide with), but the cheapest candidate
+    * (4×7 p=16) still misses the 0.8 floor at sf0.1 — the re-choose
+    * rule requires ≥0.8 at BOTH SFs, so the 8-table default stands.
+    * 8×7 p=6 is the future trim candidate: it clears 0.8 only at sf1
+    * today (.750 at sf0.1), at 20% less candidate fraction. */
   private[graft] val DefaultLsh =
     LshCfg(nTables = 8, bits = 7, nProbes = 8, interleaved = true)
 
@@ -795,9 +806,16 @@ object SimOps {
     * is a broadcast join + per-(vec, sub) argmin that collapses map-side
     * (min_by partial aggregation) — index-build cost, never query
     * cost. */
-  private def pqCodes(s: SparkSession, d: String): DataFrame = {
-    val cb = pqCodebookFrame(s, d)
-    subVecs(gatedVecs(s, d).select(col("vec_id"), col("embedding")))
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqEncodeAgainst(pqCodebookFrame(s, d),
+      gatedVecs(s, d).select(col("vec_id"), col("embedding")))
+
+  /** Encode (vec_id, embedding) rows against a standing codebook frame
+    * (sub, c_id, c_emb, cn2) — the shared primitive of the offline
+    * encode job and the incremental append path, so the two can never
+    * drift in tie-break or fold order. */
+  private def pqEncodeAgainst(cb: DataFrame, vecs: DataFrame): DataFrame =
+    subVecs(vecs)
       .join(broadcast(cb), "sub")
       .withColumn("c_dist", expr(
         "float_dot(subv, subv) + float_dot(c_emb, c_emb) - 2 * float_dot(subv, c_emb)"))
@@ -810,7 +828,6 @@ object SimOps {
       .select(col("vec_id"),
         expr("transform(sc, x -> CAST(x.code AS INT))").as("codes"),
         expr("aggregate(sc, 0D, (acc, x) -> acc + x.cn2)").as("rn2"))
-  }
 
   /** The encoded table as an inspectable query (codes CSV + rounded
     * reconstruction norm) — the PQ analogue of [[quantizeInt8]]. */
@@ -850,8 +867,17 @@ object SimOps {
   private def pqRescore(n: Long): Int =
     math.max(32, math.min(1024, (n / 64).toInt))
 
-  val pqTopK: Q = (s, d) => {
-    val cb = pqCodebookFrame(s, d)
+  val pqTopK: Q = (s, d) =>
+    pqAdcQuery(s, d, pqCodebookFrame(s, d), pqCodes(s, d),
+      corpusWithNorm(s, d), gatedCount(s, d))
+
+  /** The ADC query core over explicit codebook / code-table / float-
+    * vector frames — shared by the in-memory operator and the
+    * persisted-index path ([[pqTopKFromIndex]]), so the two can never
+    * diverge in scoring, shortlist order, or rescore shape. `n` is the
+    * standing corpus size the rescore depth derives from. */
+  private def pqAdcQuery(s: SparkSession, d: String, cb: DataFrame,
+      codes: DataFrame, vectors: DataFrame, n: Long): DataFrame = {
     val qlut = subVecs(qset(s, d).select(col("q_id").as("vec_id"),
         col("q_emb").as("embedding")))
       .join(broadcast(cb), "sub")
@@ -860,7 +886,7 @@ object SimOps {
       .agg(array_sort(collect_list(struct(col("sub"), col("c_id"), col("pdot")))).as("sp"))
       .select(col("vec_id").as("q_id"),
         expr("transform(sp, x -> x.pdot)").as("lut"))
-    val scored = pqCodes(s, d)
+    val scored = codes
       .join(broadcast(qlut.join(qset(s, d).select(col("q_id"), col("q_nrm")), "q_id")),
         col("vec_id") =!= col("q_id"))
       // stride = the ACTUAL per-subspace codebook size (size(lut)/M), not
@@ -870,7 +896,7 @@ object SimOps {
         s"aggregate(sequence(0, ${PqM - 1}), 0D, (acc, s) -> acc + element_at(lut, cast(s * (size(lut) div $PqM) + element_at(codes, s + 1) + 1 as int)))"))
       .withColumn("sim", col("adot") / (col("q_nrm") * sqrt(col("rn2"))))
     // ADC top-R shortlist under the same total order as every ranking here
-    val r = pqRescore(gatedCount(s, d))
+    val r = pqRescore(n)
     val wr = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     val shortlist = partitionTopK(scored, r)
       .withColumn("r", row_number().over(wr)).where(col("r") <= r)
@@ -879,11 +905,64 @@ object SimOps {
     // the float table (bucketed by vec_id in deployment — a pruned fetch,
     // not a second corpus pass)
     rankTopK(
-      broadcast(shortlist).join(corpusWithNorm(s, d), "vec_id")
+      broadcast(shortlist).join(vectors, "vec_id")
         .join(broadcast(qset(s, d)), "q_id")
         .withColumn("sim",
           expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
       3)
+  }
+
+  /** Persist the PQ index — the offline TRAIN + ENCODE job of a real
+    * deployment. Layout: `dir/codebook` (the [[PqM]]·k-row trained
+    * codebook), `dir/codes` (the narrow ADC scan table: vec_id, codes,
+    * rn2), and `dir/vectors` (the float store the exact-rescore stage
+    * point-fetches — vec_id, embedding, c_nrm; bucket it by vec_id in
+    * deployment). Keeping codes and floats in SEPARATE tables preserves
+    * the PQ contract at 100 TB: the per-query corpus scan touches only
+    * the ~24 B/row code table, floats are read only for the R-row
+    * shortlist. */
+  def buildPqIndex(s: SparkSession, d: String, dir: String): Unit = {
+    val cb = pqCodebookFrame(s, d)
+    cb.write.mode("overwrite").parquet(dir + "/codebook")
+    pqEncodeAgainst(cb, gatedVecs(s, d).select(col("vec_id"), col("embedding")))
+      .write.mode("overwrite").parquet(dir + "/codes")
+    corpusWithNorm(s, d).write.mode("overwrite").parquet(dir + "/vectors")
+  }
+
+  /** Incremental PQ maintenance — the ingest path [[appendToIvfIndex]]
+    * already gives the IVF index: encode a NEW batch against the
+    * STANDING codebook (no re-train, no rewrite of standing rows) and
+    * append to the code + float tables. Ingest cost is O(|batch|·M·k)
+    * encode work; the codebook drifts as the corpus grows and re-train
+    * cadence is an offline policy call, same as IVF centroid refresh.
+    * The batch rides through the same corrupt-vector gate as the build
+    * (an ungated NaN vector would outrank every real neighbor at rescore
+    * time). Retry safety: the query path dedups BOTH tables by vec_id
+    * before use, so a sink-side retry that double-appends the same batch
+    * is invisible to answers (PqIndexSpec pins it). */
+  def appendToPqIndex(s: SparkSession, dir: String, batch: DataFrame): Unit = {
+    graft.expressions.VectorExpressions.register(s)
+    val cb = s.read.parquet(dir + "/codebook")
+    val gated = DedupOps.EmbGate.clean(
+      batch.select(col("vec_id"), col("embedding")), "c_nrm")
+    pqEncodeAgainst(cb, gated.select("vec_id", "embedding"))
+      .write.mode("append").parquet(dir + "/codes")
+    gated.write.mode("append").parquet(dir + "/vectors")
+  }
+
+  /** Query a PERSISTED PQ index: identical semantics to [[pqTopK]] on
+    * the same corpus (PqIndexSpec pins the equality) — ADC over the
+    * standing code table, exact rescore against the standing float
+    * store, neither re-derived from the corpus table. The vec_id dedup
+    * on both tables is what makes a replayed append invisible. The
+    * rescore depth derives from the DEDUPED code count, so a retry
+    * can't silently deepen the shortlist either. */
+  def pqTopKFromIndex(s: SparkSession, d: String, dir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val cb = s.read.parquet(dir + "/codebook")
+    val codes = s.read.parquet(dir + "/codes").dropDuplicates("vec_id")
+    val vectors = s.read.parquet(dir + "/vectors").dropDuplicates("vec_id")
+    pqAdcQuery(s, d, cb, codes, vectors, codes.count())
   }
 
   val queries: Map[String, Q] = Map(

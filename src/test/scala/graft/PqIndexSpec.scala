@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SimOps
+
+/** The persisted-PQ deployment shape: train + encode offline, load the
+  * code/float tables in a separate "application", and get byte-identical
+  * answers to the in-memory operator — then keep ingesting against the
+  * standing codebook without a re-train. Mirrors IvfIndexSpec for the
+  * other persisted index. */
+class PqIndexSpec extends SparkSpec {
+
+  private val D = "/root/testdata/sf0.001"
+
+  test("persisted PQ index: build -> load -> query == in-memory sim_pq_topk") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
+    SimOps.buildPqIndex(spark, D, dir)
+
+    // layout: the ADC scan table carries only the narrow columns — the
+    // floats live in their own table, so the per-query corpus scan never
+    // reads an embedding
+    val codeCols = spark.read.parquet(dir + "/codes").columns.toSet
+    assert(codeCols == Set("vec_id", "codes", "rn2"),
+      s"code table must stay narrow, got $codeCols")
+
+    val fromIndex = SimOps.pqTopKFromIndex(spark, D, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val inMemory = SparkEntry.queries("sim_pq_topk")(spark, D)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(fromIndex == inMemory,
+      s"persisted-index answers diverged: index=$fromIndex inMemory=$inMemory")
+  }
+
+  test("incremental append: twins encode against the standing codebook and surface at rank 1") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_append").toString
+    SimOps.buildPqIndex(spark, D, dir)
+    val beforeCodes = spark.read.parquet(dir + "/codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toMap
+
+    // append EXACT TWINS of every corpus vector under new ids: identical
+    // subvectors -> the encoder must emit identical codes (same argmin,
+    // same tie-break), and each query's nearest neighbor becomes its own
+    // twin at exact-rescore cosine 1.0 — proof appended rows are
+    // genuinely queryable through the ADC shortlist, not just on disk
+    val offset = 100000L
+    val twins = Tables.embeddings(spark, D)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+    SimOps.appendToPqIndex(spark, dir, twins)
+
+    val after = spark.read.parquet(dir + "/codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toMap
+    assert(after.view.filterKeys(_ < offset).toMap == beforeCodes,
+      "append must not touch standing code rows")
+    assert(after.view.filterKeys(_ >= offset).map { case (v, c) => (v - offset, c) }.toMap
+      == beforeCodes,
+      "each twin must encode to exactly its original's codes")
+
+    val top1 = SimOps.pqTopKFromIndex(spark, D, dir)
+      .where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1.nonEmpty)
+    top1.foreach { case (q, n) =>
+      assert(n == q + offset,
+        s"query $q's rank-1 neighbor should be its appended twin, got $n")
+    }
+
+    // retry safety: a sink-side retry double-appends the same batch; the
+    // query path dedups codes AND vectors by vec_id (and derives the
+    // rescore depth from the deduped count), so replayed rows must not
+    // change any answer
+    val before2 = SimOps.pqTopKFromIndex(spark, D, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    SimOps.appendToPqIndex(spark, dir, twins)
+    val after2 = SimOps.pqTopKFromIndex(spark, D, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(after2 == before2,
+      "a replayed append must be invisible to queries (read-time dedup)")
+  }
+
+  test("append enrollment gate: corrupt vectors never enter the standing index; empty batch is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_gate").toString
+    SimOps.buildPqIndex(spark, D, dir)
+    val baseline = SimOps.pqTopKFromIndex(spark, D, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+    // a batch of one clean twin + three corrupt shapes (wrong length,
+    // NaN, all-zero): only the clean row may enroll — a NaN that slipped
+    // through would outrank every real neighbor at rescore time
+    val clean = Tables.embeddings(spark, D)
+      .where(col("vec_id") === 3).select(lit(200003L).as("vec_id"), col("embedding"))
+    val corrupt = Seq(
+      (200100L, Seq.fill(7)(0.5f)),           // wrong length
+      (200101L, Float.NaN +: Seq.fill(63)(0.1f)), // NaN component
+      (200102L, Seq.fill(64)(0.0f)))          // zero norm: no direction
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    SimOps.appendToPqIndex(spark, dir, clean.unionByName(corrupt))
+
+    val enrolled = spark.read.parquet(dir + "/codes")
+      .where(col("vec_id") >= 200000L).collect().map(_.getLong(0)).toSet
+    assert(enrolled == Set(200003L),
+      s"only the clean twin may enroll, got $enrolled")
+    // query 3's rank-1 neighbor is now its twin; other queries unchanged
+    val top = SimOps.pqTopKFromIndex(spark, D, dir)
+      .where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top(3L) == 200003L, s"query 3's twin must surface, got ${top(3L)}")
+
+    // empty batch: no rows, no error, answers unchanged
+    val none = SimOps.pqTopKFromIndex(spark, D, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    SimOps.appendToPqIndex(spark, dir,
+      clean.where(lit(false)))
+    val after = SimOps.pqTopKFromIndex(spark, D, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(after == none, "an empty append must be a no-op")
+    assert(baseline.nonEmpty)
+  }
+}

@@ -918,4 +918,90 @@ class TwinReplaySpec extends SparkSpec {
     assert(streamed == batch,
       s"restarted KMV (${streamed.size} days) != batch (${batch.size} days)")
   }
+
+  /** (doc_id, n_chars) sorted by the shard-layout order (h, doc_id):
+    * arrival order IS layout order for an append-only writer, so the
+    * streaming twin reproduces the batch layout exactly when fed in
+    * this order — the same convention as the event-time-sorted feeds
+    * above. */
+  private def shardDocRows(pred: org.apache.spark.sql.Column): Seq[(Long, Long, Long)] =
+    graft.ops.PipelineOps.shardHashed(spark, D).where(pred)
+      .select(col("doc_id"), col("n_chars"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, _, h) => (h, id) }.toSeq
+
+  private def shardBatchLayout(name: String): Seq[(Long, Int, Int, Long)] =
+    SparkEntry.queries(name)(spark, D).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+      .sortBy(t => (t._2, t._3))
+
+  test("twin replay: streaming shard layout over chunked MemoryStream == batch corpus_shard_assign") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = shardDocRows(lit(true))
+    val input = MemoryStream[(Long, Long)]
+    val docs = input.toDF().toDF("doc_id", "n_chars")
+    val q = graft.streaming.ShardAssign.assign(docs).writeStream
+      .format("memory").queryName("shard_twin").outputMode("append").start()
+    try {
+      // no watermark, no timers: positions are emitted as documents
+      // arrive, so no sentinels are needed to flush a tail
+      rows.map { case (id, n, _) => (id, n) }
+        .grouped(math.max(rows.size / NChunks, 1)).foreach { chunk =>
+          input.addData(chunk)
+          q.processAllAvailable()
+        }
+      val streamed = spark.table("shard_twin").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+        .sortBy(t => (t._2, t._3))
+      assert(streamed == shardBatchLayout("corpus_shard_assign"),
+        s"streamed shard layout (${streamed.size} docs) != batch")
+    } finally q.stop()
+  }
+
+  test("twin replay: standing-then-ingest feed == batch corpus_shard_assign_incremental") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ingest 1 = the standing corpus (even doc_ids), ingest 2 = the new
+    // batch (odd): appended docs must stack after the standing tails
+    // with every standing (pos, byte_start) untouched — the exact
+    // semantics the oracle-checked incremental batch op pins
+    val standing = shardDocRows(col("doc_id") % 2 === 0)
+    val ingest = shardDocRows(col("doc_id") % 2 === 1)
+    val input = MemoryStream[(Long, Long)]
+    val docs = input.toDF().toDF("doc_id", "n_chars")
+    val q = graft.streaming.ShardAssign.assign(docs).writeStream
+      .format("memory").queryName("shard_twin_inc").outputMode("append").start()
+    try {
+      Seq(standing, ingest).foreach { batch =>
+        input.addData(batch.map { case (id, n, _) => (id, n) })
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("shard_twin_inc").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+        .sortBy(t => (t._2, t._3))
+      val batch = SparkEntry.queries("corpus_shard_assign_incremental")(spark, D)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+        .sortBy(t => (t._2, t._3))
+      assert(streamed == batch,
+        s"streamed incremental layout (${streamed.size} docs) != batch (${batch.size})")
+    } finally q.stop()
+  }
+
+  test("restart replay: shard layout killed between every chunk == batch corpus_shard_assign") {
+    val rows = shardDocRows(lit(true))
+    val json = rows.map { case (id, n, _) => s"""{"doc_id":$id,"n_chars":$n}""" }
+    // per-shard tail counters must come back from the checkpoint: a lost
+    // tail would restart positions at 1 and corrupt every later offset
+    val out = restartReplay("shard", json, Seq.empty,
+      "doc_id LONG, n_chars LONG") { df =>
+      graft.streaming.ShardAssign.assign(df).toDF()
+    }
+    val streamed = out
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+      .sortBy(t => (t._2, t._3))
+    assert(streamed == shardBatchLayout("corpus_shard_assign"),
+      s"restarted shard layout (${streamed.size} docs) != batch")
+  }
 }
