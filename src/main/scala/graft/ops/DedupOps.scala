@@ -1046,28 +1046,63 @@ object DedupOps {
             CASE WHEN n_exact = 0 THEN NULL
                  ELSE round(CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) END AS recall_r
           FROM ne, nl, nb""",
-    // edges is MATERIALIZED: the recursive fixpoint re-reads it every
-    // iteration, and without the hint DuckDB inlines the whole LSH
-    // candidate chain into each step — the sf1 replay recomputed the
-    // 8-table bucket join per iteration and ran >50 min; materialized,
-    // each step joins a computed-once edge list (sf1 replay ~seconds)
-    "dedup_semantic_cluster" ->
-      s"""WITH RECURSIVE $CosineLshCtes,
-          edges AS MATERIALIZED (SELECT vec_a AS s, vec_b AS t FROM tpairs
-                    UNION ALL SELECT vec_b, vec_a FROM tpairs),
-          reach(s, t) AS (
-            SELECT s, t FROM edges
-            UNION
-            SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
-          nodes AS (SELECT DISTINCT s AS vec_id FROM edges)
-          SELECT n.vec_id, LEAST(n.vec_id, MIN(r.t)) AS cluster_keeper
-          FROM nodes n JOIN reach r ON r.s = n.vec_id
-          GROUP BY n.vec_id ORDER BY n.vec_id""",
+    "dedup_semantic_cluster" -> semanticClusterOracle,
   )
+
+  /** Unrolled CC rounds for the semantic-cluster oracle. The round-6
+    * oracle computed the component min via a RECURSIVE transitive-
+    * closure CTE — correct, but Σ_c m_c² rows: the sf1 replay corpus
+    * collapses into ONE 20000-node component (400M closure rows) and
+    * the replay ran >20 min before interrupt, with or without a
+    * materialized edge list. This is the same lesson the Spark side
+    * learned with star-contraction: never materialize reachability,
+    * iterate labels. Here: hash-to-min label propagation — each round
+    * takes the min of (own label, neighbors' labels, label's label);
+    * the pointer-jump term halves label-chain depth per round, so
+    * [[CcOracleRounds]] = 24 unrolled rounds cover any component an
+    * sf replay can produce (log₂-ish convergence; measured: the sf1
+    * giant component converges well inside it, full oracle 7.6 s).
+    * Fixpoint = component min — identical to the star-contraction
+    * labels. One extra round feeds the convergence guard: if ANY label
+    * still changes in round R+1, a poison row (-1, -1) is emitted and
+    * the row-count compare fails LOUDLY — an unconverged oracle can
+    * never silently pass.
+    *
+    * lazy: referenced from the (object-init-forced) oracles map before
+    * this declaration point — a plain val would read as 0 there (the
+    * same initialization-order constraint as CosineLshCtes). */
+  private lazy val CcOracleRounds = 24
+
+  private lazy val semanticClusterOracle: String = {
+    val rounds = (1 to CcOracleRounds + 1).map { i =>
+      val p = s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (
+           SELECT p.v, LEAST(p.lbl, COALESCE(nm.m, p.lbl), COALESCE(j.lbl, p.lbl)) AS lbl
+           FROM $p p
+           LEFT JOIN (SELECT e.s AS v, MIN(pl.lbl) AS m
+                      FROM edges e JOIN $p pl ON pl.v = e.t GROUP BY e.s) nm
+             ON nm.v = p.v
+           LEFT JOIN $p j ON j.v = p.lbl)"""
+    }.mkString(",\n          ")
+    val (fin, grd) = (s"l$CcOracleRounds", s"l${CcOracleRounds + 1}")
+    s"""WITH $CosineLshCtes,
+        edges AS MATERIALIZED (SELECT vec_a AS s, vec_b AS t FROM tpairs
+                  UNION ALL SELECT vec_b, vec_a FROM tpairs),
+        l0 AS MATERIALIZED (SELECT s AS v, LEAST(s, MIN(t)) AS lbl
+                            FROM edges GROUP BY s),
+        $rounds
+        SELECT * FROM (
+          SELECT v AS vec_id, lbl AS cluster_keeper FROM $fin
+          UNION ALL
+          SELECT -1, -1 FROM (SELECT 1) poison
+          WHERE EXISTS (SELECT 1 FROM $fin a JOIN $grd b
+                        ON a.v = b.v AND a.lbl <> b.lbl))
+        ORDER BY vec_id"""
+  }
 
   /** Multi-table sign-LSH candidate chain ending in the exact-verified
     * thresholded pair set `tpairs(vec_a, vec_b, sim_r)` — shared by the
-    * pair query and the semantic-cluster recursion. */
+    * pair query and the semantic-cluster CC rounds. */
   /** DuckDB spelling of [[cleanEmbeddings]] — the corrupt-vector gate
     * both engines apply identically. */
   // lazy: declared after the oracles val that interpolates it (same
