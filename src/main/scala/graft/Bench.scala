@@ -56,9 +56,13 @@ object Bench {
     // the corpus-wide graph restricted to the truth queries probes the
     // same IVF lists as sim_ivf_topk, so its floor matches
     "sim_knn_graph" -> 0.9,
-    // 64-bit ADC shortlist (R=32) + exact rescore; measured 0.833 at
-    // sf0.1 — the floor has slack for corpus variation, not for drift
-    "sim_pq_topk" -> 0.7)
+    // ADC shortlist + exact rescore over the corpus-clamped codebook;
+    // measured 0.875 at sf0.1 / 1.0 at sf1 — the floor has slack for
+    // corpus variation, not for drift
+    "sim_pq_topk" -> 0.7,
+    // IVF lists × PQ codes composed: candidate recall bounds the
+    // composition, measured at/above the plain-PQ level at both SFs
+    "sim_ivf_pq_topk" -> 0.7)
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -174,7 +178,7 @@ object Bench {
       val truth = topSet("sim_brute_topk")
       val annNames = Seq("sim_lsh_topk",
         "sim_lsh_multi_topk", "sim_ivf_topk", "sim_q8_topk", "sim_ivf_q8_topk",
-        "sim_knn_graph", "sim_pq_topk")
+        "sim_knn_graph", "sim_pq_topk", "sim_ivf_pq_topk")
       val recalls = annNames.map { n =>
         val approx = topSet(n)
         val per = truth.toSeq.map { case (q, t) =>

@@ -878,7 +878,20 @@ object SimOps {
     * standing corpus size the rescore depth derives from. */
   private def pqAdcQuery(s: SparkSession, d: String, cb: DataFrame,
       codes: DataFrame, vectors: DataFrame, n: Long): DataFrame = {
-    val qlut = subVecs(qset(s, d).select(col("q_id").as("vec_id"),
+    val scored = codes
+      .join(broadcast(pqQueryLut(s, d, cb)
+          .join(qset(s, d).select(col("q_id"), col("q_nrm")), "q_id")),
+        col("vec_id") =!= col("q_id"))
+      .withColumn("adot", pqAdcDot)
+      .withColumn("sim", col("adot") / (col("q_nrm") * sqrt(col("rn2"))))
+    pqShortlistRescore(s, d, scored, vectors, n)
+  }
+
+  /** Per-query ADC lookup table against a codebook frame: one row per
+    * query, `lut` = its subvector dot against every sub-centroid in
+    * (sub, c_id) order. |Q| rows — broadcast class. */
+  private def pqQueryLut(s: SparkSession, d: String, cb: DataFrame): DataFrame =
+    subVecs(qset(s, d).select(col("q_id").as("vec_id"),
         col("q_emb").as("embedding")))
       .join(broadcast(cb), "sub")
       .withColumn("pdot", expr("float_dot(subv, c_emb)"))
@@ -886,30 +899,52 @@ object SimOps {
       .agg(array_sort(collect_list(struct(col("sub"), col("c_id"), col("pdot")))).as("sp"))
       .select(col("vec_id").as("q_id"),
         expr("transform(sp, x -> x.pdot)").as("lut"))
-    val scored = codes
-      .join(broadcast(qlut.join(qset(s, d).select(col("q_id"), col("q_nrm")), "q_id")),
-        col("vec_id") =!= col("q_id"))
-      // stride = the ACTUAL per-subspace codebook size (size(lut)/M), not
-      // the nominal pqKsub(n) — a degenerate corpus can train fewer than k
-      // centroids per subspace (see pqCodebookFrame's dense re-key)
-      .withColumn("adot", expr(
-        s"aggregate(sequence(0, ${PqM - 1}), 0D, (acc, s) -> acc + element_at(lut, cast(s * (size(lut) div $PqM) + element_at(codes, s + 1) + 1 as int)))"))
-      .withColumn("sim", col("adot") / (col("q_nrm") * sqrt(col("rn2"))))
-    // ADC top-R shortlist under the same total order as every ranking here
+
+  /** The asymmetric distance: [[PqM]] LUT lookups summed left-to-right.
+    * stride = the ACTUAL per-subspace codebook size (size(lut)/M), not
+    * the nominal pqKsub(n) — a degenerate corpus can train fewer than k
+    * centroids per subspace (see pqCodebookFrame's dense re-key). */
+  private def pqAdcDot = expr(
+    s"aggregate(sequence(0, ${PqM - 1}), 0D, (acc, s) -> acc + element_at(lut, cast(s * (size(lut) div $PqM) + element_at(codes, s + 1) + 1 as int)))")
+
+  /** ADC top-R shortlist (same total order as every ranking here) +
+    * exact rescore of R·|Q| rows: a broadcast point-lookup join against
+    * the float table (bucketed by vec_id in deployment — a pruned
+    * fetch, not a second corpus pass). */
+  private def pqShortlistRescore(s: SparkSession, d: String,
+      scored: DataFrame, vectors: DataFrame, n: Long): DataFrame = {
     val r = pqRescore(n)
     val wr = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     val shortlist = partitionTopK(scored, r)
       .withColumn("r", row_number().over(wr)).where(col("r") <= r)
       .select("q_id", "vec_id")
-    // exact rescore of R·|Q| rows: a broadcast point-lookup join against
-    // the float table (bucketed by vec_id in deployment — a pruned fetch,
-    // not a second corpus pass)
     rankTopK(
       broadcast(shortlist).join(vectors, "vec_id")
         .join(broadcast(qset(s, d)), "q_id")
         .withColumn("sim",
           expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
       3)
+  }
+
+  /** IVF probing composed with PQ-ADC scoring and the exact top-R
+    * rescore — all three ANN scale levers in one operator, the fully
+    * deployable 100 TB shape: the k-means lists bound WHO gets scored
+    * (nprobe lists, ~12% candidate fraction), the PQ codes bound WHAT
+    * scoring reads (~24 B/row vs 256 B floats — steeper than int8's
+    * ~68 B), and the float store is touched only for the R-row
+    * shortlist. Unlike [[pqTopK]]'s corpus-wide ADC scan, the LUT join
+    * here is a plain equi-join on q_id against the IVF pair set — no
+    * nested-loop anywhere. Both approximation chains are oracle-
+    * mirrored (the composed CTE joins `pairs` × `pqcodes`), and Bench
+    * floors the composed recall like every registered index. */
+  val ivfPqTopK: Q = (s, d) => {
+    val scored = ivfPairs(s, d)
+      .join(pqCodes(s, d), "vec_id")
+      .join(broadcast(pqQueryLut(s, d, pqCodebookFrame(s, d))
+        .join(qset(s, d).select(col("q_id"), col("q_nrm")), "q_id")), "q_id")
+      .withColumn("adot", pqAdcDot)
+      .withColumn("sim", col("adot") / (col("q_nrm") * sqrt(col("rn2"))))
+    pqShortlistRescore(s, d, scored, corpusWithNorm(s, d), gatedCount(s, d))
   }
 
   /** Persist the PQ index — the offline TRAIN + ENCODE job of a real
@@ -977,6 +1012,7 @@ object SimOps {
     "sim_knn_graph" -> knnGraph,
     "emb_pq_codes" -> pqCodesQuery,
     "sim_pq_topk" -> pqTopK,
+    "sim_ivf_pq_topk" -> ivfPqTopK,
   )
 
   private def dot(a: String, b: String) =
@@ -1125,6 +1161,41 @@ object SimOps {
     sb.toString
   }
 
+  /** qlut0/qlut/qn: the DuckDB spelling of [[pqQueryLut]] + query norms
+    * — shared by the pure-ADC and the IVF-composed PQ oracles. */
+  private def pqQueryLutCtes: String =
+    s"""qlut0 AS (SELECT v.vec_id AS q_id, v.s, c.c_id, ${dot8("v.subv", "c.c_emb")} AS pdot
+                  FROM subv v JOIN pqcb c ON c.s = v.s WHERE v.vec_id < $NQueries),
+        qlut AS (SELECT q_id, list(pdot ORDER BY s, c_id) AS lut FROM qlut0 GROUP BY q_id),
+        qn AS (SELECT vec_id AS q_id, sqrt(${dot("embedding", "embedding")}) AS q_nrm
+               FROM embeddings WHERE vec_id < $NQueries)"""
+
+  /** The ADC cosine of one candidate row `c` against LUT row `l` with
+    * query norm `q` — [[pqAdcDot]] in DuckDB. */
+  private def pqAdcSimSql: String =
+    s"""list_sum(list_transform(generate_series(0, ${PqM - 1}),
+          s -> l.lut[s * (len(l.lut) // $PqM) + c.codes[s + 1] + 1]))
+          / (q.q_nrm * sqrt(c.rn2))"""
+
+  /** rparam/shortlist/exact-rescore/rank tail over any `adc(q_id,
+    * vec_id, sim)` CTE — [[pqShortlistRescore]] in DuckDB. */
+  private def pqRescoreTailSql: String =
+    s"""rparam AS (SELECT GREATEST(32, LEAST(1024,
+           CAST(COUNT(*) // 64 AS INT))) AS r FROM embeddings),
+        shortlist AS (SELECT q_id, vec_id FROM adc
+                      QUALIFY row_number() OVER (PARTITION BY q_id
+                        ORDER BY sim DESC, vec_id) <= (SELECT r FROM rparam)),
+        rescored AS (SELECT sl.q_id, sl.vec_id,
+                     ${cos("qe.embedding", "ce.embedding")} AS sim
+                   FROM shortlist sl
+                   JOIN embeddings ce ON ce.vec_id = sl.vec_id
+                   JOIN embeddings qe ON qe.vec_id = sl.q_id),
+        ranked AS (SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+                   FROM rescored)
+        SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
+
   private def dot8(a: String, b: String) =
     s"list_sum(list_transform(generate_series(1, $PqDsub), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   private def pqDist8(v: String, c: String) =
@@ -1185,32 +1256,24 @@ object SimOps {
           FROM pqcodes ORDER BY vec_id""",
     "sim_pq_topk" ->
       s"""WITH $pqCtes,
-          qlut0 AS (SELECT v.vec_id AS q_id, v.s, c.c_id, ${dot8("v.subv", "c.c_emb")} AS pdot
-                    FROM subv v JOIN pqcb c ON c.s = v.s WHERE v.vec_id < $NQueries),
-          qlut AS (SELECT q_id, list(pdot ORDER BY s, c_id) AS lut FROM qlut0 GROUP BY q_id),
-          qn AS (SELECT vec_id AS q_id, sqrt(${dot("embedding", "embedding")}) AS q_nrm
-                 FROM embeddings WHERE vec_id < $NQueries),
-          adc AS (SELECT l.q_id, c.vec_id,
-                    list_sum(list_transform(generate_series(0, ${PqM - 1}),
-                      s -> l.lut[s * (len(l.lut) // $PqM) + c.codes[s + 1] + 1]))
-                      / (q.q_nrm * sqrt(c.rn2)) AS sim
+          $pqQueryLutCtes,
+          adc AS (SELECT l.q_id, c.vec_id, ${pqAdcSimSql} AS sim
                   FROM pqcodes c CROSS JOIN qlut l JOIN qn q ON q.q_id = l.q_id
                   WHERE c.vec_id <> l.q_id),
-          rparam AS (SELECT GREATEST(32, LEAST(1024,
-                       CAST(COUNT(*) // 64 AS INT))) AS r FROM embeddings),
-          shortlist AS (SELECT q_id, vec_id FROM adc
-                        QUALIFY row_number() OVER (PARTITION BY q_id
-                          ORDER BY sim DESC, vec_id) <= (SELECT r FROM rparam)),
-          scored AS (SELECT sl.q_id, sl.vec_id,
-                       ${cos("qe.embedding", "ce.embedding")} AS sim
-                     FROM shortlist sl
-                     JOIN embeddings ce ON ce.vec_id = sl.vec_id
-                     JOIN embeddings qe ON qe.vec_id = sl.q_id),
-          ranked AS (SELECT q_id, vec_id,
-                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
-                     FROM scored)
-          SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
-          FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
+          $pqRescoreTailSql""",
+    // IVF candidate generation × PQ-ADC scoring × exact rescore: the
+    // adc CTE joins the probed pair set instead of cross-joining the
+    // whole code table — the only difference from sim_pq_topk's chain
+    "sim_ivf_pq_topk" ->
+      s"""WITH ${ivfPairsCtes},
+          $pqCtes,
+          $pqQueryLutCtes,
+          adc AS (SELECT p.q_id, c.vec_id, ${pqAdcSimSql} AS sim
+                  FROM pairs p
+                  JOIN pqcodes c ON c.vec_id = p.vec_id
+                  JOIN qlut l ON l.q_id = p.q_id
+                  JOIN qn q ON q.q_id = p.q_id),
+          $pqRescoreTailSql""",
     "sim_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQueries),
           scored AS (SELECT q.q_id, e.vec_id,

@@ -65,6 +65,9 @@ object AnnProbe {
     val pqR = recallOf(SparkEntry.queries("sim_pq_topk")(spark, d))
     println(f"PQ     recall@3=$pqR%.3f (k=pqKsub(n), corpus-clamped)")
     time("pq_full")(SparkEntry.queries("sim_pq_topk")(spark, d).count())
+    val ivfPqR = recallOf(SparkEntry.queries("sim_ivf_pq_topk")(spark, d))
+    println(f"IVFPQ  recall@3=$ivfPqR%.3f (nprobe lists x ADC x rescore)")
+    time("ivf_pq_full")(SparkEntry.queries("sim_ivf_pq_topk")(spark, d).count())
     val variants = Seq(
       ops.SimOps.DefaultLsh.copy(nProbes = 1),
       ops.SimOps.DefaultLsh.copy(nProbes = 2),
