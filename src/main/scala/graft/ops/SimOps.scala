@@ -410,6 +410,12 @@ object SimOps {
     * shared by the float scoring path, the int8 scoring path, and
     * Bench's candidate-fraction report. */
   private def centroidFrame(s: SparkSession, d: String): DataFrame = {
+    // register HERE, not only inside the cache-miss branch of
+    // kmeansCentroids: a SECOND SparkSession in the same JVM (the
+    // bench's isolated reprobe context) hits the codebook cache and
+    // would otherwise analyze float_dot expressions with no function
+    // registered in ITS registry (caught live by a failed bench reprobe)
+    graft.expressions.VectorExpressions.register(s)
     import s.implicits._
     kmeansCentroids(s, d).toDF("c_id", "c_emb")
       .select(col("c_id"), col("c_emb").cast("array<float>").as("c_emb"))
@@ -711,7 +717,14 @@ object SimOps {
     * production geometry with the corpus (sf0.1 n=2000 → 22, sf1
     * n=20000 → 70, k=256 from n ≥ ~262k). The ADC LUT stride and the
     * dense re-key are already k-from-data (size(lut) div M), so only
-    * the Lloyd init and the oracle's pq0 CTE carry the parameter. */
+    * the Lloyd init and the oracle's pq0 CTE carry the parameter.
+    *
+    * Cost consequence, documented in Bench.ExpectedSuperlinear: the
+    * offline BUILD (train + encode) does n·k(n) = n^1.5 work while k
+    * grows — measured 23× for 10× rows across sf0.1→sf1 (k 22→70,
+    * model predicts ~32×) — and is linear again once k caps. Query
+    * cost is unaffected (the LUT is k-sized but broadcast; the code
+    * scan is n rows either way). */
   private[ops] def pqKsub(n: Long): Int = nCentroids(n)
   private[ops] val PqIters = 2
 
@@ -789,6 +802,9 @@ object SimOps {
     * the array (caught by CorruptInputSpec). Every subspace trains on
     * the same init id set, so the dense k is uniform across subs. */
   private def pqCodebookFrame(s: SparkSession, d: String): DataFrame = {
+    // same cache-hit/fresh-session registration discipline as
+    // centroidFrame (this frame's cn2 column analyzes float_dot eagerly)
+    graft.expressions.VectorExpressions.register(s)
     import s.implicits._
     val dense = pqCodebook(s, d).groupBy(_._1).toSeq.flatMap {
       case (sub, rows) => rows.sortBy(_._2).zipWithIndex.map {

@@ -31,6 +31,19 @@ class PqIndexSpec extends SparkSpec {
       s"persisted-index answers diverged: index=$fromIndex inMemory=$inMemory")
   }
 
+  test("a fresh session over warm JVM caches still resolves the vector expressions") {
+    // the bench's isolated-reprobe shape: the codebook caches are JVM-
+    // wide, the function registry is per-session — a fresh session that
+    // HITS the cache must not analyze float_dot against an empty
+    // registry (caught live by a failed emb_pq_codes bench reprobe)
+    SparkEntry.queries("emb_pq_codes")(spark, D).count()   // warm the caches
+    SparkEntry.queries("sim_ivf_topk")(spark, D).count()
+    val fresh = spark.newSession()                         // own registry
+    assert(SparkEntry.queries("emb_pq_codes")(fresh, D).count() > 0)
+    assert(SparkEntry.queries("sim_pq_topk")(fresh, D).count() > 0)
+    assert(SparkEntry.queries("sim_ivf_topk")(fresh, D).count() > 0)
+  }
+
   test("incremental append: twins encode against the standing codebook and surface at rank 1") {
     val dir = java.nio.file.Files.createTempDirectory("pq_append").toString
     SimOps.buildPqIndex(spark, D, dir)
