@@ -89,12 +89,17 @@ object Bench {
     * over-bar ratio for one of these reads as the documented cost
     * model, not as contention or a plan regression. (They still
     * reprobe: the reprobed number separates the model from any noise
-    * on top of it.) Currently only the PQ offline BUILD: encode work
-    * is n·k(n) = n^1.5 while the corpus-clamped codebook grows
-    * (sf0.1 k=22 → sf1 k=70 ⇒ ~32× expected work for 10× rows);
-    * k caps at 256 from ~262k vectors, past which the build is
-    * linear — the clamp trades a bounded super-linear window at toy
-    * scale for production ADC resolution. */
+    * on top of it — with one caveat: a cache-backed BUILD query
+    * reprobes over the scale pass's warm JVM-wide codebook cache, so
+    * its ratio_reprobed measures the post-train encode only and reads
+    * LOW (measured 1.9× vs the honest raw 16×). For these the RAW
+    * ratio is the number to read, which is exactly why the cost model
+    * rides in the artifact next to it.) Currently only the PQ offline
+    * BUILD: encode work is n·k(n) = n^1.5 while the corpus-clamped
+    * codebook grows (sf0.1 k=22 → sf1 k=70 ⇒ ~32× expected work for
+    * 10× rows); k caps at 256 from ~262k vectors, past which the
+    * build is linear — the clamp trades a bounded super-linear window
+    * at toy scale for production ADC resolution. */
   private val ExpectedSuperlinear = Map(
     "emb_pq_codes" -> "PQ build: n*k(n)=n^1.5 until k caps at 256 (~262k vectors), linear after")
 
