@@ -32,7 +32,10 @@ class DeterminismSpec extends SparkSpec {
     "sample_temperature",   // integer-weight Σw_s — THE order-exact claim
     "agg_hop_count",        // dual map-side window assignment
     "agg_cumulate_count",   // step agg + explode re-agg
-    "events_unique_users_kmv") // k-th min over distinct hashes (unique → total order)
+    "events_unique_users_kmv", // k-th min over distinct hashes (unique → total order)
+    "sim_pq_topk",          // Lloyd sorted folds + ADC shortlist + rescore rank
+    "sim_ivf_pq_topk",      // IVF pair set × ADC — two approximation chains composed
+    "corpus_shard_assign_incremental") // standing window + broadcast tails + append window
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

@@ -191,6 +191,51 @@ class PlanSpec extends SparkSpec {
     assert("MapPartitions".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("sim_ivf_pq_topk: the ADC pairing is a q_id equi-join, never the corpus-wide nested loop") {
+    val plan = finalPlan(graft.ops.SimOps.queries("sim_ivf_pq_topk")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    // the k-means ASSIGNMENT nested loops (corpus x tiny centroid
+    // frame) are the standard index-build shape and stay; what must
+    // NOT appear is sim_pq_topk's codes x LUT pairing BNLJ — in the
+    // composed path the LUT attaches to the IVF pair set by a q_id
+    // EQUI-join. That pairing BNLJ is recognizable by its vec_id<>q_id
+    // condition: no nested loop here may mention q_id at all.
+    assert("BroadcastNestedLoopJoin[^\\n]*q_id".r.findFirstIn(finalOnly).isEmpty,
+      s"the ADC pairing must be an equi-join in the composed path:\n$plan")
+    // broadcast sides: the probe-list frame, the LUT, the rescore
+    // shortlist, and the qset fetch — never a corpus-sized side
+    assert("BroadcastHashJoin".r.findAllIn(finalOnly).size >= 3, plan)
+    // the final ranking rides the shared two-phase top-k
+    assert(finalOnly.contains("MapPartitions"), plan)
+  }
+
+  test("sim_pq_topk vs composed: the pure-ADC scan IS the q_id nested loop (the pin's control)") {
+    // the composed pin above keys on "no BNLJ mentioning q_id" — this
+    // control proves the pure-ADC plan DOES carry that exact shape, so
+    // the composed assertion can't pass vacuously after a plan change
+    val plan = finalPlan(graft.ops.SimOps.queries("sim_pq_topk")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert("BroadcastNestedLoopJoin[^\\n]*q_id".r.findFirstIn(finalOnly).isDefined,
+      s"pure ADC pairs codes x LUT with a vec_id<>q_id nested loop:\n$plan")
+  }
+
+  test("corpus_shard_assign_incremental: per-shard tails broadcast; no corpus-sized join") {
+    val plan = finalPlan(
+      graft.ops.PipelineOps.queries("corpus_shard_assign_incremental")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    // the standing layout's tail frame is |shards| rows and must reach
+    // the append branch as a broadcast — a shuffled join here would
+    // co-partition the whole ingest batch against 16 rows
+    assert(finalOnly.contains("BroadcastHashJoin"), plan)
+    assert(!finalOnly.contains("SortMergeJoin"),
+      s"the 16-row tail join must broadcast, not sort-merge:\n$plan")
+    // both layout windows partition by shard — the exchange a shard
+    // writer needs anyway; nothing windows over an unpartitioned frame
+    assert("Window \\[".r.findAllIn(finalOnly).nonEmpty, plan)
+    assert(!finalOnly.contains("Window [,"),
+      s"no unpartitioned window in the shard layout:\n$plan")
+  }
+
   test("dedup_ngram_containment: both directions read the materialized pair frame, no recompute") {
     val plan = finalPlan(graft.ops.DedupOps.queries("dedup_ngram_containment")(spark, d))
     // the expensive shingle self-join must appear ONCE (checkpointed);
