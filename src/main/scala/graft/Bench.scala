@@ -282,6 +282,10 @@ object Bench {
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = newSession(cpus)
     warmup(spark, sfDir)
+    // the 3-run median absorbs single spikes but not a whole contended
+    // window (measured 61 vs 71 s totals across two same-code runs at
+    // different background load) — gate the primary pass too
+    val quietPrimarySec = awaitQuietWindow()
     val loadPrimary0 = loadAvg
     val primary = runSuite(spark, sfDir, nRuns, s"sf=$sfDir")
     val loadPrimary1 = loadAvg
@@ -376,7 +380,7 @@ object Bench {
 
     val failedJson = primary.failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadJsonPart =
-      s""","loadavg":{"primary_before":${loadJson(loadPrimary0)},"primary_after":${loadJson(loadPrimary1)}}"""
+      s""","loadavg":{"quiet_wait_sec":$quietPrimarySec,"primary_before":${loadJson(loadPrimary0)},"primary_after":${loadJson(loadPrimary1)}}"""
     val line =
       s"""{"metric":"total","value":${primary.total},"unit":"sec","runs":$nRuns,"failed":$failedJson$loadJsonPart,"queries":${primary.queriesJson}${primary.annJson}$scaleJson,"sf":"$sfDir"}"""
     println(line)

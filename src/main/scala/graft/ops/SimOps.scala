@@ -1016,6 +1016,38 @@ object SimOps {
     pqAdcQuery(s, d, cb, codes, vectors, codes.count())
   }
 
+  /** The composed query from BOTH persisted indexes — the full offline/
+    * online split a deployment runs: IVF lists (built once, partition-
+    * pruned per probe) supply the candidates, the PQ code table (built
+    * once, appended incrementally) supplies the ADC scores, and the PQ
+    * float store serves the R-row exact rescore. Neither the corpus
+    * table nor any training step is touched at query time; identical
+    * semantics to [[ivfPqTopK]] on the same corpus (PqIndexSpec pins
+    * it). The same read-time vec_id dedup as both single-index paths —
+    * list-closure replicas dedup in the pair set, replayed appends
+    * dedup in the code/float tables. */
+  def ivfPqTopKFromIndex(s: SparkSession, d: String,
+      ivfDir: String, pqDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val cents = s.read.parquet(ivfDir + "/centroids")
+    val lists = s.read.parquet(ivfDir + "/lists")
+    val cb = s.read.parquet(pqDir + "/codebook")
+    val codes = s.read.parquet(pqDir + "/codes").dropDuplicates("vec_id")
+    val vectors = s.read.parquet(pqDir + "/vectors").dropDuplicates("vec_id")
+    val q = probeLists(s, d, cents, qset(s, d), "q_emb")
+    val pairs = lists.select("list_id", "vec_id")
+      .join(broadcast(q),
+        col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val scored = pairs
+      .join(codes, "vec_id")
+      .join(broadcast(pqQueryLut(s, d, cb)
+        .join(qset(s, d).select(col("q_id"), col("q_nrm")), "q_id")), "q_id")
+      .withColumn("adot", pqAdcDot)
+      .withColumn("sim", col("adot") / (col("q_nrm") * sqrt(col("rn2"))))
+    pqShortlistRescore(s, d, scored, vectors, codes.count())
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_brute_topk" -> bruteTopK,
     "emb_quantize_int8" -> quantizeInt8,

@@ -44,6 +44,22 @@ class PqIndexSpec extends SparkSpec {
     assert(SparkEntry.queries("sim_ivf_topk")(fresh, D).count() > 0)
   }
 
+  test("composed query from BOTH persisted indexes == in-memory sim_ivf_pq_topk") {
+    // the full offline/online split: IVF lists supply candidates, the
+    // PQ code table supplies ADC scores, the PQ float store serves the
+    // rescore — no corpus table, no training at query time
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfpq_ivf").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("ivfpq_pq").toString
+    SimOps.buildIvfIndex(spark, D, ivfDir)
+    SimOps.buildPqIndex(spark, D, pqDir)
+    val fromIndex = SimOps.ivfPqTopKFromIndex(spark, D, ivfDir, pqDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val inMemory = SparkEntry.queries("sim_ivf_pq_topk")(spark, D)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(fromIndex == inMemory,
+      s"composed persisted-index answers diverged: index=$fromIndex inMemory=$inMemory")
+  }
+
   test("incremental append: twins encode against the standing codebook and surface at rank 1") {
     val dir = java.nio.file.Files.createTempDirectory("pq_append").toString
     SimOps.buildPqIndex(spark, D, dir)
