@@ -919,6 +919,101 @@ class TwinReplaySpec extends SparkSpec {
       s"restarted KMV (${streamed.size} days) != batch (${batch.size} days)")
   }
 
+  /** (doc_id, text) with a synthetic deterministic event time (base +
+    * doc_id seconds) — near-dup twin feeds. The horizon in the twin
+    * tests covers the whole synthetic span, so streamed pairs must
+    * equal the batch pair set exactly. */
+  private def simhashDocRows(): Seq[(Long, String, Long)] = {
+    val baseUs = 1700000000000000L
+    Tables.documents(spark, D).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), baseUs + r.getLong(0) * 1000000L))
+      .sortBy(_._3).toSeq
+  }
+
+  private def simhashBatchPairs(): Set[(Long, Long, Long)] =
+    SparkEntry.queries("dedup_simhash_pairs")(spark, D).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("twin replay: streaming simhash near-dup over chunked MemoryStream == batch dedup_simhash_pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = simhashDocRows()
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "us")
+      .select(col("doc_id"), col("text"), timestamp_micros(col("us")).as("eventTime"))
+    // horizon >> data span: nothing expires, the full batch pair set
+    // must stream out (output is not watermark-gated - no sentinels)
+    val q = graft.streaming.StreamingSimhash.pairs(docs, "30 days").writeStream
+      .format("memory").queryName("simhash_twin").outputMode("append").start()
+    try {
+      rows.grouped(math.max(rows.size / NChunks, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("simhash_twin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = simhashBatchPairs()
+      assert(streamed == batch,
+        s"streamed near-dup pairs (${streamed.size}) != batch (${batch.size}); " +
+          s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
+
+  test("restart replay: streaming simhash killed between every chunk == batch dedup_simhash_pairs") {
+    val rows = simhashDocRows()
+    // to_json handles any text content; hand-rolled JSON would corrupt
+    // on embedded quotes
+    import spark.implicits._
+    val json = rows.map { case (id, text, us) =>
+      Seq((id, text, us)).toDF("doc_id", "text", "us")
+        .select(to_json(struct(col("doc_id"), col("text"), col("us")))).head().getString(0)
+    }
+    val out = restartReplay("simhash", json, Seq.empty,
+      "doc_id LONG, text STRING, us LONG") { df =>
+      graft.streaming.StreamingSimhash.pairs(
+        df.select(col("doc_id"), col("text"),
+          timestamp_micros(col("us")).as("eventTime")), "30 days").toDF()
+    }
+    val streamed = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = simhashBatchPairs()
+    assert(streamed == batch,
+      s"restarted near-dup pairs (${streamed.size}) != batch (${batch.size})")
+  }
+
+  test("streaming simhash horizon: a near-dup arriving past the watermark horizon is NOT reported") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two identical documents an hour apart, horizon 1 second: by the
+    // time the twin arrives the original's bucket entries have expired
+    // - the documented lambda-split trade, pinned
+    val base = 1700000000000000L
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "us")
+      .select(col("doc_id"), col("text"), timestamp_micros(col("us")).as("eventTime"))
+    val q = graft.streaming.StreamingSimhash.pairs(docs, "1 second").writeStream
+      .format("memory").queryName("simhash_horizon").outputMode("append").start()
+    try {
+      input.addData((1L, "alpha beta gamma delta", base))
+      q.processAllAvailable()
+      // advance the watermark past 1's expiry before the twin arrives
+      input.addData((99L, "unrelated filler words here", base + 1800L * 1000000L))
+      q.processAllAvailable()
+      input.addData((2L, "alpha beta gamma delta", base + 3600L * 1000000L))
+      q.processAllAvailable()
+      val pairs12 = spark.table("simhash_horizon").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs12.contains((1L, 2L)),
+        s"the expired original must not pair with its late twin: $pairs12")
+      // control: the same twin INSIDE the horizon does pair
+      input.addData((3L, "alpha beta gamma delta", base + 3600L * 1000000L + 500000L))
+      q.processAllAvailable()
+      val pairs23 = spark.table("simhash_horizon").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs23.contains((2L, 3L)),
+        s"an in-horizon twin must pair: $pairs23")
+    } finally q.stop()
+  }
+
   /** (doc_id, n_chars) sorted by the shard-layout order (h, doc_id):
     * arrival order IS layout order for an append-only writer, so the
     * streaming twin reproduces the batch layout exactly when fed in
