@@ -718,6 +718,20 @@ object DedupOps {
       .orderBy("vec_id")
   }
 
+  /** Fingerprint-space near-dup clustering: the same skew-safe
+    * connected components over the simhash hamming-≤3 pair graph
+    * ([[simhashPairs]]) — completing the triad with [[cluster]]
+    * (lexical/jaccard) and [[semanticCluster]] (embedding/cosine):
+    * every near-dup family the engine indexes ends in the same
+    * canonical-keeper assignment, with no O(n²) step and ONE shared CC
+    * implementation (and, oracle-side, one shared CC rounds
+    * fragment). */
+  val simhashCluster: Q = (s, d) => {
+    val pairs = blockedPairsFrom(fingerprints(s, d), 4, 1, MaxHamming)
+      .select("doc_a", "doc_b")
+    connectedComponents(pairs)._1.orderBy("doc_id")
+  }
+
   /** Quality-aware keeper election: within each near-dup cluster (the
     * [[cluster]] components over the jaccard pair graph), keep the BEST
     * document — best quality tier first ([[TextOps.withQuality]]'s gate,
@@ -757,6 +771,7 @@ object DedupOps {
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_simhash_pairs_blocked" -> simhashPairsBlocked(6, 2),
+    "dedup_simhash_cluster" -> simhashCluster,
     "dedup_embedding_cosine" -> embeddingCosine,
     "dedup_embedding_cosine_lsh" -> embeddingCosineLsh,
     "dedup_embedding_incremental" -> embeddingIncremental,
@@ -796,8 +811,12 @@ object DedupOps {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
          COUNT(*) AS n_copies FROM documents
          GROUP BY content_hash ORDER BY content_hash""",
+    // the jaccard cluster families ride the same unrolled CC rounds as
+    // the semantic/simhash oracles — the round-6 recursive closure form
+    // replayed at sf1 in 36 s only because jaccard clusters stay small;
+    // the rounds form is cluster-shape-independent
     "dedup_cluster" ->
-      s"""WITH RECURSIVE $ShinglesSql,
+      s"""WITH $ShinglesSql,
           sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
           jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -806,18 +825,15 @@ object DedupOps {
                      JOIN sz sa ON sa.doc_id = doc_a
                      JOIN sz sb ON sb.doc_id = doc_b
                      WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3),
-          edges AS (SELECT doc_a AS s, doc_b AS t FROM jpairs
-                    UNION ALL SELECT doc_b, doc_a FROM jpairs),
-          reach(s, t) AS (
-            SELECT s, t FROM edges
-            UNION
-            SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
-          nodes AS (SELECT DISTINCT s AS doc_id FROM edges)
-          SELECT n.doc_id, LEAST(n.doc_id, MIN(r.t)) AS cluster_keeper
-          FROM nodes n JOIN reach r ON r.s = n.doc_id
-          GROUP BY n.doc_id ORDER BY n.doc_id""",
+          ${ccRoundsCtes("jpairs", "doc_a", "doc_b")}
+          SELECT * FROM (
+            SELECT v AS doc_id, lbl AS cluster_keeper FROM cc_labels
+            UNION ALL
+            SELECT -1, -1 FROM (SELECT 1) poison
+            WHERE (SELECT n_changed FROM cc_guard) > 0)
+          ORDER BY doc_id""",
     "dedup_keep_best" ->
-      s"""WITH RECURSIVE $ShinglesSql,
+      s"""WITH $ShinglesSql,
           sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
           jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -826,16 +842,8 @@ object DedupOps {
                      JOIN sz sa ON sa.doc_id = doc_a
                      JOIN sz sb ON sb.doc_id = doc_b
                      WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3),
-          edges AS (SELECT doc_a AS s, doc_b AS t FROM jpairs
-                    UNION ALL SELECT doc_b, doc_a FROM jpairs),
-          reach(s, t) AS (
-            SELECT s, t FROM edges
-            UNION
-            SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
-          nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
-          labels AS (SELECT n.doc_id, LEAST(n.doc_id, MIN(r.t)) AS cluster_keeper
-                     FROM nodes n JOIN reach r ON r.s = n.doc_id
-                     GROUP BY n.doc_id),
+          ${ccRoundsCtes("jpairs", "doc_a", "doc_b")},
+          labels AS (SELECT v AS doc_id, lbl AS cluster_keeper FROM cc_labels),
           qb AS (SELECT doc_id, ${TextOps.QualityColsSql} FROM documents),
           rnk AS (SELECT doc_id,
                     CAST(CASE ${TextOps.QualityCaseSql}
@@ -846,8 +854,13 @@ object DedupOps {
                     ORDER BY r.q_rank, l.doc_id) AS rn,
                   CAST(COUNT(*) OVER (PARTITION BY l.cluster_keeper) AS BIGINT) AS n_docs
                 FROM labels l JOIN rnk r USING (doc_id))
-          SELECT cluster_id, doc_id AS best_doc, q_rank AS best_rank, n_docs
-          FROM j WHERE rn = 1 ORDER BY cluster_id""",
+          SELECT * FROM (
+            SELECT cluster_id, doc_id AS best_doc, q_rank AS best_rank, n_docs
+            FROM j WHERE rn = 1
+            UNION ALL
+            SELECT -1, -1, -1, CAST(-1 AS BIGINT) FROM (SELECT 1) poison
+            WHERE (SELECT n_changed FROM cc_guard) > 0)
+          ORDER BY cluster_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $ShinglesSql,
           sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -958,11 +971,23 @@ object DedupOps {
     // ≥ 3 agreeing blocks ⇒ some agreeing block PAIR), so its oracle is
     // byte-identical to the 4-block form's
     "dedup_simhash_pairs_blocked" -> SimhashPairsSql,
+    "dedup_simhash_cluster" ->
+      s"""WITH $SimhashPairChainSql,
+          ${ccRoundsCtes("spairs", "doc_a", "doc_b")}
+          SELECT * FROM (
+            SELECT v AS doc_id, lbl AS cluster_keeper FROM cc_labels
+            UNION ALL
+            SELECT -1, -1 FROM (SELECT 1) poison
+            WHERE (SELECT n_changed FROM cc_guard) > 0)
+          ORDER BY doc_id""",
   ) ++ cosineOracles
 
   // lazy: referenced by `oracles` above their definition point
-  private lazy val SimhashPairsSql =
-      s"""WITH norm AS (SELECT doc_id, $NormSql AS t FROM documents),
+  /** The simhash fingerprint + 4×16-bit pigeonhole chain, ending in the
+    * thresholded pair CTE `spairs(doc_a, doc_b, hamming)` — shared by
+    * the pair oracle and the simhash-cluster CC rounds. */
+  private lazy val SimhashPairChainSql =
+      s"""norm AS (SELECT doc_id, $NormSql AS t FROM documents),
           toks AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
           bits AS (SELECT doc_id, tok, unnest(generate_series(0, 63)) AS b FROM toks),
           c AS (SELECT doc_id, b,
@@ -983,9 +1008,12 @@ object DedupOps {
                      CAST(bit_count(xor(a.fp_hi, b.fp_hi)) +
                           bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
                    FROM blocks a JOIN blocks b
-                     ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
-          SELECT doc_a, doc_b, hamming FROM cand
-          WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+                     ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
+          spairs AS (SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3)"""
+
+  private lazy val SimhashPairsSql =
+      s"""WITH $SimhashPairChainSql
+          SELECT doc_a, doc_b, hamming FROM spairs ORDER BY doc_a, doc_b"""
 
   private lazy val cosineOracles: Map[String, String] = Map(
     // stp/smp mirror sampledCleanEmbeddings: step = 1 at every verify
@@ -1073,7 +1101,22 @@ object DedupOps {
     * same initialization-order constraint as CosineLshCtes). */
   private lazy val CcOracleRounds = 24
 
-  private lazy val semanticClusterOracle: String = {
+  /** The rounds + guard as a reusable CTE chain over ANY pair CTE
+    * `(aCol, bCol)` — ends in `cc_labels(v, lbl)` (the converged
+    * labels) and `cc_guard(n_changed)` (how many labels round R+1
+    * would still change — nonzero means unconverged). Every consumer
+    * must gate a schema-shaped poison row on cc_guard so an
+    * unconverged fixpoint fails its compare loudly. Shared by all
+    * three cluster families (jaccard, cosine, simhash) and the
+    * keeper election.
+    *
+    * cc_pairs is MATERIALIZED before edges: the UNION's two branches
+    * otherwise inline the (possibly very expensive) pair-producing
+    * chain TWICE — the simhash chain's 320M-row bits CTE evaluated
+    * doubly at sf1 spilled ~80 GB of DuckDB temp before running the
+    * disk out. Same lesson as the Spark side's localCheckpoint before
+    * self-joins: no cross-branch CSE anywhere. */
+  private def ccRoundsCtes(pairsCte: String, aCol: String, bCol: String): String = {
     val rounds = (1 to CcOracleRounds + 1).map { i =>
       val p = s"l${i - 1}"
       s"""l$i AS MATERIALIZED (
@@ -1085,20 +1128,26 @@ object DedupOps {
            LEFT JOIN $p j ON j.v = p.lbl)"""
     }.mkString(",\n          ")
     val (fin, grd) = (s"l$CcOracleRounds", s"l${CcOracleRounds + 1}")
-    s"""WITH $CosineLshCtes,
-        edges AS MATERIALIZED (SELECT vec_a AS s, vec_b AS t FROM tpairs
-                  UNION ALL SELECT vec_b, vec_a FROM tpairs),
+    s"""cc_pairs AS MATERIALIZED (SELECT $aCol AS pa, $bCol AS pb FROM $pairsCte),
+        edges AS MATERIALIZED (SELECT pa AS s, pb AS t FROM cc_pairs
+                  UNION ALL SELECT pb, pa FROM cc_pairs),
         l0 AS MATERIALIZED (SELECT s AS v, LEAST(s, MIN(t)) AS lbl
                             FROM edges GROUP BY s),
-        $rounds
+        $rounds,
+        cc_labels AS (SELECT v, lbl FROM $fin),
+        cc_guard AS (SELECT COUNT(*) AS n_changed
+                     FROM $fin a JOIN $grd b ON a.v = b.v AND a.lbl <> b.lbl)"""
+  }
+
+  private lazy val semanticClusterOracle: String =
+    s"""WITH $CosineLshCtes,
+        ${ccRoundsCtes("tpairs", "vec_a", "vec_b")}
         SELECT * FROM (
-          SELECT v AS vec_id, lbl AS cluster_keeper FROM $fin
+          SELECT v AS vec_id, lbl AS cluster_keeper FROM cc_labels
           UNION ALL
           SELECT -1, -1 FROM (SELECT 1) poison
-          WHERE EXISTS (SELECT 1 FROM $fin a JOIN $grd b
-                        ON a.v = b.v AND a.lbl <> b.lbl))
+          WHERE (SELECT n_changed FROM cc_guard) > 0)
         ORDER BY vec_id"""
-  }
 
   /** Multi-table sign-LSH candidate chain ending in the exact-verified
     * thresholded pair set `tpairs(vec_a, vec_b, sim_r)` — shared by the

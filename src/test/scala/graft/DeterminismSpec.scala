@@ -33,6 +33,7 @@ class DeterminismSpec extends SparkSpec {
     "agg_hop_count",        // dual map-side window assignment
     "agg_cumulate_count",   // step agg + explode re-agg
     "events_unique_users_kmv", // k-th min over distinct hashes (unique → total order)
+    "dedup_simhash_cluster", // CC fixpoint over the hamming pair graph
     "sim_pq_topk",          // Lloyd sorted folds + ADC shortlist + rescore rank
     "sim_ivf_pq_topk",      // IVF pair set × ADC — two approximation chains composed
     "corpus_shard_assign_incremental") // standing window + broadcast tails + append window
