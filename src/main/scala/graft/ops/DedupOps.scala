@@ -758,6 +758,68 @@ object DedupOps {
       .orderBy("cluster_id")
   }
 
+  /** Winnowed-fingerprint substring dedup (Schleimer et al., SIGMOD'03;
+    * the exact-substring class of Lee et al. 2022): detect document pairs
+    * sharing VERBATIM character spans — quotations, mirrored paragraphs,
+    * template reuse — which shingle jaccard only sees once the overlap
+    * dominates the whole document. Per document, every [[SubK]]-char
+    * window of the normalized text is polynomial-hashed (Horner mod
+    * [[SubM]], powers precomputed once in Scala and inlined as literals
+    * into BOTH engines' expressions, so the arithmetic is identical by
+    * construction); winnowing then selects, from every run of [[SubW]]
+    * consecutive window hashes, the (min hash, leftmost position) — the
+    * MOSS guarantee: any shared span of ≥ K+W−1 = 27 normalized chars
+    * yields at least one shared selected fingerprint — and since the
+    * emitted pairs require [[SubMinShared]] = 2 agreeing fingerprints
+    * (to suppress single-phrase chance collisions), the effective
+    * detection guarantee is spans ≥ K+2W−1 = 35 normalized chars, at
+    * ~2/(W+1) the density of all-positions hashing.
+    *
+    * Scale shape: hashing + selection happen entirely IN-ROW (nested
+    * transform/slice/array_min over the position sequence — K
+    * multiply-adds per char, no explode until after selection), so the
+    * scan emits only the winnowed ~2n/(W+1) fingerprints. From there it
+    * is the family's standard inverted-index plan: one shuffle on the
+    * uniform content-derived fp, hot fingerprints pruned at df >
+    * [[SubDfCap]] (broadcast left_anti, Σdf² bounded), pair counts ≥
+    * [[SubMinShared]] (calibrated on this corpus: true near-dup pairs
+    * share 22–107 fingerprints, chance word-soup phrase collisions share
+    * exactly 1). Documents shorter than K normalized chars cannot carry
+    * a detectable span and are filtered at the scan. */
+  private val SubK = 20
+  private val SubW = 8
+  private val SubM = 1000000007L
+  private val SubB = 131L
+  private val SubPows: IndexedSeq[Long] =
+    (1 until SubK).scanLeft(1L)((p, _) => p * SubB % SubM).toIndexedSeq
+  private val SubShift = 1L << 31 // key = h * shift + pos; docs to 2^31 chars
+  private val SubDfCap = 100
+  private val SubMinShared = 2
+
+  val substringWinnow: Q = (s, d) => {
+    val hsum = (0 until SubK)
+      .map(j => s"ascii(substr(nrm, i+$j, 1)) * ${SubPows(j)}L").mkString(" + ")
+    val fps = documents(s, d)
+      .select(col("doc_id"), normalizeText(col("text")).as("nrm"))
+      .where(length(col("nrm")) >= SubK)
+      .withColumn("keys", expr(
+        s"transform(sequence(1, length(nrm) - ${SubK - 1}), i -> (($hsum) % ${SubM}L) * ${SubShift}L + i)"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(
+              transform(sequence(1, greatest(size(keys) - ${SubW - 1}, 1)),
+                        t -> array_min(slice(keys, t, $SubW))),
+              k -> k div ${SubShift}L))""")).as("fp"))
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") > SubDfCap).select("fp")
+    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= SubMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_keep_best" -> keepBest,
@@ -772,6 +834,7 @@ object DedupOps {
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_simhash_pairs_blocked" -> simhashPairsBlocked(6, 2),
     "dedup_simhash_cluster" -> simhashCluster,
+    "dedup_substring" -> substringWinnow,
     "dedup_embedding_cosine" -> embeddingCosine,
     "dedup_embedding_cosine_lsh" -> embeddingCosineLsh,
     "dedup_embedding_incremental" -> embeddingIncremental,
@@ -980,6 +1043,35 @@ object DedupOps {
             SELECT -1, -1 FROM (SELECT 1) poison
             WHERE (SELECT n_changed FROM cc_guard) > 0)
           ORDER BY doc_id""",
+    // dedup_substring: the winnowed-fingerprint CTE chain mirrors
+    // substringWinnow stage for stage; the polynomial-hash literals are
+    // generated from the SAME Scala power table the Spark expression
+    // inlines, so the arithmetic cannot drift between engines.
+    "dedup_substring" -> {
+      val hsum = (0 until SubK)
+        .map(j => s"ord(substr(nrm, i+$j, 1)) * CAST(${SubPows(j)} AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH docs AS (SELECT doc_id, ${normSqlOf("text")} AS nrm FROM documents),
+          d2 AS (SELECT doc_id, nrm, length(nrm) - ${SubK - 1} AS npos
+                 FROM docs WHERE length(nrm) >= $SubK),
+          pos AS (SELECT doc_id, nrm, npos,
+                    unnest(generate_series(1, npos)) AS i FROM d2),
+          keys AS (SELECT doc_id, npos, i,
+                     (($hsum) % $SubM) * CAST($SubShift AS BIGINT) + i AS key
+                   FROM pos),
+          sel AS (SELECT DISTINCT doc_id,
+                    (min(key) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND ${SubW - 1} FOLLOWING))
+                      // CAST($SubShift AS BIGINT) AS fp
+                  FROM keys QUALIFY i <= greatest(npos - ${SubW - 1}, 1)),
+          df AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp),
+          kept AS (SELECT doc_id, fp FROM sel JOIN df USING (fp)
+                   WHERE df <= $SubDfCap)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= $SubMinShared
+          ORDER BY doc_a, doc_b"""
+    },
   ) ++ cosineOracles
 
   // lazy: referenced by `oracles` above their definition point

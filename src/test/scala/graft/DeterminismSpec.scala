@@ -36,7 +36,8 @@ class DeterminismSpec extends SparkSpec {
     "dedup_simhash_cluster", // CC fixpoint over the hamming pair graph
     "sim_pq_topk",          // Lloyd sorted folds + ADC shortlist + rescore rank
     "sim_ivf_pq_topk",      // IVF pair set × ADC — two approximation chains composed
-    "corpus_shard_assign_incremental") // standing window + broadcast tails + append window
+    "corpus_shard_assign_incremental", // standing window + broadcast tails + append window
+    "dedup_substring")      // winnowed fp inverted index + df cap + pair counts
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

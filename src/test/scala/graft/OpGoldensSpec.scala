@@ -38,6 +38,24 @@ class OpGoldensSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0, 0.0)))
   }
 
+  test("dedup_substring: the winnowing guarantee — a 35+-char shared span pairs, across formatting") {
+    // span of 60 normalized chars >> K+2W-1 = 35, so >= 2 winnowed
+    // fingerprints are guaranteed shared; doc 2 carries it with different
+    // case + punctuation (the normalize path), doc 3 is unrelated, doc 4
+    // shares only a sub-K fragment (undetectable by construction).
+    val span = "the quick brown fox jumps over the lazy dog again and again"
+    val dir = writeDocs(Seq(
+      Row(1L, s"alpha beta gamma delta $span epsilon zeta", "en", "s0", 100L),
+      Row(2L, s"omega psi chi THE, Quick!! brown fox jumps over the lazy dog again and again phi", "en", "s0", 100L),
+      Row(3L, "one two three four five six seven eight nine ten eleven twelve", "en", "s0", 62L),
+      Row(4L, "quick brown cat sleeps here unrelated words follow for padding", "en", "s0", 62L)))
+    val pairs = ops.DedupOps.substringWinnow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"guaranteed span pair missing: $pairs")
+    assert(pairs((1L, 2L)) >= 2, s"min-shared floor: $pairs")
+    assert(pairs.keySet == Set((1L, 2L)), s"unrelated docs paired: $pairs")
+  }
+
   test("hop windows: null event_type buckets, null ts drops — in both engines' shared semantics") {
     // the corrupt gauntlet pins no-throw only; this pins the SHAPE: a
     // null-ts event must vanish (the guard both engines spell out) and

@@ -254,6 +254,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("simhash_fp") || plan.contains("SimHashFingerprint"), plan)
   }
 
+  test("dedup_substring: fingerprinting is in-row; hot-fp prune broadcasts; one fp-keyed pair join") {
+    val plan = finalPlan(graft.ops.DedupOps.substringWinnow(spark, d))
+    // the winnow selection must never explode raw positions into an
+    // exchange: every hashpartitioning key is the content-derived fp (or
+    // the pair group) — a plan shuffling on doc_id or position would be
+    // the all-positions formulation this operator exists to avoid
+    val hashParts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(hashParts.nonEmpty && hashParts.forall(k => k.contains("fp") || k.contains("doc_id")),
+      s"unexpected shuffle keys $hashParts in:\n$plan")
+    // the df-cap prune is a broadcast left_anti, not a shuffled join
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
   test("sim_q8_topk scores integer dots under the bounded top-k shape") {
     val plan = finalPlan(graft.ops.SimOps.queries("sim_q8_topk")(spark, d))
     // broadcast queries (corpus never shuffles for the join) and the
