@@ -775,10 +775,14 @@ object DedupOps {
     * detection guarantee is spans ≥ K+2W−1 = 35 normalized chars, at
     * ~2/(W+1) the density of all-positions hashing.
     *
-    * Scale shape: hashing + selection happen entirely IN-ROW (nested
-    * transform/slice/array_min over the position sequence — K
-    * multiply-adds per char, no explode until after selection), so the
-    * scan emits only the winnowed ~2n/(W+1) fingerprints. From there it
+    * Scale shape: hashing + selection happen entirely IN-ROW — the
+    * one-pass [[graft.expressions.WinnowedFingerprints]] expression
+    * (rolling Horner hash + monotonic-deque window minimum, O(n) per
+    * document; the declarative transform-chain spelling is kept as
+    * [[winnowFpsDeclarative]] and parity-pinned, but is O(n²·k) because
+    * substr re-scans the UTF-8 prefix — measured 110 s vs ~2 s at
+    * sf0.1), so the scan emits only the winnowed ~2n/(W+1)
+    * fingerprints. From there it
     * is the family's standard inverted-index plan: one shuffle on the
     * uniform content-derived fp, hot fingerprints pruned at df >
     * [[SubDfCap]] (broadcast left_anti, Σdf² bounded), pair counts ≥
@@ -788,18 +792,23 @@ object DedupOps {
     * a detectable span and are filtered at the scan. */
   private val SubK = 20
   private val SubW = 8
-  private val SubM = 1000000007L
-  private val SubB = 131L
+  private val SubM = graft.expressions.WinnowedFingerprints.M
+  private val SubB = graft.expressions.WinnowedFingerprints.B
   private val SubPows: IndexedSeq[Long] =
     (1 until SubK).scanLeft(1L)((p, _) => p * SubB % SubM).toIndexedSeq
-  private val SubShift = 1L << 31 // key = h * shift + pos; docs to 2^31 chars
+  private val SubShift = graft.expressions.WinnowedFingerprints.Shift
   private val SubDfCap = 100
   private val SubMinShared = 2
 
-  val substringWinnow: Q = (s, d) => {
+  /** The declarative spelling of the fingerprint stage — value-identical
+    * to the one-pass expression by the OpGoldensSpec parity pin, kept as
+    * the executable specification (it is also, structurally, the DuckDB
+    * oracle CTE chain). O(n²·k) per document (substr re-scans the UTF-8
+    * prefix per call) — never use in the registered operator. */
+  private[graft] def winnowFpsDeclarative(s: SparkSession, d: String): DataFrame = {
     val hsum = (0 until SubK)
       .map(j => s"ascii(substr(nrm, i+$j, 1)) * ${SubPows(j)}L").mkString(" + ")
-    val fps = documents(s, d)
+    documents(s, d)
       .select(col("doc_id"), normalizeText(col("text")).as("nrm"))
       .where(length(col("nrm")) >= SubK)
       .withColumn("keys", expr(
@@ -809,6 +818,13 @@ object DedupOps {
               transform(sequence(1, greatest(size(keys) - ${SubW - 1}, 1)),
                         t -> array_min(slice(keys, t, $SubW))),
               k -> k div ${SubShift}L))""")).as("fp"))
+  }
+
+  val substringWinnow: Q = (s, d) => {
+    graft.expressions.WinnowedFingerprints.register(s)
+    val fps = documents(s, d)
+      .select(col("doc_id"),
+        explode(expr(s"winnow_fps(text, $SubK, $SubW)")).as("fp"))
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") > SubDfCap).select("fp")
     val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")

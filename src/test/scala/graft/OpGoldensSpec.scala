@@ -56,6 +56,22 @@ class OpGoldensSpec extends SparkSpec {
     assert(pairs.keySet == Set((1L, 2L)), s"unrelated docs paired: $pairs")
   }
 
+  test("winnow_fps expression == declarative transform chain on the harness corpus") {
+    // the one-pass rolling-hash expression must reproduce the
+    // declarative (and oracle-mirrored) formulation EXACTLY — every
+    // (doc_id, fp) row, both directions
+    val d = "/root/testdata/sf0.001"
+    graft.expressions.WinnowedFingerprints.register(spark)
+    val fast = graft.ops.DedupOps.queries("dedup_exact") // force object init
+    val expr = graft.Tables.documents(spark, d)
+      .selectExpr("doc_id", "explode(winnow_fps(text, 20, 8)) AS fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val decl = graft.ops.DedupOps.winnowFpsDeclarative(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expr == decl, s"diff: ${(expr diff decl).take(5)} / ${(decl diff expr).take(5)}")
+    assert(expr.nonEmpty)
+  }
+
   test("hop windows: null event_type buckets, null ts drops — in both engines' shared semantics") {
     // the corrupt gauntlet pins no-throw only; this pins the SHAPE: a
     // null-ts event must vanish (the guard both engines spell out) and
