@@ -790,15 +790,17 @@ object DedupOps {
     * share 22–107 fingerprints, chance word-soup phrase collisions share
     * exactly 1). Documents shorter than K normalized chars cannot carry
     * a detectable span and are filtered at the scan. */
-  private val SubK = 20
-  private val SubW = 8
+  // private[graft]: shared with graft.streaming.StreamingSubstring so
+  // the ingest twin can never drift from the batch operator's parameters
+  private[graft] val SubK = 20
+  private[graft] val SubW = 8
   private val SubM = graft.expressions.WinnowedFingerprints.M
   private val SubB = graft.expressions.WinnowedFingerprints.B
   private val SubPows: IndexedSeq[Long] =
     (1 until SubK).scanLeft(1L)((p, _) => p * SubB % SubM).toIndexedSeq
   private val SubShift = graft.expressions.WinnowedFingerprints.Shift
-  private val SubDfCap = 100
-  private val SubMinShared = 2
+  private[graft] val SubDfCap = 100
+  private[graft] val SubMinShared = 2
 
   /** The declarative spelling of the fingerprint stage — value-identical
     * to the one-pass expression by the OpGoldensSpec parity pin, kept as

@@ -1099,4 +1099,99 @@ class TwinReplaySpec extends SparkSpec {
     assert(streamed == shardBatchLayout("corpus_shard_assign"),
       s"restarted shard layout (${streamed.size} docs) != batch")
   }
+
+  private def substringBatchPairs(): Set[(Long, Long, Long)] =
+    SparkEntry.queries("dedup_substring")(spark, D).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def substringFinalize(hits: Seq[org.apache.spark.sql.Row]): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    graft.streaming.StreamingSubstring.finalizePairs(
+      hits.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("doc_a", "doc_b", "fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("twin replay: streaming substring hits over chunked MemoryStream, finalized == batch dedup_substring") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = simhashDocRows() // same (doc_id, text, eventTime) feed
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "us")
+      .select(col("doc_id"), col("text"), timestamp_micros(col("us")).as("eventTime"))
+    val q = graft.streaming.StreamingSubstring.hits(docs, "30 days").writeStream
+      .format("memory").queryName("substring_twin").outputMode("append").start()
+    try {
+      rows.grouped(math.max(rows.size / NChunks, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // the per-(pair, fp) hit stream must be duplicate-free (the
+      // exactly-once claim of the bucket-local emitter), THEN the
+      // stateless fold must reproduce the batch pair set
+      val hitRows = spark.table("substring_twin").collect()
+      val hitKeys = hitRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(hitKeys.length == hitKeys.distinct.length,
+        s"duplicate (pair, fp) hits in the stream")
+      val streamed = substringFinalize(hitRows.toSeq)
+      val batch = substringBatchPairs()
+      assert(streamed == batch,
+        s"streamed substring pairs (${streamed.size}) != batch (${batch.size}); " +
+          s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
+
+  test("restart replay: streaming substring killed between every chunk, finalized == batch dedup_substring") {
+    val rows = simhashDocRows()
+    import spark.implicits._
+    val json = rows.map { case (id, text, us) =>
+      Seq((id, text, us)).toDF("doc_id", "text", "us")
+        .select(to_json(struct(col("doc_id"), col("text"), col("us")))).head().getString(0)
+    }
+    val out = restartReplay("substring", json, Seq.empty,
+      "doc_id LONG, text STRING, us LONG") { df =>
+      graft.streaming.StreamingSubstring.hits(
+        df.select(col("doc_id"), col("text"),
+          timestamp_micros(col("us")).as("eventTime")), "30 days").toDF()
+    }
+    val streamed = substringFinalize(out)
+    val batch = substringBatchPairs()
+    assert(streamed == batch,
+      s"restarted substring pairs (${streamed.size}) != batch (${batch.size})")
+  }
+
+  test("streaming substring horizon: a duplicated span arriving past the horizon is NOT reported") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // identical 60-char sentences an hour apart, horizon 1 second: the
+    // original's fingerprint buckets expired before the twin arrived —
+    // the documented lambda-split trade, pinned. The in-horizon control
+    // also pins that identical text yields >= 2 winnowed fingerprints
+    // (the MinShared floor is reachable).
+    val span = "the quick brown fox jumps over the lazy dog again and again"
+    val base = 1700000000000000L
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "us")
+      .select(col("doc_id"), col("text"), timestamp_micros(col("us")).as("eventTime"))
+    val q = graft.streaming.StreamingSubstring.hits(docs, "1 second").writeStream
+      .format("memory").queryName("substring_horizon").outputMode("append").start()
+    try {
+      input.addData((1L, span, base))
+      q.processAllAvailable()
+      input.addData((99L, "unrelated filler words here nothing shared at all", base + 1800L * 1000000L))
+      q.processAllAvailable()
+      input.addData((2L, span, base + 3600L * 1000000L))
+      q.processAllAvailable()
+      val afterLate = substringFinalize(spark.table("substring_horizon").collect().toSeq)
+      assert(!afterLate.exists(p => p._1 == 1L && p._2 == 2L),
+        s"the expired original must not pair with its late twin: $afterLate")
+      // control: the same twin INSIDE the horizon does pair, with the
+      // full shared-fingerprint count
+      input.addData((3L, span, base + 3600L * 1000000L + 500000L))
+      q.processAllAvailable()
+      val withControl = substringFinalize(spark.table("substring_horizon").collect().toSeq)
+      assert(withControl.exists(p => p._1 == 2L && p._2 == 3L && p._3 >= 2L),
+        s"an in-horizon twin must pair with >= 2 shared fingerprints: $withControl")
+    } finally q.stop()
+  }
 }
