@@ -838,6 +838,48 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental substring dedup — the lambda-ingest form of
+    * [[substringWinnow]] (family split convention: even doc_ids are the
+    * standing corpus, odd the new batch): for each INGESTED document,
+    * how many standing documents and how many earlier-batch documents
+    * (smaller odd id) share ≥ [[SubMinShared]] winnowed fingerprints —
+    * the admission decision a curation pipeline makes before a document
+    * enters the corpus, the same report shape as
+    * [[embeddingIncremental]]. Per-batch cost ∝ batch fingerprints ×
+    * df(≤ [[SubDfCap]]), never corpus²: the probe side of the fp join
+    * is the BATCH's fingerprints only; the standing side is the
+    * inverted index the batch operator already maintains (and the
+    * streaming form holds in bucket state). Documents too short to
+    * fingerprint (< K normalized chars) cannot carry a detectable span
+    * and are admitted with zero matches. */
+  val substringIncremental: Q = (s, d) => {
+    graft.expressions.WinnowedFingerprints.register(s)
+    val fps = documents(s, d)
+      .select(col("doc_id"),
+        explode(expr(s"winnow_fps(text, $SubK, $SubW)")).as("fp"))
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") > SubDfCap).select("fp")
+    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val probe = kept.where(col("doc_id") % 2 === 1)
+    val matches = probe.as("a")
+      .join(kept.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("v"), col("b.doc_id").as("partner"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= SubMinShared)
+    val perDoc = matches.groupBy("v").agg(
+      sum(when(col("partner") % 2 === 0, 1L).otherwise(0L)).as("cm"),
+      sum(when(col("partner") % 2 === 1 && col("partner") < col("v"), 1L)
+        .otherwise(0L)).as("bm"))
+    documents(s, d).select(col("doc_id")).where(col("doc_id") % 2 === 1)
+      .join(perDoc, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cm"), lit(0L)).as("n_corpus_dups"),
+        coalesce(col("bm"), lit(0L)).as("n_earlier_batch_dups"))
+      .withColumn("kept",
+        col("n_corpus_dups") === 0 && col("n_earlier_batch_dups") === 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_keep_best" -> keepBest,
@@ -853,6 +895,7 @@ object DedupOps {
     "dedup_simhash_pairs_blocked" -> simhashPairsBlocked(6, 2),
     "dedup_simhash_cluster" -> simhashCluster,
     "dedup_substring" -> substringWinnow,
+    "dedup_substring_incremental" -> substringIncremental,
     "dedup_embedding_cosine" -> embeddingCosine,
     "dedup_embedding_cosine_lsh" -> embeddingCosineLsh,
     "dedup_embedding_incremental" -> embeddingIncremental,
@@ -1089,6 +1132,43 @@ object DedupOps {
           FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING count(*) >= $SubMinShared
           ORDER BY doc_a, doc_b"""
+    },
+    "dedup_substring_incremental" -> {
+      val hsum = (0 until SubK)
+        .map(j => s"ord(substr(nrm, i+$j, 1)) * CAST(${SubPows(j)} AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH docs AS (SELECT doc_id, ${normSqlOf("text")} AS nrm FROM documents),
+          d2 AS (SELECT doc_id, nrm, length(nrm) - ${SubK - 1} AS npos
+                 FROM docs WHERE length(nrm) >= $SubK),
+          pos AS (SELECT doc_id, nrm, npos,
+                    unnest(generate_series(1, npos)) AS i FROM d2),
+          keys AS (SELECT doc_id, npos, i,
+                     (($hsum) % $SubM) * CAST($SubShift AS BIGINT) + i AS key
+                   FROM pos),
+          sel AS (SELECT DISTINCT doc_id,
+                    (min(key) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND ${SubW - 1} FOLLOWING))
+                      // CAST($SubShift AS BIGINT) AS fp
+                  FROM keys QUALIFY i <= greatest(npos - ${SubW - 1}, 1)),
+          df AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp),
+          kept AS (SELECT doc_id, fp FROM sel JOIN df USING (fp)
+                   WHERE df <= $SubDfCap),
+          matches AS (SELECT a.doc_id AS v, b.doc_id AS partner
+                      FROM kept a JOIN kept b
+                        ON a.fp = b.fp AND a.doc_id <> b.doc_id
+                      WHERE a.doc_id % 2 = 1
+                      GROUP BY 1, 2 HAVING count(*) >= $SubMinShared),
+          per_doc AS (SELECT v,
+                        SUM(CASE WHEN partner % 2 = 0 THEN 1 ELSE 0 END) AS cm,
+                        SUM(CASE WHEN partner % 2 = 1 AND partner < v THEN 1 ELSE 0 END) AS bm
+                      FROM matches GROUP BY v)
+          SELECT d.doc_id,
+                 CAST(COALESCE(cm, 0) AS BIGINT) AS n_corpus_dups,
+                 CAST(COALESCE(bm, 0) AS BIGINT) AS n_earlier_batch_dups,
+                 (COALESCE(cm, 0) = 0 AND COALESCE(bm, 0) = 0) AS kept
+          FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.v
+          WHERE d.doc_id % 2 = 1
+          ORDER BY d.doc_id"""
     },
   ) ++ cosineOracles
 
