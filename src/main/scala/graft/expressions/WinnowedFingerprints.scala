@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * CodegenFallback is fine here: one virtual call per ROW; the tight
   * char loop dominates, unlike per-element lambda dispatch.
   */
-case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
+case class WinnowedFingerprints(child: Expression, k: Int, w: Int,
+    withPos: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
@@ -38,7 +39,7 @@ case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
   import WinnowedFingerprints.{B, M, Shift}
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "winnow_fps"
+  override def prettyName: String = if (withPos) "winnow_keys" else "winnow_fps"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -94,11 +95,11 @@ case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
       dq(tail) = q; tail += 1
       if (q >= w - 1) {
         while (dq(head) < q - w + 1) head += 1
-        out.add(h(dq(head)))
+        out.add(if (withPos) key(dq(head)) else h(dq(head)))
       }
       q += 1
     }
-    if (npos < w) out.add(h(dq(head)))
+    if (npos < w) out.add(if (withPos) key(dq(head)) else h(dq(head)))
     val arr = new Array[Any](out.size)
     val it = out.iterator()
     var o = 0
@@ -120,13 +121,22 @@ object WinnowedFingerprints {
     * the leftmost position; supports documents to 2^31 normalized chars. */
   val Shift: Long = 1L << 31
 
-  /** Register as a SQL function taking (text, k, w) with literal ints. */
+  /** Register as SQL functions taking (text, k, w) with literal ints:
+    * `winnow_fps` returns the distinct selected hashes (the pair-dedup
+    * input); `winnow_keys` the distinct selected hash·Shift+position
+    * keys (the span-map input — position recovers as key % Shift). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fps",
       exprs => WinnowedFingerprints(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int]),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_keys",
+      exprs => WinnowedFingerprints(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int], withPos = true),
       "built-in")
   }
 }

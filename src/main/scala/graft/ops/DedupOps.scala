@@ -880,6 +880,52 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span map — the position-level report behind
+    * [[substringWinnow]] and the direct input to Lee-et-al-style span
+    * EXCISION (their pipeline removes the duplicated region, not the
+    * document): per document, the merged character intervals of the
+    * NORMALIZED text covered by winnowed fingerprints that also occur
+    * in at least one OTHER document (2 ≤ df ≤ [[SubDfCap]] — a phrase
+    * repeated only within one document is not cross-doc duplication).
+    * Winnowing selects a fingerprint at least every [[SubW]] positions,
+    * and W < K, so consecutive shared k-gram windows inside a long
+    * verbatim span always overlap and merge into ONE island; island
+    * edges are approximate within ~K+W chars — the price of hashing
+    * 2/(W+1) of positions instead of all of them.
+    *
+    * Plan: the same in-row winnow pass (position-carrying variant),
+    * one fp-keyed df aggregate, a semi join back, then a per-doc
+    * gaps-and-islands window (lag + running sum — state per doc is one
+    * row, the window key is the uniform doc_id). */
+  val substringSpans: Q = (s, d) => {
+    graft.expressions.WinnowedFingerprints.register(s)
+    val keys = documents(s, d)
+      .select(col("doc_id"),
+        explode(expr(s"winnow_keys(text, $SubK, $SubW)")).as("key"))
+      .select(col("doc_id"), expr(s"key div ${SubShift}L").as("fp"),
+        (col("key") % SubShift).cast("int").as("pos"))
+    val shared = keys.groupBy("fp")
+      .agg(countDistinct("doc_id").as("df_docs"))
+      .where(col("df_docs") >= 2 && col("df_docs") <= SubDfCap)
+      .select("fp")
+    val hits = keys.join(shared, Seq("fp"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    hits
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("ni",
+        when(col("prev").isNull || col("pos") - col("prev") > SubK, 1L).otherwise(0L))
+      .withColumn("island", sum("ni").over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(SubK - 1)).as("span_end"),
+        count(lit(1)).as("n_fps"))
+      .select("doc_id", "span_start", "span_end", "n_fps")
+      .orderBy("doc_id", "span_start")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_keep_best" -> keepBest,
@@ -896,6 +942,7 @@ object DedupOps {
     "dedup_simhash_cluster" -> simhashCluster,
     "dedup_substring" -> substringWinnow,
     "dedup_substring_incremental" -> substringIncremental,
+    "dedup_substring_spans" -> substringSpans,
     "dedup_embedding_cosine" -> embeddingCosine,
     "dedup_embedding_cosine_lsh" -> embeddingCosineLsh,
     "dedup_embedding_incremental" -> embeddingIncremental,
@@ -1169,6 +1216,42 @@ object DedupOps {
           FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.v
           WHERE d.doc_id % 2 = 1
           ORDER BY d.doc_id"""
+    },
+    "dedup_substring_spans" -> {
+      val hsum = (0 until SubK)
+        .map(j => s"ord(substr(nrm, i+$j, 1)) * CAST(${SubPows(j)} AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH docs AS (SELECT doc_id, ${normSqlOf("text")} AS nrm FROM documents),
+          d2 AS (SELECT doc_id, nrm, length(nrm) - ${SubK - 1} AS npos
+                 FROM docs WHERE length(nrm) >= $SubK),
+          pos AS (SELECT doc_id, nrm, npos,
+                    unnest(generate_series(1, npos)) AS i FROM d2),
+          keys AS (SELECT doc_id, npos, i,
+                     (($hsum) % $SubM) * CAST($SubShift AS BIGINT) + i AS key
+                   FROM pos),
+          sel AS (SELECT DISTINCT doc_id,
+                    min(key) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND ${SubW - 1} FOLLOWING) AS selkey
+                  FROM keys QUALIFY i <= greatest(npos - ${SubW - 1}, 1)),
+          fpp AS (SELECT doc_id, selkey // CAST($SubShift AS BIGINT) AS fp,
+                    CAST(selkey % CAST($SubShift AS BIGINT) AS INT) AS pos
+                  FROM sel),
+          shared AS (SELECT fp FROM fpp GROUP BY fp
+                     HAVING count(DISTINCT doc_id) BETWEEN 2 AND $SubDfCap),
+          hits AS (SELECT doc_id, pos FROM fpp SEMI JOIN shared USING (fp)),
+          isl AS (SELECT doc_id, pos,
+                    CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos - lag(pos) OVER w > $SubK THEN 1 ELSE 0 END AS ni
+                  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          isl2 AS (SELECT doc_id, pos,
+                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+                   FROM isl)
+          SELECT doc_id, MIN(pos) AS span_start,
+                 MAX(pos) + ${SubK - 1} AS span_end,
+                 count(*) AS n_fps
+          FROM isl2 GROUP BY doc_id, island
+          ORDER BY doc_id, span_start"""
     },
   ) ++ cosineOracles
 

@@ -38,7 +38,8 @@ class DeterminismSpec extends SparkSpec {
     "sim_ivf_pq_topk",      // IVF pair set × ADC — two approximation chains composed
     "corpus_shard_assign_incremental", // standing window + broadcast tails + append window
     "dedup_substring",      // winnowed fp inverted index + df cap + pair counts
-    "dedup_substring_incremental") // batch-probe fp join + admission aggregate
+    "dedup_substring_incremental", // batch-probe fp join + admission aggregate
+    "dedup_substring_spans") // per-doc gaps-and-islands over shared fp positions
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

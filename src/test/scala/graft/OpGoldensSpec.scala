@@ -56,6 +56,39 @@ class OpGoldensSpec extends SparkSpec {
     assert(pairs.keySet == Set((1L, 2L)), s"unrelated docs paired: $pairs")
   }
 
+  test("dedup_substring_spans: two duplicated regions map to two islands with faithful bounds") {
+    // doc 1 carries two distinct 60-char spans separated by unique
+    // text; doc 2 shares both (in different contexts). The span map
+    // must report exactly two islands for doc 1, each inside its
+    // planted region and covering its interior (edges approximate
+    // within ~K+W = 28 chars — the documented winnowing trade), and
+    // must NOT bridge across the unique middle.
+    val s1 = "the quick brown fox jumps over the lazy dog again and again"
+    val s2 = "pack my box with five dozen liquor jugs every single day now"
+    val uA = "aq bq cq dq eq fq gq hq iq jq kq lq mq n"
+    val uB = "oq pq qq rq sq tq uq vq wq xq yq zq a1 b"
+    val uC = "c1 d1 e1 f1 g1 h1 i1 j1 k1 l1 m1 n1 o1 p"
+    val doc1 = s"$uA $s1 $uB $s2 $uC"
+    val doc2 = s"zz yy xx $s1 ww vv $s2 uu tt"
+    val dir = writeDocs(Seq(
+      Row(1L, doc1, "en", "s0", doc1.length.toLong),
+      Row(2L, doc2, "en", "s0", doc2.length.toLong)))
+    val spans = ops.DedupOps.substringSpans(spark, dir).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(spans.length == 2, s"expected two islands for doc 1: ${spans.toSeq}")
+    // planted 1-based normalized positions in doc 1 (pre-normalized text)
+    val s1a = uA.length + 2
+    val s1b = s1a + s1.length - 1
+    val s2a = s1b + uB.length + 3
+    val s2b = s2a + s2.length - 1
+    val Seq((a1, b1, n1), (a2, b2, n2)) = spans.sortBy(_._1).toSeq
+    assert(a1 >= s1a && b1 <= s1b && a1 <= s1a + 28 && b1 >= s1b - 28 && n1 >= 2,
+      s"island 1 ($a1,$b1,$n1) vs planted ($s1a,$s1b)")
+    assert(a2 >= s2a && b2 <= s2b && a2 <= s2a + 28 && b2 >= s2b - 28 && n2 >= 2,
+      s"island 2 ($a2,$b2,$n2) vs planted ($s2a,$s2b)")
+  }
+
   test("winnow_fps expression == declarative transform chain on the harness corpus") {
     // the one-pass rolling-hash expression must reproduce the
     // declarative (and oracle-mirrored) formulation EXACTLY — every
