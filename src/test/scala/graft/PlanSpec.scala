@@ -267,6 +267,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
   }
 
+  test("dedup_substring_spans: islands window partitions on doc_id; shared-fp filter is a semi join") {
+    val plan = finalPlan(graft.ops.DedupOps.substringSpans(spark, d))
+    // the gaps-and-islands pass must run per-document (uniform window
+    // key), never as an unpartitioned global window
+    assert(plan.contains("Window") && !plan.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"islands window must partition:\n$plan")
+    assert("hashpartitioning\\(doc_id".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("sim_q8_topk scores integer dots under the bounded top-k shape") {
     val plan = finalPlan(graft.ops.SimOps.queries("sim_q8_topk")(spark, d))
     // broadcast queries (corpus never shuffles for the join) and the
