@@ -926,6 +926,71 @@ object DedupOps {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Duplicated-span EXCISION — the step Lee et al. 2022 actually run
+    * (they cut the duplicated region out of the corpus, not the
+    * document): per document, the normalized text with every
+    * cross-doc-duplicated island removed UNLESS this document is the
+    * region's first occurrence. Keep-first policy at island
+    * granularity: each shared fingerprint's owner is the minimum doc_id
+    * holding it; an island is removed iff the minimum owner across its
+    * fingerprints is an EARLIER document — so exactly one copy of every
+    * duplicated region survives (the earliest), the same first-wins
+    * convention as [[exact]]'s keeper election.
+    *
+    * Plan: the [[substringSpans]] chain plus one tiny per-fp min-doc
+    * aggregate joined into the island window (same doc_id exchange);
+    * the splice itself is in-row — sorted disjoint islands folded over
+    * the normalized text with one aggregate() pass (islands are
+    * disjoint by construction: islands split at position gaps > K, so
+    * char intervals never overlap). Docs with no removed islands pass
+    * through unchanged; docs too short to fingerprint pass through
+    * whole. */
+  val substringExcise: Q = (s, d) => {
+    graft.expressions.WinnowedFingerprints.register(s)
+    val keys = documents(s, d)
+      .select(col("doc_id"),
+        explode(expr(s"winnow_keys(text, $SubK, $SubW)")).as("key"))
+      .select(col("doc_id"), expr(s"key div ${SubShift}L").as("fp"),
+        (col("key") % SubShift).cast("int").as("pos"))
+    val fpOwn = keys.groupBy("fp")
+      .agg(countDistinct("doc_id").as("df_docs"), min("doc_id").as("fp_owner"))
+      .where(col("df_docs") >= 2 && col("df_docs") <= SubDfCap)
+      .select("fp", "fp_owner")
+    val hits = keys.join(fpOwn, Seq("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val removed = hits
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("ni",
+        when(col("prev").isNull || col("pos") - col("prev") > SubK, 1L).otherwise(0L))
+      .withColumn("island", sum("ni").over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), (max("pos") + lit(SubK - 1)).as("e"),
+        min("fp_owner").as("own"))
+      .where(col("own") < col("doc_id"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("isl"),
+        count(lit(1)).as("n_removed"))
+    documents(s, d)
+      .select(col("doc_id"), normalizeText(col("text")).as("nrm"))
+      .join(removed, Seq("doc_id"), "left")
+      .withColumn("isl", coalesce(col("isl"),
+        expr("CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)")))
+      .withColumn("clean_text", expr(
+        """concat(
+             aggregate(isl, named_struct('p', 0, 'acc', ''),
+               (st, x) -> named_struct('p', x.e,
+                 'acc', concat(st.acc, substr(nrm, st.p + 1, x.s - st.p - 1))),
+               st -> st.acc),
+             substr(nrm, if(size(isl) = 0, 0, element_at(isl, -1).e) + 1))"""))
+      .select(col("doc_id"), coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (length(col("nrm")) - length(col("clean_text"))).cast("long").as("removed_chars"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_keep_best" -> keepBest,
@@ -943,6 +1008,7 @@ object DedupOps {
     "dedup_substring" -> substringWinnow,
     "dedup_substring_incremental" -> substringIncremental,
     "dedup_substring_spans" -> substringSpans,
+    "dedup_substring_excise" -> substringExcise,
     "dedup_embedding_cosine" -> embeddingCosine,
     "dedup_embedding_cosine_lsh" -> embeddingCosineLsh,
     "dedup_embedding_incremental" -> embeddingIncremental,
@@ -1252,6 +1318,60 @@ object DedupOps {
                  count(*) AS n_fps
           FROM isl2 GROUP BY doc_id, island
           ORDER BY doc_id, span_start"""
+    },
+    // dedup_substring_excise: the spans chain + per-fp min-doc
+    // ownership; the splice is lag-segments + ordered string_agg where
+    // Spark folds sorted islands in-row — same segments, same clean text
+    "dedup_substring_excise" -> {
+      val hsum = (0 until SubK)
+        .map(j => s"ord(substr(nrm, i+$j, 1)) * CAST(${SubPows(j)} AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH docs AS (SELECT doc_id, ${normSqlOf("text")} AS nrm FROM documents),
+          d2 AS (SELECT doc_id, nrm, length(nrm) - ${SubK - 1} AS npos
+                 FROM docs WHERE length(nrm) >= $SubK),
+          pos AS (SELECT doc_id, nrm, npos,
+                    unnest(generate_series(1, npos)) AS i FROM d2),
+          keys AS (SELECT doc_id, npos, i,
+                     (($hsum) % $SubM) * CAST($SubShift AS BIGINT) + i AS key
+                   FROM pos),
+          sel AS (SELECT DISTINCT doc_id,
+                    min(key) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND ${SubW - 1} FOLLOWING) AS selkey
+                  FROM keys QUALIFY i <= greatest(npos - ${SubW - 1}, 1)),
+          fpp AS (SELECT doc_id, selkey // CAST($SubShift AS BIGINT) AS fp,
+                    CAST(selkey % CAST($SubShift AS BIGINT) AS INT) AS pos
+                  FROM sel),
+          fpown AS (SELECT fp, MIN(doc_id) AS fp_owner FROM fpp GROUP BY fp
+                    HAVING count(DISTINCT doc_id) BETWEEN 2 AND $SubDfCap),
+          hits AS (SELECT doc_id, pos, fp_owner FROM fpp JOIN fpown USING (fp)),
+          isl AS (SELECT doc_id, pos, fp_owner,
+                    CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos - lag(pos) OVER w > $SubK THEN 1 ELSE 0 END AS ni
+                  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          isl2 AS (SELECT doc_id, pos, fp_owner,
+                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+                   FROM isl),
+          rem AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${SubK - 1} AS e
+                  FROM isl2 GROUP BY doc_id, island
+                  HAVING MIN(fp_owner) < doc_id),
+          segs AS (SELECT doc_id, s, e,
+                     lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+                   FROM rem),
+          asm AS (SELECT g.doc_id,
+                    string_agg(substr(d.nrm, g.pe + 1, g.s - g.pe - 1), ''
+                      ORDER BY g.s) AS headseg,
+                    MAX(g.e) AS maxe, COUNT(*) AS n_removed
+                  FROM segs g JOIN docs d ON d.doc_id = g.doc_id
+                  GROUP BY g.doc_id)
+          SELECT d.doc_id,
+                 CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+                 length(d.nrm) - length(CASE WHEN a.doc_id IS NULL THEN d.nrm
+                   ELSE a.headseg || substr(d.nrm, a.maxe + 1) END) AS removed_chars,
+                 CASE WHEN a.doc_id IS NULL THEN d.nrm
+                   ELSE a.headseg || substr(d.nrm, a.maxe + 1) END AS clean_text
+          FROM docs d LEFT JOIN asm a ON d.doc_id = a.doc_id
+          ORDER BY d.doc_id"""
     },
   ) ++ cosineOracles
 

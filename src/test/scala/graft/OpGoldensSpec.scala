@@ -89,6 +89,33 @@ class OpGoldensSpec extends SparkSpec {
       s"island 2 ($a2,$b2,$n2) vs planted ($s2a,$s2b)")
   }
 
+  test("dedup_substring_excise: first occurrence keeps its text; the later copy loses both regions") {
+    // same two-region fixture as the spans golden: doc 1 is the owner
+    // (min doc_id on every shared fingerprint) and must pass through
+    // UNCHANGED; doc 2 must lose both duplicated regions but keep its
+    // own unique context around them
+    val s1 = "the quick brown fox jumps over the lazy dog again and again"
+    val s2 = "pack my box with five dozen liquor jugs every single day now"
+    val uA = "aq bq cq dq eq fq gq hq iq jq kq lq mq n"
+    val uB = "oq pq qq rq sq tq uq vq wq xq yq zq a1 b"
+    val uC = "c1 d1 e1 f1 g1 h1 i1 j1 k1 l1 m1 n1 o1 p"
+    val doc1 = s"$uA $s1 $uB $s2 $uC"
+    val doc2 = s"zz yy xx $s1 ww vv $s2 uu tt"
+    val dir = writeDocs(Seq(
+      Row(1L, doc1, "en", "s0", doc1.length.toLong),
+      Row(2L, doc2, "en", "s0", doc2.length.toLong)))
+    val got = ops.DedupOps.substringExcise(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((0L, 0L, doc1)), s"the owner must keep its text: ${got(1L)}")
+    val (n2, rm2, clean2) = got(2L)
+    assert(n2 == 2L, s"doc 2 must lose two islands: ${got(2L)}")
+    assert(!clean2.contains("the lazy dog") && !clean2.contains("dozen liquor"),
+      s"duplicated interiors must be excised: $clean2")
+    assert(clean2.contains("zz yy xx") && clean2.contains("ww vv") && clean2.contains("uu tt"),
+      s"doc 2's own context must survive: $clean2")
+    assert(rm2 >= 40 && rm2 == (doc2.length - clean2.length).toLong, s"removed_chars: $rm2")
+  }
+
   test("winnow_fps expression == declarative transform chain on the harness corpus") {
     // the one-pass rolling-hash expression must reproduce the
     // declarative (and oracle-mirrored) formulation EXACTLY — every
