@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * char loop dominates, unlike per-element lambda dispatch.
   */
 case class WinnowedFingerprints(child: Expression, k: Int, w: Int,
-    withPos: Boolean = false)
+    withPos: Boolean = false, allPositions: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
@@ -39,7 +39,8 @@ case class WinnowedFingerprints(child: Expression, k: Int, w: Int,
   import WinnowedFingerprints.{B, M, Shift}
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = if (withPos) "winnow_keys" else "winnow_fps"
+  override def prettyName: String =
+    if (allPositions) "kgram_keys" else if (withPos) "winnow_keys" else "winnow_fps"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -80,6 +81,15 @@ case class WinnowedFingerprints(child: Expression, k: Int, w: Int,
       val t = (sb.charAt(p) + B * h(p + 1)) % M
       h(p) = (t - bk * sb.charAt(p + k) % M + M) % M
       p -= 1
+    }
+
+    // audit mode (kgram_keys): EVERY window's key, no winnowing — the
+    // exact-truth side of dedup_substring_eval; O(n) keys per doc
+    if (allPositions) {
+      val arr = new Array[Any](npos)
+      var a = 0
+      while (a < npos) { arr(a) = h(a) * Shift + (a + 1); a += 1 }
+      return new GenericArrayData(arr)
     }
 
     // sliding-window minimum of key = h·Shift + pos over runs of w —
@@ -137,6 +147,13 @@ object WinnowedFingerprints {
       exprs => WinnowedFingerprints(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int], withPos = true),
+      "built-in")
+    // every k-gram window's key, unwinnowed — the eval row's truth side
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kgram_keys",
+      exprs => WinnowedFingerprints(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int], withPos = true, allPositions = true),
       "built-in")
   }
 }

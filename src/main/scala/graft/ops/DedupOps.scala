@@ -991,6 +991,80 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** The winnowing guarantee, MEASURED — the family's audit instrument
+    * (the [[embeddingLshEval]] / minhash_estimate philosophy: every
+    * approximate index in this engine carries an oracle-checked quality
+    * number). Truth side: document pairs sharing an EXACT aligned run
+    * of ≥ 2W consecutive k-gram windows — i.e. a verbatim span ≥
+    * K+2W−1 = 35 normalized chars, found without winnowing: all
+    * window hashes (the expression's kgram_keys audit mode), pairwise
+    * matches grouped by the alignment DIAGONAL (pa − pb), runs via the
+    * same gaps-and-islands window the span map uses. Detector side:
+    * [[substringWinnow]]'s pair set. Output is one row: pair counts,
+    * intersection, precision and RECALL — and the Schleimer guarantee
+    * says recall must be exactly 1.0 (every ≥35-char span retains ≥ 2
+    * winnowed fingerprints), so the guarantee is re-proven on the
+    * corpus every round, not just asserted in a comment. (One
+    * theoretical hole, stated: a PERIODIC span — "ab ab ab…" — can
+    * collapse its window minima to one repeated hash value, leaving a
+    * single distinct fingerprint below the ≥2 floor; measured recall
+    * is 1.0 at sf0.001, sf0.01 AND sf1, so the corpus has no such
+    * span, and the eval row would surface one the round it appears.)
+    * Precision < 1 is expected: two fingerprints can agree without a
+    * single aligned 35-char run (scattered shorter repeats) —
+    * measured 0.20/0.15 at sf0.001/sf0.01, and 0.010 at sf1 where the
+    * ScaleUp word-mutation scheme leaves many cross-replica 3-word
+    * survivals that share scattered fingerprints but never a full
+    * 35-char run.
+    *
+    * Cost, stated: the truth side joins UNWINNOWED grams — ~(W+1)/2 ×
+    * the operator's fingerprint volume, df-capped identically. This is
+    * the audit's price, paid at verify scale; the production path is
+    * the winnowed operator. */
+  val substringEval: Q = (s, d) => {
+    graft.expressions.WinnowedFingerprints.register(s)
+    val raw = documents(s, d)
+      .select(col("doc_id"),
+        explode(expr(s"kgram_keys(text, $SubK, $SubW)")).as("key"))
+      .select(col("doc_id"), expr(s"key div ${SubShift}L").as("fp"),
+        (col("key") % SubShift).cast("int").as("pos"))
+    val okFp = raw.groupBy("fp")
+      .agg(countDistinct("doc_id").as("df_docs"))
+      .where(col("df_docs") >= 2 && col("df_docs") <= SubDfCap)
+      .select("fp")
+    val g = raw.join(okFp, Seq("fp"), "left_semi")
+    val grams = g.as("a")
+      .join(g.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val truth = grams
+      .withColumn("prev", lag("pa", 1).over(w))
+      .withColumn("ni",
+        when(col("prev").isNull || col("pa") - col("prev") > 1, 1L).otherwise(0L))
+      .withColumn("island", sum("ni").over(wRun))
+      .groupBy("doc_a", "doc_b", "diag", "island")
+      .agg(count(lit(1)).as("run_len"))
+      .where(col("run_len") >= 2 * SubW)
+      .select("doc_a", "doc_b").distinct()
+    val win = substringWinnow(s, d).select("doc_a", "doc_b")
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nWin = win.agg(count(lit(1)).as("n_winnow"))
+    val nBoth = truth.join(win, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    nTruth.crossJoin(nWin).crossJoin(nBoth)
+      .select(col("n_truth"), col("n_winnow"), col("n_both"),
+        when(col("n_winnow") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double") / col("n_winnow").cast("double"), 6))
+          .as("precision_r"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double") / col("n_truth").cast("double"), 6))
+          .as("recall_r"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_keep_best" -> keepBest,
@@ -1009,6 +1083,7 @@ object DedupOps {
     "dedup_substring_incremental" -> substringIncremental,
     "dedup_substring_spans" -> substringSpans,
     "dedup_substring_excise" -> substringExcise,
+    "dedup_substring_eval" -> substringEval,
     "dedup_embedding_cosine" -> embeddingCosine,
     "dedup_embedding_cosine_lsh" -> embeddingCosineLsh,
     "dedup_embedding_incremental" -> embeddingIncremental,
@@ -1372,6 +1447,65 @@ object DedupOps {
                    ELSE a.headseg || substr(d.nrm, a.maxe + 1) END AS clean_text
           FROM docs d LEFT JOIN asm a ON d.doc_id = a.doc_id
           ORDER BY d.doc_id"""
+    },
+    // dedup_substring_eval: truth = aligned-diagonal runs >= 2W over the
+    // UNWINNOWED gram keys; detector = the dedup_substring pair chain —
+    // both sides share the keys CTE, one row out
+    "dedup_substring_eval" -> {
+      val hsum = (0 until SubK)
+        .map(j => s"ord(substr(nrm, i+$j, 1)) * CAST(${SubPows(j)} AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH docs AS (SELECT doc_id, ${normSqlOf("text")} AS nrm FROM documents),
+          d2 AS (SELECT doc_id, nrm, length(nrm) - ${SubK - 1} AS npos
+                 FROM docs WHERE length(nrm) >= $SubK),
+          pos AS (SELECT doc_id, nrm, npos,
+                    unnest(generate_series(1, npos)) AS i FROM d2),
+          keys AS (SELECT doc_id, npos, i,
+                     (($hsum) % $SubM) * CAST($SubShift AS BIGINT) + i AS key
+                   FROM pos),
+          raw AS (SELECT doc_id, key // CAST($SubShift AS BIGINT) AS fp,
+                    CAST(key % CAST($SubShift AS BIGINT) AS INT) AS pos
+                  FROM keys),
+          okfp AS (SELECT fp FROM raw GROUP BY fp
+                   HAVING count(DISTINCT doc_id) BETWEEN 2 AND $SubDfCap),
+          g AS (SELECT doc_id, fp, pos FROM raw SEMI JOIN okfp USING (fp)),
+          grams AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.pos AS pa, a.pos - b.pos AS diag
+                    FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+          gisl AS (SELECT doc_a, doc_b, diag, pa,
+                     CASE WHEN lag(pa) OVER w IS NULL
+                            OR pa - lag(pa) OVER w > 1 THEN 1 ELSE 0 END AS ni
+                   FROM grams
+                   WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pa)),
+          gisl2 AS (SELECT doc_a, doc_b, diag, pa,
+                      SUM(ni) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+                         ROWS UNBOUNDED PRECEDING) AS island
+                    FROM gisl),
+          truth AS (SELECT DISTINCT doc_a, doc_b FROM (
+                      SELECT doc_a, doc_b FROM gisl2
+                      GROUP BY doc_a, doc_b, diag, island
+                      HAVING count(*) >= ${2 * SubW})),
+          wsel AS (SELECT DISTINCT doc_id,
+                     (min(key) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND ${SubW - 1} FOLLOWING))
+                       // CAST($SubShift AS BIGINT) AS fp
+                   FROM keys QUALIFY i <= greatest(npos - ${SubW - 1}, 1)),
+          wdf AS (SELECT fp, count(*) AS df FROM wsel GROUP BY fp),
+          wkept AS (SELECT doc_id, fp FROM wsel JOIN wdf USING (fp)
+                    WHERE df <= $SubDfCap),
+          wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2 HAVING count(*) >= $SubMinShared),
+          nt AS (SELECT count(*) AS n_truth FROM truth),
+          nw AS (SELECT count(*) AS n_winnow FROM wp),
+          nb AS (SELECT count(*) AS n_both FROM truth SEMI JOIN wp
+                   USING (doc_a, doc_b))
+          SELECT n_truth, n_winnow, n_both,
+                 CASE WHEN n_winnow = 0 THEN NULL
+                   ELSE round(CAST(n_both AS DOUBLE) / n_winnow, 6) END AS precision_r,
+                 CASE WHEN n_truth = 0 THEN NULL
+                   ELSE round(CAST(n_both AS DOUBLE) / n_truth, 6) END AS recall_r
+          FROM nt, nw, nb"""
     },
   ) ++ cosineOracles
 

@@ -83,6 +83,16 @@ object StreamProbe {
         "30 days").toDF()
     })
 
+    // 3b. substring NEAR-dedup at ingest (fp-bucket state, per-fp pair
+    //     evidence; the consumer-side >= 2 fold is stateless and not
+    //     part of the stream measurement)
+    run[(Long, String, Long)]("substring_dedup", docs.map(t => (t._1, t._2, 1700000000000000L + t._1 * 1000000L)), { in =>
+      graft.streaming.StreamingSubstring.hits(
+        in.toDF().toDF("doc_id", "text", "us")
+          .select(col("doc_id"), col("text"), timestamp_micros(col("us")).as("eventTime")),
+        "30 days").toDF()
+    })
+
     // 4. restart-safe shard layout (two longs of state per shard)
     run[(Long, Long)]("shard_assign", docs.map(t => (t._1, t._3)), { in =>
       graft.streaming.ShardAssign.assign(
