@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * sequence with 20 substr calls per position) is O(n²·k) per document —
   * UTF8String.substring must scan from the string start to locate a char
   * offset — and evaluates the lambda interpreter per element; measured
-  * 110 s for 5k docs at sf0.1 vs ~1 s for this expression. Semantics are
+  * 110 s for 5k docs at sf0.1 vs 1.3 s for this expression. Semantics are
   * value-identical by construction (same hash arithmetic, same
   * min-of-key selection; pinned against the declarative form in
   * OpGoldensSpec). Texts shorter than k normalized chars yield an empty

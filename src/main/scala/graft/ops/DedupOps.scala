@@ -780,7 +780,7 @@ object DedupOps {
     * (rolling Horner hash + monotonic-deque window minimum, O(n) per
     * document; the declarative transform-chain spelling is kept as
     * [[winnowFpsDeclarative]] and parity-pinned, but is O(n²·k) because
-    * substr re-scans the UTF-8 prefix — measured 110 s vs ~2 s at
+    * substr re-scans the UTF-8 prefix — measured 110 s vs 1.3 s at
     * sf0.1), so the scan emits only the winnowed ~2n/(W+1)
     * fingerprints. From there it
     * is the family's standard inverted-index plan: one shuffle on the
