@@ -221,7 +221,20 @@ object Bench {
         .mkString(",\"recall_at_3\":{", ",", "}")
       val fJson = fractions.map { case (n, f) => "\"" + n + "\":" + f }
         .mkString(",\"candidate_fraction\":{", ",", "}")
-      rJson + fJson
+      // the winnowing guarantee as a gate: dedup_substring_eval's
+      // measured recall must be 1.0 (null = no truth pairs, vacuous).
+      // A periodic span that collapses window minima — the one
+      // theoretical hole — would fail HERE the round it enters the
+      // corpus, not in a comment.
+      val subEval = SparkEntry.queries("dedup_substring_eval")(spark, sfDir)
+        .collect().head
+      val subRecall =
+        if (subEval.isNullAt(subEval.fieldIndex("recall_r"))) 1.0
+        else subEval.getDouble(subEval.fieldIndex("recall_r"))
+      if (subRecall < 0.999)
+        floorViolation = floorViolation.orElse(
+          Some(s"dedup_substring_eval recall = $subRecall < 1.0 at $floorTag"))
+      rJson + fJson + s""","substring_recall":$subRecall"""
     } catch {
       case e: Throwable =>
         // inability to MEASURE the floor must fail as loudly as missing
