@@ -1643,7 +1643,7 @@ object DedupOps {
     * doubly at sf1 spilled ~80 GB of DuckDB temp before running the
     * disk out. Same lesson as the Spark side's localCheckpoint before
     * self-joins: no cross-branch CSE anywhere. */
-  private def ccRoundsCtes(pairsCte: String, aCol: String, bCol: String): String = {
+  private[ops] def ccRoundsCtes(pairsCte: String, aCol: String, bCol: String): String = {
     val rounds = (1 to CcOracleRounds + 1).map { i =>
       val p = s"l${i - 1}"
       s"""l$i AS MATERIALIZED (

@@ -1048,6 +1048,67 @@ object SimOps {
     pqShortlistRescore(s, d, scored, vectors, codes.count())
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * with pairwise search BOUNDED BY the k-means cluster — the method's
+    * whole point is that the n² pair problem becomes Σ cluster², and
+    * with the corpus-clamped codebook (k ≈ √(n/4)) that is ~n^1.5, the
+    * same bound as [[knnGraph]]'s Σ list². Each vector joins its ARGMIN
+    * centroid (rank-1 window over the broadcast codebook — the Lloyd
+    * a-step, map-side-min shaped), within-cluster pairs at cosine ≥
+    * [[SemTau]] form dup components (the shared star-contraction CC),
+    * and each component keeps the member FARTHEST from its centroid —
+    * the paper's low-centroid-similarity keep policy, which retains
+    * the cluster's most atypical exemplar. (Delta from the paper,
+    * stated: Abbas et al. prune with a sequential greedy over the
+    * sim matrix; the component + argmax election is the order-free
+    * declarative equivalent — deterministic under any partitioning,
+    * which the greedy is not.) Registered under the dedup_ prefix: it
+    * is a dedup policy that happens to live on the ANN machinery.
+    * [[SemTau]] matches the embedding family's near-dup threshold
+    * (cosineLshPairs / dedup_semantic_cluster use sim > 0.3 — this
+    * corpus's max pairwise cosine is 0.51, so the paper's 0.9-class
+    * thresholds match nothing here; same constant, same corpus
+    * semantics). Strict `>` like the family, not `>=`. */
+  private val SemTau = 0.3
+
+  val semDedup: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
+    val cents = centroidFrame(s, d)
+    // the pairwise stage is bounded to the deterministic EvalCap sample
+    // (step = 1 at every verify SF, so parity sees unsampled semantics —
+    // the dedup_embedding_cosine convention): with the k clamp capped at
+    // 256 centroids, cluster size grows with n and Σ cluster² with it —
+    // a skewed giant cluster at 10× materialized >100 GiB of pair rows
+    // in the DuckDB replay. A production deployment raises k to hold
+    // cluster size constant (the paper trains k ∝ n); the REGISTERED
+    // query must be runnable at any corpus size, so it audits a sample.
+    val step = math.max(1L, math.ceil(gatedCount(s, d) / 2000.0).toLong)
+    val vecs = gatedVecs(s, d).select(col("vec_id"), col("embedding"))
+      .where(pmod(col("vec_id"), lit(step)) === 0)
+    val wv = Window.partitionBy("vec_id").orderBy(col("c_dist").asc, col("c_id").asc)
+    val asg = withCentDist(cents, vecs, "embedding")
+      .withColumn("rn", row_number().over(wv)).where(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"), col("c_dist"), col("embedding"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+    val a = asg.select(col("c_id"), col("vec_id").as("doc_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = asg.select(col("c_id"), col("vec_id").as("doc_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("c_id")).where(col("doc_a") < col("doc_b"))
+      .where(expr("float_dot(ea, eb)") / (col("na") * col("nb")) > SemTau)
+      .select("doc_a", "doc_b")
+    val labels = DedupOps.connectedComponents(pairs)._1
+    val wk = Window.partitionBy("grp").orderBy(col("c_dist").desc, col("vec_id").asc)
+    val dup = labels.select(col("doc_id").as("vec_id"), col("cluster_keeper").as("grp"))
+      .join(asg.select("vec_id", "c_dist"), Seq("vec_id"))
+      .withColumn("krn", row_number().over(wk))
+    asg.select(col("vec_id"), round(col("c_dist"), 6).as("c_dist_r"))
+      .join(dup.select(col("vec_id"), col("grp"), col("krn")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("grp"), col("vec_id")).as("dup_group"),
+        col("c_dist_r"), (col("grp").isNull || col("krn") === 1).as("kept"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_brute_topk" -> bruteTopK,
     "emb_quantize_int8" -> quantizeInt8,
@@ -1061,6 +1122,7 @@ object SimOps {
     "emb_pq_codes" -> pqCodesQuery,
     "sim_pq_topk" -> pqTopK,
     "sim_ivf_pq_topk" -> ivfPqTopK,
+    "dedup_semdedup" -> semDedup,
   )
 
   private def dot(a: String, b: String) =
@@ -1296,6 +1358,46 @@ object SimOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // dedup_semdedup: k-means argmin assignment + within-cluster cosine
+    // pairs + the shared CC rounds + farthest-from-centroid election —
+    // CTE for CTE the Spark chain, over the same kmeans oracle CTEs
+    "dedup_semdedup" -> {
+      val d2 = s"${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")} - 2 * ${dot("e.embedding", "c.c_emb")}"
+      s"""WITH ${kmeansCtesSql(KMeansIters)},
+          cents AS (SELECT c_id, c_emb FROM cents$KMeansIters),
+          stp AS (SELECT greatest(1, CAST(ceil(COUNT(*) / 2000.0) AS BIGINT))
+                    AS step FROM embeddings),
+          smp AS MATERIALIZED (SELECT e.vec_id, e.embedding FROM embeddings e, stp
+                  WHERE e.vec_id % step = 0),
+          -- MATERIALIZED is load-bearing on asg (and dup below): asg is
+          -- referenced three times, and inlining re-expands the whole
+          -- k-means CTE chain per reference — the sf1 replay OOM'd at
+          -- >100 GiB before, 18 s after (the BPE-oracle lesson again)
+          asg AS MATERIALIZED (SELECT vec_id, c_id, c_dist FROM (
+                    SELECT e.vec_id, c.c_id, $d2 AS c_dist,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY $d2, c.c_id) AS rn
+                    FROM smp e CROSS JOIN cents c) t WHERE rn = 1),
+          sp AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                 FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+                 JOIN embeddings ea ON ea.vec_id = a.vec_id
+                 JOIN embeddings eb ON eb.vec_id = b.vec_id
+                 WHERE ${cos("ea.embedding", "eb.embedding")} > $SemTau),
+          ${DedupOps.ccRoundsCtes("sp", "doc_a", "doc_b")},
+          dup AS MATERIALIZED (SELECT l.v AS vec_id, l.lbl AS grp,
+                    row_number() OVER (PARTITION BY l.lbl
+                      ORDER BY a2.c_dist DESC, l.v) AS krn
+                  FROM cc_labels l JOIN asg a2 ON a2.vec_id = l.v)
+          SELECT * FROM (
+            SELECT a.vec_id, COALESCE(d.grp, a.vec_id) AS dup_group,
+                   round(a.c_dist, 6) AS c_dist_r,
+                   (d.grp IS NULL OR d.krn = 1) AS kept
+            FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
+            UNION ALL
+            SELECT -1, -1, -1.0, false FROM (SELECT 1) poison
+            WHERE (SELECT n_changed FROM cc_guard) > 0)
+          ORDER BY vec_id"""
+    },
     "emb_pq_codes" ->
       s"""WITH $pqCtes
           SELECT vec_id,

@@ -41,7 +41,8 @@ class DeterminismSpec extends SparkSpec {
     "dedup_substring_incremental", // batch-probe fp join + admission aggregate
     "dedup_substring_spans", // per-doc gaps-and-islands over shared fp positions
     "dedup_substring_excise", // ownership min-agg + in-row splice of sorted islands
-    "dedup_substring_eval") // diagonal-run truth vs winnowed detector, one row
+    "dedup_substring_eval", // diagonal-run truth vs winnowed detector, one row
+    "dedup_semdedup")       // argmin assign + cluster-bounded pairs + CC + election
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

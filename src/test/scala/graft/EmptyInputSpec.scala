@@ -43,7 +43,7 @@ class EmptyInputSpec extends SparkSpec {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_cluster", "dedup_keep_best", "dedup_substring",
     "dedup_substring_incremental", "dedup_substring_spans",
-    "dedup_substring_excise",
+    "dedup_substring_excise", "dedup_semdedup",
     "dedup_embedding_cosine", "dedup_embedding_cosine_lsh",
     "dedup_embedding_incremental",
     "doc_chunk", "chunk_dedup", "chunk_dedup_fuzzy", "chunk_dedup_incremental",

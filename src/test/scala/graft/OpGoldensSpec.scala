@@ -116,6 +116,25 @@ class OpGoldensSpec extends SparkSpec {
     assert(rm2 >= 40 && rm2 == (doc2.length - clean2.length).toLong, s"removed_chars: $rm2")
   }
 
+  test("dedup_semdedup invariants: one keeper per group, and it is the farthest from the centroid") {
+    val d = "/root/testdata/sf0.001"
+    val rows = ops.SimOps.semDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val groups = rows.groupBy(_._2)
+    assert(groups.exists(_._2.length > 1), "corpus must have at least one dup group")
+    for ((g, ms) <- groups) {
+      val kept = ms.filter(_._4)
+      assert(kept.length == 1, s"group $g must keep exactly one member: $ms")
+      // the keeper is the member FARTHEST from its centroid (the
+      // paper's low-centroid-similarity policy); compare on the rounded
+      // column the operator emits — the election itself used unrounded
+      // distances, so only the max can be asserted, not the tie order
+      val maxR = ms.map(_._3).max
+      assert(kept.head._3 == maxR, s"group $g kept ${kept.head}, max dist $maxR")
+    }
+  }
+
   test("winnow_fps expression == declarative transform chain on the harness corpus") {
     // the one-pass rolling-hash expression must reproduce the
     // declarative (and oracle-mirrored) formulation EXACTLY — every
