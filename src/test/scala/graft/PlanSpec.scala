@@ -277,6 +277,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("dedup_semdedup: the codebook broadcasts; no cartesian pair stage") {
+    val plan = finalPlan(graft.ops.SimOps.semDedup(spark, d))
+    // the argmin assignment is a broadcast of the tiny codebook, and
+    // the within-cluster pair join must key on c_id (or broadcast at
+    // this SF) — a CartesianProduct would be the unbounded n² SemDeDup
+    // exists to avoid
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("sim_q8_topk scores integer dots under the bounded top-k shape") {
     val plan = finalPlan(graft.ops.SimOps.queries("sim_q8_topk")(spark, d))
     // broadcast queries (corpus never shuffles for the join) and the
