@@ -234,7 +234,22 @@ object Bench {
       if (subRecall < 0.999)
         floorViolation = floorViolation.orElse(
           Some(s"dedup_substring_eval recall = $subRecall < 1.0 at $floorTag"))
-      rJson + fJson + s""","substring_recall":$subRecall"""
+      // the BM25 df-cap's measured price (text_bm25_eval, mean over the
+      // query batch). On the harness corpus no trigram reaches the cap,
+      // so capped == uncapped and anything under 1.0 is a pipeline
+      // regression, not a quality trade — floored at 0.9 to leave room
+      // for a future corpus vintage with genuine boilerplate (where the
+      // artifact value itself documents the trade).
+      val capRows = SparkEntry.queries("text_bm25_eval")(spark, sfDir)
+        .collect()
+      val capRecall =
+        if (capRows.isEmpty) 1.0
+        else capRows.map(r => r.getDouble(r.fieldIndex("recall_r"))).sum / capRows.length
+      if (capRecall < 0.9)
+        floorViolation = floorViolation.orElse(
+          Some(s"text_bm25_eval mean recall = $capRecall < 0.9 at $floorTag"))
+      rJson + fJson + s""","substring_recall":$subRecall""" +
+        s""","bm25_cap_recall":$capRecall"""
     } catch {
       case e: Throwable =>
         // inability to MEASURE the floor must fail as loudly as missing

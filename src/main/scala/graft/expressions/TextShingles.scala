@@ -8,9 +8,12 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word n-gram shingles of a text column in ONE pass per row:
+/** Word n-gram shingles of a text column in ONE pass per row:
   * lowercase → strip non-[a-z0-9 ] → collapse whitespace → tokenize →
-  * sliding n-word windows → distinct set.
+  * sliding n-word windows → distinct set (`distinct = true`, the dedup
+  * family's membership unit) or the full occurrence sequence
+  * (`distinct = false`, the retrieval family's tf-carrying unit —
+  * BM25/TF-IDF need term frequency, which a set destroys).
   *
   * Why custom: the declarative pipeline (two regexp_replace + split +
   * transform(sequence, slice, concat_ws) + array_distinct) evaluates the
@@ -21,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CodegenFallback is fine here: one virtual call per ROW (the regex work
   * dominates), unlike per-element lambda dispatch.
   */
-case class TextShingles(child: Expression, n: Int)
+case class TextShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "shingle size must be >= 1")
@@ -52,7 +55,10 @@ case class TextShingles(child: Expression, n: Int)
     while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
     val norm = sb.toString
     val words = if (norm.isEmpty) Array("") else norm.split(" ")
-    val out = new java.util.LinkedHashSet[UTF8String]()
+    // distinct mode: insertion-ordered set; tf mode: every window in order
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](math.max(words.length - n + 1, 1))
     if (words.length < n) {
       out.add(UTF8String.fromString(norm))
     } else {
@@ -78,12 +84,18 @@ case class TextShingles(child: Expression, n: Int)
 }
 
 object TextShingles {
-  /** Register as a SQL function taking (text, n) with literal int n. */
+  /** Register as SQL functions taking (text, n) with literal int n:
+    * `text_shingles` (distinct) and `text_shingles_all` (tf-carrying). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "text_shingles",
       exprs => TextShingles(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "text_shingles_all",
+      exprs => TextShingles(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int], distinct = false),
       "built-in")
   }
 }

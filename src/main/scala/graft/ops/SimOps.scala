@@ -83,7 +83,7 @@ object SimOps {
     * never be in the global top-k under the same total order.
     * Memory bound per partition: |Q|·k entries — fine while the query
     * set is broadcast-sized (the same assumption the join already makes). */
-  private def partitionTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[ops] def partitionTopK(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     // rank order: better = higher sim, ties to the smaller vec_id
@@ -109,7 +109,7 @@ object SimOps {
 
   /** Shared tail: partial top-k, then the per-query rank over the bounded
     * survivor set. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     partitionTopK(scored, k)
       .withColumn("rank", row_number().over(w))
@@ -119,13 +119,18 @@ object SimOps {
   }
 
   /** Brute-force exact cosine top-k per query vector. Norms precomputed
-    * per side; dot via the codegen'd float_dot expression. */
-  val bruteTopK: Q = (s, d) =>
+    * per side; dot via the codegen'd float_dot expression. Exposed at an
+    * arbitrary depth for [[RetrievalOps]]'s RRF fusion (its dense leg must
+    * rank with EXACTLY this scoring so the fused ranks inherit the
+    * established sim_brute cross-engine rank parity). */
+  private[graft] def bruteTop(s: SparkSession, d: String, k: Int): DataFrame =
     rankTopK(
       corpusWithNorm(s, d).join(broadcast(qset(s, d)), col("vec_id") =!= col("q_id"))
         .withColumn("sim",
           expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
-      K)
+      k)
+
+  val bruteTopK: Q = (s, d) => bruteTop(s, d, K)
 
   /** A sign-LSH index shape: `nTables` tables of `bits` hyperplane sign
     * bits each, the query probing its own bucket plus `nProbes - 1`
@@ -1125,9 +1130,9 @@ object SimOps {
     "dedup_semdedup" -> semDedup,
   )
 
-  private def dot(a: String, b: String) =
+  private[ops] def dot(a: String, b: String) =
     s"list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def cos(a: String, b: String) =
+  private[ops] def cos(a: String, b: String) =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
   /** Quantized-table CTE chain (ends in `qn(vec_id, qvec, qn2)`) —

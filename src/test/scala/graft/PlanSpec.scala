@@ -403,4 +403,40 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
     assert(plan.contains("ReadSchema: struct<text:string>"), plan)
   }
+
+  test("text_bm25_topk: query-term model broadcasts into the term frame; two-phase top-k; text-only scan") {
+    val plan = finalPlan(graft.ops.RetrievalOps.queries("text_bm25_topk")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    // the corpus-wide (doc_id, tok, tf) frame is probed by a BROADCAST of
+    // the query-batch-sized df-capped model — the trigram key is never a
+    // shuffle key for the probe (the Zipf-skew posture of the family)
+    assert(finalOnly.contains("BroadcastHashJoin"), plan)
+    // partition-local selection feeds the q_id rank window, so the window
+    // sees the bounded survivor set no matter how many candidates the cap
+    // admits (the sim-family two-phase top-k)
+    assert(finalOnly.contains("MapPartitions"), plan)
+    val exchangeIdx = finalOnly.indexOf("Exchange hashpartitioning(q_id")
+    val mapIdx = finalOnly.indexOf("MapPartitions")
+    assert(exchangeIdx >= 0 && mapIdx > exchangeIdx,
+      s"partition-local top-k should sit below the q_id exchange:\n$plan")
+    // term aggregation partial-aggregates map-side before its exchange
+    assert(finalOnly.contains("partial_count"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("text_tfidf_topterms: hot-phrase prune is a broadcast anti join; keyword window partitions per doc") {
+    val plan = finalPlan(graft.ops.RetrievalOps.queries("text_tfidf_topterms")(spark, d))
+    // boilerplate terms leave the frame via a broadcast left_anti BEFORE
+    // the vocabulary-model join — they never enter its exchange. Asserted
+    // on the INITIAL plan section: at verify scale the hot frame is empty
+    // (no trigram reaches the cap) and AQE's empty-relation propagation
+    // correctly deletes the anti join from the final plan at runtime —
+    // the pin is that the shape is DECLARED; its runtime elision on an
+    // empty stop list is the bonus, not a regression
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    // the rank window's only partition key is doc_id (per-doc state, no
+    // global window)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
 }
