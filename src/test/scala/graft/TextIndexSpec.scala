@@ -93,6 +93,42 @@ class TextIndexSpec extends SparkSpec {
     assert(gotT == want, s"indexed hybrid diverged:\n$gotT\nvs\n$want")
   }
 
+  test("streaming ingest twin: chunked feed, killed between every chunk, answers == batch-built index") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    // the corpus: harness sf0.001 documents, fed as 4 json chunks, with
+    // the query RESTARTED from its checkpoint between every chunk — the
+    // file-source offsets are the only checkpointed state, the index
+    // directory carries everything else
+    val rows = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1).replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ")
+        s"""{"doc_id":${r.getLong(0)},"text":"$t"}"""
+      }.toSeq
+    val base = JFiles.createTempDirectory("graft_tidx_stream").toString
+    val srcDir = s"$base/src"
+    JFiles.createDirectories(JPaths.get(srcDir))
+    val dir = s"$base/index"
+    var nFile = 0
+    rows.grouped(math.max(rows.size / 4, 1)).foreach { chunk =>
+      JFiles.writeString(JPaths.get(srcDir, f"f$nFile%03d.json"),
+        chunk.mkString("", "\n", "\n"))
+      nFile += 1
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").json(srcDir)
+      val q = graft.streaming.TextIndexIngest.ingest(docs, dir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val streamed = ops.RetrievalOps.bm25TopKFromIndex(spark, sf, dir).collect().toSeq
+    val batchDir = tmp()
+    ops.RetrievalOps.buildTextIndex(spark, sf, batchDir)
+    val batch = ops.RetrievalOps.bm25TopKFromIndex(spark, sf, batchDir).collect().toSeq
+    assert(streamed == batch,
+      s"streamed-ingest index answers != batch-built index answers")
+  }
+
   test("degenerate enrollment: empty batch and empty-text documents change nothing") {
     val corpus = writeDocs(Seq(
       doc(0L, "alpha beta gamma delta epsilon zeta eta theta"),
