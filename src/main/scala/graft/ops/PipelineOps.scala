@@ -806,7 +806,96 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // Z-order file layout — the multi-dimensional data-skipping lever
+  // (Morton 1966; the clustering behind Delta's OPTIMIZE ZORDER): a
+  // single-dimension sort gives perfect file pruning on ONE predicate
+  // column and none on the other; interleaving the bits of two
+  // normalized keys gives useful min/max pruning on BOTH. Layout ops are
+  // the write-side complement of the PushedFilters story PlanSpec pins:
+  // at 100 TB the scan only skips what the layout made skippable.
+  // -------------------------------------------------------------------
+
+  /** 16 files via the top 4 bits of a 16-bit Morton code. */
+  private val ZBits = 8           // per-dimension lattice bits
+  private val ZFileShift = 4096L  // z div 4096 = top 4 of 16 bits
+
+  /** The interleave, unrolled to 16 integer div/mod terms from ONE
+    * Scala table into both engines' SQL (the hash-power-literal
+    * discipline — no per-engine drift possible). `divOp` is `div` for
+    * Spark SQL, `//` for DuckDB. */
+  private[graft] def zExprSql(tb: String, ub: String, divOp: String): String =
+    (0 until ZBits).map { i =>
+      val p = 1L << i
+      s"(($tb $divOp $p) % 2) * ${1L << (2 * i + 1)} + (($ub $divOp $p) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  /** Events with lattice coordinates and z-derived file assignment:
+    * t = epoch minute, u = user_id, both affinely mapped onto the
+    * [0, 255] lattice from the corpus min/max (a 1-row broadcast — the
+    * layout job's only non-scan work besides the final per-file
+    * aggregate; integer arithmetic end-to-end so both engines place
+    * every row identically). */
+  private def zorderBase(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(expr("unix_micros(ts) div 60000000").as("t"),
+        col("user_id").as("u"))
+    val st = ev.agg(min("t").as("tmin"), max("t").as("tmax"),
+      min("u").as("umin"), max("u").as("umax"))
+    ev.crossJoin(broadcast(st))
+      .withColumn("tb", expr("((t - tmin) * 256) div (tmax - tmin + 1)"))
+      .withColumn("ub", expr("((u - umin) * 256) div (umax - umin + 1)"))
+      .withColumn("z", expr(zExprSql("tb", "ub", "div")))
+      .withColumn("file_id", expr(s"cast(z div $ZFileShift as int)"))
+  }
+
+  /** The layout manifest a writer would produce: per target file, row
+    * count and min/max of BOTH dimensions — exactly the statistics a
+    * reader's pruner consumes. Because z-order clusters both dims, every
+    * file's (t, u) bounding box is a small tile instead of a full-width
+    * stripe. */
+  val eventsZorderLayout: Q = (s, d) =>
+    zorderBase(s, d)
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n"),
+        min("t").as("min_t"), max("t").as("max_t"),
+        min("u").as("min_u"), max("u").as("max_u"))
+      .orderBy("file_id")
+
+  /** Lattice-quadrant query boxes for the pruning audit: narrow in both
+    * dims, displaced diagonally so no box degenerates to a full stripe. */
+  private[ops] val ZBoxes: Seq[(Int, Int, Int, Int, Int)] =
+    (0 until 4).map { bi =>
+      val (tlo, ulo) = (bi * 64, ((bi + 1) % 4) * 64)
+      (bi, tlo, tlo + 63, ulo, ulo + 63)
+    }
+
+  /** The layout's measured benefit (the family's audit-row philosophy —
+    * a layout claim ships with its instrument): for each query box,
+    * the number of files a min/max pruner must touch under the z-order
+    * layout vs under the plain time-sorted layout (file = tb div 16 —
+    * same file count, single-dim clustering). A box narrow in BOTH
+    * dimensions touches ~sqrt as many z-files as time-files; the
+    * per-box rows make the trade inspectable instead of asserted. */
+  val eventsZorderPruneEval: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val boxes = broadcast(ZBoxes.toDF("box_id", "tlo", "thi", "ulo", "uhi"))
+    zorderBase(s, d)
+      .withColumn("tfile_id", expr("cast(tb div 16 as int)"))
+      .join(boxes,
+        col("tb") >= col("tlo") && col("tb") <= col("thi") &&
+          col("ub") >= col("ulo") && col("ub") <= col("uhi"))
+      .groupBy("box_id")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("file_id")).as("files_z"),
+        countDistinct(col("tfile_id")).as("files_time"))
+      .orderBy("box_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_zorder_layout" -> eventsZorderLayout,
+    "events_zorder_prune_eval" -> eventsZorderPruneEval,
     "corpus_quantiles" -> corpusQuantiles,
     "vocab_bpe_pairs" -> vocabBpePairs,
     "vocab_bpe_train" -> vocabBpeTrain,
@@ -867,7 +956,42 @@ object PipelineOps {
     (1 to 8).map(i => nib(h, i))
       .reduce((acc, n) => s"($acc * 16 + $n)")
 
+  /** Shared z-order CTE chain ending in `zb(t, u, tb, ub, z, file_id)`. */
+  private def zorderCtesSql: String =
+    s"""ev AS (SELECT epoch_us(ts) // 60000000 AS t, user_id AS u FROM events),
+        st AS (SELECT CAST(MIN(t) AS BIGINT) AS tmin, CAST(MAX(t) AS BIGINT) AS tmax,
+                      CAST(MIN(u) AS BIGINT) AS umin, CAST(MAX(u) AS BIGINT) AS umax
+               FROM ev),
+        lat AS (SELECT t, u,
+                  ((t - tmin) * 256) // (tmax - tmin + 1) AS tb,
+                  ((u - umin) * 256) // (umax - umin + 1) AS ub
+                FROM ev, st),
+        zb AS (SELECT t, u, tb, ub,
+                 ${zExprSql("tb", "ub", "//")} AS z,
+                 CAST((${zExprSql("tb", "ub", "//")}) // $ZFileShift AS INT) AS file_id
+               FROM lat)"""
+
   val oracles: Map[String, String] = Map(
+    "events_zorder_layout" ->
+      s"""WITH $zorderCtesSql
+          SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(MIN(t) AS BIGINT) AS min_t, CAST(MAX(t) AS BIGINT) AS max_t,
+            CAST(MIN(u) AS BIGINT) AS min_u, CAST(MAX(u) AS BIGINT) AS max_u
+          FROM zb GROUP BY file_id ORDER BY file_id""",
+    "events_zorder_prune_eval" ->
+      s"""WITH $zorderCtesSql,
+          boxes(box_id, tlo, thi, ulo, uhi) AS (VALUES ${
+            ZBoxes.map { case (b, tl, th, ul, uh) => s"($b, $tl, $th, $ul, $uh)" }
+              .mkString(", ")}),
+          hits AS (SELECT b.box_id, zb.file_id,
+                     CAST(zb.tb // 16 AS INT) AS tfile_id
+                   FROM zb JOIN boxes b
+                     ON zb.tb >= b.tlo AND zb.tb <= b.thi
+                    AND zb.ub >= b.ulo AND zb.ub <= b.uhi)
+          SELECT box_id, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(DISTINCT file_id) AS BIGINT) AS files_z,
+            CAST(COUNT(DISTINCT tfile_id) AS BIGINT) AS files_time
+          FROM hits GROUP BY box_id ORDER BY box_id""",
     "corpus_quantiles" ->
       s"""WITH h AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
                      FROM documents WHERE n_chars IS NOT NULL
