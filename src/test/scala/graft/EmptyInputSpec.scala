@@ -55,7 +55,9 @@ class EmptyInputSpec extends SparkSpec {
     "sim_lsh_topk",
     "events_sessionize", "events_funnel", "events_retention",
     "events_attribution", "events_path_topk", "events_revenue_stats",
-    "events_props_keys", "mm_frame_sample")
+    "events_props_keys", "mm_frame_sample",
+    "text_bm25_topk", "text_bm25_eval", "text_tfidf_topterms",
+    "sim_hybrid_rrf", "events_zorder_layout", "events_zorder_prune_eval")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
