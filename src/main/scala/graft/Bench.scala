@@ -248,8 +248,22 @@ object Bench {
       if (capRecall < 0.9)
         floorViolation = floorViolation.orElse(
           Some(s"text_bm25_eval mean recall = $capRecall < 0.9 at $floorTag"))
+      // filtered search: the IVF candidate set thins by the predicate's
+      // selectivity, so its recall is measured against the FILTERED
+      // brute truth (the annNames loop's unfiltered truth would be the
+      // wrong ground set). Measured 0.917 at sf0.1 / 1.0 at sf1;
+      // floored at 0.8 with the same slack discipline as sim_ivf_topk.
+      val fTruth = topSet("sim_filtered_topk")
+      val fAppr = topSet("sim_filtered_ivf_topk")
+      val fPer = fTruth.toSeq.map { case (q, t) =>
+        fAppr.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      val fRecall = if (fPer.nonEmpty) fPer.sum / fPer.size else 0.0
+      if (fRecall < 0.8)
+        floorViolation = floorViolation.orElse(
+          Some(s"sim_filtered_ivf_topk recall = $fRecall < 0.8 at $floorTag"))
       rJson + fJson + s""","substring_recall":$subRecall""" +
-        s""","bm25_cap_recall":$capRecall"""
+        s""","bm25_cap_recall":$capRecall""" +
+        s""","filtered_ivf_recall":$fRecall"""
     } catch {
       case e: Throwable =>
         // inability to MEASURE the floor must fail as loudly as missing

@@ -132,6 +132,59 @@ object SimOps {
 
   val bruteTopK: Q = (s, d) => bruteTop(s, d, K)
 
+  // -------------------------------------------------------------------
+  // Filtered vector search — THE production ANN problem (every real
+  // vector store serves "top-k neighbors WHERE metadata matches"): the
+  // approximation and the predicate interact, because filtering an
+  // index's candidate set thins every probed list by the selectivity.
+  // -------------------------------------------------------------------
+
+  /** The registered filter: label ≡ 0 (mod 3), ~1/3 selectivity on the
+    * harness corpus — selective enough that the interaction is visible,
+    * dense enough that every query keeps true filtered neighbors. */
+  private val FilteredPredSql = "label % 3 = 0"
+
+  private def corpusWithNormLabeled(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    DedupOps.EmbGate.clean(
+      embeddings(s, d).select(col("vec_id"), col("embedding"), col("label")), "c_nrm")
+  }
+
+  /** Exact filtered top-k — PRE-filtering: the predicate lands on the
+    * corpus frame BEFORE scoring (at scale it reaches the parquet scan
+    * as a pushed filter), so the result is exact top-k OVER THE
+    * FILTERED SET by construction. The alternative a naive stack runs —
+    * POST-filtering an unfiltered top-k shortlist — silently returns
+    * fewer than k (or zero) rows whenever the filter knocks out
+    * shortlist members; this op is the correctness baseline the indexed
+    * variant is audited against. */
+  val filteredBruteTopK: Q = (s, d) =>
+    rankTopK(
+      corpusWithNormLabeled(s, d).where(expr(FilteredPredSql))
+        .join(broadcast(qset(s, d)), col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
+      K)
+
+  /** Filtered search over the IVF index: the probed candidate set
+    * intersects the predicate BEFORE scoring (single-stage — the filter
+    * join is on the candidate pair set, so per-query cost SHRINKS with
+    * selectivity instead of rescoring a toothless unfiltered
+    * shortlist). The trade this family always measures: each probed
+    * list keeps ~selectivity of its members, so effective candidates
+    * per query drop ~3× and recall can dip below the unfiltered IVF
+    * floor — production raises nprobe as selectivity falls; Bench
+    * carries the measured recall vs the filtered-brute truth as
+    * `filtered_ivf_recall` with its own floor. */
+  val filteredIvfTopK: Q = (s, d) =>
+    rankTopK(
+      ivfPairs(s, d)
+        .join(corpusWithNormLabeled(s, d).where(expr(FilteredPredSql)), "vec_id")
+        .join(broadcast(qset(s, d)), "q_id")
+        .withColumn("sim",
+          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
+      3)
+
   /** A sign-LSH index shape: `nTables` tables of `bits` hyperplane sign
     * bits each, the query probing its own bucket plus `nProbes - 1`
     * neighbor buckets per table (lowest-summed-|margin| 1-2 bit
@@ -1128,6 +1181,8 @@ object SimOps {
     "sim_pq_topk" -> pqTopK,
     "sim_ivf_pq_topk" -> ivfPqTopK,
     "dedup_semdedup" -> semDedup,
+    "sim_filtered_topk" -> filteredBruteTopK,
+    "sim_filtered_ivf_topk" -> filteredIvfTopK,
   )
 
   private[ops] def dot(a: String, b: String) =
@@ -1439,6 +1494,29 @@ object SimOps {
                      FROM scored)
           SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
           FROM ranked WHERE rank <= $K ORDER BY q_id, rank""",
+    "sim_filtered_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQueries),
+          scored AS (SELECT q.q_id, e.vec_id,
+                       ${cos("q.q_emb", "e.embedding")} AS sim
+                     FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+                     WHERE e.$FilteredPredSql),
+          ranked AS (SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+          FROM ranked WHERE rank <= $K ORDER BY q_id, rank""",
+    "sim_filtered_ivf_topk" ->
+      s"""WITH ${ivfPairsCtes},
+          scored AS (SELECT p.q_id, p.vec_id,
+                       ${cos("qe.embedding", "ce.embedding")} AS sim
+                     FROM pairs p
+                     JOIN embeddings ce ON ce.vec_id = p.vec_id AND ce.$FilteredPredSql
+                     JOIN embeddings qe ON qe.vec_id = p.q_id),
+          ranked AS (SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+          FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
     "emb_quantize_int8" ->
       s"""WITH sc AS (SELECT vec_id, embedding,
               greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
