@@ -571,6 +571,101 @@ object PipelineOps {
     * scan + one shuffle on the pair key + TakeOrderedAndProject — the
     * same two-phase top-k shape as text_ngram_topk, reusable per merge
     * round with the vocabulary substituted in. */
+  // -------------------------------------------------------------------
+  // WordPiece — the second production tokenizer class (Schuster &
+  // Nakajima 2012; BERT's tokenizer): greedy longest-match-first
+  // inference over a learned subword vocabulary. Complements BPE: BPE
+  // tokenizes by replaying merge history, WordPiece by MaxMatch against
+  // the vocabulary — the two shapes real serving stacks ship. Every
+  // step here is integer/string arithmetic, so cross-engine parity is
+  // structural (no float scores anywhere; the likelihood scoring of the
+  // original trainer is replaced by the count·(len−1) compression
+  // heuristic, the delta stated here once).
+  // -------------------------------------------------------------------
+
+  private[ops] val WpMaxPieceLen = 6   // longest learnable piece
+  private[ops] val WpVocabSize = 64    // multi-char vocabulary entries
+  private[ops] val WpMaxWordLen = 16   // beyond this a word becomes <unk>
+                                       // (WordPiece's max_input_chars_per_word)
+
+  /** The capped word-frequency frame — the ONE corpus-touching job of
+    * both tokenizer trainers (identical to the BPE trainer's). */
+  private def wpWordFreq(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(graft.functions.Functions.normalizeText(col("text")), " "))
+        .as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(BpeMaxWords)
+
+  /** The trained multi-char vocabulary, `(rank, piece, len, n, score)`:
+    * every substring of length 2..[[WpMaxPieceLen]] of every word type,
+    * occurrence-weighted by word count, scored by n·(len−1) (longer
+    * pieces buy more compression per use), top [[WpVocabSize]] under
+    * (score DESC, piece ASC). Single characters are the implicit
+    * totality fallback of the tokenizer, not vocabulary rows. All work
+    * after the word-frequency aggregate is vocabulary-sized. */
+  val vocabWordpieceTrain: Q = (s, d) =>
+    wpWordFreq(s, d)
+      .select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+              i -> transform(sequence(2, least($WpMaxPieceLen, length(word) - i + 1)),
+                     l -> substring(word, i, l))))"""))
+        .as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("n"))
+      .withColumn("len", length(col("piece")).cast("int"))
+      .withColumn("score", col("n") * (col("len") - 1))
+      .orderBy(col("score").desc, col("piece")).limit(WpVocabSize)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("piece"))))
+      .select(col("rank"), col("piece"), col("len"), col("n"), col("score"))
+
+  /** The greedy-match CASE, generated ONCE for both engines (`rem` is
+    * the engine-specific unconsumed-suffix expression, `vocab` the
+    * engine-specific membership list): longest vocabulary piece at the
+    * cursor, single-char fallback. */
+  private def wpMatchCase(rem: String, contains: (String, String) => String): String = {
+    val branches = (WpMaxPieceLen to 2 by -1).map { l =>
+      s"WHEN length($rem) >= $l AND ${contains(s"substring($rem, 1, $l)", "vocab")} THEN substring($rem, 1, $l)"
+    }.mkString(" ")
+    s"CASE $branches ELSE substring($rem, 1, 1) END"
+  }
+
+  /** Tokenize-with-the-trained-vocabulary: greedy MaxMatch per word
+    * type, then corpus token counts = Σ word-count × in-word occurrence
+    * (the vocabBpeApply shape — the corpus is never re-tokenized row by
+    * row). The trained vocabulary is collected to the driver (bounded at
+    * [[WpVocabSize]] rows — the codebook convention) and inlined as an
+    * array literal; the [a-z0-9] alphabet makes the interpolation
+    * injection-safe by construction. Words longer than [[WpMaxWordLen]]
+    * become `<unk>` — WordPiece's own max_input_chars_per_word rule; the
+    * angle bracket cannot occur in a normalized word, so the sentinel
+    * can never collide with a real piece. */
+  val vocabWordpieceTokenize: Q = (s, d) => {
+    val vocab = vocabWordpieceTrain(s, d).collect().map(_.getString(1))
+    val vLit =
+      if (vocab.isEmpty) "array(cast(null as string))"
+      else vocab.sorted.map(p => s"'$p'").mkString("array(", ", ", ")")
+    val matchCase = wpMatchCase("substring(word, acc.pos, length(word))",
+      (probe, _) => s"array_contains($vLit, $probe)")
+    // NB `substring(rem, 1, l)` inside the generated CASE reads the
+    // suffix at the cursor: rem = substring(word, acc.pos, length(word))
+    val toksExpr =
+      s"""CASE WHEN length(word) > $WpMaxWordLen THEN array('<unk>')
+          ELSE aggregate(sequence(1, length(word)),
+            struct(cast(1 as int) as pos, cast(array() as array<string>) as toks),
+            (acc, i) -> IF(acc.pos > length(word), acc,
+              struct(cast(acc.pos + length($matchCase) as int) as pos,
+                concat(acc.toks, array($matchCase)) as toks)),
+            acc -> acc.toks)
+          END"""
+    wpWordFreq(s, d)
+      .select(col("cnt"), explode(expr(toksExpr)).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(sum("cnt").as("n"))
+      .orderBy(col("n").desc, col("token")).limit(BpeTopN)
+  }
+
   val vocabBpePairs: Q = (s, d) =>
     documents(s, d)
       .withColumn("w", split(graft.functions.Functions.normalizeText(col("text")), " "))
@@ -901,6 +996,8 @@ object PipelineOps {
     "vocab_bpe_train" -> vocabBpeTrain,
     "vocab_bpe_apply" -> vocabBpeApply,
     "vocab_bpe_tokenize" -> vocabBpeTokenize,
+    "vocab_wordpiece_train" -> vocabWordpieceTrain,
+    "vocab_wordpiece_tokenize" -> vocabWordpieceTokenize,
     "corpus_expectations" -> corpusExpectations,
     "doc_chunk" -> docChunk,
     "chunk_dedup" -> chunkDedup,
@@ -971,7 +1068,60 @@ object PipelineOps {
                  CAST((${zExprSql("tb", "ub", "//")}) // $ZFileShift AS INT) AS file_id
                FROM lat)"""
 
+  /** Shared WordPiece CTE chain: `wf` (capped word frequencies), `vm`
+    * (the trained multi-char vocabulary with ranks), `vl` (its
+    * membership list, 1 row). */
+  private def wpCtesSql: String = {
+    val norm = DedupOps.NormSql
+    s"""wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split($norm, ' ')) AS word FROM documents)
+          WHERE word <> '' GROUP BY word
+          ORDER BY cnt DESC, word LIMIT $BpeMaxWords),
+        cand AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n
+                 FROM (SELECT cnt, unnest(flatten(list_transform(generate_series(1, len(word)),
+                         i -> list_transform(generate_series(2, least($WpMaxPieceLen, len(word) - i + 1)),
+                                l -> substring(word, i, l))))) AS piece
+                       FROM wf)
+                 GROUP BY piece),
+        vm AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY n * (len(piece) - 1) DESC, piece) AS INT) AS rank,
+                 piece, CAST(len(piece) AS INT) AS len, n,
+                 CAST(n * (len(piece) - 1) AS BIGINT) AS score
+               FROM cand ORDER BY score DESC, piece LIMIT $WpVocabSize),
+        vl AS (SELECT list(piece ORDER BY piece) AS vocab FROM vm)"""
+  }
+
+  /** The tokenize rounds: [[WpMaxWordLen]] unrolled consume steps (a
+    * piece is ≥ 1 char, so words within the length cap finish), the BPE
+    * unrolled-CTE discipline. */
+  private def wpTokenizeOracleSql: String = {
+    val matchCase = wpMatchCase("rem", (probe, v) => s"list_contains($v, $probe)")
+    val sb = new StringBuilder(
+      s"""WITH ${wpCtesSql},
+          r0 AS (SELECT cnt,
+                   CASE WHEN len(word) > $WpMaxWordLen THEN '' ELSE word END AS rem,
+                   CASE WHEN len(word) > $WpMaxWordLen THEN ['<unk>']
+                        ELSE CAST([] AS VARCHAR[]) END AS toks
+                 FROM wf)""")
+    for (i <- 1 to WpMaxWordLen) {
+      sb.append(s""",
+          r$i AS (SELECT cnt,
+                    CASE WHEN rem = '' THEN '' ELSE substring(rem, length($matchCase) + 1) END AS rem,
+                    CASE WHEN rem = '' THEN toks ELSE list_append(toks, $matchCase) END AS toks
+                  FROM r${i - 1}, vl)""")
+    }
+    sb.append(s"""
+        SELECT token, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM (SELECT cnt, unnest(toks) AS token FROM r$WpMaxWordLen)
+        WHERE token <> ''
+        GROUP BY token ORDER BY n DESC, token LIMIT $BpeTopN""")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "vocab_wordpiece_train" ->
+      s"""WITH ${wpCtesSql}
+          SELECT rank, piece, len, n, score FROM vm ORDER BY rank""",
+    "vocab_wordpiece_tokenize" -> wpTokenizeOracleSql,
     "events_zorder_layout" ->
       s"""WITH $zorderCtesSql
           SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n,
