@@ -377,8 +377,8 @@ object PipelineOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted_lang")
 
-  private val ChunkWords = 50
-  private val ChunkStride = 40 // 10-word overlap between neighbors
+  private[ops] val ChunkWords = 50
+  private[ops] val ChunkStride = 40 // 10-word overlap between neighbors
 
   /** Overlapping fixed-window document chunking (RAG / training-sequence
     * prep): [[ChunkWords]]-word windows every [[ChunkStride]] words over

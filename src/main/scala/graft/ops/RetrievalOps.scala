@@ -339,11 +339,68 @@ object RetrievalOps {
       .orderBy("q_id", "rank")
   }
 
+  // -------------------------------------------------------------------
+  // Chunk-level retrieval — what a RAG stack actually serves: queries
+  // retrieve passages, not whole documents. Chunks are PipelineOps's
+  // doc_chunk windows (50 words, stride 40 — ONE chunk definition
+  // across chunk_dedup and retrieval, same constants), re-keyed into a
+  // single composite id so the whole BM25 machinery applies unchanged.
+  // -------------------------------------------------------------------
+
+  /** Chunk id packing: cid = (doc_id + 1)·1024 + chunk_id. The +1
+    * offset keeps every cid above the query-id range, and 1024 chunks
+    * bounds docs at ~41k words under the stride — far beyond the
+    * corpus; the chunk explode would overflow the bound only after the
+    * sequence itself blew up. */
+  private val ChunkIdBase = 1024L
+
+  /** `(doc_id = cid, text, src_doc, chunk_id)` — the chunk corpus. */
+  private def chunkFrame(s: SparkSession, d: String): DataFrame = {
+    val (cw, cs) = (PipelineOps.ChunkWords, PipelineOps.ChunkStride)
+    documents(s, d)
+      .withColumn("w", split(normalizeText(col("text")), " "))
+      .withColumn("len", size(col("w")))
+      .withColumn("n_chunks",
+        when(col("len") <= cw, lit(1))
+          .otherwise(expr(s"(len - $cw + ${cs - 1}) div $cs + 1")))
+      .select(col("doc_id").as("src_doc"), col("w"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+      .select(
+        ((col("src_doc") + 1) * ChunkIdBase + col("chunk_id")).as("doc_id"),
+        expr(s"array_join(slice(w, chunk_id * $cs + 1, $cw), ' ')").as("text"),
+        col("src_doc"), col("chunk_id"))
+  }
+
+  /** BM25 top-5 PASSAGES per query document: the query side is the
+    * document's trigram terms, the corpus side is the chunk frame, and
+    * the query document's OWN chunks are excluded (they would trivially
+    * occupy every rank — RAG excludes the query's source). Same core,
+    * same cap (derived from the CHUNK population — the corpus being
+    * scored), same fold; output decomposes the composite id back into
+    * (chunk_doc_id, chunk_id). */
+  val chunkBm25TopK: Q = (s, d) => {
+    val dt = shingleFrame(s, chunkFrame(s, d).select(col("doc_id"), col("text")))
+    val dl = dt.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("double").as("sum_dl"))
+    val qt = docToks(s, d).where(col("doc_id") < NQueries)
+      .select(col("doc_id").as("q_id"), col("tok"))
+    val scored = bm25ScoreCore(dt, dl, stats, qt, capped = true)
+      .where(expr(s"doc_id div $ChunkIdBase - 1") =!= col("q_id"))
+    bm25TopOf(scored, K)
+      .select(col("q_id"), col("rank"),
+        expr(s"neighbor_id div $ChunkIdBase - 1").as("chunk_doc_id"),
+        expr(s"cast(neighbor_id % $ChunkIdBase as int)").as("chunk_id"),
+        col("score_r"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_bm25_topk" -> bm25TopK,
     "text_bm25_eval" -> bm25Eval,
     "text_tfidf_topterms" -> tfidfTopTerms,
     "sim_hybrid_rrf" -> hybridRrf,
+    "chunk_bm25_topk" -> chunkBm25TopK,
   )
 
   // -------------------------------------------------------------------
@@ -357,17 +414,22 @@ object RetrievalOps {
   /** The tf-carrying trigram frame — [[DedupOps.ShinglesSql]] without the
     * DISTINCT (retrieval needs term frequency; dedup only membership).
     * Same slicing convention: docs of < 3 words emit their whole
-    * normalized text once. Ends in `dt(doc_id, tok, tf)`. */
-  private val GramCtes =
-    s"""norm AS (SELECT doc_id, $Norm AS t FROM documents),
-        words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
-        idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM words),
-        g AS (SELECT doc_id,
+    * normalized text once. `src` is any relation exposing (doc_id,
+    * text); `p` prefixes the CTE names so two chains (corpus + query
+    * side) can coexist in one statement. Ends in `${p}dt(doc_id, tok,
+    * tf)`. */
+  private def gramCtesNamed(src: String, p: String): String =
+    s"""${p}norm AS (SELECT doc_id, $Norm AS t FROM $src),
+        ${p}words AS (SELECT doc_id, string_split(t, ' ') AS w FROM ${p}norm),
+        ${p}idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM ${p}words),
+        ${p}g AS (SELECT doc_id,
                 CASE WHEN len(w) >= 3 THEN array_to_string(w[i:i+2], ' ')
                      ELSE array_to_string(w, ' ') END AS tok
-              FROM idx),
-        dt AS MATERIALIZED (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-               FROM g WHERE tok <> '' GROUP BY doc_id, tok)"""
+              FROM ${p}idx),
+        ${p}dt AS MATERIALIZED (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM ${p}g WHERE tok <> '' GROUP BY doc_id, tok)"""
+
+  private val GramCtes = gramCtesNamed("documents", "")
 
   /** Shared BM25 CTE chain ending in `sc(q_id, doc_id, score_r)`. */
   private def bm25Ctes(capped: Boolean): String = {
@@ -445,6 +507,48 @@ object RetrievalOps {
                 FROM w)
           SELECT doc_id, CAST(rank AS INT) AS rank, tok, score_r
           FROM r WHERE rank <= $K ORDER BY doc_id, rank""",
+    // mirrors chunkBm25TopK: the chunk chain feeds the corpus gram CTEs
+    // (unprefixed, so dt/dl/st/m keep their bm25 spellings), the query
+    // side is a second, q-prefixed gram chain over documents, and the
+    // exclusion is by PARENT doc, not candidate id
+    "chunk_bm25_topk" -> {
+      val (cw, cs) = (PipelineOps.ChunkWords, PipelineOps.ChunkStride)
+      s"""WITH cwords AS (SELECT doc_id AS src_doc, string_split($Norm, ' ') AS w FROM documents),
+          cn AS (SELECT src_doc, w,
+                   CASE WHEN len(w) <= $cw THEN 1
+                        ELSE (len(w) - $cw + ${cs - 1}) // $cs + 1 END AS n_chunks
+                 FROM cwords),
+          cc AS (SELECT src_doc, w, unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM cn),
+          chunks AS (SELECT (src_doc + 1) * $ChunkIdBase + chunk_id AS doc_id,
+                       array_to_string(w[chunk_id * $cs + 1 : chunk_id * $cs + $cw], ' ') AS text
+                     FROM cc),
+          ${gramCtesNamed("chunks", "")},
+          dl AS MATERIALIZED (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id),
+          st AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dl),
+          m AS MATERIALIZED (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+          ${gramCtesNamed("documents", "q")},
+          qm AS (SELECT q.doc_id AS q_id, q.tok, m.df
+                 FROM qdt q JOIN m USING (tok), st
+                 WHERE q.doc_id < $NQueries AND m.df <= greatest(20, st.n_docs // 20)),
+          c AS (SELECT qm.q_id, dt.doc_id, qm.tok,
+                  ln((CAST(st.n_docs - qm.df AS DOUBLE) + 0.5)
+                     / (CAST(qm.df AS DOUBLE) + 0.5) + 1.0)
+                  * (CAST(dt.tf AS DOUBLE) * 2.2)
+                  / (dt.tf + 1.2 * (0.25 + 0.75 * dt2.dl / (st.sum_dl / st.n_docs))) AS w
+                FROM qm JOIN dt USING (tok)
+                     JOIN dl dt2 ON dt.doc_id = dt2.doc_id, st
+                WHERE dt.doc_id // $ChunkIdBase - 1 <> qm.q_id),
+          sc AS (SELECT q_id, doc_id, round(list_sum(list(w ORDER BY tok)), 6) AS score_r
+                 FROM c GROUP BY q_id, doc_id),
+          r AS (SELECT q_id, doc_id, score_r,
+                  row_number() OVER (PARTITION BY q_id ORDER BY score_r DESC, doc_id) AS rank
+                FROM sc)
+          SELECT q_id, CAST(rank AS INT) AS rank,
+            CAST(doc_id // $ChunkIdBase - 1 AS BIGINT) AS chunk_doc_id,
+            CAST(doc_id % $ChunkIdBase AS INT) AS chunk_id, score_r
+          FROM r WHERE rank <= $K ORDER BY q_id, rank"""
+    },
     "sim_hybrid_rrf" ->
       s"""WITH ${bm25Ctes(capped = true)},
           rb AS (SELECT q_id, doc_id,

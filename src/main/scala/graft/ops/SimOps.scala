@@ -185,6 +185,41 @@ object SimOps {
           expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
       3)
 
+  /** Matryoshka-prefix audit (Kusupati et al. NeurIPS'22: MRL-trained
+    * embeddings keep most of their signal in a prefix of the dims, so a
+    * store can scan a 4×-shorter vector first). This corpus is NOT
+    * MRL-trained, which is exactly why the number must be measured and
+    * not assumed: per query, recall@3 of cosine over the FIRST
+    * [[MrlDims]] dims against the full-dim truth. A deployment reads
+    * this row before deciding a prefix-first scan is safe on ITS
+    * embeddings; the audit is the deliverable (report-only — a floor
+    * would assert a property of the data, not of the engine). Same
+    * plan shape as [[bruteTop]] — the prefix scan reads a quarter of
+    * the vector bytes, the win production MRL banks at 100 TB. */
+  private val MrlDims = 16
+  val mrlEval: Q = (s, d) => {
+    val full = bruteTop(s, d, 3)
+      .select(col("q_id"), col("neighbor_id"))
+    val cp = corpusWithNorm(s, d)
+      .withColumn("p_emb", expr(s"slice(embedding, 1, $MrlDims)"))
+      .withColumn("p_nrm", sqrt(expr("float_dot(p_emb, p_emb)")))
+      .where(col("p_nrm") > 0) // no-op on the all-clean corpus (EmbGate doc)
+    val qp = cp.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("p_emb").as("q_pemb"),
+        col("p_nrm").as("q_pnrm"))
+    val approx = rankTopK(
+      cp.join(broadcast(qp), col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr("float_dot(q_pemb, p_emb)") / (col("q_pnrm") * col("p_nrm"))),
+      3)
+      .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+    full.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("hit")).as("n_hit"))
+      .withColumn("recall_r", round(col("n_hit").cast("double") / lit(3.0), 6))
+      .orderBy("q_id")
+  }
+
   /** A sign-LSH index shape: `nTables` tables of `bits` hyperplane sign
     * bits each, the query probing its own bucket plus `nProbes - 1`
     * neighbor buckets per table (lowest-summed-|margin| 1-2 bit
@@ -1183,6 +1218,7 @@ object SimOps {
     "dedup_semdedup" -> semDedup,
     "sim_filtered_topk" -> filteredBruteTopK,
     "sim_filtered_ivf_topk" -> filteredIvfTopK,
+    "sim_mrl_eval" -> mrlEval,
   )
 
   private[ops] def dot(a: String, b: String) =
@@ -1505,6 +1541,27 @@ object SimOps {
                      FROM scored)
           SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
           FROM ranked WHERE rank <= $K ORDER BY q_id, rank""",
+    "sim_mrl_eval" -> {
+      def dotP(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, $MrlDims), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQueries),
+          fs AS (SELECT q.q_id, e.vec_id, ${cos("q.q_emb", "e.embedding")} AS sim
+                 FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+          ft AS (SELECT q_id, vec_id FROM
+                   (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM fs) t
+                 WHERE rank <= 3),
+          ps AS (SELECT q.q_id, e.vec_id,
+                   ${dotP("q.q_emb", "e.embedding")}
+                     / (sqrt(${dotP("q.q_emb", "q.q_emb")}) * sqrt(${dotP("e.embedding", "e.embedding")})) AS sim
+                 FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+          pt AS (SELECT q_id, vec_id, 1 AS hit FROM
+                   (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM ps) t
+                 WHERE rank <= 3)
+          SELECT ft.q_id, CAST(COUNT(pt.hit) AS BIGINT) AS n_hit,
+            round(CAST(COUNT(pt.hit) AS DOUBLE) / 3.0, 6) AS recall_r
+          FROM ft LEFT JOIN pt ON ft.q_id = pt.q_id AND ft.vec_id = pt.vec_id
+          GROUP BY ft.q_id ORDER BY ft.q_id"""
+    },
     "sim_filtered_ivf_topk" ->
       s"""WITH ${ivfPairsCtes},
           scored AS (SELECT p.q_id, p.vec_id,
