@@ -957,6 +957,38 @@ object PipelineOps {
         min("u").as("min_u"), max("u").as("max_u"))
       .orderBy("file_id")
 
+  /** The ingest path of the layout (the family's lambda-ingest
+    * convention: standing = even event_ids, batch = odd): new events
+    * are placed with the STANDING corpus's lattice parameters — an
+    * append-only layout cannot re-normalize its past, so the affine
+    * (min, max) mapping is pinned at build time and drifting new data
+    * CLAMPS to the boundary tiles (files 0/15 absorb out-of-range rows
+    * until the deployment's periodic re-layout, the same re-train
+    * cadence call as the IVF centroids). Output is the ingest batch's
+    * own file manifest; every standing file's bounds are untouched by
+    * construction (nothing is rewritten). */
+  val eventsZorderIncremental: Q = (s, d) => {
+    val ev = events(s, d)
+      .select(col("event_id"), expr("unix_micros(ts) div 60000000").as("t"),
+        col("user_id").as("u"))
+    val st = ev.where(col("event_id") % 2 === 0)
+      .agg(min("t").as("tmin"), max("t").as("tmax"),
+        min("u").as("umin"), max("u").as("umax"))
+    ev.where(col("event_id") % 2 === 1)
+      .crossJoin(broadcast(st))
+      .withColumn("tb", expr(
+        "greatest(0L, least(255L, ((t - tmin) * 256) div (tmax - tmin + 1)))"))
+      .withColumn("ub", expr(
+        "greatest(0L, least(255L, ((u - umin) * 256) div (umax - umin + 1)))"))
+      .withColumn("z", expr(zExprSql("tb", "ub", "div")))
+      .withColumn("file_id", expr(s"cast(z div $ZFileShift as int)"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n"),
+        min("t").as("min_t"), max("t").as("max_t"),
+        min("u").as("min_u"), max("u").as("max_u"))
+      .orderBy("file_id")
+  }
+
   /** Lattice-quadrant query boxes for the pruning audit: narrow in both
     * dims, displaced diagonally so no box degenerates to a full stripe. */
   private[ops] val ZBoxes: Seq[(Int, Int, Int, Int, Int)] =
@@ -991,6 +1023,7 @@ object PipelineOps {
   val queries: Map[String, Q] = Map(
     "events_zorder_layout" -> eventsZorderLayout,
     "events_zorder_prune_eval" -> eventsZorderPruneEval,
+    "events_zorder_incremental" -> eventsZorderIncremental,
     "corpus_quantiles" -> corpusQuantiles,
     "vocab_bpe_pairs" -> vocabBpePairs,
     "vocab_bpe_train" -> vocabBpeTrain,
@@ -1128,6 +1161,22 @@ object PipelineOps {
             CAST(MIN(t) AS BIGINT) AS min_t, CAST(MAX(t) AS BIGINT) AS max_t,
             CAST(MIN(u) AS BIGINT) AS min_u, CAST(MAX(u) AS BIGINT) AS max_u
           FROM zb GROUP BY file_id ORDER BY file_id""",
+    "events_zorder_incremental" ->
+      s"""WITH ev AS (SELECT event_id, epoch_us(ts) // 60000000 AS t, user_id AS u FROM events),
+          st AS (SELECT CAST(MIN(t) AS BIGINT) AS tmin, CAST(MAX(t) AS BIGINT) AS tmax,
+                        CAST(MIN(u) AS BIGINT) AS umin, CAST(MAX(u) AS BIGINT) AS umax
+                 FROM ev WHERE event_id % 2 = 0),
+          lat AS (SELECT t, u,
+                    greatest(0, least(255, ((t - tmin) * 256) // (tmax - tmin + 1))) AS tb,
+                    greatest(0, least(255, ((u - umin) * 256) // (umax - umin + 1))) AS ub
+                  FROM ev, st WHERE event_id % 2 = 1),
+          zi AS (SELECT t, u,
+                   CAST((${zExprSql("tb", "ub", "//")}) // $ZFileShift AS INT) AS file_id
+                 FROM lat)
+          SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(MIN(t) AS BIGINT) AS min_t, CAST(MAX(t) AS BIGINT) AS max_t,
+            CAST(MIN(u) AS BIGINT) AS min_u, CAST(MAX(u) AS BIGINT) AS max_u
+          FROM zi GROUP BY file_id ORDER BY file_id""",
     "events_zorder_prune_eval" ->
       s"""WITH $zorderCtesSql,
           boxes(box_id, tlo, thi, ulo, uhi) AS (VALUES ${

@@ -42,7 +42,12 @@ class DeterminismSpec extends SparkSpec {
     "dedup_substring_spans", // per-doc gaps-and-islands over shared fp positions
     "dedup_substring_excise", // ownership min-agg + in-row splice of sorted islands
     "dedup_substring_eval", // diagonal-run truth vs winnowed detector, one row
-    "dedup_semdedup")       // argmin assign + cluster-bounded pairs + CC + election
+    "dedup_semdedup",       // argmin assign + cluster-bounded pairs + CC + election
+    "text_bm25_topk",       // token-sorted score fold + round-6 rank keys
+    "sim_hybrid_rrf",       // two-leg fusion: exact divisions in fixed sum order
+    "chunk_bm25_topk",      // the same fold over the chunk corpus + parent exclusion
+    "vocab_wordpiece_tokenize", // collected-vocab MaxMatch over the word-freq frame
+    "events_zorder_incremental") // standing-params lattice + clamped ingest
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {
