@@ -220,14 +220,14 @@ object RetrievalOps {
     * rounding is the final display round. */
   /** RRF fusion tail shared by the in-memory and fully-indexed hybrid
     * paths: `b`/`c` are `(q_id, doc_id, rank_b/rank_c)` leg rankings. */
-  private def fuseRrf(b: DataFrame, c: DataFrame): DataFrame = {
+  private def fuseRrf(b: DataFrame, c: DataFrame, k: Int = K): DataFrame = {
     val win = Window.partitionBy("q_id").orderBy(col("rrf_r").desc, col("doc_id"))
     b.join(c, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf_r", round(
         coalesce(lit(1.0) / (lit(60) + col("rank_b")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60) + col("rank_c")), lit(0.0)), 6))
       .withColumn("rank", row_number().over(win))
-      .where(col("rank") <= K)
+      .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("doc_id").as("neighbor_id"),
         col("rrf_r"))
       .orderBy("q_id", "rank")
@@ -241,6 +241,86 @@ object RetrievalOps {
       SimOps.bruteTop(s, d, NFuse)
         .select(col("q_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("rank_c")))
+
+  /** MMR diversification (Carbonell & Goldstein SIGIR'98) over the
+    * hybrid pool: greedy selection of [[K]] results maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s) with λ = 0.7 — the
+    * post-processing a RAG stack runs so five near-identical passages
+    * don't fill the context window.
+    *
+    * Determinism discipline: every greedy decision compares ROUND-6
+    * similarities (near-ties collapse to exact ties resolved by id in
+    * both engines — the rank-key convention), and the K−1 selection
+    * rounds are UNROLLED (the BPE/CC-rounds discipline: a greedy
+    * sequential algorithm becomes K−1 bounded dataframe rounds, never a
+    * driver loop over collected rows). Cost: the pool is [[NFuse]] rows
+    * per query, the pair matrix ≤ NFuse² per query — everything after
+    * pool construction is query-batch-sized, independent of corpus
+    * size. The first pick is pure relevance (the MMR base case), so its
+    * reported score is rel_r; later rows report their penalized score. */
+  val hybridMmr: Q = (s, d) => {
+    // pool/rel/ps are query-batch-sized (≤ NFuse·|Q| and NFuse²·|Q|
+    // rows). localCheckpoint is ESSENTIAL, not an optimization: each
+    // greedy round's frame references the previous round's ~3 times, so
+    // without truncating the lineage the corpus-scanning base chains
+    // would be re-derived O(3^K) times (measured: the sf1 replay ran
+    // past 10 minutes; checkpointed it is seconds) — the BPE trainer's
+    // wf.localCheckpoint() lesson at a higher power.
+    val pool = fuseRrf(
+      bm25Top(s, d, NFuse, capped = true)
+        .select(col("q_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("rank_b")),
+      SimOps.bruteTop(s, d, NFuse)
+        .select(col("q_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("rank_c")),
+      NFuse)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"))
+      .localCheckpoint()
+    val cp = SimOps.corpusWithNorm(s, d)
+    val qp = SimOps.qset(s, d)
+    val rel = pool
+      .join(cp, col("doc_id") === col("vec_id"))
+      .join(broadcast(qp), Seq("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        round(expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm")), 6)
+          .as("rel_r"))
+      .localCheckpoint()
+    val a = pool.select(col("q_id"), col("doc_id").as("a_id"))
+      .join(cp.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("c_nrm").as("a_nrm")), Seq("a_id"))
+    val b = pool.select(col("q_id"), col("doc_id").as("b_id"))
+      .join(cp.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("c_nrm").as("b_nrm")), Seq("b_id"))
+    val ps = a.join(b, Seq("q_id")).where(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        round(expr("float_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")), 6)
+          .as("sim_r"))
+      .localCheckpoint()
+    val w1 = Window.partitionBy("q_id").orderBy(col("rel_r").desc, col("doc_id"))
+    var selected = rel.withColumn("rn", row_number().over(w1))
+      .where(col("rn") === 1)
+      .select(col("q_id"), col("doc_id"), lit(1).as("rank"),
+        col("rel_r").as("mmr_r"))
+    for (i <- 2 to K) {
+      val cand = rel
+        .join(selected.select("q_id", "doc_id"), Seq("q_id", "doc_id"), "left_anti")
+        .join(ps.withColumnRenamed("a_id", "doc_id"), Seq("q_id", "doc_id"))
+        .join(selected.select(col("q_id"), col("doc_id").as("b_id")),
+          Seq("q_id", "b_id"))
+        .groupBy("q_id", "doc_id", "rel_r").agg(max("sim_r").as("ms"))
+        .withColumn("mmr",
+          round(lit(0.7) * col("rel_r") - lit(0.3) * col("ms"), 6))
+      val wi = Window.partitionBy("q_id").orderBy(col("mmr").desc, col("doc_id"))
+      selected = selected.unionByName(
+        cand.withColumn("rn", row_number().over(wi)).where(col("rn") === 1)
+          .select(col("q_id"), col("doc_id"), lit(i).as("rank"),
+            col("mmr").as("mmr_r")))
+    }
+    selected
+      .select(col("q_id"), col("rank"), col("doc_id").as("neighbor_id"),
+        col("mmr_r"))
+      .orderBy("q_id", "rank")
+  }
 
   /** The fully-indexed online serving path: hybrid RRF answered entirely
     * from STANDING indexes — lexical leg from the persisted inverted
@@ -401,6 +481,7 @@ object RetrievalOps {
     "text_tfidf_topterms" -> tfidfTopTerms,
     "sim_hybrid_rrf" -> hybridRrf,
     "chunk_bm25_topk" -> chunkBm25TopK,
+    "sim_hybrid_mmr" -> hybridMmr,
   )
 
   // -------------------------------------------------------------------
@@ -550,28 +631,79 @@ object RetrievalOps {
           FROM r WHERE rank <= $K ORDER BY q_id, rank"""
     },
     "sim_hybrid_rrf" ->
-      s"""WITH ${bm25Ctes(capped = true)},
-          rb AS (SELECT q_id, doc_id,
-                   row_number() OVER (PARTITION BY q_id ORDER BY score_r DESC, doc_id) AS rank_b
-                 FROM sc),
-          b AS (SELECT q_id, doc_id, CAST(rank_b AS INT) AS rank_b FROM rb WHERE rank_b <= $NFuse),
-          q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQueries),
-          cscored AS (SELECT q.q_id, e.vec_id AS doc_id,
-                        ${SimOps.cos("q.q_emb", "e.embedding")} AS sim
-                      FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
-          cranked AS (SELECT q_id, doc_id,
-                        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS rank_c
-                      FROM cscored),
-          cw AS (SELECT q_id, doc_id, CAST(rank_c AS INT) AS rank_c FROM cranked WHERE rank_c <= $NFuse),
-          f AS (SELECT COALESCE(b.q_id, cw.q_id) AS q_id,
-                  COALESCE(b.doc_id, cw.doc_id) AS doc_id,
-                  round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.rank_b), 0.0)
-                      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + cw.rank_c), 0.0), 6) AS rrf_r
-                FROM b FULL JOIN cw ON b.q_id = cw.q_id AND b.doc_id = cw.doc_id),
-          fr AS (SELECT q_id, doc_id, rrf_r,
-                   row_number() OVER (PARTITION BY q_id ORDER BY rrf_r DESC, doc_id) AS rank
-                 FROM f)
+      s"""WITH $hybridFusedCtes
           SELECT q_id, CAST(rank AS INT) AS rank, doc_id AS neighbor_id, rrf_r
           FROM fr WHERE rank <= $K ORDER BY q_id, rank""",
+    "sim_hybrid_mmr" -> mmrOracleSql,
   )
+
+  /** The fused-ranking CTE chain shared by the hybrid and MMR oracles —
+    * ends in `fr(q_id, doc_id, rrf_r, rank)`. */
+  private def hybridFusedCtes: String =
+    s"""${bm25Ctes(capped = true)},
+        rb AS (SELECT q_id, doc_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY score_r DESC, doc_id) AS rank_b
+               FROM sc),
+        b AS (SELECT q_id, doc_id, CAST(rank_b AS INT) AS rank_b FROM rb WHERE rank_b <= $NFuse),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQueries),
+        cscored AS (SELECT q.q_id, e.vec_id AS doc_id,
+                      ${SimOps.cos("q.q_emb", "e.embedding")} AS sim
+                    FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+        cranked AS (SELECT q_id, doc_id,
+                      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS rank_c
+                    FROM cscored),
+        cw AS (SELECT q_id, doc_id, CAST(rank_c AS INT) AS rank_c FROM cranked WHERE rank_c <= $NFuse),
+        f AS (SELECT COALESCE(b.q_id, cw.q_id) AS q_id,
+                COALESCE(b.doc_id, cw.doc_id) AS doc_id,
+                round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.rank_b), 0.0)
+                    + COALESCE(CAST(1.0 AS DOUBLE) / (60 + cw.rank_c), 0.0), 6) AS rrf_r
+              FROM b FULL JOIN cw ON b.q_id = cw.q_id AND b.doc_id = cw.doc_id),
+        fr AS MATERIALIZED (SELECT q_id, doc_id, rrf_r,
+                 row_number() OVER (PARTITION BY q_id ORDER BY rrf_r DESC, doc_id) AS rank
+               FROM f)"""
+
+  /** Mirror of [[hybridMmr]]: pool/rel/pair CTEs, then K−1 unrolled
+    * greedy rounds (sel1 … sel$K), each an argmax over round-6 scores. */
+  private def mmrOracleSql: String = {
+    val sb = new StringBuilder(
+      s"""WITH $hybridFusedCtes,
+          pool AS (SELECT q_id, doc_id FROM fr WHERE rank <= $NFuse),
+          rel AS MATERIALIZED (SELECT p.q_id, p.doc_id,
+                   round(${SimOps.cos("qe.embedding", "ce.embedding")}, 6) AS rel_r
+                 FROM pool p
+                 JOIN embeddings qe ON qe.vec_id = p.q_id
+                 JOIN embeddings ce ON ce.vec_id = p.doc_id),
+          ps AS MATERIALIZED (SELECT pa.q_id, pa.doc_id AS a_id, pb.doc_id AS b_id,
+                   round(${SimOps.cos("ea.embedding", "eb.embedding")}, 6) AS sim_r
+                 FROM pool pa JOIN pool pb
+                   ON pa.q_id = pb.q_id AND pa.doc_id <> pb.doc_id
+                 JOIN embeddings ea ON ea.vec_id = pa.doc_id
+                 JOIN embeddings eb ON eb.vec_id = pb.doc_id),
+          sel1 AS (SELECT q_id, doc_id, 1 AS rank, rel_r AS mmr_r FROM
+                     (SELECT q_id, doc_id, rel_r,
+                        row_number() OVER (PARTITION BY q_id ORDER BY rel_r DESC, doc_id) AS rn
+                      FROM rel) t WHERE rn = 1)""")
+    for (i <- 2 to K) {
+      val prev = s"sel${i - 1}"
+      sb.append(s""",
+          c$i AS (SELECT r.q_id, r.doc_id, r.rel_r, MAX(p.sim_r) AS ms
+                  FROM rel r
+                  JOIN ps p ON p.q_id = r.q_id AND p.a_id = r.doc_id
+                  JOIN $prev s ON s.q_id = p.q_id AND s.doc_id = p.b_id
+                  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+                                    WHERE x.q_id = r.q_id AND x.doc_id = r.doc_id)
+                  GROUP BY r.q_id, r.doc_id, r.rel_r),
+          p$i AS (SELECT q_id, doc_id, $i AS rank, mmr AS mmr_r FROM
+                    (SELECT q_id, doc_id, mmr,
+                       row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, doc_id) AS rn
+                     FROM (SELECT q_id, doc_id,
+                             round(0.7 * rel_r - 0.3 * ms, 6) AS mmr FROM c$i) t0) t
+                  WHERE rn = 1),
+          sel$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$i)""")
+    }
+    sb.append(s"""
+        SELECT q_id, CAST(rank AS INT) AS rank, doc_id AS neighbor_id, mmr_r
+        FROM sel$K ORDER BY q_id, rank""")
+    sb.toString
+  }
 }

@@ -107,6 +107,51 @@ class RetrievalSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("sim_hybrid_mmr diversifies: a redundant near-duplicate is demoted below a fresh result") {
+    // q (vec 0) = e1. vec 10 has cos .9 to q; vec 11 is IDENTICAL to 10
+    // (cos 1 between them); vec 12 has cos .8 to q and cos .72 to 10.
+    // Pure relevance ranks 10, 11, 12. MMR (λ=.7) after picking 10:
+    //   score(11) = .7·.9 − .3·1.0  = .330
+    //   score(12) = .7·.8 − .3·.72  = .344  → 12 outranks the duplicate
+    val dim = 64
+    def vec(vals: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(dim)(0f); vals.foreach { case (i, v) => a(i) = v }; a
+    }
+    val rows = Seq(
+      0L -> vec(0 -> 1f),
+      10L -> vec(0 -> 0.9f, 1 -> 0.436f),
+      11L -> vec(0 -> 0.9f, 1 -> 0.436f),
+      12L -> vec(0 -> 0.8f, 2 -> 0.6f)) ++
+      // filler queries 1-7 and low-sim corpus tail so pools are non-empty
+      (1L to 7L).map(i => i -> vec((i.toInt + 3) -> 1f)) ++
+      (20L to 30L).map(i => i -> vec((i.toInt % 50 + 10) -> 1f))
+    val d = java.nio.file.Files.createTempDirectory("graft_mmr").toString
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
+        rows.map { case (id, v) => Row(id, v.toSeq, 0) }).asJava),
+      embSchema).write.parquet(s"$d/embeddings.parquet")
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
+        rows.map { case (id, _) => Row(id, s"filler text for doc $id entirely", "en", "s0", 10L) }).asJava),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))).write.parquet(s"$d/documents.parquet")
+    val got = ops.RetrievalOps.queries("sim_hybrid_mmr")(spark, d).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+      .map(r => r.getInt(1) -> r.getLong(2))
+    assert(got.take(3).toSeq == Seq(1 -> 10L, 2 -> 12L, 3 -> 11L),
+      s"MMR must demote the duplicate: ${got.toSeq}")
+    // control: plain hybrid (no diversity term) keeps the duplicate at 2
+    val rrf = ops.RetrievalOps.queries("sim_hybrid_rrf")(spark, d).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getInt(1)).map(_.getLong(2))
+    assert(rrf.take(3).toSeq == Seq(10L, 11L, 12L),
+      s"control: relevance-only order should keep the duplicate adjacent: ${rrf.toSeq}")
+  }
+
   test("retrieval ops tolerate empty and sub-trigram documents") {
     val dir = writeDocs(Seq(
       doc(0L, "quick brown fox appears here today"),
