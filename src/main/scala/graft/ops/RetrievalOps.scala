@@ -397,6 +397,37 @@ object RetrievalOps {
       .write.mode("append").parquet(dir + "/doclens")
   }
 
+  /** The user-facing free-text search API: BM25 top-`k` documents for
+    * arbitrary query STRINGS against a persisted index — what an
+    * application actually calls (the registry ops take corpus
+    * directories because the oracle harness replays them; this is the
+    * same scoring core behind a `Seq[String]` front door). Queries are
+    * shingled with the build's exact tokenizer; q_id is the position in
+    * `queryTexts`. Per-query cost: the query terms' posting slice plus
+    * the narrow doclens table. */
+  def bm25Search(s: SparkSession, indexDir: String,
+      queryTexts: Seq[String], k: Int = K): DataFrame = {
+    import s.implicits._
+    val postings = s.read.parquet(indexDir + "/postings")
+      .dropDuplicates("doc_id", "tok")
+    val doclens = s.read.parquet(indexDir + "/doclens").dropDuplicates("doc_id")
+    val stats = doclens.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("double").as("sum_dl"))
+    val qdocs = queryTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // query ids live in their own space; negate past -1 so no corpus
+    // doc_id can collide with them (the core's self-exclusion predicate
+    // then never fires, which is correct — a free-text query IS no doc)
+    val qt = shingleFrame(s, qdocs)
+      .select((-col("doc_id") - 1).as("q_id"), col("tok"))
+    val dtProbe = postings.join(
+      broadcast(qt.select("tok").distinct()), Seq("tok"), "left_semi")
+    bm25TopOf(bm25ScoreCore(dtProbe, doclens, stats, qt, capped = true), k)
+      .select((-col("q_id") - 1).cast("int").as("query_idx"), col("rank"),
+        col("neighbor_id").as("doc_id"), col("score_r"))
+      .orderBy("query_idx", "rank")
+  }
+
   /** Query a PERSISTED index: identical semantics (and bytes —
     * TextIndexSpec pins it) to [[bm25TopK]] over the same corpus, but
     * the per-query work reads only the query terms' posting slice (the

@@ -26,7 +26,7 @@ object SimOps {
   private val K = 5
   private val NQueries = 8
 
-  private def qset(s: SparkSession, d: String): DataFrame =
+  private[ops] def qset(s: SparkSession, d: String): DataFrame =
     qset2(s, d).where(col("q_id") < NQueries) // filter pushes to the scan
 
   /** Corrupt-vector gate — THE shared [[DedupOps.EmbGate]] (see its doc
@@ -35,7 +35,7 @@ object SimOps {
     * and a NaN cosine would outrank every real neighbor. Both ANN entry
     * frames drop them. No-op on the harness corpus (all vectors are
     * clean 64-dim), so the DuckDB oracles are unchanged. */
-  private def corpusWithNorm(s: SparkSession, d: String): DataFrame = {
+  private[ops] def corpusWithNorm(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     DedupOps.EmbGate.clean(
       embeddings(s, d).select(col("vec_id"), col("embedding")), "c_nrm")

@@ -129,6 +129,22 @@ class TextIndexSpec extends SparkSpec {
       s"streamed-ingest index answers != batch-built index answers")
   }
 
+  test("bm25Search: free-text queries hit the right documents; unknown terms return nothing") {
+    val corpus = writeDocs(Seq(
+      doc(0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      doc(1L, "completely different content about other topics entirely"),
+      doc(2L, "alpha beta gamma appears here too with more words")))
+    val dir = tmp()
+    ops.RetrievalOps.buildTextIndex(spark, corpus, dir)
+    val got = ops.RetrievalOps.bm25Search(spark, dir,
+      Seq("tell me about alpha beta gamma",   // matches docs 0 and 2
+        "zzz qqq vvv www unseen phrase"))     // no shared trigram at all
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val q0 = got.filter(_._1 == 0).map(_._3).toSet
+    assert(q0 == Set(0L, 2L), s"query 0 should hit the alpha-beta-gamma docs: ${got.toSeq}")
+    assert(!got.exists(_._1 == 1), s"query 1 shares no trigram and must return nothing: ${got.toSeq}")
+  }
+
   test("degenerate enrollment: empty batch and empty-text documents change nothing") {
     val corpus = writeDocs(Seq(
       doc(0L, "alpha beta gamma delta epsilon zeta eta theta"),
