@@ -188,6 +188,33 @@ object PipelineOps {
       .select("doc_id", "split")
       .orderBy("doc_id")
 
+  /** Per-source cap for [[corpusSourceCap]]: the C4/RefinedWeb-style
+    * per-domain ceiling — no single source may contribute more than
+    * this many documents to the curated mix (chosen to BIND at every verify scale — the harness corpus has 25+ docs per source — so the oracle checks capped semantics, not a pass-through), so one crawled domain
+    * can't dominate training. */
+  private val SourceCap = 20
+
+  /** Per-source document cap: within each source keep at most
+    * [[SourceCap]] documents, chosen by CONTENT-STABLE salted-hash
+    * order (md5 of doc_id — the sample_split_hash discipline), ties by
+    * doc_id — NOT by arrival or position, so the kept set is
+    * reproducible under any partitioning/input order and is a pure
+    * function of corpus content. Scale shape: one shuffle on the source
+    * key; the rank window's per-key state is a counter, and per-source
+    * fan-in is whatever the corpus has — a genuinely hot source is
+    * exactly what the cap truncates, and AQE's skew split handles the
+    * scan side. Emits the kept rows with their in-source keep rank. */
+  val corpusSourceCap: Q = (s, d) => {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(lit("cap#"), col("doc_id"))), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"))
+      .withColumn("keep_rank", row_number().over(w))
+      .where(col("keep_rank") <= SourceCap)
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("source"), col("keep_rank"))
+  }
+
   /** Per-stratum keep fraction for [[sampleStratified]], in 16-bit hash
     * units (rate × 65536): keep all good docs, half the ok ones, ~10%
     * of junk — the shape of a quality-weighted training-mix downsample. */
@@ -1024,6 +1051,7 @@ object PipelineOps {
     "events_zorder_layout" -> eventsZorderLayout,
     "events_zorder_prune_eval" -> eventsZorderPruneEval,
     "events_zorder_incremental" -> eventsZorderIncremental,
+    "corpus_source_cap" -> corpusSourceCap,
     "corpus_quantiles" -> corpusQuantiles,
     "vocab_bpe_pairs" -> vocabBpePairs,
     "vocab_bpe_train" -> vocabBpeTrain,
@@ -1151,6 +1179,13 @@ object PipelineOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "corpus_source_cap" ->
+      s"""WITH r AS (SELECT doc_id, COALESCE(source, '') AS source,
+                 row_number() OVER (PARTITION BY COALESCE(source, '')
+                   ORDER BY md5('cap#' || CAST(doc_id AS VARCHAR)), doc_id) AS keep_rank
+               FROM documents)
+          SELECT doc_id, source, CAST(keep_rank AS INT) AS keep_rank
+          FROM r WHERE keep_rank <= $SourceCap ORDER BY doc_id""",
     "vocab_wordpiece_train" ->
       s"""WITH ${wpCtesSql}
           SELECT rank, piece, len, n, score FROM vm ORDER BY rank""",

@@ -47,7 +47,8 @@ class DeterminismSpec extends SparkSpec {
     "sim_hybrid_rrf",       // two-leg fusion: exact divisions in fixed sum order
     "chunk_bm25_topk",      // the same fold over the chunk corpus + parent exclusion
     "vocab_wordpiece_tokenize", // collected-vocab MaxMatch over the word-freq frame
-    "events_zorder_incremental") // standing-params lattice + clamped ingest
+    "events_zorder_incremental", // standing-params lattice + clamped ingest
+    "corpus_source_cap")    // salted-hash keep order, partitioning-invariant
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

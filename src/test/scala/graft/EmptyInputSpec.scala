@@ -58,7 +58,7 @@ class EmptyInputSpec extends SparkSpec {
     "events_props_keys", "mm_frame_sample",
     "text_bm25_topk", "text_bm25_eval", "text_tfidf_topterms",
     "sim_hybrid_rrf", "events_zorder_layout", "events_zorder_prune_eval",
-    "chunk_bm25_topk", "events_zorder_incremental", "sim_mrl_eval",
+    "chunk_bm25_topk", "events_zorder_incremental", "sim_mrl_eval", "corpus_source_cap",
     "vocab_wordpiece_train", "vocab_wordpiece_tokenize")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
