@@ -215,6 +215,51 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("keep_rank"))
   }
 
+  /** Corpus drift monitor: unigram-distribution divergence between the
+    * even-doc_id and odd-doc_id halves (the harness's standing split
+    * convention — in production the two sides are "yesterday's corpus"
+    * vs "today's ingest"). Emits one row per divergence measure:
+    * KL(P‖Q) with add-one smoothing over the UNION vocabulary (so an
+    * ingest-only token contributes a finite, visible penalty instead of
+    * ∞), total variation distance, and the vocabulary overlap — the
+    * three numbers a drift alarm thresholds on. Scale shape: two
+    * passes' worth of work in ONE aggregate over the (side, tok) frame
+    * (map-side partial), then vocabulary-sized math; the final fold is
+    * token-sorted (double addition order, the unigram_nll discipline)
+    * and round-6. */
+  val corpusDrift: Q = (s, d) => {
+    val t = documents(s, d)
+      .select((col("doc_id") % 2 === 0).as("even"),
+        explode(split(graft.functions.Functions.normalizeText(col("text")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(sum(when(col("even"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("even"), 0L).otherwise(1L)).as("nq"))
+    // smoothed probabilities over the union vocabulary: (n_tok + 1) /
+    // (N_side + V). The 1-row totals frame broadcasts back (the
+    // sample_temperature shape).
+    val tot = t.agg(sum("np").as("tp"), sum("nq").as("tq"),
+      count(lit(1)).as("v"))
+    val terms = t.crossJoin(broadcast(tot))
+      .withColumn("p", (col("np").cast("double") + lit(1.0)) / (col("tp") + col("v")))
+      .withColumn("q", (col("nq").cast("double") + lit(1.0)) / (col("tq") + col("v")))
+      .withColumn("kl_t", col("p") * log(col("p") / col("q")))
+      .withColumn("tv_t", abs(col("p") - col("q")) / lit(2.0))
+      .withColumn("ov_t",
+        when(col("np") > 0 && col("nq") > 0, 1L).otherwise(0L))
+    val folded = terms
+      .agg(
+        aggregate(array_sort(collect_list(struct(col("tok"), col("kl_t")))),
+          lit(0.0), (a, x) => a + x.getField("kl_t")).as("kl"),
+        aggregate(array_sort(collect_list(struct(col("tok"), col("tv_t")))),
+          lit(0.0), (a, x) => a + x.getField("tv_t")).as("tv"),
+        sum("ov_t").as("n_shared"), count(lit(1)).as("v"))
+    folded.select(
+      round(col("kl"), 6).as("kl_r"),
+      round(col("tv"), 6).as("tv_r"),
+      col("n_shared"), col("v").as("vocab"))
+  }
+
   /** Per-stratum keep fraction for [[sampleStratified]], in 16-bit hash
     * units (rate × 65536): keep all good docs, half the ok ones, ~10%
     * of junk — the shape of a quality-weighted training-mix downsample. */
@@ -1052,6 +1097,7 @@ object PipelineOps {
     "events_zorder_prune_eval" -> eventsZorderPruneEval,
     "events_zorder_incremental" -> eventsZorderIncremental,
     "corpus_source_cap" -> corpusSourceCap,
+    "corpus_drift" -> corpusDrift,
     "corpus_quantiles" -> corpusQuantiles,
     "vocab_bpe_pairs" -> vocabBpePairs,
     "vocab_bpe_train" -> vocabBpeTrain,
@@ -1186,6 +1232,26 @@ object PipelineOps {
                FROM documents)
           SELECT doc_id, source, CAST(keep_rank AS INT) AS keep_rank
           FROM r WHERE keep_rank <= $SourceCap ORDER BY doc_id""",
+    "corpus_drift" ->
+      s"""WITH t0 AS (SELECT doc_id % 2 = 0 AS even,
+                 unnest(string_split(${DedupOps.NormSql}, ' ')) AS tok FROM documents),
+          t AS (SELECT tok,
+                  CAST(SUM(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                  CAST(SUM(CASE WHEN even THEN 0 ELSE 1 END) AS BIGINT) AS nq
+                FROM t0 WHERE tok <> '' GROUP BY tok),
+          tot AS (SELECT CAST(SUM(np) AS BIGINT) AS tp, CAST(SUM(nq) AS BIGINT) AS tq,
+                    CAST(COUNT(*) AS BIGINT) AS v FROM t),
+          terms AS (SELECT tok,
+                  (CAST(np AS DOUBLE) + 1.0) / (tp + v) AS p,
+                  (CAST(nq AS DOUBLE) + 1.0) / (tq + v) AS q,
+                  CASE WHEN np > 0 AND nq > 0 THEN 1 ELSE 0 END AS ov_t
+                FROM t, tot),
+          k AS (SELECT tok, p * ln(p / q) AS kl_t, abs(p - q) / 2.0 AS tv_t, ov_t FROM terms)
+          SELECT round(list_sum(list(kl_t ORDER BY tok)), 6) AS kl_r,
+            round(list_sum(list(tv_t ORDER BY tok)), 6) AS tv_r,
+            CAST(SUM(ov_t) AS BIGINT) AS n_shared,
+            CAST(COUNT(*) AS BIGINT) AS vocab
+          FROM k""",
     "vocab_wordpiece_train" ->
       s"""WITH ${wpCtesSql}
           SELECT rank, piece, len, n, score FROM vm ORDER BY rank""",

@@ -48,7 +48,8 @@ class DeterminismSpec extends SparkSpec {
     "chunk_bm25_topk",      // the same fold over the chunk corpus + parent exclusion
     "vocab_wordpiece_tokenize", // collected-vocab MaxMatch over the word-freq frame
     "events_zorder_incremental", // standing-params lattice + clamped ingest
-    "corpus_source_cap")    // salted-hash keep order, partitioning-invariant
+    "corpus_source_cap",    // salted-hash keep order, partitioning-invariant
+    "corpus_drift")         // token-sorted KL/TV folds over the union vocab
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

@@ -64,7 +64,8 @@ class EmptyInputSpec extends SparkSpec {
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
   private val runsOnly = Seq("vocab_kmv", "events_unique_users_kmv",
-    "corpus_expectations", "events_error_spike", "dedup_substring_eval")
+    "corpus_expectations", "events_error_spike", "dedup_substring_eval",
+    "corpus_drift")
 
   for (name <- emptyOut) {
     test(s"$name returns zero rows on an empty corpus") {

@@ -152,6 +152,23 @@ class RetrievalSpec extends SparkSpec {
       s"control: relevance-only order should keep the duplicate adjacent: ${rrf.toSeq}")
   }
 
+  test("corpus_drift gauge moves: disjoint-vocabulary halves read high divergence, uniform halves read ~0") {
+    // even docs speak one vocabulary, odd docs another: overlap 0,
+    // KL far from zero, TV near its max
+    val dir = writeDocs((0L to 19L).map(i =>
+      doc(i, if (i % 2 == 0) "alpha beta gamma delta words here"
+             else "omega sigma lambda kappa tokens there")))
+    val r = ops.PipelineOps.queries("corpus_drift")(spark, dir).collect().head
+    val (kl, tv, shared, vocab) =
+      (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+    assert(shared == 0L && vocab == 12L, s"disjoint halves: $r")
+    assert(kl > 1.0 && tv > 0.4, s"disjoint halves must read large divergence: $r")
+    // and on the harness corpus the halves are draws from one
+    // distribution — the gauge must sit near zero
+    val c = ops.PipelineOps.queries("corpus_drift")(spark, sf).collect().head
+    assert(c.getDouble(0) < 0.05 && c.getDouble(1) < 0.1, s"uniform corpus drifted: $c")
+  }
+
   test("retrieval ops tolerate empty and sub-trigram documents") {
     val dir = writeDocs(Seq(
       doc(0L, "quick brown fox appears here today"),
