@@ -192,7 +192,7 @@ object PipelineOps {
     * per-domain ceiling — no single source may contribute more than
     * this many documents to the curated mix (chosen to BIND at every verify scale — the harness corpus has 25+ docs per source — so the oracle checks capped semantics, not a pass-through), so one crawled domain
     * can't dominate training. */
-  private val SourceCap = 20
+  private[graft] val SourceCap = 20
 
   /** Per-source document cap: within each source keep at most
     * [[SourceCap]] documents, chosen by CONTENT-STABLE salted-hash

@@ -1194,4 +1194,61 @@ class TwinReplaySpec extends SparkSpec {
         s"an in-horizon twin must pair with >= 2 shared fingerprints: $withControl")
     } finally q.stop()
   }
+
+  /** Fold the source-cap changelog into the final kept set. Set
+    * arithmetic suffices: a document keeps at most once and, once
+    * evicted, can never re-enter (its hash is fixed and the standing
+    * set only improves). */
+  private def capFinalize(events: Seq[(String, Long, String)]): Set[(String, Long)] = {
+    val keeps = events.collect { case (s, id, "keep") => (s, id) }.toSet
+    val evicts = events.collect { case (s, id, "evict") => (s, id) }.toSet
+    keeps -- evicts
+  }
+
+  private def capBatchSet: Set[(String, Long)] =
+    SparkEntry.queries("corpus_source_cap")(spark, D).collect()
+      .map(r => (r.getString(1), r.getLong(0))).toSet
+
+  test("twin replay: streaming source cap over chunked MemoryStream == batch corpus_source_cap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // worst-case arrival for an eviction-capable operator: documents in
+    // doc_id order, which is NOT the salted-hash keep order — late
+    // arrivals must displace standing keepers for the twin to hold
+    val rows = Tables.documents(spark, D).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "source")
+    val q = graft.streaming.SourceCapIngest.assign(docs).writeStream
+      .format("memory").queryName("source_cap_twin").outputMode("append").start()
+    try {
+      rows.grouped(math.max(rows.size / NChunks, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val events = spark.table("source_cap_twin").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      assert(capFinalize(events) == capBatchSet,
+        s"streamed kept set != batch kept set (${events.size} events)")
+      // the eviction path genuinely fired (chunked arrival in id order
+      // must displace keepers — otherwise this replay proves nothing)
+      assert(events.exists(_._3 == "evict"), "no eviction fired; feed order too easy")
+    } finally q.stop()
+  }
+
+  test("restart replay: source cap killed between every chunk == batch corpus_source_cap") {
+    val rows = Tables.documents(spark, D).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val json = rows.map { case (id, src) => s"""{"doc_id":$id,"source":"$src"}""" }
+    // per-source kept lists must come back from the checkpoint: a lost
+    // list would re-admit 20 fresh documents per source and the final
+    // set would diverge from the batch op
+    val out = restartReplay("sourcecap", json.toSeq, Seq.empty,
+      "doc_id LONG, source STRING") { df =>
+      graft.streaming.SourceCapIngest.assign(df).toDF()
+    }
+    val events = out.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(capFinalize(events) == capBatchSet,
+      s"restarted kept set != batch kept set (${events.size} events)")
+  }
 }
