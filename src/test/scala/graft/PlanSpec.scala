@@ -404,6 +404,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<text:string>"), plan)
   }
 
+  test("corpus_source_cap: the cap is enforced map-side (partial WindowGroupLimit below the source exchange)") {
+    val plan = finalPlan(graft.ops.PipelineOps.queries("corpus_source_cap")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    // each map task forwards at most CAP rows per source BEFORE the
+    // shuffle — a genuinely hot source (the thing the cap exists to
+    // truncate) costs its partition count × cap rows in the exchange,
+    // never its full row count
+    val wglIdx = finalOnly.indexOf("WindowGroupLimit")
+    val exIdx = finalOnly.indexOf("Exchange hashpartitioning(source")
+    assert(finalOnly.contains("row_number(), 20, Partial"),
+      s"the partial window-group limit must bound the exchange input:\n$plan")
+    assert(wglIdx >= 0 && exIdx >= 0, plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"), plan)
+  }
+
   test("text_bm25_topk: query-term model broadcasts into the term frame; two-phase top-k; text-only scan") {
     val plan = finalPlan(graft.ops.RetrievalOps.queries("text_bm25_topk")(spark, d))
     val finalOnly = plan.split("== Initial Plan ==").head
