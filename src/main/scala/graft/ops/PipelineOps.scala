@@ -215,18 +215,34 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("keep_rank"))
   }
 
+  /** Head-vocabulary cap for [[corpusDrift]]: divergence is measured
+    * over the top-[[DriftVocabCap]] tokens by combined count, with ALL
+    * tail mass folded into one OOV bucket. Production sets the BPE 2¹⁸
+    * top-k convention; the verify value is chosen to BIND at harness
+    * scale (corpus vocabulary ≈ 31 > 24, the SourceCap discipline) so
+    * the oracle checks capped semantics, not a pass-through. */
+  private[graft] val DriftVocabCap = 24
+
   /** Corpus drift monitor: unigram-distribution divergence between the
     * even-doc_id and odd-doc_id halves (the harness's standing split
     * convention — in production the two sides are "yesterday's corpus"
     * vs "today's ingest"). Emits one row per divergence measure:
-    * KL(P‖Q) with add-one smoothing over the UNION vocabulary (so an
-    * ingest-only token contributes a finite, visible penalty instead of
-    * ∞), total variation distance, and the vocabulary overlap — the
-    * three numbers a drift alarm thresholds on. Scale shape: two
-    * passes' worth of work in ONE aggregate over the (side, tok) frame
-    * (map-side partial), then vocabulary-sized math; the final fold is
-    * token-sorted (double addition order, the unigram_nll discipline)
-    * and round-6. */
+    * KL(P‖Q) with add-one smoothing, total variation distance, and the
+    * vocabulary overlap — the three numbers a drift alarm thresholds
+    * on. The distribution support is the top-[[DriftVocabCap]] head by
+    * combined count plus ONE OOV bucket absorbing the entire tail mass
+    * (probabilities still sum to 1): drift over the head is what an
+    * alarm thresholds on, and a head-vocabulary shift necessarily moves
+    * either a head term or the OOV mass, so a real drift can't hide in
+    * the cap. Scale shape: ONE aggregate over the (side, tok) frame
+    * (map-side partial) feeds a TakeOrdered head and a 1-row totals
+    * frame — the OOV bucket's counts are totals−head, so the corpus-
+    * wide tail is NEVER materialized; on a 10⁹-token web vocabulary
+    * everything after the unigram aggregate is cap-bounded, where the
+    * previous shape folded the whole union vocabulary into one
+    * unpartitioned collect_list array. The final fold is token-sorted
+    * (double addition order, the unigram_nll discipline) over ≤ cap+1
+    * rows and round-6. */
   val corpusDrift: Q = (s, d) => {
     val t = documents(s, d)
       .select((col("doc_id") % 2 === 0).as("even"),
@@ -235,14 +251,32 @@ object PipelineOps {
       .groupBy("tok")
       .agg(sum(when(col("even"), 1L).otherwise(0L)).as("np"),
         sum(when(col("even"), 0L).otherwise(1L)).as("nq"))
-    // smoothed probabilities over the union vocabulary: (n_tok + 1) /
-    // (N_side + V). The 1-row totals frame broadcasts back (the
+    // full-corpus totals + full vocabulary size (1 row), and the head
+    // top-k (TakeOrderedAndProject — map-side partial top-k, ties by
+    // tok so the head set is a pure function of corpus content). The
+    // shared unigram aggregate dedupes via exchange reuse.
+    val head = t.orderBy((col("np") + col("nq")).desc, col("tok"))
+      .limit(DriftVocabCap)
+    val headTot = head.agg(sum("np").as("hp"), sum("nq").as("hq"),
+      count(lit(1)).as("hv"))
+    val consts = t.agg(sum("np").as("tp"), sum("nq").as("tq"),
+        count(lit(1)).as("v_full"))
+      .crossJoin(broadcast(headTot))
+      .withColumn("vcap",
+        col("hv") + when(col("v_full") > col("hv"), 1L).otherwise(0L))
+    // the OOV pseudo-token: totals − head sums; present only when the
+    // cap binds ("<" can't occur in a normalized token, so the sentinel
+    // never collides and sorts first in BOTH engines' binary collation)
+    val oov = consts.where(col("v_full") > col("hv"))
+      .select(lit("<oov>").as("tok"),
+        (col("tp") - col("hp")).as("np"), (col("tq") - col("hq")).as("nq"))
+    // smoothed probabilities over the capped support: (n_tok + 1) /
+    // (N_side + V'). The 1-row consts frame broadcasts back (the
     // sample_temperature shape).
-    val tot = t.agg(sum("np").as("tp"), sum("nq").as("tq"),
-      count(lit(1)).as("v"))
-    val terms = t.crossJoin(broadcast(tot))
-      .withColumn("p", (col("np").cast("double") + lit(1.0)) / (col("tp") + col("v")))
-      .withColumn("q", (col("nq").cast("double") + lit(1.0)) / (col("tq") + col("v")))
+    val terms = head.unionByName(oov)
+      .crossJoin(broadcast(consts.select("tp", "tq", "vcap", "v_full")))
+      .withColumn("p", (col("np").cast("double") + lit(1.0)) / (col("tp") + col("vcap")))
+      .withColumn("q", (col("nq").cast("double") + lit(1.0)) / (col("tq") + col("vcap")))
       .withColumn("kl_t", col("p") * log(col("p") / col("q")))
       .withColumn("tv_t", abs(col("p") - col("q")) / lit(2.0))
       .withColumn("ov_t",
@@ -253,11 +287,12 @@ object PipelineOps {
           lit(0.0), (a, x) => a + x.getField("kl_t")).as("kl"),
         aggregate(array_sort(collect_list(struct(col("tok"), col("tv_t")))),
           lit(0.0), (a, x) => a + x.getField("tv_t")).as("tv"),
-        sum("ov_t").as("n_shared"), count(lit(1)).as("v"))
+        sum("ov_t").as("n_shared"), max("vcap").as("vocab"),
+        max("v_full").as("vocab_full"))
     folded.select(
       round(col("kl"), 6).as("kl_r"),
       round(col("tv"), 6).as("tv_r"),
-      col("n_shared"), col("v").as("vocab"))
+      col("n_shared"), col("vocab"), col("vocab_full"))
   }
 
   /** Per-stratum keep fraction for [[sampleStratified]], in 16-bit hash
@@ -684,6 +719,13 @@ object PipelineOps {
               i -> transform(sequence(2, least($WpMaxPieceLen, length(word) - i + 1)),
                      l -> substring(word, i, l))))"""))
         .as("piece"))
+      // Spark's sequence(2, 1) auto-steps -1 (yields [2, 1]) at the last
+      // 1-char position of every word, emitting spurious single-char (and
+      // truncated) candidate pieces; DuckDB's generate_series(2, 1) is
+      // empty. Filter to >= 2 chars so both engines see the same frame —
+      // single characters are the tokenizer's implicit fallback, never
+      // vocabulary rows.
+      .where(length(col("piece")) >= 2)
       .groupBy("piece").agg(sum("cnt").as("n"))
       .withColumn("len", length(col("piece")).cast("int"))
       .withColumn("score", col("n") * (col("len") - 1))
@@ -1235,22 +1277,35 @@ object PipelineOps {
     "corpus_drift" ->
       s"""WITH t0 AS (SELECT doc_id % 2 = 0 AS even,
                  unnest(string_split(${DedupOps.NormSql}, ' ')) AS tok FROM documents),
-          t AS (SELECT tok,
+          t AS MATERIALIZED (SELECT tok,
                   CAST(SUM(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS np,
                   CAST(SUM(CASE WHEN even THEN 0 ELSE 1 END) AS BIGINT) AS nq
                 FROM t0 WHERE tok <> '' GROUP BY tok),
-          tot AS (SELECT CAST(SUM(np) AS BIGINT) AS tp, CAST(SUM(nq) AS BIGINT) AS tq,
-                    CAST(COUNT(*) AS BIGINT) AS v FROM t),
-          terms AS (SELECT tok,
-                  (CAST(np AS DOUBLE) + 1.0) / (tp + v) AS p,
-                  (CAST(nq AS DOUBLE) + 1.0) / (tq + v) AS q,
+          head AS MATERIALIZED (SELECT tok, np, nq FROM t
+                ORDER BY (np + nq) DESC, tok LIMIT $DriftVocabCap),
+          consts AS MATERIALIZED (SELECT
+                  CAST(SUM(t.np) AS BIGINT) AS tp, CAST(SUM(t.nq) AS BIGINT) AS tq,
+                  CAST(COUNT(*) AS BIGINT) AS v_full,
+                  (SELECT CAST(COALESCE(SUM(np), 0) AS BIGINT) FROM head) AS hp,
+                  (SELECT CAST(COALESCE(SUM(nq), 0) AS BIGINT) FROM head) AS hq,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM head) AS hv
+                FROM t),
+          consts2 AS MATERIALIZED (SELECT *,
+                  hv + CASE WHEN v_full > hv THEN 1 ELSE 0 END AS vcap FROM consts),
+          capped AS (SELECT tok, np, nq FROM head
+                UNION ALL
+                SELECT '<oov>', tp - hp, tq - hq FROM consts2 WHERE v_full > hv),
+          terms AS (SELECT tok, np, nq,
+                  (CAST(np AS DOUBLE) + 1.0) / (tp + vcap) AS p,
+                  (CAST(nq AS DOUBLE) + 1.0) / (tq + vcap) AS q,
                   CASE WHEN np > 0 AND nq > 0 THEN 1 ELSE 0 END AS ov_t
-                FROM t, tot),
+                FROM capped, consts2),
           k AS (SELECT tok, p * ln(p / q) AS kl_t, abs(p - q) / 2.0 AS tv_t, ov_t FROM terms)
           SELECT round(list_sum(list(kl_t ORDER BY tok)), 6) AS kl_r,
             round(list_sum(list(tv_t ORDER BY tok)), 6) AS tv_r,
             CAST(SUM(ov_t) AS BIGINT) AS n_shared,
-            CAST(COUNT(*) AS BIGINT) AS vocab
+            (SELECT CAST(vcap AS BIGINT) FROM consts2) AS vocab,
+            (SELECT v_full FROM consts2) AS vocab_full
           FROM k""",
     "vocab_wordpiece_train" ->
       s"""WITH ${wpCtesSql}

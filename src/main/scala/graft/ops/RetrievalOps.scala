@@ -385,13 +385,29 @@ object RetrievalOps {
     * build's exact tokenizer and append its postings + lengths. Ingest
     * cost ∝ batch tokens — standing rows are never rewritten (small
     * appended files compact on the deployment's own cadence). Retry
-    * safety: the query path dedups postings by (doc_id, tok) and
-    * doclens by doc_id before use, so a sink-side retry that
-    * double-appends the same batch is invisible to answers, and the
-    * read-derived n_docs/sum_dl can't drift either (TextIndexSpec pins
-    * both). */
+    * safety, two layers: (1) the batch is anti-joined against the
+    * standing doclens doc_ids, so re-ingesting an EXISTING doc_id —
+    * byte-identical replay or conflicting new text — appends nothing
+    * (the "new docs only" contract is enforced here, not just
+    * documented; without it a changed-text replay would union old+new
+    * postings and leave two conflicting doclens rows for
+    * dropDuplicates to pick arbitrarily); (2) the query path still
+    * dedups postings by (doc_id, tok) and doclens by doc_id, covering
+    * a retry that interleaves with its own first attempt's partial
+    * write. The anti-join's right side is the narrow doclens id column
+    * — one slim scan per batch. TextIndexSpec pins the replay AND the
+    * conflicting-update case. */
   def appendToTextIndex(s: SparkSession, dir: String, docs: DataFrame): Unit = {
-    val dt = shingleFrame(s, docs)
+    // Bootstrap: the streaming twin's first micro-batch appends into an
+    // empty directory — no doclens yet means no standing ids to collide.
+    val dlPath = new org.apache.hadoop.fs.Path(dir + "/doclens")
+    val fs = dlPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (fs.exists(dlPath))
+        docs.join(s.read.parquet(dir + "/doclens").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else docs
+    val dt = shingleFrame(s, fresh)
     dt.write.mode("append").parquet(dir + "/postings")
     dt.groupBy("doc_id").agg(sum("tf").as("dl"))
       .write.mode("append").parquet(dir + "/doclens")
@@ -458,12 +474,17 @@ object RetrievalOps {
   // single composite id so the whole BM25 machinery applies unchanged.
   // -------------------------------------------------------------------
 
-  /** Chunk id packing: cid = (doc_id + 1)·1024 + chunk_id. The +1
-    * offset keeps every cid above the query-id range, and 1024 chunks
-    * bounds docs at ~41k words under the stride — far beyond the
-    * corpus; the chunk explode would overflow the bound only after the
-    * sequence itself blew up. */
-  private val ChunkIdBase = 1024L
+  /** Chunk id packing: cid = (doc_id + 1)·2³² + chunk_id. The +1
+    * offset keeps every cid above the query-id range. The base is wide
+    * enough that NO representable document can collide into the next
+    * doc's range: a JVM string caps at ~2³¹ chars, so ≤ ~2³⁰ words and
+    * ≤ ~2²⁵ chunks at stride 40 — four billion chunks of headroom vs
+    * the old 1024, where a ~41k-word document would have silently
+    * aliased its chunks into its neighbor's ids with both engines
+    * computing the same wrong answer (un-catchable by the oracle
+    * compare). Interpolated into BOTH engines' SQL, so parity is
+    * structural. doc_id itself stays well under 2³¹ at any SF. */
+  private val ChunkIdBase = 1L << 32
 
   /** `(doc_id = cid, text, src_doc, chunk_id)` — the chunk corpus. */
   private def chunkFrame(s: SparkSession, d: String): DataFrame = {

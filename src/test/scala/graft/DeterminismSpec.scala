@@ -49,7 +49,8 @@ class DeterminismSpec extends SparkSpec {
     "vocab_wordpiece_tokenize", // collected-vocab MaxMatch over the word-freq frame
     "events_zorder_incremental", // standing-params lattice + clamped ingest
     "corpus_source_cap",    // salted-hash keep order, partitioning-invariant
-    "corpus_drift")         // token-sorted KL/TV folds over the union vocab
+    "corpus_drift",         // token-sorted KL/TV folds over the union vocab
+    "sim_hybrid_mmr")       // K-1 unrolled greedy rounds, each localCheckpointed
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

@@ -59,7 +59,8 @@ class EmptyInputSpec extends SparkSpec {
     "text_bm25_topk", "text_bm25_eval", "text_tfidf_topterms",
     "sim_hybrid_rrf", "events_zorder_layout", "events_zorder_prune_eval",
     "chunk_bm25_topk", "events_zorder_incremental", "sim_mrl_eval", "corpus_source_cap",
-    "vocab_wordpiece_train", "vocab_wordpiece_tokenize")
+    "vocab_wordpiece_train", "vocab_wordpiece_tokenize",
+    "sim_hybrid_mmr", "sim_filtered_topk", "sim_filtered_ivf_topk")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */

@@ -161,12 +161,18 @@ class RetrievalSpec extends SparkSpec {
     val r = ops.PipelineOps.queries("corpus_drift")(spark, dir).collect().head
     val (kl, tv, shared, vocab) =
       (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3))
-    assert(shared == 0L && vocab == 12L, s"disjoint halves: $r")
+    // 12 < DriftVocabCap: the cap doesn't bind, no OOV row, support = full vocab
+    assert(shared == 0L && vocab == 12L && r.getLong(4) == 12L, s"disjoint halves: $r")
     assert(kl > 1.0 && tv > 0.4, s"disjoint halves must read large divergence: $r")
     // and on the harness corpus the halves are draws from one
     // distribution — the gauge must sit near zero
     val c = ops.PipelineOps.queries("corpus_drift")(spark, sf).collect().head
     assert(c.getDouble(0) < 0.05 && c.getDouble(1) < 0.1, s"uniform corpus drifted: $c")
+    // the cap BINDS on the harness corpus (vocab ≈ 31 > 24): support is
+    // exactly head + one OOV bucket, and the full vocabulary is reported
+    assert(c.getLong(3) == ops.PipelineOps.DriftVocabCap + 1L,
+      s"cap must bind on the harness corpus: $c")
+    assert(c.getLong(4) > c.getLong(3), s"vocab_full must exceed capped support: $c")
   }
 
   test("retrieval ops tolerate empty and sub-trigram documents") {

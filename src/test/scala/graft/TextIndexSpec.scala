@@ -62,6 +62,20 @@ class TextIndexSpec extends SparkSpec {
     val once = after.toSeq
     assert(replayed.filter(_.getLong(0) == 0L) == once,
       "a replayed append changed answers")
+    // the "new docs only" contract is ENFORCED, not just documented:
+    // re-ingesting doc 100 with CONFLICTING text must be a no-op — the
+    // anti-join skips it, so neither the old answer changes nor do two
+    // doclens rows appear for dropDuplicates to pick arbitrarily from
+    val conflicting = Seq((100L, "totally different replacement body now"))
+      .toDF("doc_id", "text")
+    ops.RetrievalOps.appendToTextIndex(spark, dir, conflicting)
+    val afterConflict = ops.RetrievalOps.bm25TopKFromIndex(spark, corpus, dir)
+      .collect().toSeq
+    assert(afterConflict == replayed,
+      "a conflicting re-ingest of an existing doc_id must append nothing")
+    val dlRows = spark.read.parquet(s"$dir/doclens")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 100L).count()
+    assert(dlRows == 1L, s"doc 100 must have exactly one doclens row, got $dlRows")
   }
 
   test("fully-indexed hybrid serving path == fusion of the in-memory leg operators") {

@@ -81,4 +81,20 @@ class WordpieceSpec extends SparkSpec {
     assert(refTok("aab", v) == Seq("aa", "b"))
     assert(gm.getOrElse("<unk>", 0L) == 3L, s"unk rule: $gm")
   }
+
+  test("small corpus: sequence(2,1) auto-step guard — no single-char pieces in the vocabulary") {
+    // Fewer multi-char candidates than WpVocabSize: before the length>=2
+    // filter, Spark's sequence(2, 1) -> [2, 1] auto-step emitted spurious
+    // single-char pieces at every word's last position, and with slack in
+    // the top-64 they'd surface here (DuckDB's generate_series(2, 1) is
+    // empty, so the oracle would silently diverge).
+    val small = Map("ab" -> 5L, "cd" -> 3L)
+    val d = writeDocs(small.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((w, c), i) => Row(i.toLong, Seq.fill(c.toInt)(w).mkString(" "), "en", "s0", 0L)
+    })
+    val got = ops.PipelineOps.queries("vocab_wordpiece_train")(spark, d)
+      .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    assert(got == refVocab(small), s"vocab diverged:\n$got\nvs\n${refVocab(small)}")
+    assert(got.forall(_.length >= 2), s"single-char piece leaked: $got")
+  }
 }
