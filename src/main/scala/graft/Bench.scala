@@ -49,7 +49,7 @@ object Bench {
     * the 4-table configuration still fails. */
   private val RecallFloors = Map(
     "sim_lsh_topk" -> 0.8,
-    "sim_lsh_multi_topk" -> 0.5,
+    "sim_lsh_noprobe_baseline_topk" -> 0.5,
     "sim_ivf_topk" -> 0.9,
     "sim_q8_topk" -> 0.9,
     "sim_ivf_q8_topk" -> 0.85,
@@ -78,11 +78,19 @@ object Bench {
   private val ScaleBar =
     sys.env.get("SPARK_GRAFT_SCALE_BAR").map(_.toDouble).getOrElse(12.0)
 
-  /** Reprobe budget: each reprobe costs a fresh context + warmup
-    * (~15-30 s). A box so contended that MORE than this many queries
-    * blow the bar is itself the finding; the cap is recorded in the
-    * JSON (no silent truncation). */
-  private val MaxReprobes = 16
+  /** Reprobe batching: the fresh-context setup (~15-30 s) dominates a
+    * cheap query's isolated runtime, so over-bar queries are packed
+    * CHEAPEST-FIRST into per-context batches bounded by estimated
+    * isolated cost — and EVERY over-bar query is adjudicated. The r7
+    * artifact left 11 of 27 over-bar ratios unproven when the old
+    * descending one-query-per-context sweep hit its 16-context budget;
+    * under this shape those 11 (0.7-4.1 s isolated each) fit in ONE
+    * batch. A fully-contended 131-query pass packs into ~9 contexts —
+    * bounded by arithmetic, so no count cap exists to truncate the
+    * adjudication; [[MaxReprobeContexts]] is a runaway backstop only,
+    * and overflow merges into the final batch rather than dropping. */
+  private val ReprobeBatchBudgetSec = 60.0
+  private val MaxReprobeContexts = 32
 
   /** Queries whose cost model is KNOWN super-linear in the verify-SF
     * window, with the reason — carried verbatim in the artifact so an
@@ -101,7 +109,21 @@ object Bench {
     * build is linear — the clamp trades a bounded super-linear window
     * at toy scale for production ADC resolution. */
   private val ExpectedSuperlinear = Map(
-    "emb_pq_codes" -> "PQ build: n*k(n)=n^1.5 until k caps at 256 (~262k vectors), linear after")
+    "emb_pq_codes" -> "PQ build: n*k(n)=n^1.5 until k caps at 256 (~262k vectors), linear after",
+    // CC label propagation runs until the deepest component's pointer
+    // chains collapse; ScaleUp's mutated 10x corpus links its near-dup
+    // groups into one ~20k-node component, so round count grows with
+    // chain depth ON THIS ADVERSARIAL CORPUS by construction. A real
+    // web corpus's components are near-dup clusters (shallow); the
+    // per-round work stays LSH-pair-bounded either way.
+    "dedup_cluster" -> ("CC rounds grow with component chain depth; the mutated sf1 corpus " +
+      "collapses to one giant component by construction (per-round work stays pair-bounded)"),
+    // the audit joins the truth side on UNWINNOWED grams - (W+1)/2 x
+    // the operator's fingerprint volume by design (the price of
+    // measuring the winnowing guarantee, stated in its scaladoc); the
+    // mutated corpus also grows shared-run mass superlinearly.
+    "dedup_substring_eval" -> ("truth side joins unwinnowed grams: (W+1)/2 x the operator's " +
+      "fingerprint volume by design; shared-run mass grows with the mutated corpus"))
 
   /** 1/5/15-min load averages — the contention record. Empty off-Linux. */
   private def loadAvg: Seq[Double] =
@@ -196,7 +218,7 @@ object Bench {
           .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
       val truth = topSet("sim_brute_topk")
       val annNames = Seq("sim_lsh_topk",
-        "sim_lsh_multi_topk", "sim_ivf_topk", "sim_q8_topk", "sim_ivf_q8_topk",
+        "sim_lsh_noprobe_baseline_topk", "sim_ivf_topk", "sim_q8_topk", "sim_ivf_q8_topk",
         "sim_knn_graph", "sim_pq_topk", "sim_ivf_pq_topk")
       val recalls = annNames.map { n =>
         val approx = topSet(n)
@@ -213,7 +235,7 @@ object Bench {
       val fractions = Seq(
         "sim_lsh_topk" ->
           ops.SimOps.lshCandidatePairs(spark, sfDir, ops.SimOps.DefaultLsh).count(),
-        "sim_lsh_multi_topk" ->
+        "sim_lsh_noprobe_baseline_topk" ->
           ops.SimOps.lshCandidatePairs(spark, sfDir, ops.SimOps.KneeLsh).count(),
         "sim_ivf_topk" -> ops.SimOps.ivfCandidates(spark, sfDir).count(),
       ).map { case (n, c) => n -> c / (nCorpus * nQ) }
@@ -363,7 +385,7 @@ object Bench {
         val quietWaitSec = awaitQuietWindow()
         val loadScale0 = loadAvg
         val s1 = runSuite(spark1, scaleDir, 1, s"sf1=$scaleDir",
-          floors = RecallFloors - "sim_lsh_multi_topk")
+          floors = RecallFloors - "sim_lsh_noprobe_baseline_topk")
         val loadScale1 = loadAvg
         scale = Some(s1)
         val p = primary.results.toMap
@@ -379,22 +401,50 @@ object Bench {
         // cold block manager, warm JIT, no co-resident queries — and
         // publish ratio_reprobed beside ratio so the artifact refutes
         // (or confirms) its own tail without a judge's manual probe.
-        val overBar = ratios.toSeq.filter(_._2 > ScaleBar).sortBy(-_._2)
-        val toProbe = overBar.take(MaxReprobes)
-        val reprobes = if (toProbe.isEmpty) Seq.empty else {
+        // cheapest-first: expected isolated sf1 cost ~ sf0.1 median × an
+        // honest near-linear ratio (the estimate only orders/packs — the
+        // measurement is the reprobe itself)
+        def estSec(n: String): Double = math.max(1.0, p(n) * 4.0)
+        val overBar = ratios.toSeq.filter(_._2 > ScaleBar).sortBy(t => (estSec(t._1), t._1))
+        val batches: Seq[Seq[(String, Double)]] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+          var cur = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+          var acc = 0.0
+          for (q <- overBar) {
+            if (cur.nonEmpty && acc + estSec(q._1) > ReprobeBatchBudgetSec
+                && out.size < MaxReprobeContexts - 1) {
+              out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty; acc = 0.0
+            }
+            cur += q; acc += estSec(q._1)
+          }
+          if (cur.nonEmpty) out += cur.toSeq
+          out.toSeq
+        }
+        val reprobes = if (batches.isEmpty) Seq.empty else {
+          // the primary scale pass may have been contended mid-pass (a
+          // start gate can't prevent a co-tenant arriving later) — re-gate
+          // once before the adjudication sweep so the reprobes themselves
+          // start from a quiet window
+          awaitQuietWindow()
           var cur = spark1
-          val out = toProbe.map { case (n, raw) =>
+          val out = batches.flatMap { batch =>
             cur.stop()
             SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
             cur = newSession(cpus)
             warmup(cur, scaleDir)
-            val la = loadAvg
-            val t0 = System.nanoTime()
-            val ok = try { SparkEntry.queries(n)(cur, scaleDir).count(); true }
-              catch { case e: Throwable =>
-                System.err.println(s"BENCH: reprobe of $n failed: $e"); false }
-            val sec = (System.nanoTime() - t0) / 1e9
-            (n, raw, if (ok) sec else -1.0, if (ok) sec / p(n) else -1.0, la)
+            batch.map { case (n, raw) =>
+              val la = loadAvg
+              val t0 = System.nanoTime()
+              val ok = try { SparkEntry.queries(n)(cur, scaleDir).count(); true }
+                catch { case e: Throwable =>
+                  System.err.println(s"BENCH: reprobe of $n failed: $e"); false }
+              val sec = (System.nanoTime() - t0) / 1e9
+              // keep later batch members honest: drop checkpoint blocks
+              // a reprobed query pinned, same as the suite loop
+              cur.sparkContext.getPersistentRDDs.values
+                .foreach(_.unpersist(blocking = true))
+              (n, raw, if (ok) sec else -1.0, if (ok) sec / p(n) else -1.0, la)
+            }
           }
           out
         }
@@ -405,7 +455,9 @@ object Bench {
               .map(why => s""","expected_superlinear":${jsonStr(why)}""").getOrElse("")
             "\"" + n + s"""\":{"ratio":$raw,"sec_reprobed":$sec,"ratio_reprobed":$r,"loadavg":${loadJson(la)}$expected}"""
           }.mkString(",\"reprobe\":{", ",", "}")
-          body + s""","reprobe_capped":${overBar.size > toProbe.size},"over_bar":${overBar.size}"""
+          // every over-bar entry is adjudicated under the batched sweep —
+          // the field stays so artifact readers can assert it
+          body + s""","reprobe_capped":false,"reprobe_contexts":${batches.size},"over_bar":${overBar.size}"""
         }
         scaleJson =
           s""","scale":{"dir":"$scaleDir","factor":${ScaleUp.Factor},"gen_sec":$genSec,""" +
@@ -433,7 +485,29 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // immutable per-run copy: target/bench.json is overwritten by the
+      // next run, so cross-round regression deltas were computable only
+      // when a round's full artifact happened to survive — the history
+      // file pins every official pass by wall-clock stamp
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      val hist = java.nio.file.Paths.get("target", "bench_history", s"bench_$stamp.json")
+      java.nio.file.Files.createDirectories(hist.getParent)
+      java.nio.file.Files.write(hist,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"BENCH: bench.json write failed: $e") }
+    // per-query sf0.1 medians as their own stdout line, second-to-last:
+    // the driver's bounded log tail reliably holds the final compact line
+    // and usually this one too, putting cross-round per-query deltas in
+    // the round artifact itself instead of only in target/ survivors.
+    // 3-decimal medians keep the line a few KB for the full registry.
+    def med3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val mediansLine = primary.results
+      .map { case (k, v) => "\"" + k + "\":" + (if (v < 0) "-1" else med3(v)) }
+      .mkString(s"""{"metric":"queries_sf01","runs":$nRuns,"sf":"$sfDir","queries":{""", ",", "}}")
+    println(mediansLine)
     // compact summary LAST: short enough (<1 KB) that a bounded tail
     // window always holds one complete parseable metric line
     val compact = {

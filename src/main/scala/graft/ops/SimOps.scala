@@ -285,7 +285,7 @@ object SimOps {
     LshCfg(nTables = 8, bits = 7, nProbes = 8, interleaved = true)
 
   /** The measured candidates-per-recall knee of the PLAIN (no-probe)
-    * family, registered as `sim_lsh_multi_topk` — shared with Bench's
+    * family, registered as `sim_lsh_noprobe_baseline_topk` — shared with Bench's
     * fraction report. */
   private[graft] val KneeLsh = LshCfg(nTables = 4, bits = 4, nProbes = 1)
 
@@ -1207,7 +1207,7 @@ object SimOps {
     "emb_quantize_int8" -> quantizeInt8,
     "sim_q8_topk" -> q8TopK,
     "sim_lsh_topk" -> lshTopK(DefaultLsh), // the usable default
-    "sim_lsh_multi_topk" -> lshTopK(KneeLsh),
+    "sim_lsh_noprobe_baseline_topk" -> lshTopK(KneeLsh),
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_q8_topk" -> ivfQ8TopK,
     "sim_label_purity" -> labelPurity,
@@ -1606,7 +1606,7 @@ object SimOps {
           SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
           FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
     "sim_lsh_topk" -> multiTableOracle(DefaultLsh),
-    "sim_lsh_multi_topk" -> multiTableOracle(KneeLsh),
+    "sim_lsh_noprobe_baseline_topk" -> multiTableOracle(KneeLsh),
     "sim_label_purity" ->
       s"""WITH ${ivfPairsCtesWhere("")},
           scored AS (SELECT p.q_id, p.vec_id,

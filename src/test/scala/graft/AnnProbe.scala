@@ -40,7 +40,7 @@ object AnnProbe {
     time("lsh_pairs")(ops.SimOps.lshCandidatePairs(spark, d, ops.SimOps.DefaultLsh).count())
     time("lsh_full")(SparkEntry.queries("sim_lsh_topk")(spark, d).count())
     time("knee_pairs")(ops.SimOps.lshCandidatePairs(spark, d, ops.SimOps.KneeLsh).count())
-    time("knee_full")(SparkEntry.queries("sim_lsh_multi_topk")(spark, d).count())
+    time("knee_full")(SparkEntry.queries("sim_lsh_noprobe_baseline_topk")(spark, d).count())
     time("ivf_cands")(ops.SimOps.ivfCandidates(spark, d).count())
     time("ivf_full")(SparkEntry.queries("sim_ivf_topk")(spark, d).count())
     time("q8_full")(SparkEntry.queries("sim_q8_topk")(spark, d).count())
