@@ -497,11 +497,173 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_id")
   }
 
+  // -------------------------------------------------------------------
+  // Perceptual image near-dup — the visual analogue of dedup_simhash a
+  // multimodal corpus needs: a 64-bit-class perceptual hash per image
+  // (dHash: luma gradient signs over a downsampled grid — Krawetz's
+  // difference hash, public method), then the SAME pigeonhole block
+  // join the text-simhash family uses. The hash is brightness-shift
+  // invariant by construction (a uniform luma shift preserves every
+  // adjacent-cell comparison), which is exactly the perturbation the
+  // fixture plants: every image doc gets a +8-per-channel re-encode
+  // twin, and the pair row must find the twins WITHOUT all-pairs work.
+  //
+  // 100 TB shape: the decode+hash pass is embarrassingly parallel
+  // (mapPartitions over the blobs, one reusable decoder per partition,
+  // 8 bytes of hash out per image — the only thing that ever shuffles);
+  // pairing reuses DedupOps.blockedPairsFrom, so candidate work is
+  // Σ bucket², never |images|², and every emitted pair is exact-checked
+  // with codegen'd bit_count(xor). Oracle parity is the mm-family
+  // discipline: the raster is a closed integer formula both engines
+  // restate, the PNG codec is lossless, and the Spark side derives the
+  // hash from the REAL encoder's bytes (encode -> decode -> sample) —
+  // so the compare only passes if the decode truly read the raster.
+  // -------------------------------------------------------------------
+
+  /** Per-channel raster formula constants: value =
+    * (a·ar + x·(bx + (a % mx)·cx) + y·(by + (a % my)·cy)) % 256, with
+    * `a` the per-image mixer. Id-dependent SLOPES (not just offsets)
+    * decorrelate gradient signs across images — with fixed slopes every
+    * image would share one gradient pattern and the pair row would
+    * degenerate toward all-pairs. One Scala table, both engines. */
+  private[graft] final case class DhashChan(
+      ar: Int, bx: Int, mx: Int, cx: Int, by: Int, my: Int, cy: Int)
+  private[graft] val DhashChans = Seq(
+    DhashChan(1, 17, 13, 16, 11, 11, 8),   // R
+    DhashChan(3, 19, 17, 12, 13, 7, 20),   // G
+    DhashChan(7, 23, 19, 8, 29, 5, 24))    // B
+  private def dhashMixer(id: Long): Long = (id * 2654435761L) % 1000003L
+  private def chanVal(ch: DhashChan, a: Long, x: Int, y: Int): Int =
+    ((a * ch.ar + x * (ch.bx + (a % ch.mx) * ch.cx) +
+      y * (ch.by + (a % ch.my) * ch.cy)) % 256).toInt
+
+  /** Normalized-thumbnail dimensions for the dedup fixture (near-dup
+    * hashing runs post-transcode on a normalized raster, so unlike the
+    * [[imageMeta]] fixture every row here is a lossless PNG — JPEG's
+    * decoded raster is encoder-defined and could not be oracle-pinned). */
+  private def dupImgW(id: Long): Int = 16 + (id % 17).toInt
+  private def dupImgH(len: Int): Int = 16 + len % 13
+  /** dHash grid: 9 columns × 7 rows → 8 comparisons/row × 7 = 56 bits,
+    * comfortably inside a positive signed long in BOTH engines (bit 63
+    * would turn the hash negative in one engine's shift and error in
+    * the other's). Nearest-neighbor sampling (xs = cx·w/9, ys = cy·h/7,
+    * floor) — a deterministic resize kernel both engines restate. */
+  private[graft] val DhashCols = 9
+  private[graft] val DhashRows = 7
+  /** Brightness perturbation of the planted twin: +8 per channel,
+    * clamped at 255. Unclamped, luma shifts EXACTLY +8 (integer div:
+    * (n + 8·1000) / 1000 = n/1000 + 8) and the hash is unchanged;
+    * clamped pixels flip only near-tie comparisons, so twins land at
+    * hamming ~0-3. */
+  private[graft] val DhashShift = 8
+  private[graft] val DhashMaxHamming = 4
+  /** Pigeonhole split for the pair join: 6 blocks, singleton combos —
+    * lossless at hamming ≤ 4 (a ≤4-bit difference leaves ≥2 of 6 blocks
+    * untouched; comboSize 1 ≤ 6 − 4). */
+  private[graft] val DhashBlocks = 6
+
+  /** The (vid, src_doc, variant, fp_hi, fp_lo, dhash) fingerprint frame:
+    * vid = doc_id·2 + variant keys original and twin in one id space.
+    * REAL codec path: formula raster → ImageIO PNG encode → ImageIO
+    * decode → sampled luma grid → gradient-sign hash. */
+  private def imageDhashFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, text) =>
+          val len = if (text == null) 0 else text.length
+          val (w, h) = (dupImgW(id), dupImgH(len))
+          val a = dhashMixer(id)
+          (0 to 1).map { v =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            for (x <- 0 until w; y <- 0 until h) {
+              val Seq(r, g, b) = DhashChans.map { ch =>
+                val c0 = chanVal(ch, a, x, y)
+                if (v == 1) math.min(255, c0 + DhashShift) else c0
+              }
+              img.setRGB(x, y, 0xff000000 | (r << 16) | (g << 8) | b)
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            // --- real bytes boundary: everything below reads the
+            // decoded raster, nothing reads the formula ---
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(baos.toByteArray))
+            def luma(cx: Int, cy: Int): Int = {
+              val px = dec.getRGB(cx * w / DhashCols, cy * h / DhashRows)
+              val (r, g, b) = ((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+              (299 * r + 587 * g + 114 * b) / 1000
+            }
+            var hash = 0L
+            for (cy <- 0 until DhashRows; cx <- 0 until DhashCols - 1)
+              if (luma(cx + 1, cy) > luma(cx, cy))
+                hash |= 1L << (cy * (DhashCols - 1) + cx)
+            (id * 2 + v, id, v, hash >>> 32, hash & 0xffffffffL, hash)
+          }
+        }
+      }.toDF("doc_id", "src_doc", "variant", "fp_hi", "fp_lo", "dhash")
+  }
+
+  /** Per-image perceptual hash row — the registry-visible form of the
+    * fingerprint frame ([[imageDhashFrame]]). */
+  val imageDhash: Q = (s, d) =>
+    imageDhashFrame(s, d)
+      .select(col("doc_id").as("vid"), col("src_doc"),
+        col("variant").cast("int").as("variant"), col("dhash"))
+      .orderBy("vid")
+
+  /** Near-dup image pairs at hamming ≤ [[DhashMaxHamming]] via the
+    * [[DedupOps.blockedPairsFrom]] pigeonhole join ([[DhashBlocks]]
+    * blocks, singleton combos — lossless at the threshold). The planted
+    * +8-brightness twins are what it must find; ids are vids. */
+  val imageNeardupPairs: Q = (s, d) =>
+    DedupOps.blockedPairsFrom(
+        imageDhashFrame(s, d).select("doc_id", "fp_hi", "fp_lo"),
+        DhashBlocks, 1, DhashMaxHamming)
+      .orderBy("doc_a", "doc_b")
+
+  /** Measured-recall audit (the family convention): the blocked pair
+    * set vs BRUTE-FORCE all-pairs truth at the same threshold. The
+    * pigeonhole argument says recall is exactly 1.0; this measures it,
+    * so a block-split regression fails here the round it lands, not in
+    * a comment. Brute cost is |vids|² ~ millions of bit_counts at
+    * verify scale — affordable as an AUDIT; the operator itself never
+    * pays it. */
+  val imageNeardupEval: Q = (s, d) => {
+    val fp = imageDhashFrame(s, d).select("doc_id", "fp_hi", "fp_lo")
+      .localCheckpoint()
+    val truth = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.fp_hi").bitwiseXOR(col("b.fp_hi"))) +
+          bit_count(col("a.fp_lo").bitwiseXOR(col("b.fp_lo"))))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= DhashMaxHamming)
+    val blocked = DedupOps.blockedPairsFrom(fp, DhashBlocks, 1, DhashMaxHamming)
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nB = blocked.agg(count(lit(1)).as("n_blocked"))
+    val nBoth = truth.join(blocked, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    nT.crossJoin(nB).crossJoin(nBoth)
+      .select(col("n_truth"), col("n_blocked"), col("n_both"),
+        when(col("n_blocked") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double") / col("n_blocked"), 6))
+          .as("precision_r"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double") / col("n_truth"), 6))
+          .as("recall_r"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_decode_meta" -> decodeMeta,
     "mm_frame_sample" -> frameSample,
     "mm_image_meta" -> imageMeta,
     "mm_audio_meta" -> audioMeta,
+    "mm_image_dhash" -> imageDhash,
+    "mm_image_neardup_pairs" -> imageNeardupPairs,
+    "mm_image_neardup_eval" -> imageNeardupEval,
   )
 
   val oracles: Map[String, String] = Map(
@@ -554,5 +716,88 @@ object MultimodalOps {
            CAST(16 AS INT) AS bits_per_sample,
            CAST(50 + length(text) % 100 AS BIGINT) AS n_frames
          FROM documents WHERE CAST(doc_id % 3 AS INT) = 1 ORDER BY doc_id""",
+    "mm_image_dhash" ->
+      s"""WITH $DhashChainSql
+          SELECT vid, src_doc, CAST(v AS INT) AS variant, dhash
+          FROM hashes JOIN vids USING (vid) ORDER BY vid""",
+    "mm_image_neardup_pairs" ->
+      s"""WITH $DhashChainSql, $DhashBlockedSql
+          SELECT doc_a, doc_b, hamming FROM bpairs ORDER BY doc_a, doc_b""",
+    "mm_image_neardup_eval" ->
+      s"""WITH $DhashChainSql, $DhashBlockedSql,
+          truth AS (SELECT a.vid AS doc_a, b.vid AS doc_b
+                    FROM hashes a JOIN hashes b ON a.vid < b.vid
+                    WHERE bit_count(xor(a.dhash, b.dhash)) <= $DhashMaxHamming),
+          nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+          nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocked FROM bpairs),
+          nx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+                 FROM truth SEMI JOIN bpairs USING (doc_a, doc_b))
+          SELECT n_truth, n_blocked, n_both,
+            CASE WHEN n_blocked = 0 THEN NULL
+              ELSE round(CAST(n_both AS DOUBLE) / n_blocked, 6) END AS precision_r,
+            CASE WHEN n_truth = 0 THEN NULL
+              ELSE round(CAST(n_both AS DOUBLE) / n_truth, 6) END AS recall_r
+          FROM nt, nb, nx""",
   )
+
+  /** Closed-form dHash chain, generated from the SAME constants the
+    * Spark fixture/decoder uses (one Scala table, both engines): per
+    * (image doc × variant) the sampled-luma grid and the 56-bit
+    * gradient-sign hash. The Spark side derives this through REAL PNG
+    * encode/decode; the oracle restates the raster formula — they agree
+    * only if the codec round-trip is exact AND the decode truly read
+    * the raster. */
+  private lazy val DhashChainSql: String = {
+    def chanSql(ch: DhashChan, shifted: Boolean): String = {
+      val base = s"(a * ${ch.ar} + x * (${ch.bx} + (a % ${ch.mx}) * ${ch.cx})" +
+        s" + y * (${ch.by} + (a % ${ch.my}) * ${ch.cy})) % 256"
+      if (shifted) s"least(255, ($base) + $DhashShift)" else s"($base)"
+    }
+    val Seq(rE, gE, bE) = DhashChans.map(ch =>
+      s"CASE WHEN v = 1 THEN ${chanSql(ch, shifted = true)} ELSE ${chanSql(ch, shifted = false)} END")
+    s"""imgs AS (SELECT doc_id, COALESCE(length(text), 0) AS len FROM documents
+                 WHERE CAST(doc_id % 3 AS INT) = 0),
+        vids AS MATERIALIZED (SELECT doc_id * 2 + v AS vid, doc_id AS src_doc, v,
+                 16 + doc_id % 17 AS w, 16 + len % 13 AS h,
+                 (doc_id * 2654435761) % 1000003 AS a
+               FROM imgs, (SELECT unnest([0, 1]) AS v)),
+        cells AS (SELECT vid, v, a, cy, cx, (cx * w) // $DhashCols AS x,
+                    (cy * h) // $DhashRows AS y
+                  FROM vids,
+                    (SELECT unnest(generate_series(0, ${DhashRows - 1})) AS cy),
+                    (SELECT unnest(generate_series(0, ${DhashCols - 1})) AS cx)),
+        lum AS MATERIALIZED (SELECT vid, cy, cx,
+                 (299 * r + 587 * g + 114 * b) // 1000 AS l
+               FROM (SELECT vid, cy, cx, $rE AS r, $gE AS g, $bE AS b FROM cells)),
+        hashes AS MATERIALIZED (SELECT l1.vid,
+                 CAST(COALESCE(SUM(CASE WHEN l2.l > l1.l
+                   THEN (1::BIGINT << (l1.cy * ${DhashCols - 1} + l1.cx))
+                   ELSE 0 END), 0) AS BIGINT) AS dhash
+               FROM lum l1 JOIN lum l2
+                 ON l2.vid = l1.vid AND l2.cy = l1.cy AND l2.cx = l1.cx + 1
+               WHERE l1.cx < ${DhashCols - 1}
+               GROUP BY l1.vid)"""
+  }
+
+  /** The [[DhashBlocks]]-block pigeonhole join over `hashes`, mirroring
+    * [[DedupOps.blockedPairsFrom]]'s MSB-first split of the 64-bit
+    * packed fingerprint (the hash's top 8 bits are structurally zero) —
+    * block bounds computed numerically from the same arithmetic. */
+  private lazy val DhashBlockedSql: String = {
+    val sizes = Array.tabulate(DhashBlocks)(i =>
+      64 / DhashBlocks + (if (i < 64 % DhashBlocks) 1 else 0))
+    val starts = sizes.scanLeft(0)(_ + _)
+    val blockRows = (0 until DhashBlocks).map { i =>
+      val div = 1L << (64 - starts(i) - sizes(i))
+      val mod = 1L << sizes(i)
+      s"SELECT vid, dhash, $i AS blk, (dhash // $div) % $mod AS bval FROM hashes"
+    }.mkString("\n            UNION ALL ")
+    s"""blocks AS ($blockRows),
+        bpairs AS (SELECT doc_a, doc_b, hamming FROM (
+              SELECT DISTINCT a.vid AS doc_a, b.vid AS doc_b,
+                CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+              FROM blocks a JOIN blocks b
+                ON a.blk = b.blk AND a.bval = b.bval AND a.vid < b.vid)
+            WHERE hamming <= $DhashMaxHamming)"""
+  }
 }

@@ -50,7 +50,8 @@ class DeterminismSpec extends SparkSpec {
     "events_zorder_incremental", // standing-params lattice + clamped ingest
     "corpus_source_cap",    // salted-hash keep order, partitioning-invariant
     "corpus_drift",         // token-sorted KL/TV folds over the union vocab
-    "sim_hybrid_mmr")       // K-1 unrolled greedy rounds, each localCheckpointed
+    "sim_hybrid_mmr",       // K-1 unrolled greedy rounds, each localCheckpointed
+    "mm_image_neardup_pairs") // codec round-trip hash + pigeonhole block join
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

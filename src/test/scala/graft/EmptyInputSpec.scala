@@ -60,13 +60,14 @@ class EmptyInputSpec extends SparkSpec {
     "sim_hybrid_rrf", "events_zorder_layout", "events_zorder_prune_eval",
     "chunk_bm25_topk", "events_zorder_incremental", "sim_mrl_eval", "corpus_source_cap",
     "vocab_wordpiece_train", "vocab_wordpiece_tokenize",
-    "sim_hybrid_mmr", "sim_filtered_topk", "sim_filtered_ivf_topk")
+    "sim_hybrid_mmr", "sim_filtered_topk", "sim_filtered_ivf_topk",
+    "mm_image_dhash", "mm_image_neardup_pairs")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
   private val runsOnly = Seq("vocab_kmv", "events_unique_users_kmv",
     "corpus_expectations", "events_error_spike", "dedup_substring_eval",
-    "corpus_drift")
+    "corpus_drift", "mm_image_neardup_eval")
 
   for (name <- emptyOut) {
     test(s"$name returns zero rows on an empty corpus") {
