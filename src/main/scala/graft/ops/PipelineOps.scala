@@ -780,6 +780,162 @@ object PipelineOps {
       .orderBy(col("n").desc, col("token")).limit(BpeTopN)
   }
 
+  // -------------------------------------------------------------------
+  // Unigram-LM — the THIRD production tokenizer class (Kudo 2018;
+  // SentencePiece's default): the vocabulary is a unigram language
+  // model, a word's tokenization is its MINIMUM-COST segmentation
+  // (Viterbi over piece costs −log p), and training alternates E-steps
+  // (segment under current costs, count pieces) with M-steps
+  // (re-estimate costs from counts, prune low-contribution pieces).
+  // Completes the triad: BPE replays merge history, WordPiece
+  // MaxMatches a vocabulary, unigram-LM globally optimizes — the three
+  // inference shapes real serving stacks ship. Deltas from the paper,
+  // stated once: hard-EM (Viterbi counts, not forward-backward
+  // expectations), prune-by-count-contribution (not leave-one-out
+  // loss), and integer MICRO-COSTS — cost(p) = round(1e6·ln(tot/n)) as
+  // BIGINT — so every Viterbi comparison is exact integer arithmetic
+  // in BOTH engines (cross-engine double comparisons inside a DP would
+  // be parity roulette; ln()'s ≤1-ulp engine skew is collapsed by the
+  // micro rounding, the corpus_drift/sample_temperature discipline).
+  //
+  // Scale shape: every stage after the one corpus-touching word-freq
+  // aggregate is vocabulary- or word-type-bounded ([[BpeMaxWords]]
+  // cap). The Viterbi DP is ONE fold expression per word type — a
+  // 4-struct sliding window (b_{i-4}..b_{i-1}) as the accumulator — so
+  // there is no per-position column/CTE blowup in Spark and no
+  // exponential lineage; the oracle unrolls the same DP as
+  // [[UgMaxWordLen]] MATERIALIZED CTE rounds (the BPE discipline —
+  // each round references 4 predecessors, so without materialization
+  // DuckDB's re-inlining would explode 4^16). Ties break on the
+  // (cost, segmentation-string) struct order — identical in both
+  // engines' struct sort.
+  // -------------------------------------------------------------------
+
+  private[graft] val UgMaxPieceLen = 4   // longest piece the DP considers
+  private[graft] val UgMaxWordLen = 16   // beyond this a word is <unk>
+  private[graft] val UgSeedMulti = 48    // seed multi-char candidates
+  private[graft] val UgKeepMulti = 32    // multi-char pieces surviving a prune
+  private[graft] val UgEmRounds = 2      // E+M rounds (bounded-unroll discipline)
+  /** Sentinel cost for out-of-vocabulary probes and pre-word positions:
+    * dominates any real path (≤ UgMaxWordLen · ln(tot) micros ≈ 3·10⁸)
+    * yet 16·BIG stays far inside a signed long. A candidate carrying it
+    * can never win, which also makes the engines' differing
+    * out-of-range substring semantics unobservable (those candidates
+    * exist only to keep the generated expression uniform). */
+  private[graft] val UgBigCost = 1000000000000L
+
+  /** The Viterbi fold (Spark rendering): min-cost segmentation of
+    * `wordCol` under the piece lists in columns `pieces`/`costs`
+    * (sorted by piece, parallel). Accumulator = the last 4 DP states;
+    * returns the winning segmentation as a space-prefixed string. */
+  private def ugViterbiSegExpr(wordCol: String): String = {
+    def costOf(p: String) =
+      s"(CASE WHEN array_position(pieces, $p) > 0 THEN element_at(costs, CAST(array_position(pieces, $p) AS INT)) ELSE CAST($UgBigCost AS BIGINT) END)"
+    val cands = (1 to UgMaxPieceLen).map { l =>
+      val sub = s"substring($wordCol, i - ${l - 1}, $l)"
+      s"named_struct('c', element_at(acc, ${5 - l}).c + ${costOf(sub)}, " +
+        s"'s', concat(element_at(acc, ${5 - l}).s, ' ', $sub))"
+    }.mkString(", ")
+    val bigS = s"named_struct('c', CAST($UgBigCost AS BIGINT), 's', '')"
+    s"""aggregate(sequence(1, $UgMaxWordLen),
+        array($bigS, $bigS, $bigS, named_struct('c', CAST(0 AS BIGINT), 's', '')),
+        (acc, i) -> IF(i > length($wordCol), acc,
+          array(element_at(acc, 2), element_at(acc, 3), element_at(acc, 4),
+            element_at(array_sort(array($cands)), 1))),
+        acc -> element_at(acc, 4).s)"""
+  }
+
+  /** (piece, n) → the 1-row parallel piece/cost lists + the cost frame:
+    * cost = round(1e6·ln(tot/n)) micros, lists sorted by piece. */
+  private def ugCosts(v: DataFrame): (DataFrame, DataFrame) = {
+    val tot = v.agg(sum("n").as("tot"))
+    val c = v.crossJoin(broadcast(tot))
+      .withColumn("cost",
+        expr("CAST(round(ln(CAST(tot AS DOUBLE) / n) * 1000000, 0) AS BIGINT)"))
+      .select("piece", "n", "cost")
+    val cl = c.agg(expr("array_sort(collect_list(struct(piece, cost)))").as("pc"))
+      .select(expr("transform(pc, x -> x.piece)").as("pieces"),
+        expr("transform(pc, x -> x.cost)").as("costs"))
+    (c, cl)
+  }
+
+  /** One E-step: Viterbi-segment the (≤ cap-length) word types under
+    * `cl`'s costs, return occurrence-weighted piece counts. */
+  private def ugEStep(wfe: DataFrame, cl: DataFrame): DataFrame =
+    wfe.crossJoin(broadcast(cl))
+      .select(col("cnt"), expr(ugViterbiSegExpr("word")).as("seg"))
+      .select(col("cnt"), explode(split(col("seg"), " ")).as("piece"))
+      .where(col("piece") =!= "")
+      .groupBy("piece").agg(sum("cnt").as("n"))
+
+  /** Train state after [[UgEmRounds]] rounds: the final (piece, n, cost)
+    * frame plus its lookup lists. Shared by train and tokenize. */
+  private def ugTrainedCosts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // ONE corpus-touching job (the word-frequency frame), checkpointed:
+    // every later stage re-reads word types, not documents
+    val wf = wpWordFreq(s, d).localCheckpoint()
+    val wfe = wf.where(length(col("word")) <= UgMaxWordLen)
+    // full per-occurrence char counts — chars are the totality floor of
+    // the model and are NEVER pruned (SentencePiece's required-char rule)
+    val chars = wfe.select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("n"))
+      .localCheckpoint()
+    // seed multi-char candidates: occurrence-weighted substrings of
+    // length 2..UgMaxPieceLen, top UgSeedMulti (the WordPiece candidate
+    // frame shape, including the sequence(2,1) auto-step guard)
+    val multi0 = wfe.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+              i -> transform(sequence(2, least($UgMaxPieceLen, length(word) - i + 1)),
+                     l -> substring(word, i, l))))""")).as("piece"))
+      .where(length(col("piece")) >= 2)
+      .groupBy("piece").agg(sum("cnt").as("n"))
+      .orderBy(col("n").desc, col("piece")).limit(UgSeedMulti)
+    var v = chars.unionByName(multi0)
+    var state = ugCosts(v)
+    for (_ <- 1 to UgEmRounds) {
+      val counts = ugEStep(wfe, state._2).localCheckpoint()
+      // M-step: chars keep a floor of 1 (an unused char must stay
+      // finite-cost for totality); multi-char pieces are pruned to the
+      // top UgKeepMulti by count — the prune-by-contribution rounds
+      val keptChars = chars.select("piece")
+        .join(counts, Seq("piece"), "left_outer")
+        .select(col("piece"), greatest(coalesce(col("n"), lit(0L)), lit(1L)).as("n"))
+      val keptMulti = counts.where(length(col("piece")) >= 2)
+        .orderBy(col("n").desc, col("piece")).limit(UgKeepMulti)
+      v = keptChars.unionByName(keptMulti)
+      state = ugCosts(v)
+    }
+    state
+  }
+
+  /** The trained unigram-LM vocabulary: `(rank, piece, len, n,
+    * cost_micro)` under (n DESC, piece) rank order. */
+  val vocabUnigramTrain: Q = (s, d) =>
+    ugTrainedCosts(s, d)._1
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("piece"))))
+      .select(col("rank"), col("piece"),
+        length(col("piece")).cast("int").as("len"), col("n"),
+        col("cost").as("cost_micro"))
+      .orderBy("rank")
+
+  /** Tokenize-with-the-trained-model: Viterbi segmentation of every
+    * word type under the final costs (words beyond [[UgMaxWordLen]]
+    * become `<unk>`, the WordPiece rule), corpus token counts =
+    * Σ word-count × in-word occurrence. */
+  val vocabUnigramTokenize: Q = (s, d) => {
+    val cl = ugTrainedCosts(s, d)._2
+    wpWordFreq(s, d).crossJoin(broadcast(cl))
+      .select(col("cnt"),
+        expr(s"""CASE WHEN length(word) > $UgMaxWordLen THEN '<unk>'
+                 ELSE ${ugViterbiSegExpr("word")} END""").as("seg"))
+      .select(col("cnt"), explode(split(col("seg"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(sum("cnt").as("n"))
+      .orderBy(col("n").desc, col("token")).limit(BpeTopN)
+  }
+
   val vocabBpePairs: Q = (s, d) =>
     documents(s, d)
       .withColumn("w", split(graft.functions.Functions.normalizeText(col("text")), " "))
@@ -1147,6 +1303,8 @@ object PipelineOps {
     "vocab_bpe_tokenize" -> vocabBpeTokenize,
     "vocab_wordpiece_train" -> vocabWordpieceTrain,
     "vocab_wordpiece_tokenize" -> vocabWordpieceTokenize,
+    "vocab_unigram_train" -> vocabUnigramTrain,
+    "vocab_unigram_tokenize" -> vocabUnigramTokenize,
     "corpus_expectations" -> corpusExpectations,
     "doc_chunk" -> docChunk,
     "chunk_dedup" -> chunkDedup,
@@ -1266,7 +1424,104 @@ object PipelineOps {
     sb.toString
   }
 
+  /** Unigram-LM oracle: OOV/pre-word probes cost [[UgBigCost]] (losing
+    * candidates by construction, so the engines' differing out-of-range
+    * substring semantics are unobservable). */
+  private def ugCostOfSql(p: String): String =
+    s"coalesce(costs[CAST(list_position(pieces, $p) AS INT)], CAST($UgBigCost AS BIGINT))"
+
+  /** The Viterbi DP unrolled as [[UgMaxWordLen]] MATERIALIZED CTE
+    * rounds over `(word, cnt)` rows from `srcCte` with the cost lists
+    * in `clCte`: round i carries the 4-state sliding window
+    * (b3..b0 = b_{i-4}..b_{i-1}) the Spark fold keeps in its
+    * accumulator. MATERIALIZED is load-bearing — each round references
+    * 4 predecessors, so re-inlining would explode 4^16. */
+  private def ugDpChainSql(prefix: String, srcCte: String, clCte: String): String = {
+    val bigS = s"struct_pack(c := CAST($UgBigCost AS BIGINT), s := '')"
+    val sb = new StringBuilder(
+      s"""${prefix}_0 AS (SELECT word, cnt, $bigS AS b3, $bigS AS b2, $bigS AS b1,
+              struct_pack(c := CAST(0 AS BIGINT), s := '') AS b0 FROM $srcCte)""")
+    for (i <- 1 to UgMaxWordLen) {
+      val cands = (1 to UgMaxPieceLen).map { l =>
+        val sub = s"substring(word, ${i - l + 1}, $l)"
+        val prev = s"b${l - 1}"
+        s"struct_pack(c := $prev.c + ${ugCostOfSql(sub)}, s := concat($prev.s, ' ', $sub))"
+      }.mkString(", ")
+      sb.append(s""",
+          ${prefix}_$i AS MATERIALIZED (SELECT word, cnt, b2 AS b3, b1 AS b2, b0 AS b1,
+              CASE WHEN len(word) < $i THEN b0 ELSE list_sort([$cands])[1] END AS b0
+            FROM ${prefix}_${i - 1}, $clCte)""")
+    }
+    sb.toString
+  }
+
+  /** The shared unigram-LM training chain: capped word frequencies,
+    * char floor, seed candidates, then [[UgEmRounds]] × (cost lists →
+    * DP chain → counts → prune) — ending in `uc$UgEmRounds` (final
+    * piece/n/cost) and `ucl$UgEmRounds` (its lookup lists). */
+  private def ugCtesSql: String = {
+    val norm = DedupOps.NormSql
+    def costsCtes(tag: String, vCte: String): String =
+      s"""ut$tag AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM $vCte),
+          uc$tag AS MATERIALIZED (SELECT piece, n,
+              CAST(round(ln(CAST(tot AS DOUBLE) / n) * 1000000, 0) AS BIGINT) AS cost
+            FROM $vCte, ut$tag),
+          ucl$tag AS MATERIALIZED (SELECT list(piece ORDER BY piece) AS pieces,
+              list(cost ORDER BY piece) AS costs FROM uc$tag)"""
+    val sb = new StringBuilder(
+      s"""uwf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split($norm, ' ')) AS word FROM documents)
+            WHERE word <> '' GROUP BY word
+            ORDER BY cnt DESC, word LIMIT $BpeMaxWords),
+          uwfe AS MATERIALIZED (SELECT word, cnt FROM uwf WHERE len(word) <= $UgMaxWordLen),
+          uch AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM (SELECT cnt, unnest(list_transform(generate_series(1, len(word)),
+                    i -> substring(word, i, 1))) AS piece FROM uwfe)
+            GROUP BY piece),
+          um0 AS (SELECT piece, n FROM (
+              SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n
+              FROM (SELECT cnt, unnest(flatten(list_transform(generate_series(1, len(word)),
+                      i -> list_transform(generate_series(2, least($UgMaxPieceLen, len(word) - i + 1)),
+                             l -> substring(word, i, l))))) AS piece
+                    FROM uwfe)
+              GROUP BY piece)
+            ORDER BY n DESC, piece LIMIT $UgSeedMulti),
+          uv0 AS MATERIALIZED (SELECT piece, n FROM uch UNION ALL SELECT piece, n FROM um0),
+          ${costsCtes("0", "uv0")}""")
+    for (r <- 0 until UgEmRounds) {
+      sb.append(",\n" + ugDpChainSql(s"ue$r", "uwfe", s"ucl$r"))
+      sb.append(s""",
+          ucnt$r AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM (SELECT cnt, unnest(string_split(b0.s, ' ')) AS piece
+                  FROM ue${r}_$UgMaxWordLen)
+            WHERE piece <> '' GROUP BY piece),
+          uv${r + 1} AS MATERIALIZED (
+            SELECT c.piece, greatest(COALESCE(k.n, 0), 1) AS n
+            FROM uch c LEFT JOIN ucnt$r k ON c.piece = k.piece
+            UNION ALL
+            SELECT piece, n FROM (SELECT piece, n FROM ucnt$r WHERE len(piece) >= 2
+              ORDER BY n DESC, piece LIMIT $UgKeepMulti)),
+          ${costsCtes((r + 1).toString, s"uv${r + 1}")}""")
+    }
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "vocab_unigram_train" ->
+      s"""WITH $ugCtesSql
+          SELECT CAST(row_number() OVER (ORDER BY n DESC, piece) AS INT) AS rank,
+            piece, CAST(len(piece) AS INT) AS len, n, cost AS cost_micro
+          FROM uc$UgEmRounds ORDER BY rank""",
+    "vocab_unigram_tokenize" ->
+      s"""WITH $ugCtesSql,
+          ${ugDpChainSql("utok", "uwf", s"ucl$UgEmRounds")},
+          tokseg AS (SELECT cnt,
+              CASE WHEN len(word) > $UgMaxWordLen THEN '<unk>' ELSE b0.s END AS seg
+            FROM utok_$UgMaxWordLen)
+          SELECT token, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM (SELECT cnt, unnest(string_split(seg, ' ')) AS token FROM tokseg)
+          WHERE token <> ''
+          GROUP BY token ORDER BY n DESC, token LIMIT $BpeTopN""",
     "corpus_source_cap" ->
       s"""WITH r AS (SELECT doc_id, COALESCE(source, '') AS source,
                  row_number() OVER (PARTITION BY COALESCE(source, '')

@@ -51,7 +51,9 @@ class DeterminismSpec extends SparkSpec {
     "corpus_source_cap",    // salted-hash keep order, partitioning-invariant
     "corpus_drift",         // token-sorted KL/TV folds over the union vocab
     "sim_hybrid_mmr",       // K-1 unrolled greedy rounds, each localCheckpointed
-    "mm_image_neardup_pairs") // codec round-trip hash + pigeonhole block join
+    "mm_image_neardup_pairs", // codec round-trip hash + pigeonhole block join
+    "vocab_unigram_train",  // EM rounds: sorted cost lists + integer Viterbi
+    "vocab_unigram_tokenize") // Viterbi fold under the trained cost lists
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

@@ -61,7 +61,8 @@ class EmptyInputSpec extends SparkSpec {
     "chunk_bm25_topk", "events_zorder_incremental", "sim_mrl_eval", "corpus_source_cap",
     "vocab_wordpiece_train", "vocab_wordpiece_tokenize",
     "sim_hybrid_mmr", "sim_filtered_topk", "sim_filtered_ivf_topk",
-    "mm_image_dhash", "mm_image_neardup_pairs")
+    "mm_image_dhash", "mm_image_neardup_pairs",
+    "vocab_unigram_train", "vocab_unigram_tokenize")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
