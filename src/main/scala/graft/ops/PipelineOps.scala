@@ -243,14 +243,25 @@ object PipelineOps {
     * unpartitioned collect_list array. The final fold is token-sorted
     * (double addition order, the unigram_nll discipline) over ≤ cap+1
     * rows and round-6. */
-  val corpusDrift: Q = (s, d) => {
-    val t = documents(s, d)
+  val corpusDrift: Q = (s, d) =>
+    driftFromCounts(driftTokenCounts(documents(s, d)))
+
+  /** The (tok, np, nq) unigram frame of a document frame — the ONE
+    * corpus-touching aggregate of the drift monitor (additive, so the
+    * streaming twin can maintain it as appended per-batch partials). */
+  private[graft] def driftTokenCounts(docs: DataFrame): DataFrame =
+    docs
       .select((col("doc_id") % 2 === 0).as("even"),
         explode(split(graft.functions.Functions.normalizeText(col("text")), " ")).as("tok"))
       .where(col("tok") =!= "")
       .groupBy("tok")
       .agg(sum(when(col("even"), 1L).otherwise(0L)).as("np"),
         sum(when(col("even"), 0L).otherwise(1L)).as("nq"))
+
+  /** Divergence row from a (tok, np, nq) frame — shared verbatim by the
+    * batch op and the streaming twin (graft.streaming.DriftIngest), so
+    * twin equality is structural. */
+  private[graft] def driftFromCounts(t: DataFrame): DataFrame = {
     // full-corpus totals + full vocabulary size (1 row), and the head
     // top-k (TakeOrderedAndProject — map-side partial top-k, ties by
     // tok so the head set is a pure function of corpus content). The
