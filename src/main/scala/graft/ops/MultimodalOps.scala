@@ -656,6 +656,145 @@ object MultimodalOps {
           .as("recall_r"))
   }
 
+  // -------------------------------------------------------------------
+  // Perceptual AUDIO near-dup — the acoustic analogue of the image
+  // dHash family: a 56-bit energy-envelope gradient hash per audio
+  // row (sign of adjacent frame-energy differences over 57 windows —
+  // the time-domain skeleton of an acoustic fingerprint; volume
+  // changes scale every window energy by the same factor, so the hash
+  // is GAIN-invariant by construction, which is exactly the
+  // perturbation the fixture plants: a 2× louder re-master twin whose
+  // loudest samples clamp). Same deployment shape as images: 8 bytes
+  // of hash per row is all that shuffles, pairing reuses the
+  // pigeonhole block join, the eval row measures blocked-vs-brute.
+  // The codec path is REAL: formula PCM → javax.sound WAV encode →
+  // WAV decode → samples → energies — the oracle restates the closed
+  // integer formula, so the compare only passes if the container
+  // round-trip truly preserved the samples.
+  // -------------------------------------------------------------------
+
+  /** Dedup fixture PCM (normalized mono, the image-family's
+    * post-transcode argument): sample k of row id is
+    * (m·(m%4093)) % 34000 − 17000 with m = (a + k·2654435761) % 999983
+    * and `a` the per-row mixer — a quadratic integer avalanche, every
+    * product bounded far inside a signed long (linear ramp fixtures
+    * failed twice at 10x density: fixed-slope sawtooths collide up to
+    * phase, and even id-dependent slopes leave window MEANS
+    * concentrated so the 56-bit space had far too little entropy;
+    * pseudo-random samples make adjacent-window comparisons
+    * independent coin flips and cross-row collisions at hamming ≤ 4
+    * vanish by counting), amplitude ±17000 so
+    * the 2× twin clamps ~3.6% of samples (the near-tie flips that give
+    * the pair row its hamming spread, the brightness-clamp analogue).
+    * All integer, positive-operand mod — identical in both engines. */
+  private def audioSample(a: Long, k: Int): Int =
+    {
+    val m = (a + k * 2654435761L) % 999983L
+    (((m * (m % 4093L)) % 34000L) - 17000L).toInt
+  }
+  private[graft] val AfpWindows = 57  // 56 adjacent comparisons = 56 bits
+  private[graft] val AfpGain = 2      // the planted re-master's gain
+  private def afpSamples(id: Long, len: Int): Int = 570 + len % 100
+
+  /** The (vid, src_doc, variant, fp_hi, fp_lo, afp) fingerprint frame
+    * over audio-typed rows (doc_id % 3 == 1): vid = doc_id·2 + variant.
+    * REAL codec path per row: PCM from the formula, WAV-encoded with
+    * javax.sound, DECODED back through AudioSystem, THEN windowed. */
+  private def audioFpFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val len = if (text == null) 0 else text.length
+          val n = afpSamples(id, len)
+          val a = dhashMixer(id)
+          (0 to 1).map { v =>
+            val pcm = new Array[Byte](n * 2)
+            for (k <- 0 until n) {
+              val s0 = audioSample(a, k)
+              val sv =
+                if (v == 1)
+                  math.max(-32768, math.min(32767, s0 * AfpGain))
+                else s0
+              pcm(2 * k) = (sv & 0xff).toByte
+              pcm(2 * k + 1) = ((sv >> 8) & 0xff).toByte
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            // --- real bytes boundary: decode the WAV back and window
+            // the DECODED samples, nothing below reads the formula ---
+            val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(baos.toByteArray))
+            val raw = dec.readAllBytes()
+            val energies = new Array[Long](AfpWindows)
+            val counts = new Array[Long](AfpWindows)
+            for (k <- 0 until raw.length / 2) {
+              val sample = ((raw(2 * k) & 0xff) | (raw(2 * k + 1) << 8)).toShort.toInt
+              val w = (k * AfpWindows) / n
+              energies(w) += math.abs(sample); counts(w) += 1
+            }
+            // MEAN-energy comparison via integer cross-multiplication:
+            // window sample counts alternate 10/11-12 under the floor
+            // boundaries, and a raw-sum comparison is then dominated by
+            // the size pattern (a pure function of n — rows sharing n
+            // collided wholesale at 10x density before this)
+            var hash = 0L
+            for (f <- 0 until AfpWindows - 1)
+              if (energies(f + 1) * counts(f) > energies(f) * counts(f + 1))
+                hash |= 1L << f
+            (id * 2 + v, id, v, hash >>> 32, hash & 0xffffffffL, hash)
+          }
+        }
+      }.toDF("doc_id", "src_doc", "variant", "fp_hi", "fp_lo", "afp")
+  }
+
+  /** Per-row acoustic fingerprint — the registry-visible form. */
+  val audioFingerprint: Q = (s, d) =>
+    audioFpFrame(s, d)
+      .select(col("doc_id").as("vid"), col("src_doc"),
+        col("variant").cast("int").as("variant"), col("afp"))
+      .orderBy("vid")
+
+  /** Near-dup audio pairs at hamming ≤ [[DhashMaxHamming]] — the same
+    * lossless pigeonhole join as the image family. */
+  val audioNeardupPairs: Q = (s, d) =>
+    DedupOps.blockedPairsFrom(
+        audioFpFrame(s, d).select("doc_id", "fp_hi", "fp_lo"),
+        DhashBlocks, 1, DhashMaxHamming)
+      .orderBy("doc_a", "doc_b")
+
+  /** Blocked-vs-brute recall audit for the audio family (the
+    * measured-audit convention, identical contract to
+    * [[imageNeardupEval]]). */
+  val audioNeardupEval: Q = (s, d) => {
+    val fp = audioFpFrame(s, d).select("doc_id", "fp_hi", "fp_lo")
+      .localCheckpoint()
+    val truth = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.fp_hi").bitwiseXOR(col("b.fp_hi"))) +
+          bit_count(col("a.fp_lo").bitwiseXOR(col("b.fp_lo"))))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= DhashMaxHamming)
+    val blocked = DedupOps.blockedPairsFrom(fp, DhashBlocks, 1, DhashMaxHamming)
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nB = blocked.agg(count(lit(1)).as("n_blocked"))
+    val nBoth = truth.join(blocked, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    nT.crossJoin(nB).crossJoin(nBoth)
+      .select(col("n_truth"), col("n_blocked"), col("n_both"),
+        when(col("n_blocked") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double") / col("n_blocked"), 6))
+          .as("precision_r"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double") / col("n_truth"), 6))
+          .as("recall_r"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_decode_meta" -> decodeMeta,
     "mm_frame_sample" -> frameSample,
@@ -664,6 +803,9 @@ object MultimodalOps {
     "mm_image_dhash" -> imageDhash,
     "mm_image_neardup_pairs" -> imageNeardupPairs,
     "mm_image_neardup_eval" -> imageNeardupEval,
+    "mm_audio_fingerprint" -> audioFingerprint,
+    "mm_audio_neardup_pairs" -> audioNeardupPairs,
+    "mm_audio_neardup_eval" -> audioNeardupEval,
   )
 
   val oracles: Map[String, String] = Map(
@@ -723,6 +865,28 @@ object MultimodalOps {
     "mm_image_neardup_pairs" ->
       s"""WITH $DhashChainSql, $DhashBlockedSql
           SELECT doc_a, doc_b, hamming FROM bpairs ORDER BY doc_a, doc_b""",
+    "mm_audio_fingerprint" ->
+      s"""WITH $AfpChainSql
+          SELECT vid, src_doc, CAST(v AS INT) AS variant, afp
+          FROM hashes JOIN avids USING (vid) ORDER BY vid""",
+    "mm_audio_neardup_pairs" ->
+      s"""WITH $AfpChainSql, ${blockedPairsSql("afp")}
+          SELECT doc_a, doc_b, hamming FROM bpairs ORDER BY doc_a, doc_b""",
+    "mm_audio_neardup_eval" ->
+      s"""WITH $AfpChainSql, ${blockedPairsSql("afp")},
+          truth AS (SELECT a.vid AS doc_a, b.vid AS doc_b
+                    FROM hashes a JOIN hashes b ON a.vid < b.vid
+                    WHERE bit_count(xor(a.afp, b.afp)) <= $DhashMaxHamming),
+          nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+          nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocked FROM bpairs),
+          nx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+                 FROM truth SEMI JOIN bpairs USING (doc_a, doc_b))
+          SELECT n_truth, n_blocked, n_both,
+            CASE WHEN n_blocked = 0 THEN NULL
+              ELSE round(CAST(n_both AS DOUBLE) / n_blocked, 6) END AS precision_r,
+            CASE WHEN n_truth = 0 THEN NULL
+              ELSE round(CAST(n_both AS DOUBLE) / n_truth, 6) END AS recall_r
+          FROM nt, nb, nx""",
     "mm_image_neardup_eval" ->
       s"""WITH $DhashChainSql, $DhashBlockedSql,
           truth AS (SELECT a.vid AS doc_a, b.vid AS doc_b
@@ -782,22 +946,53 @@ object MultimodalOps {
   /** The [[DhashBlocks]]-block pigeonhole join over `hashes`, mirroring
     * [[DedupOps.blockedPairsFrom]]'s MSB-first split of the 64-bit
     * packed fingerprint (the hash's top 8 bits are structurally zero) —
-    * block bounds computed numerically from the same arithmetic. */
-  private lazy val DhashBlockedSql: String = {
+    * block bounds computed numerically from the same arithmetic.
+    * Parameterized on the hash column so the image and audio families
+    * share one generator. */
+  private def blockedPairsSql(hashCol: String): String = {
     val sizes = Array.tabulate(DhashBlocks)(i =>
       64 / DhashBlocks + (if (i < 64 % DhashBlocks) 1 else 0))
     val starts = sizes.scanLeft(0)(_ + _)
     val blockRows = (0 until DhashBlocks).map { i =>
       val div = 1L << (64 - starts(i) - sizes(i))
       val mod = 1L << sizes(i)
-      s"SELECT vid, dhash, $i AS blk, (dhash // $div) % $mod AS bval FROM hashes"
+      s"SELECT vid, $hashCol, $i AS blk, ($hashCol // $div) % $mod AS bval FROM hashes"
     }.mkString("\n            UNION ALL ")
     s"""blocks AS ($blockRows),
         bpairs AS (SELECT doc_a, doc_b, hamming FROM (
               SELECT DISTINCT a.vid AS doc_a, b.vid AS doc_b,
-                CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+                CAST(bit_count(xor(a.$hashCol, b.$hashCol)) AS BIGINT) AS hamming
               FROM blocks a JOIN blocks b
                 ON a.blk = b.blk AND a.bval = b.bval AND a.vid < b.vid)
             WHERE hamming <= $DhashMaxHamming)"""
+  }
+  private lazy val DhashBlockedSql: String = blockedPairsSql("dhash")
+
+  /** Closed-form acoustic-fingerprint chain (the [[DhashChainSql]]
+    * discipline on the audio rows): per (audio doc × variant) the
+    * windowed energy envelope and the 56-bit gradient-sign hash. The
+    * Spark side derives this through REAL javax.sound WAV
+    * encode/decode; the oracle restates the PCM formula. */
+  private lazy val AfpChainSql: String = {
+    val s0 = "((((a + k * 2654435761) % 999983) * (((a + k * 2654435761) % 999983) % 4093)) % 34000) - 17000"
+    s"""auds AS (SELECT doc_id, COALESCE(length(text), 0) AS len FROM documents
+                 WHERE CAST(doc_id % 3 AS INT) = 1),
+        avids AS MATERIALIZED (SELECT doc_id * 2 + v AS vid, doc_id AS src_doc, v,
+                 570 + len % 100 AS n, (doc_id * 2654435761) % 1000003 AS a
+               FROM auds, (SELECT unnest([0, 1]) AS v)),
+        asmp AS (SELECT vid, v, n, a, unnest(generate_series(0, n - 1)) AS k
+                 FROM avids),
+        aen AS MATERIALIZED (SELECT vid, (k * $AfpWindows) // n AS w,
+                 CAST(SUM(abs(CASE WHEN v = 1
+                   THEN greatest(-32768, least(32767, ($s0) * $AfpGain))
+                   ELSE $s0 END)) AS BIGINT) AS e,
+                 CAST(COUNT(*) AS BIGINT) AS c
+               FROM asmp GROUP BY vid, (k * $AfpWindows) // n),
+        hashes AS MATERIALIZED (SELECT e1.vid,
+                 CAST(COALESCE(SUM(CASE WHEN e2.e * e1.c > e1.e * e2.c
+                   THEN (1::BIGINT << e1.w) ELSE 0 END), 0) AS BIGINT) AS afp
+               FROM aen e1 JOIN aen e2 ON e2.vid = e1.vid AND e2.w = e1.w + 1
+               WHERE e1.w < ${AfpWindows - 1}
+               GROUP BY e1.vid)"""
   }
 }

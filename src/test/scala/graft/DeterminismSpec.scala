@@ -52,6 +52,7 @@ class DeterminismSpec extends SparkSpec {
     "corpus_drift",         // token-sorted KL/TV folds over the union vocab
     "sim_hybrid_mmr",       // K-1 unrolled greedy rounds, each localCheckpointed
     "mm_image_neardup_pairs", // codec round-trip hash + pigeonhole block join
+    "mm_audio_neardup_pairs", // WAV round-trip energy hash + the same join
     "vocab_unigram_train",  // EM rounds: sorted cost lists + integer Viterbi
     "vocab_unigram_tokenize") // Viterbi fold under the trained cost lists
 
