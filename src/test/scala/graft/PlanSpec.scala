@@ -454,4 +454,28 @@ class PlanSpec extends SparkSpec {
     // global window)
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
+
+  test("corpus_drift: the head is a map-side top-k; the divergence fold consumes head ∪ OOV, never the corpus vocabulary") {
+    val plan = finalPlan(graft.ops.PipelineOps.queries("corpus_drift")(spark, d))
+    // the capped head arrives via TakeOrderedAndProject (map-side partial
+    // top-k) — the round-7 weak shape (corpus-wide collect_list in one
+    // unpartitioned aggregate) had no such node and no Union above it
+    assert(plan.contains("TakeOrderedAndProject(limit=24"), plan)
+    val unionIdx = plan.indexOf("Union")
+    val foldIdx = plan.indexOf("collect_list")
+    assert(unionIdx >= 0, s"head ∪ OOV union missing:\n$plan")
+    assert(foldIdx >= 0 && foldIdx < unionIdx,
+      s"the sorted fold must consume the capped union (fold above, union below):\n$plan")
+  }
+
+  test("media near-dup pairs: pigeonhole equi-join with exact bit_count check, no pairwise nested loop") {
+    for (name <- Seq("mm_image_neardup_pairs", "mm_audio_neardup_pairs")) {
+      val plan = finalPlan(graft.ops.MultimodalOps.queries(name)(spark, d))
+      // candidates come from the block-key equi-join; a nested loop over
+      // the fingerprint table would be the |rows|² regression
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+      assert(plan.contains("bit_count"), s"$name:\n$plan")
+    }
+  }
 }
