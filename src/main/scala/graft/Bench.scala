@@ -91,6 +91,10 @@ object Bench {
     * and overflow merges into the final batch rather than dropping. */
   private val ReprobeBatchBudgetSec = 60.0
   private val MaxReprobeContexts = 32
+  /** Reprobes finishing under this re-run once (min of the two): below
+    * it, per-query codegen compile in the fresh context rivals the
+    * query itself and a single cold number over-reads a tiny median. */
+  private val ReprobeRerunBelowSec = 5.0
 
   /** Queries whose cost model is KNOWN super-linear in the verify-SF
     * window, with the reason — carried verbatim in the artifact so an
@@ -440,11 +444,22 @@ object Bench {
             warmup(cur, scaleDir)
             batch.map { case (n, raw) =>
               val la = loadAvg
-              val t0 = System.nanoTime()
-              val ok = try { SparkEntry.queries(n)(cur, scaleDir).count(); true }
+              def once(): Double = {
+                val t0 = System.nanoTime()
+                SparkEntry.queries(n)(cur, scaleDir).count()
+                (System.nanoTime() - t0) / 1e9
+              }
+              var sec = -1.0
+              val ok = try { sec = once(); true }
                 catch { case e: Throwable =>
                   System.err.println(s"BENCH: reprobe of $n failed: $e"); false }
-              val sec = (System.nanoTime() - t0) / 1e9
+              // a sub-second query's first execution in this context is
+              // dominated by codegen compilation of ITS stages (warmup
+              // only JITs the generic scan path) — measured 3.3 s cold vs
+              // 0.8 s steady for a 0.24 s-median query, a phantom 13.6×
+              // ratio. Cheap queries re-run once; keep the faster.
+              if (ok && sec < ReprobeRerunBelowSec)
+                sec = math.min(sec, try once() catch { case _: Throwable => sec })
               // keep later batch members honest: drop checkpoint blocks
               // a reprobed query pinned, same as the suite loop
               cur.sparkContext.getPersistentRDDs.values

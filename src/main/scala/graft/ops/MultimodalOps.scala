@@ -377,9 +377,50 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** javax.sound WAV codec, resolved ONCE per executor JVM and held by
+    * strong reference. `AudioSystem`'s front door funnels EVERY call
+    * through a JVM-global `synchronized` provider lookup whose cache is
+    * a SoftReference (JDK13Services) — under Spark's allocation
+    * pressure the soft cache empties and all task threads serialize on
+    * repeated classpath scans: the sf1 fingerprint pass measured 18.0 s
+    * at local[32] vs 5.5 s at local[1] (negative scaling — more threads,
+    * slower). The SPI instances below are the SAME stateless singletons
+    * AudioSystem dispatches to concurrently, so direct calls keep the
+    * real-codec claim; only the global lock leaves the row loop. The
+    * ImageIO analogue (reader hoisted per partition) already lives in
+    * [[decodePartition]]. */
+  private[graft] lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter in this JVM"))
+  }
+
+  private[graft] lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    // pick the provider that actually parses a WAV this JVM's writer
+    // produced (provider order is unspecified; the wrong one throws
+    // UnsupportedAudioFileException, exactly how AudioSystem probes)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val probeOut = new java.io.ByteArrayOutputStream()
+    wavWriter.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](2)), fmt, 1L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, probeOut)
+    val probe = probeOut.toByteArray
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala
+      .find { r =>
+        try { r.getAudioFileFormat(new java.io.ByteArrayInputStream(probe)); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException("no WAV AudioFileReader in this JVM"))
+  }
+
   /** Fixture stage: synthesize the binary payload. Image rows carry a
     * REAL PNG (encoded with the JDK's ImageIO), audio rows a REAL
-    * 16-bit PCM WAV (encoded with the JDK's AudioSystem), video rows a
+    * 16-bit PCM WAV (encoded with the JDK's WAV codec), video rows a
     * REAL MP4 container (ftyp/moov/tkhd/mdhd boxes + the text bytes as
     * mdat payload, written by the Mp4 writer above). */
   private def makeContent(id: Long, text: String): Array[Byte] = mediaType(id) match {
@@ -405,8 +446,7 @@ object MultimodalOps {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
       val baos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
       baos.toByteArray
     case _ =>
       Mp4.write(vidWidth(id), vidHeight(text.length), vidDurationSec(text.length),
@@ -453,7 +493,7 @@ object MultimodalOps {
               img.getWidth, img.getHeight, img.getRaster.getNumBands)
           } finally { reader.setInput(null); in.close() }
         case "audio" =>
-          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          val aff = wavReader.getAudioFileFormat(
             new java.io.ByteArrayInputStream(blob.content))
           MediaMeta(blob.doc_id, blob.media_type,
             aff.getFormat.getSampleRate.toInt, aff.getFrameLength,
@@ -724,11 +764,11 @@ object MultimodalOps {
             val ais = new javax.sound.sampled.AudioInputStream(
               new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
             val baos = new java.io.ByteArrayOutputStream()
-            javax.sound.sampled.AudioSystem.write(ais,
+            wavWriter.write(ais,
               javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
             // --- real bytes boundary: decode the WAV back and window
             // the DECODED samples, nothing below reads the formula ---
-            val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            val dec = wavReader.getAudioInputStream(
               new java.io.ByteArrayInputStream(baos.toByteArray))
             val raw = dec.readAllBytes()
             val energies = new Array[Long](AfpWindows)
