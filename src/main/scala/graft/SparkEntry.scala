@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RefOps.queries ++ ops.TextOps.queries ++ ops.DedupOps.queries ++
       ops.SimOps.queries ++ ops.MultimodalOps.queries ++
-      ops.PipelineOps.queries ++ ops.RetrievalOps.queries
+      ops.PipelineOps.queries ++ ops.RetrievalOps.queries ++
+      ops.ClassifierOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.RefOps.oracles ++ ops.TextOps.oracles ++ ops.DedupOps.oracles ++
       ops.SimOps.oracles ++ ops.MultimodalOps.oracles ++
-      ops.PipelineOps.oracles ++ ops.RetrievalOps.oracles
+      ops.PipelineOps.oracles ++ ops.RetrievalOps.oracles ++
+      ops.ClassifierOps.oracles
 }

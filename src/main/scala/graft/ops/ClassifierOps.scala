@@ -1,0 +1,352 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+
+/** Model-based quality filtering — the fastText-shaped stage every
+  * web-scale curation pipeline runs after the heuristic gates (CCNet,
+  * RefinedWeb, DCLM all train a linear classifier and keep the docs it
+  * scores well): a logistic-style linear model over HASHED bag-of-token
+  * features, trained by full-batch gradient descent inside the engine,
+  * then applied as a per-document score. The reference pipeline has no
+  * model stage at all; the algorithm is textbook (hashing trick:
+  * Weinberger et al., ICML'09).
+  *
+  * Labels are distilled from the engine's own integer-exact heuristic
+  * gate ([[TextOps.withQuality]]: y = 1 iff tier 'good') — the standard
+  * bootstrap when no human labels exist (CCNet distills Wikipedia-vs-
+  * crawl; here the teacher is the deterministic tier rule, so the oracle
+  * can restate it exactly).
+  *
+  * The 100 TB shape:
+  *  - The CORPUS is touched once, by the feature extraction: tokens hash
+  *    into [[QcDim]] buckets (the hashing trick bounds the model at a
+  *    constant QcWidth weights no matter how the vocabulary grows), per-doc
+  *    counts aggregate with map-side partials, and the per-doc feature
+  *    arrays are checkpointed. Every training round after that is one
+  *    MAP pass over the feature frame (margin + error, no shuffle) plus
+  *    one 65-group aggregate (map-side partial sums — each task ships
+  *    ≤65 rows) plus a 1-row broadcast weight update. No driver-side
+  *    loops over data; the only driver state is the round counter.
+  *  - Gradient sums are BIGINT micros (each per-(doc,fid) term rounds to
+  *    1e-6 before summing), so cross-partition addition is integer-exact
+  *    and shuffle-order-independent — the sample_temperature discipline.
+  *  - The link is the RATIONAL sigmoid σ̃(m) = 0.5 + m/(2(1+|m|))
+  *    (Elliott activation): only +,·,/,abs on doubles, every step
+  *    IEEE-identical across engines — exp() would differ in final ulps
+  *    between the JVM and DuckDB's libm and poison the micros grid.
+  *  - Per-doc margins fold the feature array in fid order (sorted at
+  *    build), mirrored by the oracle's `list_sum(list(.. ORDER BY fid))`
+  *    — the order-free double-sum convention.
+  */
+object ClassifierOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hashed feature dimensions (token buckets); fid [[QcDim]] is the
+    * always-on bias, [[QcDim]]+1/+2 the two dense features. 64 keeps
+    * the unrolled oracle readable while leaving every harness corpus
+    * with real collisions to survive. */
+  private[ops] val QcDim = 64
+
+  /** Dense features beside the hashed bag: clipped length and integer
+    * alpha percentage (the gate's own axes — token-count normalization
+    * erases document LENGTH from the hashed features entirely, and a
+    * purely-hashed model measurably collapses to the majority class:
+    * acc_micro == majority_micro at sf0.001 before these two rows). */
+  private[ops] val QcFidBias = QcDim
+  private[ops] val QcFidLen = QcDim + 1
+  private[ops] val QcFidAlpha = QcDim + 2
+  private[ops] val QcWidth = QcDim + 3 // weight-vector length
+
+  /** Full-batch GD rounds, unrolled (the BPE/WordPiece bounded-round
+    * oracle discipline). */
+  private[ops] val QcRounds = 16
+
+  /** Step schedule: lr halves every 4 rounds (16,…,8,…,4,…,2) — full-
+    * batch GD with a large CONSTANT rate oscillates around the decision
+    * surface (measured: the same run lands at 0.63 or 0.92 depending
+    * on where round R stops), while the halving schedule converges
+    * everywhere the sweep looked. Every step value is a power of two
+    * times the base — binary-exact literals in both engines, so the
+    * schedule adds no cross-engine parity surface. */
+  private[ops] val QcLr = 16.0
+  private[ops] def qcStep(round: Int): Double = // round is 0-based
+    QcLr * math.pow(0.5, round / 4)
+
+  /** Split thresholds shared with sample_split_hash (16-bit md5 bucket):
+    * train < 58982 (90%), test ≥ 62259 (5%); val is left out. */
+  private val TrainBelow = 58982
+  private val TestFrom = 62259
+
+  // ------------------------------------------------------------------
+  // Spark side
+  // ------------------------------------------------------------------
+
+  /** (doc_id, y, fid, x) feature rows: hashed-token PRESENCE bits plus
+    * the dense rows ([[QcFidBias]]/[[QcFidLen]]/[[QcFidAlpha]]) for
+    * EVERY doc — null/empty texts still train the base rate. Presence,
+    * not tf: frequency normalized by token count concentrates magnitude
+    * in SHORT documents (a 5-token junk doc puts 0.2 on each of its
+    * fids, a 200-token good doc 0.005), and under class balancing the
+    * junk class then owns every hashed dimension — measured as all-
+    * negative predictions. Presence bits give both classes the same
+    * feature scale; the numpy replica of this exact arithmetic sweeps
+    * 0.90-0.94 accuracy with them vs majority-collapse without. */
+  private def qcFeatureRows(docs: DataFrame): DataFrame = {
+    val lab = TextOps.withQuality(docs)
+      .select(col("doc_id"),
+        when(col("quality") === "good", 1).otherwise(0).as("y"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("toks"),
+        col("len"), col("n_alpha"))
+    val tok = lab.where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("y"), explode(col("toks")).as("tok"))
+      .withColumn("fid",
+        (conv(substring(md5(concat(lit("qc:"), col("tok"))), 1, 2), 16, 10)
+          .cast("int") % QcDim))
+      .select(col("doc_id"), col("y"), col("fid"), lit(1.0).as("x"))
+      .distinct()
+    val dense = lab.select(col("doc_id"), col("y"),
+      lit(QcFidBias).as("fid"), lit(1.0).as("x"))
+      .unionByName(lab.select(col("doc_id"), col("y"),
+        lit(QcFidLen).as("fid"),
+        expr("CAST(least(coalesce(len, 0), 1000) AS DOUBLE) / 1000").as("x")))
+      .unionByName(lab.select(col("doc_id"), col("y"),
+        lit(QcFidAlpha).as("fid"),
+        expr("CAST(coalesce(n_alpha, 0) * 100 div greatest(coalesce(len, 0), 1) AS DOUBLE) / 100").as("x")))
+    tok.unionByName(dense)
+  }
+
+  /** Per-doc fid-sorted feature arrays — the frame every round re-reads
+    * (checkpoint at the call site; rounds must not re-run the corpus
+    * scan). */
+  private def qcFeats(rows: DataFrame): DataFrame =
+    rows.groupBy("doc_id", "y")
+      .agg(expr("array_sort(collect_list(struct(fid, x)))").as("fv"))
+
+  private val MarginExpr =
+    "aggregate(fv, CAST(0.0 AS DOUBLE), (acc, t) -> " +
+      "acc + t.x * (CAST(element_at(wm, t.fid + 1) AS DOUBLE) / 1000000))"
+  private val SigmoidExpr = "0.5 + m / (2.0 * (1.0 + abs(m)))"
+
+  /** [[QcRounds]] unrolled rounds over a checkpointed feature frame;
+    * returns the 1-row weights frame (wm: array<bigint> micros, length
+    * [[QcWidth]]). Weights localCheckpoint per round — the 1-row frame is
+    * referenced twice per round (margin pass + update) and unbounded
+    * lineage re-derives all prior rounds (the MMR lesson). */
+  private def qcTrainWeights(s: SparkSession, feats: DataFrame): DataFrame = {
+    // class-balanced error weights (n/(2·n_class), King & Zeng's
+    // correction): the tier labels run ~7:1 positive and an unweighted
+    // full-batch GD spends its fixed round budget learning the base
+    // rate, collapsing to the majority class (measured: acc_micro ==
+    // majority_micro with tn = fn = 0 before balancing). Denominators
+    // floored at 1 so a one-class corpus stays finite.
+    val n = feats.agg(greatest(count(lit(1)), lit(1L)).as("n"),
+        coalesce(sum("y"), lit(0L)).as("n_pos"))
+      .select(col("n"), col("n_pos"),
+        expr("CAST(n AS DOUBLE) / CAST(2 * greatest(n_pos, 1) AS DOUBLE)").as("cw_pos"),
+        expr("CAST(n AS DOUBLE) / CAST(2 * greatest(n - n_pos, 1) AS DOUBLE)").as("cw_neg"))
+    var w = s.range(1).select(
+      expr(s"transform(sequence(0, ${QcWidth - 1}), f -> CAST(0 AS BIGINT))").as("wm"))
+    for (r <- 0 until QcRounds) {
+      val scored = feats.crossJoin(broadcast(w))
+        .withColumn("m", expr(MarginExpr))
+        .withColumn("p", expr(SigmoidExpr))
+      val grads = scored.crossJoin(broadcast(n))
+        .select(col("p"), col("y"), col("cw_pos"), col("cw_neg"),
+          explode(col("fv")).as("t"))
+        .select(col("t.fid").as("fid"),
+          expr("CAST(round((p - y) * (CASE WHEN y = 1 THEN cw_pos ELSE cw_neg END) * t.x * 1000000, 0) AS BIGINT)").as("g"))
+        .groupBy("fid").agg(sum("g").as("gm"))
+      val gRow = grads
+        .agg(expr("array_sort(collect_list(struct(fid, gm)))").as("gl"))
+        .crossJoin(broadcast(n))
+      w = w.crossJoin(broadcast(gRow)).select(expr(
+        s"""transform(sequence(0, ${QcWidth - 1}), f ->
+              element_at(wm, f + 1) - CAST(round((${qcStep(r)} * CAST(
+                aggregate(filter(gl, e -> e.fid = f), CAST(0 AS BIGINT),
+                  (a, e) -> a + e.gm) AS DOUBLE)) / n, 0) AS BIGINT))""").as("wm"))
+        .localCheckpoint()
+    }
+    w
+  }
+
+  /** Score a feature frame under trained weights: appends m, p,
+    * p_micro (BIGINT — doubles never reach the compare), pred. */
+  private def qcScore(feats: DataFrame, w: DataFrame): DataFrame =
+    feats.crossJoin(broadcast(w))
+      .withColumn("m", expr(MarginExpr))
+      .withColumn("p", expr(SigmoidExpr))
+      .withColumn("p_micro", expr("CAST(round(p * 1000000, 0) AS BIGINT)"))
+      .withColumn("pred",
+        when(col("p_micro") >= 500000, 1).otherwise(0))
+
+  /** The trained model: (fid, weight_micro), 65 rows. */
+  val qualityClassifierTrain: Q = (s, d) => {
+    val w = qcTrainWeights(s, qcFeats(qcFeatureRows(documents(s, d))).localCheckpoint())
+    w.select(posexplode(col("wm")))
+      .select(col("pos").cast("int").as("fid"), col("col").as("weight_micro"))
+      .orderBy("fid")
+  }
+
+  /** Per-document model score over the full corpus (train = apply corpus
+    * here — the self-distillation setting; eval is the held-out form). */
+  val qualityClassifierApply: Q = (s, d) => {
+    val feats = qcFeats(qcFeatureRows(documents(s, d))).localCheckpoint()
+    val w = qcTrainWeights(s, feats)
+    qcScore(feats, w)
+      .select(col("doc_id"), col("p_micro"), col("pred"), col("y"))
+      .orderBy("doc_id")
+  }
+
+  /** Held-out audit (the measured-quality convention): train on the 90%
+    * md5 split, score the 5% test split, report the confusion matrix,
+    * accuracy and the majority-class ceiling it must beat to be a model
+    * at all. */
+  val qualityClassifierEval: Q = (s, d) => {
+    val docs = documents(s, d)
+      .withColumn("bucket", PipelineOps.splitHash(col("doc_id")))
+    val trainFeats = qcFeats(qcFeatureRows(docs.where(col("bucket") < TrainBelow)))
+      .localCheckpoint()
+    val testFeats = qcFeats(qcFeatureRows(docs.where(col("bucket") >= TestFrom)))
+      .localCheckpoint()
+    val w = qcTrainWeights(s, trainFeats)
+    val conf = qcScore(testFeats, w).agg(
+      count(lit(1)).as("n_test"),
+      sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("pred") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"),
+      sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"))
+    conf.crossJoin(broadcast(trainFeats.agg(count(lit(1)).as("n_train"))))
+      .select(col("n_train"), col("n_test"),
+        coalesce(col("tp"), lit(0L)).as("tp"), coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("tn"), lit(0L)).as("tn"), coalesce(col("fn"), lit(0L)).as("fn"))
+      .withColumn("acc_micro",
+        when(col("n_test") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(round(CAST((tp + tn) * 1000000 AS DOUBLE) / n_test, 0) AS BIGINT)")))
+      .withColumn("majority_micro",
+        when(col("n_test") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(round(CAST(greatest(tp + fn, fp + tn) * 1000000 AS DOUBLE) / n_test, 0) AS BIGINT)")))
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle (unrolled rounds — the BPE/WordPiece CTE discipline)
+  // ------------------------------------------------------------------
+
+  private def nib(h: String, i: Int): String =
+    s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+
+  /** CTE block producing `${p}lab` (doc_id, y, toks) and `${p}feats`
+    * (doc_id, y, fid, x) from `documents` under `where`. */
+  private def featsSql(p: String, where: String): String = {
+    import TextOps.{QualityColsSql, QualityCaseSql}
+    raw"""${p}q AS (SELECT doc_id, text, $QualityColsSql FROM documents $where),
+       ${p}lab AS MATERIALIZED (SELECT doc_id,
+           CASE WHEN ($QualityCaseSql) = 'good' THEN 1 ELSE 0 END AS y,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks,
+           len, n_alpha
+         FROM ${p}q),
+       ${p}tokr AS (SELECT doc_id, y, unnest(toks) AS tok
+         FROM ${p}lab WHERE len(toks) > 0),
+       ${p}tokh AS (SELECT doc_id, y, md5('qc:' || tok) AS h FROM ${p}tokr),
+       ${p}feats AS MATERIALIZED (
+         SELECT DISTINCT doc_id, y,
+           CAST(((${nib("h", 1)} * 16 + ${nib("h", 2)}) % $QcDim) AS INT) AS fid,
+           CAST(1 AS DOUBLE) AS x
+         FROM ${p}tokh
+         UNION ALL
+         SELECT doc_id, y, CAST($QcFidBias AS INT) AS fid, CAST(1 AS DOUBLE) AS x
+         FROM ${p}lab
+         UNION ALL
+         SELECT doc_id, y, CAST($QcFidLen AS INT) AS fid,
+           CAST(least(coalesce(len, 0), 1000) AS DOUBLE) / 1000 AS x
+         FROM ${p}lab
+         UNION ALL
+         SELECT doc_id, y, CAST($QcFidAlpha AS INT) AS fid,
+           CAST(coalesce(n_alpha, 0) * 100 // greatest(coalesce(len, 0), 1) AS DOUBLE) / 100 AS x
+         FROM ${p}lab)"""
+  }
+
+  /** CTE block training w0..w[[QcRounds]] over `${p}feats`; the final
+    * weights table is `w${QcRounds}`. */
+  private def trainSql(p: String): String = {
+    val rounds = (0 until QcRounds).map { r =>
+      raw"""m$r AS (SELECT f.doc_id, max(f.y) AS y,
+             list_sum(list(f.x * (CAST(w.wm AS DOUBLE) / 1000000) ORDER BY f.fid)) AS m
+           FROM ${p}feats f JOIN w$r w ON w.fid = f.fid GROUP BY f.doc_id),
+         p$r AS (SELECT doc_id, y, 0.5 + m / (2.0 * (1.0 + abs(m))) AS p FROM m$r),
+         g$r AS (SELECT f.fid,
+             SUM(CAST(round((p.p - p.y) * (CASE WHEN p.y = 1 THEN n.cw_pos ELSE n.cw_neg END) * f.x * 1000000, 0) AS BIGINT)) AS gm
+           FROM ${p}feats f JOIN p$r p USING (doc_id) CROSS JOIN ${p}nd n GROUP BY f.fid),
+         w${r + 1} AS MATERIALIZED (SELECT w.fid,
+             w.wm - CAST(round((${qcStep(r)} * CAST(COALESCE(g.gm, 0) AS DOUBLE)) / n.n, 0) AS BIGINT) AS wm
+           FROM w$r w LEFT JOIN g$r g USING (fid) CROSS JOIN ${p}nd n)"""
+    }.mkString(",\n       ")
+    raw"""${p}nd AS (SELECT n, n_pos,
+           CAST(n AS DOUBLE) / CAST(2 * greatest(n_pos, 1) AS DOUBLE) AS cw_pos,
+           CAST(n AS DOUBLE) / CAST(2 * greatest(n - n_pos, 1) AS DOUBLE) AS cw_neg
+         FROM (SELECT greatest(COUNT(*), 1) AS n, COALESCE(SUM(y), 0) AS n_pos
+               FROM ${p}lab)),
+       w0 AS (SELECT CAST(f AS INT) AS fid, CAST(0 AS BIGINT) AS wm
+              FROM range(0, $QcWidth) t(f)),
+       $rounds"""
+  }
+
+  /** Score `${sp}feats` under w[[QcRounds]] → `${sp}sc` (doc_id, y,
+    * p_micro, pred). */
+  private def scoreSql(sp: String): String =
+    raw"""${sp}m AS (SELECT f.doc_id, max(f.y) AS y,
+           list_sum(list(f.x * (CAST(w.wm AS DOUBLE) / 1000000) ORDER BY f.fid)) AS m
+         FROM ${sp}feats f JOIN w$QcRounds w ON w.fid = f.fid GROUP BY f.doc_id),
+       ${sp}sc AS (SELECT doc_id, y,
+           CAST(round((0.5 + m / (2.0 * (1.0 + abs(m)))) * 1000000, 0) AS BIGINT) AS p_micro
+         FROM ${sp}m)"""
+
+  private val SplitBucketSql =
+    s"""(${nib("md5('split:' || CAST(doc_id AS VARCHAR))", 1)} * 4096 +
+         ${nib("md5('split:' || CAST(doc_id AS VARCHAR))", 2)} * 256 +
+         ${nib("md5('split:' || CAST(doc_id AS VARCHAR))", 3)} * 16 +
+         ${nib("md5('split:' || CAST(doc_id AS VARCHAR))", 4)})"""
+
+  val queries: Map[String, Q] = Map(
+    "quality_classifier_train" -> qualityClassifierTrain,
+    "quality_classifier_apply" -> qualityClassifierApply,
+    "quality_classifier_eval" -> qualityClassifierEval,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "quality_classifier_train" ->
+      raw"""WITH ${featsSql("", "")},
+           ${trainSql("")}
+           SELECT fid, wm AS weight_micro FROM w$QcRounds ORDER BY fid""",
+    "quality_classifier_apply" ->
+      raw"""WITH ${featsSql("", "")},
+           ${trainSql("")},
+           ${scoreSql("")}
+           SELECT doc_id, p_micro,
+             CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS pred, y
+           FROM sc ORDER BY doc_id""",
+    "quality_classifier_eval" ->
+      raw"""WITH ${featsSql("", s"WHERE $SplitBucketSql < $TrainBelow")},
+           ${featsSql("t_", s"WHERE $SplitBucketSql >= $TestFrom")},
+           ${trainSql("")},
+           ${scoreSql("t_")},
+           conf AS (SELECT COUNT(*) AS n_test,
+               COALESCE(SUM(CASE WHEN p_micro >= 500000 AND y = 1 THEN 1 ELSE 0 END), 0) AS tp,
+               COALESCE(SUM(CASE WHEN p_micro >= 500000 AND y = 0 THEN 1 ELSE 0 END), 0) AS fp,
+               COALESCE(SUM(CASE WHEN p_micro <  500000 AND y = 0 THEN 1 ELSE 0 END), 0) AS tn,
+               COALESCE(SUM(CASE WHEN p_micro <  500000 AND y = 1 THEN 1 ELSE 0 END), 0) AS fn
+             FROM t_sc),
+           ntr AS (SELECT COUNT(*) AS n_train FROM lab)
+           SELECT CAST(n_train AS BIGINT) AS n_train, CAST(n_test AS BIGINT) AS n_test,
+             CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+             CASE WHEN n_test = 0 THEN NULL
+                  ELSE CAST(round(CAST((tp + tn) * 1000000 AS DOUBLE) / n_test, 0) AS BIGINT)
+             END AS acc_micro,
+             CASE WHEN n_test = 0 THEN NULL
+                  ELSE CAST(round(CAST(greatest(tp + fn, fp + tn) * 1000000 AS DOUBLE) / n_test, 0) AS BIGINT)
+             END AS majority_micro
+           FROM conf CROSS JOIN ntr""",
+  )
+}

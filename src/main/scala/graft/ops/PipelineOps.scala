@@ -20,7 +20,7 @@ object PipelineOps {
     * is the property that matters for train/eval hygiene at 100 TB
     * (random() splits churn on every run; partition-id splits churn on
     * every layout change). */
-  private def splitHash(c: org.apache.spark.sql.Column) =
+  private[ops] def splitHash(c: org.apache.spark.sql.Column) =
     conv(substring(md5(concat(lit("split:"), c.cast("string"))), 1, 4), 16, 10)
       .cast("long")
 

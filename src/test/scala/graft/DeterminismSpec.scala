@@ -54,7 +54,9 @@ class DeterminismSpec extends SparkSpec {
     "mm_image_neardup_pairs", // codec round-trip hash + pigeonhole block join
     "mm_audio_neardup_pairs", // WAV round-trip energy hash + the same join
     "vocab_unigram_train",  // EM rounds: sorted cost lists + integer Viterbi
-    "vocab_unigram_tokenize") // Viterbi fold under the trained cost lists
+    "vocab_unigram_tokenize", // Viterbi fold under the trained cost lists
+    "quality_classifier_train", // GD rounds: micros gradients + sorted margin folds
+    "quality_classifier_eval")  // split-train-score composition, one row
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

@@ -63,13 +63,15 @@ class EmptyInputSpec extends SparkSpec {
     "sim_hybrid_mmr", "sim_filtered_topk", "sim_filtered_ivf_topk",
     "mm_image_dhash", "mm_image_neardup_pairs",
     "mm_audio_fingerprint", "mm_audio_neardup_pairs",
-    "vocab_unigram_train", "vocab_unigram_tokenize")
+    "vocab_unigram_train", "vocab_unigram_tokenize",
+    "quality_classifier_apply")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
   private val runsOnly = Seq("vocab_kmv", "events_unique_users_kmv",
     "corpus_expectations", "events_error_spike", "dedup_substring_eval",
-    "corpus_drift", "mm_image_neardup_eval", "mm_audio_neardup_eval")
+    "corpus_drift", "mm_image_neardup_eval", "mm_audio_neardup_eval",
+    "quality_classifier_train", "quality_classifier_eval")
 
   for (name <- emptyOut) {
     test(s"$name returns zero rows on an empty corpus") {
