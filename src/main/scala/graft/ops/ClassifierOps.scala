@@ -57,7 +57,7 @@ object ClassifierOps {
   private[ops] val QcFidBias = QcDim
   private[ops] val QcFidLen = QcDim + 1
   private[ops] val QcFidAlpha = QcDim + 2
-  private[ops] val QcWidth = QcDim + 3 // weight-vector length
+  private[graft] val QcWidth = QcDim + 3 // weight-vector length
 
   /** Full-batch GD rounds, unrolled (the BPE/WordPiece bounded-round
     * oracle discipline). */
@@ -93,7 +93,7 @@ object ClassifierOps {
     * negative predictions. Presence bits give both classes the same
     * feature scale; the numpy replica of this exact arithmetic sweeps
     * 0.90-0.94 accuracy with them vs majority-collapse without. */
-  private def qcFeatureRows(docs: DataFrame): DataFrame = {
+  private[graft] def qcFeatureRows(docs: DataFrame): DataFrame = {
     val lab = TextOps.withQuality(docs)
       .select(col("doc_id"),
         when(col("quality") === "good", 1).otherwise(0).as("y"),
@@ -120,7 +120,7 @@ object ClassifierOps {
   /** Per-doc fid-sorted feature arrays — the frame every round re-reads
     * (checkpoint at the call site; rounds must not re-run the corpus
     * scan). */
-  private def qcFeats(rows: DataFrame): DataFrame =
+  private[graft] def qcFeats(rows: DataFrame): DataFrame =
     rows.groupBy("doc_id", "y")
       .agg(expr("array_sort(collect_list(struct(fid, x)))").as("fv"))
 
@@ -134,7 +134,7 @@ object ClassifierOps {
     * [[QcWidth]]). Weights localCheckpoint per round — the 1-row frame is
     * referenced twice per round (margin pass + update) and unbounded
     * lineage re-derives all prior rounds (the MMR lesson). */
-  private def qcTrainWeights(s: SparkSession, feats: DataFrame): DataFrame = {
+  private[graft] def qcTrainWeights(s: SparkSession, feats: DataFrame): DataFrame = {
     // class-balanced error weights (n/(2·n_class), King & Zeng's
     // correction): the tier labels run ~7:1 positive and an unweighted
     // full-batch GD spends its fixed round budget learning the base
@@ -173,7 +173,7 @@ object ClassifierOps {
 
   /** Score a feature frame under trained weights: appends m, p,
     * p_micro (BIGINT — doubles never reach the compare), pred. */
-  private def qcScore(feats: DataFrame, w: DataFrame): DataFrame =
+  private[graft] def qcScore(feats: DataFrame, w: DataFrame): DataFrame =
     feats.crossJoin(broadcast(w))
       .withColumn("m", expr(MarginExpr))
       .withColumn("p", expr(SigmoidExpr))
