@@ -172,6 +172,25 @@ object MultimodalOps {
         "MP4 missing tkhd or mdhd box — not a parseable container")
       (w, h, durSec)
     }
+
+    /** mdat payload extraction through the same top-level box walk
+      * (mdat is a top-level box in this profile). Fails loudly on a
+      * missing or malformed mdat rather than inventing content. */
+    def payload(bytes: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.wrap(bytes)
+      var off = 0
+      while (off + 8 <= bytes.length) {
+        val size = bb.getInt(off)
+        require(size >= 8 && off + size <= bytes.length,
+          s"malformed MP4 box at offset $off: size=$size")
+        val tpe = new String(bytes, off + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        if (tpe == "mdat")
+          return java.util.Arrays.copyOfRange(bytes, off + 8, off + size)
+        off += size
+      }
+      throw new IllegalArgumentException("MP4 missing mdat box")
+    }
   }
 
   /** PNG IHDR + JPEG SOF header reader — the Mp4 box-walk discipline
@@ -835,6 +854,118 @@ object MultimodalOps {
           .as("recall_r"))
   }
 
+  // -------------------------------------------------------------------
+  // Perceptual VIDEO near-dup — completes the modality triad. The
+  // temporal analogue of the image/audio hashes: a 56-bit gradient hash
+  // over 57 payload windows of the REAL container's mdat track — the
+  // fingerprint a remux cannot move, because remuxing rewrites BOXES,
+  // not the stream. The planted twin is that real-world class: v1
+  // re-wraps the payload at 2× display size (tkhd metadata — a
+  // display-resize remux) with the stream LSB-requantized (b & 0xFE,
+  // one generation of quantization loss) — window means shift ~−0.5
+  // with per-window noise, flipping only near-tie gradient bits:
+  // measured hamming 0/1/2 = 109/26/5 twins at sf0.001, zero cross-doc
+  // pairs at the ≤4 threshold. (A trailing-trim draft instead SHIFTED
+  // every window boundary — windows are only len/57 ≈ 2-10 bytes, so a
+  // ≤6-byte cut re-windowed the whole stream and only the len%7 == 0
+  // twins survived: 22 of 140. Length perturbations are the wrong twin
+  // for a relative-position window scheme.)
+  // Codec path is REAL: write the container, WALK the boxes back
+  // (parse validates tkhd dims loudly), extract mdat through the box
+  // walk — nothing below the boundary reads `text`. The oracle
+  // restates the payload arithmetic from the document bytes (the
+  // corpus is ASCII — verified at every SF — so char codes ARE the
+  // payload bytes), agreeing only if the container round-trip
+  // preserved the stream byte-for-byte.
+  // -------------------------------------------------------------------
+
+  /** Minimum payload for a meaningful 57-window envelope (≥2 bytes per
+    * window); shorter video rows are not fingerprinted — a real system
+    * doesn't near-dup empty streams. */
+  private[graft] val VfpMinLen = 128
+
+  /** The (vid, src_doc, variant, fp_hi, fp_lo, vfp) fingerprint frame
+    * over video-typed rows (doc_id % 3 == 2): vid = doc_id·2 + variant. */
+  private def videoFpFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .where(col("doc_id") % 3 === 2 &&
+        coalesce(length(col("text")), lit(0)) >= VfpMinLen)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val full = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (0 to 1).map { v =>
+            val scale = v + 1
+            val data =
+              if (v == 1) full.map(b => (b & 0xFE).toByte)
+              else full
+            val bytes = Mp4.write(vidWidth(id) * scale,
+              vidHeight(text.length) * scale, vidDurationSec(text.length), data)
+            // --- real bytes boundary: walk the container we just
+            // wrote; everything below reads the PARSED payload ---
+            val (pw, ph, _) = Mp4.parseMeta(bytes)
+            require(pw == vidWidth(id) * scale && ph == vidHeight(text.length) * scale,
+              s"box walk returned wrong dims for doc $id variant $v")
+            val mdat = Mp4.payload(bytes)
+            val n = mdat.length
+            val energies = new Array[Long](AfpWindows)
+            val counts = new Array[Long](AfpWindows)
+            for (k <- 0 until n) {
+              val w = (k * AfpWindows) / n
+              energies(w) += (mdat(k) & 0xff); counts(w) += 1
+            }
+            var hash = 0L
+            for (f <- 0 until AfpWindows - 1)
+              if (energies(f + 1) * counts(f) > energies(f) * counts(f + 1))
+                hash |= 1L << f
+            (id * 2 + v, id, v, hash >>> 32, hash & 0xffffffffL, hash)
+          }
+        }
+      }.toDF("doc_id", "src_doc", "variant", "fp_hi", "fp_lo", "vfp")
+  }
+
+  /** Per-row temporal fingerprint — the registry-visible form. */
+  val videoFingerprint: Q = (s, d) =>
+    videoFpFrame(s, d)
+      .select(col("doc_id").as("vid"), col("src_doc"),
+        col("variant").cast("int").as("variant"), col("vfp"))
+      .orderBy("vid")
+
+  /** Near-dup video pairs at hamming ≤ [[DhashMaxHamming]] — the same
+    * lossless pigeonhole join as the image and audio families. */
+  val videoNeardupPairs: Q = (s, d) =>
+    DedupOps.blockedPairsFrom(
+        videoFpFrame(s, d).select("doc_id", "fp_hi", "fp_lo"),
+        DhashBlocks, 1, DhashMaxHamming)
+      .orderBy("doc_a", "doc_b")
+
+  /** Blocked-vs-brute recall audit (the measured-audit convention,
+    * identical contract to the image/audio evals). */
+  val videoNeardupEval: Q = (s, d) => {
+    val fp = videoFpFrame(s, d).select("doc_id", "fp_hi", "fp_lo")
+      .localCheckpoint()
+    val truth = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.fp_hi").bitwiseXOR(col("b.fp_hi"))) +
+          bit_count(col("a.fp_lo").bitwiseXOR(col("b.fp_lo"))))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= DhashMaxHamming)
+    val blocked = DedupOps.blockedPairsFrom(fp, DhashBlocks, 1, DhashMaxHamming)
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nB = blocked.agg(count(lit(1)).as("n_blocked"))
+    val nBoth = truth.join(blocked, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    nT.crossJoin(nB).crossJoin(nBoth)
+      .select(col("n_truth"), col("n_blocked"), col("n_both"),
+        when(col("n_blocked") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double") / col("n_blocked"), 6))
+          .as("precision_r"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double") / col("n_truth"), 6))
+          .as("recall_r"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_decode_meta" -> decodeMeta,
     "mm_frame_sample" -> frameSample,
@@ -846,6 +977,9 @@ object MultimodalOps {
     "mm_audio_fingerprint" -> audioFingerprint,
     "mm_audio_neardup_pairs" -> audioNeardupPairs,
     "mm_audio_neardup_eval" -> audioNeardupEval,
+    "mm_video_fingerprint" -> videoFingerprint,
+    "mm_video_neardup_pairs" -> videoNeardupPairs,
+    "mm_video_neardup_eval" -> videoNeardupEval,
   )
 
   val oracles: Map[String, String] = Map(
@@ -932,6 +1066,28 @@ object MultimodalOps {
           truth AS (SELECT a.vid AS doc_a, b.vid AS doc_b
                     FROM hashes a JOIN hashes b ON a.vid < b.vid
                     WHERE bit_count(xor(a.dhash, b.dhash)) <= $DhashMaxHamming),
+          nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+          nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocked FROM bpairs),
+          nx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+                 FROM truth SEMI JOIN bpairs USING (doc_a, doc_b))
+          SELECT n_truth, n_blocked, n_both,
+            CASE WHEN n_blocked = 0 THEN NULL
+              ELSE round(CAST(n_both AS DOUBLE) / n_blocked, 6) END AS precision_r,
+            CASE WHEN n_truth = 0 THEN NULL
+              ELSE round(CAST(n_both AS DOUBLE) / n_truth, 6) END AS recall_r
+          FROM nt, nb, nx""",
+    "mm_video_fingerprint" ->
+      s"""WITH $VfpChainSql
+          SELECT vid, src_doc, CAST(v AS INT) AS variant, vfp
+          FROM hashes JOIN vvids USING (vid) ORDER BY vid""",
+    "mm_video_neardup_pairs" ->
+      s"""WITH $VfpChainSql, ${blockedPairsSql("vfp")}
+          SELECT doc_a, doc_b, hamming FROM bpairs ORDER BY doc_a, doc_b""",
+    "mm_video_neardup_eval" ->
+      s"""WITH $VfpChainSql, ${blockedPairsSql("vfp")},
+          truth AS (SELECT a.vid AS doc_a, b.vid AS doc_b
+                    FROM hashes a JOIN hashes b ON a.vid < b.vid
+                    WHERE bit_count(xor(a.vfp, b.vfp)) <= $DhashMaxHamming),
           nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
           nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocked FROM bpairs),
           nx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
@@ -1035,4 +1191,34 @@ object MultimodalOps {
                WHERE e1.w < ${AfpWindows - 1}
                GROUP BY e1.vid)"""
   }
+
+  /** Closed-form temporal-fingerprint chain (the [[AfpChainSql]]
+    * discipline on the video rows): per (video doc × variant) the
+    * mdat-payload energy envelope and the 56-bit gradient-sign hash.
+    * The Spark side derives this through the REAL MP4 write → box-walk
+    * → mdat-extract path; the oracle restates the payload bytes as the
+    * document's char codes (ASCII corpus — char codes == UTF-8 bytes),
+    * with v1's remux trim as the length cut. */
+  private lazy val VfpChainSql: String =
+    s"""vdocs AS (SELECT doc_id, text, length(text) AS len FROM documents
+                 WHERE CAST(doc_id % 3 AS INT) = 2
+                   AND COALESCE(length(text), 0) >= $VfpMinLen),
+        vvids AS MATERIALIZED (SELECT doc_id * 2 + v AS vid, doc_id AS src_doc, v,
+                 text, len AS n
+               FROM vdocs, (SELECT unnest([0, 1]) AS v)),
+        vsmp AS (SELECT vid, v, n, text, unnest(generate_series(0, n - 1)) AS k
+                 FROM vvids),
+        ven AS MATERIALIZED (SELECT vid, (k * $AfpWindows) // n AS w,
+                 CAST(SUM(CASE WHEN v = 1 THEN a - a % 2 ELSE a END) AS BIGINT) AS e,
+                 CAST(COUNT(*) AS BIGINT) AS c
+               FROM (SELECT vid, v, n, k,
+                       ascii(substr(text, CAST(k + 1 AS INT), 1)) AS a
+                     FROM vsmp)
+               GROUP BY vid, (k * $AfpWindows) // n),
+        hashes AS MATERIALIZED (SELECT e1.vid,
+                 CAST(COALESCE(SUM(CASE WHEN e2.e * e1.c > e1.e * e2.c
+                   THEN (1::BIGINT << e1.w) ELSE 0 END), 0) AS BIGINT) AS vfp
+               FROM ven e1 JOIN ven e2 ON e2.vid = e1.vid AND e2.w = e1.w + 1
+               WHERE e1.w < ${AfpWindows - 1}
+               GROUP BY e1.vid)"""
 }

@@ -53,6 +53,7 @@ class DeterminismSpec extends SparkSpec {
     "sim_hybrid_mmr",       // K-1 unrolled greedy rounds, each localCheckpointed
     "mm_image_neardup_pairs", // codec round-trip hash + pigeonhole block join
     "mm_audio_neardup_pairs", // WAV round-trip energy hash + the same join
+    "mm_video_neardup_pairs", // MP4 box-walk payload hash + the same join
     "vocab_unigram_train",  // EM rounds: sorted cost lists + integer Viterbi
     "vocab_unigram_tokenize", // Viterbi fold under the trained cost lists
     "quality_classifier_train", // GD rounds: micros gradients + sorted margin folds

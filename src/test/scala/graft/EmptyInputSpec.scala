@@ -63,6 +63,7 @@ class EmptyInputSpec extends SparkSpec {
     "sim_hybrid_mmr", "sim_filtered_topk", "sim_filtered_ivf_topk",
     "mm_image_dhash", "mm_image_neardup_pairs",
     "mm_audio_fingerprint", "mm_audio_neardup_pairs",
+    "mm_video_fingerprint", "mm_video_neardup_pairs",
     "vocab_unigram_train", "vocab_unigram_tokenize",
     "quality_classifier_apply")
 
@@ -71,6 +72,7 @@ class EmptyInputSpec extends SparkSpec {
   private val runsOnly = Seq("vocab_kmv", "events_unique_users_kmv",
     "corpus_expectations", "events_error_spike", "dedup_substring_eval",
     "corpus_drift", "mm_image_neardup_eval", "mm_audio_neardup_eval",
+    "mm_video_neardup_eval",
     "quality_classifier_train", "quality_classifier_eval")
 
   for (name <- emptyOut) {

@@ -469,7 +469,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("media near-dup pairs: pigeonhole equi-join with exact bit_count check, no pairwise nested loop") {
-    for (name <- Seq("mm_image_neardup_pairs", "mm_audio_neardup_pairs")) {
+    for (name <- Seq("mm_image_neardup_pairs", "mm_audio_neardup_pairs",
+        "mm_video_neardup_pairs")) {
       val plan = finalPlan(graft.ops.MultimodalOps.queries(name)(spark, d))
       // candidates come from the block-key equi-join; a nested loop over
       // the fingerprint table would be the |rows|² regression
