@@ -26,8 +26,8 @@ import graft.Tables.documents
   *    counts aggregate with map-side partials, and the per-doc feature
   *    arrays are checkpointed. Every training round after that is one
   *    MAP pass over the feature frame (margin + error, no shuffle) plus
-  *    one 65-group aggregate (map-side partial sums — each task ships
-  *    ≤65 rows) plus a 1-row broadcast weight update. No driver-side
+  *    one QcWidth-group aggregate (map-side partial sums — each task
+  *    ships ≤QcWidth rows) plus a 1-row broadcast weight update. No driver-side
   *    loops over data; the only driver state is the round counter.
   *  - Gradient sums are BIGINT micros (each per-(doc,fid) term rounds to
   *    1e-6 before summing), so cross-partition addition is integer-exact
@@ -181,7 +181,7 @@ object ClassifierOps {
       .withColumn("pred",
         when(col("p_micro") >= 500000, 1).otherwise(0))
 
-  /** The trained model: (fid, weight_micro), 65 rows. */
+  /** The trained model: (fid, weight_micro), QcWidth rows. */
   val qualityClassifierTrain: Q = (s, d) => {
     val w = qcTrainWeights(s, qcFeats(qcFeatureRows(documents(s, d))).localCheckpoint())
     w.select(posexplode(col("wm")))
@@ -227,6 +227,41 @@ object ClassifierOps {
       .withColumn("majority_micro",
         when(col("n_test") === 0, lit(null).cast("long"))
           .otherwise(expr("CAST(round(CAST(greatest(tp + fn, fp + tn) * 1000000 AS DOUBLE) / n_test, 0) AS BIGINT)")))
+  }
+
+  /** End-to-end MODEL-BASED curation — the composition a production
+    * pipeline actually runs (RefinedWeb's pipeline order): model-scored
+    * quality filter → exact content dedup → per-source cap. Each stage
+    * reuses its family's exact discipline: the classifier's scoring
+    * frames, corpus_curate's min-doc_id content-hash election,
+    * corpus_source_cap's content-stable salted-hash keep order. Output
+    * is the curated keep set with the evidence attached: (doc_id,
+    * source, p_micro, keep_rank). Scale shape: the classifier's
+    * one-corpus-pass training + scoring, one content-hash shuffle, one
+    * source-key shuffle with a map-side-partial rank window — no stage
+    * holds more than cap-bounded or model-bounded state. */
+  val corpusCurateModel: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val feats = qcFeats(qcFeatureRows(documents(s, d))).localCheckpoint()
+    val w = qcTrainWeights(s, feats)
+    val passed = qcScore(feats, w).where(col("pred") === 1)
+      .select(col("doc_id"), col("p_micro"))
+    val kept = documents(s, d)
+      .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"),
+        col("text"))
+      .join(passed, "doc_id")
+    // exact content dedup, corpus_curate's election: min doc_id per hash
+    val elected = kept.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .join(kept.select("doc_id", "source", "p_micro"), "doc_id")
+    val capW = Window.partitionBy("source")
+      .orderBy(md5(concat(lit("cap#"), col("doc_id"))), col("doc_id"))
+    elected
+      .withColumn("keep_rank", row_number().over(capW))
+      .where(col("keep_rank") <= PipelineOps.SourceCap)
+      .select(col("doc_id"), col("source"), col("p_micro"), col("keep_rank"))
+      .orderBy("doc_id")
   }
 
   // ------------------------------------------------------------------
@@ -312,6 +347,7 @@ object ClassifierOps {
     "quality_classifier_train" -> qualityClassifierTrain,
     "quality_classifier_apply" -> qualityClassifierApply,
     "quality_classifier_eval" -> qualityClassifierEval,
+    "corpus_curate_model" -> corpusCurateModel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -326,6 +362,24 @@ object ClassifierOps {
            SELECT doc_id, p_micro,
              CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS pred, y
            FROM sc ORDER BY doc_id""",
+    "corpus_curate_model" ->
+      raw"""WITH ${featsSql("", "")},
+           ${trainSql("")},
+           ${scoreSql("")},
+           keep1 AS MATERIALIZED (SELECT d.doc_id, COALESCE(d.source, '') AS source,
+               d.text, s2.p_micro
+             FROM documents d JOIN sc s2 USING (doc_id)
+             WHERE s2.p_micro >= 500000),
+           elected AS (SELECT min(doc_id) AS doc_id FROM keep1 GROUP BY md5(text)),
+           rel AS (SELECT k.doc_id, k.source, k.p_micro
+                   FROM elected e JOIN keep1 k USING (doc_id)),
+           ranked AS (SELECT doc_id, source, p_micro,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5('cap#' || CAST(doc_id AS VARCHAR)), doc_id) AS keep_rank
+             FROM rel)
+           SELECT doc_id, source, p_micro, CAST(keep_rank AS INT) AS keep_rank
+           FROM ranked WHERE keep_rank <= ${PipelineOps.SourceCap}
+           ORDER BY doc_id""",
     "quality_classifier_eval" ->
       raw"""WITH ${featsSql("", s"WHERE $SplitBucketSql < $TrainBelow")},
            ${featsSql("t_", s"WHERE $SplitBucketSql >= $TestFrom")},

@@ -621,10 +621,43 @@ object MultimodalOps {
     * untouched; comboSize 1 ≤ 6 − 4). */
   private[graft] val DhashBlocks = 6
 
+  /** One image dHash through the REAL codec path: formula raster →
+    * ImageIO PNG encode → ImageIO decode → sampled luma grid →
+    * gradient-sign hash. Shared by the batch fingerprint frame and the
+    * streaming ingest form ([[graft.streaming.StreamingMediaDedup]]) so
+    * the two can never hash the same document differently. */
+  private[graft] def dhashOf(id: Long, textLen: Int, v: Int): Long = {
+    val (w, h) = (dupImgW(id), dupImgH(textLen))
+    val a = dhashMixer(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val Seq(r, g, b) = DhashChans.map { ch =>
+        val c0 = chanVal(ch, a, x, y)
+        if (v == 1) math.min(255, c0 + DhashShift) else c0
+      }
+      img.setRGB(x, y, 0xff000000 | (r << 16) | (g << 8) | b)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    // --- real bytes boundary: everything below reads the decoded
+    // raster, nothing reads the formula ---
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+    def luma(cx: Int, cy: Int): Int = {
+      val px = dec.getRGB(cx * w / DhashCols, cy * h / DhashRows)
+      val (r, g, b) = ((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+    var hash = 0L
+    for (cy <- 0 until DhashRows; cx <- 0 until DhashCols - 1)
+      if (luma(cx + 1, cy) > luma(cx, cy))
+        hash |= 1L << (cy * (DhashCols - 1) + cx)
+    hash
+  }
+
   /** The (vid, src_doc, variant, fp_hi, fp_lo, dhash) fingerprint frame:
-    * vid = doc_id·2 + variant keys original and twin in one id space.
-    * REAL codec path: formula raster → ImageIO PNG encode → ImageIO
-    * decode → sampled luma grid → gradient-sign hash. */
+    * vid = doc_id·2 + variant keys original and twin in one id space. */
   private def imageDhashFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d).where(col("doc_id") % 3 === 0)
@@ -633,33 +666,8 @@ object MultimodalOps {
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { case (id, text) =>
           val len = if (text == null) 0 else text.length
-          val (w, h) = (dupImgW(id), dupImgH(len))
-          val a = dhashMixer(id)
           (0 to 1).map { v =>
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
-            for (x <- 0 until w; y <- 0 until h) {
-              val Seq(r, g, b) = DhashChans.map { ch =>
-                val c0 = chanVal(ch, a, x, y)
-                if (v == 1) math.min(255, c0 + DhashShift) else c0
-              }
-              img.setRGB(x, y, 0xff000000 | (r << 16) | (g << 8) | b)
-            }
-            val baos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", baos)
-            // --- real bytes boundary: everything below reads the
-            // decoded raster, nothing reads the formula ---
-            val dec = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(baos.toByteArray))
-            def luma(cx: Int, cy: Int): Int = {
-              val px = dec.getRGB(cx * w / DhashCols, cy * h / DhashRows)
-              val (r, g, b) = ((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
-              (299 * r + 587 * g + 114 * b) / 1000
-            }
-            var hash = 0L
-            for (cy <- 0 until DhashRows; cx <- 0 until DhashCols - 1)
-              if (luma(cx + 1, cy) > luma(cx, cy))
-                hash |= 1L << (cy * (DhashCols - 1) + cx)
+            val hash = dhashOf(id, len, v)
             (id * 2 + v, id, v, hash >>> 32, hash & 0xffffffffL, hash)
           }
         }

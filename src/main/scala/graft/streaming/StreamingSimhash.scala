@@ -37,8 +37,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingSimhash {
 
   private val MaxHamming = 3
-  private val NBlocks = 4
-  private val BlockBits = 16
+  private val NBlocks = 4 // 4 × 16-bit blocks under the generic split
 
   case class Keyed(cmb: Int, key: Long, docId: Long,
       fpHi: Long, fpLo: Long, eventTime: java.sql.Timestamp)
@@ -47,16 +46,77 @@ object StreamingSimhash {
   case class NearPair(doc_a: Long, doc_b: Long, hamming: Long)
 
   private def fp64(hi: Long, lo: Long): Long = (hi << 32) | lo
-  private def block(hi: Long, lo: Long, i: Int): Long =
-    (fp64(hi, lo) >>> (64 - BlockBits * (i + 1))) & ((1L << BlockBits) - 1)
 
-  /** The lowest block index on which the two fingerprints agree — the
-    * pair's canonical emitter. Exists for every pair this operator
-    * emits (hamming ≤ 3 < NBlocks forces ≥ 1 agreeing block). */
-  private def firstAgreeingBlock(aHi: Long, aLo: Long,
-      bHi: Long, bLo: Long): Int =
-    (0 until NBlocks).find(i => block(aHi, aLo, i) == block(bHi, bLo, i))
-      .getOrElse(NBlocks) // unreachable at hamming <= 3; never matches a real cmb
+  /** Generic bucket-state near-dup core over a fingerprint stream
+    * (docId, fpHi, fpLo, eventTime) — the machinery above,
+    * parameterized on the batch join's MSB-first block split
+    * (DedupOps.blockedPairsFrom's geometry: block i spans
+    * 64/n (+1 for the first 64%n) bits) so any 64-bit-fingerprint
+    * family can run its ingest form against the SAME buckets its batch
+    * index joins on. Pigeonhole precondition: maxHamming < nBlocks
+    * (≤ maxHamming flips leave ≥ 1 block untouched), which also makes
+    * the lowest agreeing block a well-defined canonical emitter. */
+  private[streaming] def bucketPairs(fp: DataFrame, nBlocks: Int,
+      maxHamming: Int, horizon: String): Dataset[NearPair] = {
+    require(maxHamming < nBlocks, "pigeonhole needs maxHamming < nBlocks")
+    val sizes = Array.tabulate(nBlocks)(i =>
+      64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val starts = sizes.scanLeft(0)(_ + _)
+    // the state lambda may only capture plain VALUES: a local def lifts
+    // onto this (non-serializable) module and the closure cleaner
+    // rejects the whole task — precompute the per-block shift/mask
+    // arrays and inline the block logic below
+    val shifts = Array.tabulate(nBlocks)(i => 64 - starts(i) - sizes(i))
+    val masks = Array.tabulate(nBlocks)(i => (1L << sizes(i)) - 1)
+    val nb = nBlocks
+    val maxH = maxHamming
+    val s = fp.sparkSession
+    import s.implicits._
+    val wmfp = fp.withWatermark("eventTime", horizon)
+    val packed = shiftleft(col("fpHi"), 32).bitwiseOR(col("fpLo"))
+    val keyed = wmfp
+      .select(col("docId"), col("fpHi"), col("fpLo"), col("eventTime"),
+        posexplode(array((0 until nBlocks).map(i =>
+          shiftrightunsigned(packed, 64 - starts(i) - sizes(i))
+            .bitwiseAND(lit((1L << sizes(i)) - 1))): _*)).as(Seq("cmb", "key")))
+      .as[Keyed]
+    keyed.groupByKey(k => (k.cmb, k.key))
+      .flatMapGroupsWithState[BucketState, NearPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((cmb, _), it, state: GroupState[BucketState]) =>
+          // expire members the watermark has passed: the watermark lags
+          // max event time by the horizon, so `tsMs >= watermark` IS
+          // the horizon window
+          val wm = state.getCurrentWatermarkMs()
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+            .filter(_.tsMs >= wm)
+          // deterministic within-batch order: a batch's later document
+          // pairs against its earlier ones exactly once
+          val rows = it.toSeq.sortBy(r => (r.eventTime.getTime, r.docId))
+          val out = Seq.newBuilder[NearPair]
+          for (r <- rows) {
+            val rFp = (r.fpHi << 32) | r.fpLo
+            for (m <- members if m.docId != r.docId) {
+              val h = java.lang.Long.bitCount(m.fpHi ^ r.fpHi) +
+                java.lang.Long.bitCount(m.fpLo ^ r.fpLo)
+              if (h <= maxH) {
+                // lowest agreeing block = the pair's canonical emitter
+                val mFp = (m.fpHi << 32) | m.fpLo
+                var fa = 0
+                while (fa < nb &&
+                    ((rFp >>> shifts(fa)) & masks(fa)) != ((mFp >>> shifts(fa)) & masks(fa)))
+                  fa += 1
+                if (fa == cmb)
+                  out += NearPair(math.min(m.docId, r.docId),
+                    math.max(m.docId, r.docId), h.toLong)
+              }
+            }
+            members ::= Member(r.docId, r.fpHi, r.fpLo, r.eventTime.getTime)
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
 
   /** `docs` carries (doc_id, text, eventTime). Emits each near-dup
     * pair once, as (min id, max id, hamming), as soon as the later
@@ -66,51 +126,15 @@ object StreamingSimhash {
     val s = docs.sparkSession
     graft.expressions.TextShingles.register(s)
     graft.expressions.SimHashFingerprint.register(s)
-    import s.implicits._
     // identical fingerprint pipeline to the batch operator: the shared
-    // codegen expressions, unsigned-32 packing and MSB-first blocks
+    // codegen expressions, unsigned-32 packing; the generic core's
+    // MSB-first split reduces to the 4×16-bit blocks at nBlocks = 4
     val fp = docs
       .select(col("doc_id").as("docId"),
         expr("simhash_fp(text_shingles(text, 1))").as("fp"), col("eventTime"))
       .select(col("docId"),
         element_at(col("fp"), 1).as("fpHi"),
         element_at(col("fp"), 2).as("fpLo"), col("eventTime"))
-      .withWatermark("eventTime", horizon)
-    val packed = shiftleft(col("fpHi"), 32).bitwiseOR(col("fpLo"))
-    val keyed = fp
-      .select(col("docId"), col("fpHi"), col("fpLo"), col("eventTime"),
-        posexplode(array((0 until NBlocks).map(i =>
-          shiftrightunsigned(packed, 64 - BlockBits * (i + 1))
-            .bitwiseAND(lit((1L << BlockBits) - 1))): _*)).as(Seq("cmb", "key")))
-      .as[Keyed]
-    keyed.groupByKey(k => (k.cmb, k.key))
-      .flatMapGroupsWithState[BucketState, NearPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case ((cmb, _), it, state: GroupState[BucketState]) =>
-          // expire members the watermark has passed: the watermark lags
-          // max event time by the horizon, so `tsMs >= watermark` IS
-          // the horizon window — the dropDuplicatesWithinWatermark
-          // retention rule, applied to a member list
-          val wm = state.getCurrentWatermarkMs()
-          var members = state.getOption.map(_.members).getOrElse(Nil)
-            .filter(_.tsMs >= wm)
-          // deterministic within-batch order: a batch's later document
-          // pairs against its earlier ones exactly once
-          val rows = it.toSeq.sortBy(r => (r.eventTime.getTime, r.docId))
-          val out = Seq.newBuilder[NearPair]
-          for (r <- rows) {
-            for (m <- members if m.docId != r.docId) {
-              val h = java.lang.Long.bitCount(m.fpHi ^ r.fpHi) +
-                java.lang.Long.bitCount(m.fpLo ^ r.fpLo)
-              if (h <= MaxHamming &&
-                  firstAgreeingBlock(m.fpHi, m.fpLo, r.fpHi, r.fpLo) == cmb)
-                out += NearPair(math.min(m.docId, r.docId),
-                  math.max(m.docId, r.docId), h.toLong)
-            }
-            members ::= Member(r.docId, r.fpHi, r.fpLo, r.eventTime.getTime)
-          }
-          state.update(BucketState(members))
-          out.result().iterator
-      }
+    bucketPairs(fp, NBlocks, MaxHamming, horizon)
   }
 }

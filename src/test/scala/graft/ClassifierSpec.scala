@@ -136,6 +136,30 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("corpus_curate_model: kept rows are model-passed, content-unique, min-id elected, cap-bounded") {
+    val d001 = "/root/testdata/sf0.001"
+    val out = ops.ClassifierOps.queries("corpus_curate_model")(spark, d001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(out.nonEmpty, "curation must keep something on the harness corpus")
+    assert(out.forall(_._3 >= 500000L), "a kept row below the model threshold")
+    assert(out.groupBy(_._2).values.forall(_.size <= 20), "a source exceeded its cap")
+    // content uniqueness + min-id election, checked against the corpus
+    val texts = graft.Tables.documents(spark, d001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keptIds = out.map(_._1).toSet
+    val byContent = out.groupBy(t => texts(t._1))
+    assert(byContent.values.forall(_.size == 1), "duplicate content survived curation")
+    // any model-passed doc with the same text and a smaller id would
+    // contradict the election — cross-check against apply's verdicts
+    val passed = ops.ClassifierOps.queries("quality_classifier_apply")(spark, d001)
+      .collect().filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    for ((content, rows) <- byContent; id = rows.head._1) {
+      val minPassed = passed.filter(p => texts(p) == content).min
+      assert(id == minPassed, s"doc $id kept but $minPassed is the min passed id for its content")
+    }
+    assert(keptIds.subsetOf(passed), "a kept doc the model did not pass")
+  }
+
   test("held-out accuracy beats the majority-class ceiling on the harness corpus") {
     val row = ops.ClassifierOps.queries("quality_classifier_eval")(
       spark, "/root/testdata/sf0.001").collect().head

@@ -468,6 +468,25 @@ class PlanSpec extends SparkSpec {
       s"the sorted fold must consume the capped union (fold above, union below):\n$plan")
   }
 
+  test("quality classifier feature extraction: the corpus scan reads only doc_id and text") {
+    // the train/apply plans read from the checkpointed feature frame, so
+    // the scan pin must target the feature-extraction frame itself:
+    // feature rows need two columns and the other document fields must
+    // be pruned out of the scan (at 100 TB the scan IS the cost)
+    val plan = finalPlan(graft.ops.ClassifierOps.qcFeatureRows(
+      graft.Tables.documents(spark, d)))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("corpus_curate_model: the cap stage keeps the map-side partial WindowGroupLimit") {
+    val plan = finalPlan(graft.ops.ClassifierOps.queries("corpus_curate_model")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    // composing the classifier filter + dedup upstream must not cost
+    // the cap stage its pre-shuffle bound
+    assert(finalOnly.contains("row_number(), 20, Partial"),
+      s"the partial window-group limit must bound the source exchange input:\n$plan")
+  }
+
   test("media near-dup pairs: pigeonhole equi-join with exact bit_count check, no pairwise nested loop") {
     for (name <- Seq("mm_image_neardup_pairs", "mm_audio_neardup_pairs",
         "mm_video_neardup_pairs")) {

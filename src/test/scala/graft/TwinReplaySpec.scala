@@ -1251,4 +1251,55 @@ class TwinReplaySpec extends SparkSpec {
     assert(capFinalize(events) == capBatchSet,
       s"restarted kept set != batch kept set (${events.size} events)")
   }
+
+  // ---- twin #21: streaming media near-dup at ingest ----
+
+  private def mediaBatchPairs(): Set[(Long, Long, Long)] =
+    SparkEntry.queries("mm_image_neardup_pairs")(spark, D).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("twin replay: streaming media near-dup over chunked MemoryStream == batch mm_image_neardup_pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = simhashDocRows() // same (doc_id, text, us) feed shape
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "us")
+      .select(col("doc_id"), col("text"), timestamp_micros(col("us")).as("eventTime"))
+    val q = graft.streaming.StreamingMediaDedup.pairs(docs, "30 days").writeStream
+      .format("memory").queryName("media_twin").outputMode("append").start()
+    try {
+      rows.grouped(math.max(rows.size / NChunks, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("media_twin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = mediaBatchPairs()
+      assert(streamed == batch,
+        s"streamed media pairs (${streamed.size}) != batch (${batch.size}); " +
+          s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+      // the twin set must include the planted brightness twins, or the
+      // equality above proved an empty theorem
+      assert(streamed.exists(p => p._2 == p._1 + 1 && p._1 % 2 == 0),
+        "no planted twin pair in the streamed set")
+    } finally q.stop()
+  }
+
+  test("restart replay: streaming media near-dup killed between every chunk == batch mm_image_neardup_pairs") {
+    val rows = simhashDocRows()
+    import spark.implicits._
+    val json = rows.map { case (id, text, us) =>
+      Seq((id, text, us)).toDF("doc_id", "text", "us")
+        .select(to_json(struct(col("doc_id"), col("text"), col("us")))).head().getString(0)
+    }
+    val out = restartReplay("media", json, Seq.empty,
+      "doc_id LONG, text STRING, us LONG") { df =>
+      graft.streaming.StreamingMediaDedup.pairs(
+        df.select(col("doc_id"), col("text"),
+          timestamp_micros(col("us")).as("eventTime")), "30 days").toDF()
+    }
+    val streamed = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == mediaBatchPairs(),
+      s"restarted media pairs (${streamed.size}) != batch")
+  }
 }
