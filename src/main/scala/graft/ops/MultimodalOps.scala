@@ -767,6 +767,52 @@ object MultimodalOps {
     * over audio-typed rows (doc_id % 3 == 1): vid = doc_id·2 + variant.
     * REAL codec path per row: PCM from the formula, WAV-encoded with
     * javax.sound, DECODED back through AudioSystem, THEN windowed. */
+  /** One acoustic fingerprint through the REAL codec path — shared by
+    * the batch frame and the streaming ingest form, like [[dhashOf]]. */
+  private[graft] def afpOf(id: Long, textLen: Int, v: Int): Long = {
+    val n = afpSamples(id, textLen)
+    val a = dhashMixer(id)
+    val pcm = new Array[Byte](n * 2)
+    for (k <- 0 until n) {
+      val s0 = audioSample(a, k)
+      val sv =
+        if (v == 1) math.max(-32768, math.min(32767, s0 * AfpGain))
+        else s0
+      pcm(2 * k) = (sv & 0xff).toByte
+      pcm(2 * k + 1) = ((sv >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    // --- real bytes boundary: decode the WAV back and window the
+    // DECODED samples, nothing below reads the formula ---
+    val dec = wavReader.getAudioInputStream(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+    val raw = dec.readAllBytes()
+    val energies = new Array[Long](AfpWindows)
+    val counts = new Array[Long](AfpWindows)
+    for (k <- 0 until raw.length / 2) {
+      val sample = ((raw(2 * k) & 0xff) | (raw(2 * k + 1) << 8)).toShort.toInt
+      val w = (k * AfpWindows) / n
+      energies(w) += math.abs(sample); counts(w) += 1
+    }
+    // MEAN-energy comparison via integer cross-multiplication: window
+    // sample counts alternate 10/11-12 under the floor boundaries, and
+    // a raw-sum comparison is then dominated by the size pattern (a
+    // pure function of n — rows sharing n collided wholesale at 10x
+    // density before this)
+    var hash = 0L
+    for (f <- 0 until AfpWindows - 1)
+      if (energies(f + 1) * counts(f) > energies(f) * counts(f + 1))
+        hash |= 1L << f
+    hash
+  }
+
+  /** The (vid, src_doc, variant, fp_hi, fp_lo, afp) fingerprint frame
+    * over audio-typed rows (doc_id % 3 == 1): vid = doc_id·2 + variant,
+    * the real codec path per row via [[afpOf]]. */
   private def audioFpFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d).where(col("doc_id") % 3 === 1)
@@ -774,53 +820,13 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val len = if (text == null) 0 else text.length
-          val n = afpSamples(id, len)
-          val a = dhashMixer(id)
           (0 to 1).map { v =>
-            val pcm = new Array[Byte](n * 2)
-            for (k <- 0 until n) {
-              val s0 = audioSample(a, k)
-              val sv =
-                if (v == 1)
-                  math.max(-32768, math.min(32767, s0 * AfpGain))
-                else s0
-              pcm(2 * k) = (sv & 0xff).toByte
-              pcm(2 * k + 1) = ((sv >> 8) & 0xff).toByte
-            }
-            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-            val ais = new javax.sound.sampled.AudioInputStream(
-              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-            val baos = new java.io.ByteArrayOutputStream()
-            wavWriter.write(ais,
-              javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-            // --- real bytes boundary: decode the WAV back and window
-            // the DECODED samples, nothing below reads the formula ---
-            val dec = wavReader.getAudioInputStream(
-              new java.io.ByteArrayInputStream(baos.toByteArray))
-            val raw = dec.readAllBytes()
-            val energies = new Array[Long](AfpWindows)
-            val counts = new Array[Long](AfpWindows)
-            for (k <- 0 until raw.length / 2) {
-              val sample = ((raw(2 * k) & 0xff) | (raw(2 * k + 1) << 8)).toShort.toInt
-              val w = (k * AfpWindows) / n
-              energies(w) += math.abs(sample); counts(w) += 1
-            }
-            // MEAN-energy comparison via integer cross-multiplication:
-            // window sample counts alternate 10/11-12 under the floor
-            // boundaries, and a raw-sum comparison is then dominated by
-            // the size pattern (a pure function of n — rows sharing n
-            // collided wholesale at 10x density before this)
-            var hash = 0L
-            for (f <- 0 until AfpWindows - 1)
-              if (energies(f + 1) * counts(f) > energies(f) * counts(f + 1))
-                hash |= 1L << f
+            val hash = afpOf(id, len, v)
             (id * 2 + v, id, v, hash >>> 32, hash & 0xffffffffL, hash)
           }
         }
       }.toDF("doc_id", "src_doc", "variant", "fp_hi", "fp_lo", "afp")
   }
-
-  /** Per-row acoustic fingerprint — the registry-visible form. */
   val audioFingerprint: Q = (s, d) =>
     audioFpFrame(s, d)
       .select(col("doc_id").as("vid"), col("src_doc"),
@@ -892,6 +898,37 @@ object MultimodalOps {
     * doesn't near-dup empty streams. */
   private[graft] val VfpMinLen = 128
 
+  /** One temporal fingerprint through the REAL container path — shared
+    * by the batch frame and the streaming ingest form, like
+    * [[dhashOf]]/[[afpOf]]. */
+  private[graft] def vfpOf(id: Long, text: String, v: Int): Long = {
+    val full = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val scale = v + 1
+    val data =
+      if (v == 1) full.map(b => (b & 0xFE).toByte)
+      else full
+    val bytes = Mp4.write(vidWidth(id) * scale,
+      vidHeight(text.length) * scale, vidDurationSec(text.length), data)
+    // --- real bytes boundary: walk the container we just wrote;
+    // everything below reads the PARSED payload ---
+    val (pw, ph, _) = Mp4.parseMeta(bytes)
+    require(pw == vidWidth(id) * scale && ph == vidHeight(text.length) * scale,
+      s"box walk returned wrong dims for doc $id variant $v")
+    val mdat = Mp4.payload(bytes)
+    val n = mdat.length
+    val energies = new Array[Long](AfpWindows)
+    val counts = new Array[Long](AfpWindows)
+    for (k <- 0 until n) {
+      val w = (k * AfpWindows) / n
+      energies(w) += (mdat(k) & 0xff); counts(w) += 1
+    }
+    var hash = 0L
+    for (f <- 0 until AfpWindows - 1)
+      if (energies(f + 1) * counts(f) > energies(f) * counts(f + 1))
+        hash |= 1L << f
+    hash
+  }
+
   /** The (vid, src_doc, variant, fp_hi, fp_lo, vfp) fingerprint frame
     * over video-typed rows (doc_id % 3 == 2): vid = doc_id·2 + variant. */
   private def videoFpFrame(s: SparkSession, d: String): DataFrame = {
@@ -902,31 +939,8 @@ object MultimodalOps {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val full = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           (0 to 1).map { v =>
-            val scale = v + 1
-            val data =
-              if (v == 1) full.map(b => (b & 0xFE).toByte)
-              else full
-            val bytes = Mp4.write(vidWidth(id) * scale,
-              vidHeight(text.length) * scale, vidDurationSec(text.length), data)
-            // --- real bytes boundary: walk the container we just
-            // wrote; everything below reads the PARSED payload ---
-            val (pw, ph, _) = Mp4.parseMeta(bytes)
-            require(pw == vidWidth(id) * scale && ph == vidHeight(text.length) * scale,
-              s"box walk returned wrong dims for doc $id variant $v")
-            val mdat = Mp4.payload(bytes)
-            val n = mdat.length
-            val energies = new Array[Long](AfpWindows)
-            val counts = new Array[Long](AfpWindows)
-            for (k <- 0 until n) {
-              val w = (k * AfpWindows) / n
-              energies(w) += (mdat(k) & 0xff); counts(w) += 1
-            }
-            var hash = 0L
-            for (f <- 0 until AfpWindows - 1)
-              if (energies(f + 1) * counts(f) > energies(f) * counts(f + 1))
-                hash |= 1L << f
+            val hash = vfpOf(id, text, v)
             (id * 2 + v, id, v, hash >>> 32, hash & 0xffffffffL, hash)
           }
         }

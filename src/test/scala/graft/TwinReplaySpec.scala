@@ -1302,4 +1302,35 @@ class TwinReplaySpec extends SparkSpec {
     assert(streamed == mediaBatchPairs(),
       s"restarted media pairs (${streamed.size}) != batch")
   }
+
+  test("twin replay: streaming audio and video near-dup over chunked MemoryStream == batch pair ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = simhashDocRows()
+    for ((mk, batchKey) <- Seq[((org.apache.spark.sql.DataFrame, String) =>
+        org.apache.spark.sql.Dataset[graft.streaming.StreamingSimhash.NearPair], String)](
+      (graft.streaming.StreamingMediaDedup.audioPairs, "mm_audio_neardup_pairs"),
+      (graft.streaming.StreamingMediaDedup.videoPairs, "mm_video_neardup_pairs"))) {
+      val input = MemoryStream[(Long, String, Long)]
+      val docs = input.toDF().toDF("doc_id", "text", "us")
+        .select(col("doc_id"), col("text"), timestamp_micros(col("us")).as("eventTime"))
+      val name = s"media_twin_$batchKey"
+      val q = mk(docs, "30 days").writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        rows.grouped(math.max(rows.size / NChunks, 1)).foreach { chunk =>
+          input.addData(chunk)
+          q.processAllAvailable()
+        }
+        val streamed = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val batch = SparkEntry.queries(batchKey)(spark, D).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(streamed == batch,
+          s"$batchKey streamed (${streamed.size}) != batch (${batch.size}); " +
+            s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+        assert(streamed.nonEmpty, s"$batchKey twin equality proved an empty theorem")
+      } finally q.stop()
+    }
+  }
 }
