@@ -229,6 +229,28 @@ object ClassifierOps {
           .otherwise(expr("CAST(round(CAST(greatest(tp + fn, fp + tn) * 1000000 AS DOUBLE) / n_test, 0) AS BIGINT)")))
   }
 
+  /** Calibration audit (the reliability-diagram table): bucket the
+    * model's scores into deciles and report, per bucket, how often the
+    * label actually is positive — the evidence that p is usable as a
+    * THRESHOLD KNOB (a curation run picks its keep-rate by moving the
+    * cutoff; an uncalibrated score makes that dial lie). All integer
+    * arithmetic: bucket = p_micro÷100000 clamped to 9, counts and
+    * micro-ratios — nothing order-sensitive reaches the compare. */
+  val qualityClassifierCalibration: Q = (s, d) => {
+    val feats = qcFeats(qcFeatureRows(documents(s, d))).localCheckpoint()
+    val w = qcTrainWeights(s, feats)
+    qcScore(feats, w)
+      .groupBy(least(expr("p_micro div 100000"), lit(9L)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum("p_micro").as("sum_p"),
+        sum("y").cast("long").as("n_pos"))
+      .select(col("bucket"), col("n"),
+        expr("CAST(round(CAST(sum_p AS DOUBLE) / n, 0) AS BIGINT)").as("mean_p_micro"),
+        col("n_pos"),
+        expr("CAST(round(CAST(n_pos * 1000000 AS DOUBLE) / n, 0) AS BIGINT)").as("frac_pos_micro"))
+      .orderBy("bucket")
+  }
+
   /** End-to-end MODEL-BASED curation — the composition a production
     * pipeline actually runs (RefinedWeb's pipeline order): model-scored
     * quality filter → exact content dedup → per-source cap. Each stage
@@ -347,6 +369,7 @@ object ClassifierOps {
     "quality_classifier_train" -> qualityClassifierTrain,
     "quality_classifier_apply" -> qualityClassifierApply,
     "quality_classifier_eval" -> qualityClassifierEval,
+    "quality_classifier_calibration" -> qualityClassifierCalibration,
     "corpus_curate_model" -> corpusCurateModel,
   )
 
@@ -362,6 +385,16 @@ object ClassifierOps {
            SELECT doc_id, p_micro,
              CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS pred, y
            FROM sc ORDER BY doc_id""",
+    "quality_classifier_calibration" ->
+      raw"""WITH ${featsSql("", "")},
+           ${trainSql("")},
+           ${scoreSql("")}
+           SELECT CAST(least(p_micro // 100000, 9) AS INT) AS bucket,
+             COUNT(*) AS n,
+             CAST(round(CAST(SUM(p_micro) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS mean_p_micro,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(round(CAST(SUM(y) * 1000000 AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS frac_pos_micro
+           FROM sc GROUP BY least(p_micro // 100000, 9) ORDER BY bucket""",
     "corpus_curate_model" ->
       raw"""WITH ${featsSql("", "")},
            ${trainSql("")},

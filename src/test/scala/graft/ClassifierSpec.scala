@@ -160,6 +160,18 @@ class ClassifierSpec extends SparkSpec {
     assert(keptIds.subsetOf(passed), "a kept doc the model did not pass")
   }
 
+  test("calibration: buckets partition the corpus and the top decile is purer than the bottom") {
+    val rows = ops.ClassifierOps.queries("quality_classifier_calibration")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(rows.values.map(_._1).sum == 500L, "buckets must partition the corpus")
+    assert(rows.keySet.subsetOf((0 to 9).toSet))
+    // the instrument claim: the score ORDERS the label — a flat table
+    // would mean p is decoration and the threshold dial lies
+    assert(rows(9)._2 > rows(0)._2,
+      s"top decile not purer than bottom: $rows")
+  }
+
   test("held-out accuracy beats the majority-class ceiling on the harness corpus") {
     val row = ops.ClassifierOps.queries("quality_classifier_eval")(
       spark, "/root/testdata/sf0.001").collect().head

@@ -65,7 +65,8 @@ class EmptyInputSpec extends SparkSpec {
     "mm_audio_fingerprint", "mm_audio_neardup_pairs",
     "mm_video_fingerprint", "mm_video_neardup_pairs",
     "vocab_unigram_train", "vocab_unigram_tokenize",
-    "quality_classifier_apply", "corpus_curate_model")
+    "quality_classifier_apply", "corpus_curate_model",
+    "quality_classifier_calibration")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
