@@ -293,9 +293,26 @@ object Bench {
       if (fRecall < 0.8)
         floorViolation = floorViolation.orElse(
           Some(s"sim_filtered_ivf_topk recall = $fRecall < 0.8 at $floorTag"))
+      // the classifier's measured quality as a gate (the family
+      // convention: every model/approximation ships its number in the
+      // artifact): held-out accuracy must BEAT the majority-class
+      // ceiling — a model that degenerates to the base rate (either
+      // measured failure mode: tf features or unbalanced loss) fails
+      // HERE, not in a scaladoc claim. Vacuous (null) only on an empty
+      // test split.
+      val clsRow = SparkEntry.queries("quality_classifier_eval")(spark, sfDir)
+        .collect().head
+      val (clsAcc, clsMaj) =
+        if (clsRow.isNullAt(clsRow.fieldIndex("acc_micro"))) (1.0, 0.0)
+        else (clsRow.getLong(clsRow.fieldIndex("acc_micro")) / 1e6,
+          clsRow.getLong(clsRow.fieldIndex("majority_micro")) / 1e6)
+      if (clsAcc <= clsMaj)
+        floorViolation = floorViolation.orElse(
+          Some(s"quality_classifier_eval acc = $clsAcc <= majority $clsMaj at $floorTag"))
       rJson + fJson + s""","substring_recall":$subRecall""" +
         s""","bm25_cap_recall":$capRecall""" +
-        s""","filtered_ivf_recall":$fRecall"""
+        s""","filtered_ivf_recall":$fRecall""" +
+        s""","classifier_acc":$clsAcc,"classifier_majority":$clsMaj"""
     } catch {
       case e: Throwable =>
         // inability to MEASURE the floor must fail as loudly as missing

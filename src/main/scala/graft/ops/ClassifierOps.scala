@@ -74,6 +74,12 @@ object ClassifierOps {
   private[ops] def qcStep(round: Int): Double = // round is 0-based
     QcLr * math.pow(0.5, round / 4)
 
+  /** Refresh rounds for the incremental (warm-start) trainer: a corpus
+    * append fine-tunes the STANDING model for a few rounds at the
+    * schedule's tail rate instead of retraining from zero — the
+    * production posture when the corpus grows daily. */
+  private[ops] val QcIncRounds = 4
+
   /** Split thresholds shared with sample_split_hash (16-bit md5 bucket):
     * train < 58982 (90%), test ≥ 62259 (5%); val is left out. */
   private val TrainBelow = 58982
@@ -134,7 +140,9 @@ object ClassifierOps {
     * [[QcWidth]]). Weights localCheckpoint per round — the 1-row frame is
     * referenced twice per round (margin pass + update) and unbounded
     * lineage re-derives all prior rounds (the MMR lesson). */
-  private[graft] def qcTrainWeights(s: SparkSession, feats: DataFrame): DataFrame = {
+  private[graft] def qcTrainWeights(s: SparkSession, feats: DataFrame,
+      rounds: Int = QcRounds, roundOffset: Int = 0,
+      init: Option[DataFrame] = None): DataFrame = {
     // class-balanced error weights (n/(2·n_class), King & Zeng's
     // correction): the tier labels run ~7:1 positive and an unweighted
     // full-batch GD spends its fixed round budget learning the base
@@ -146,9 +154,10 @@ object ClassifierOps {
       .select(col("n"), col("n_pos"),
         expr("CAST(n AS DOUBLE) / CAST(2 * greatest(n_pos, 1) AS DOUBLE)").as("cw_pos"),
         expr("CAST(n AS DOUBLE) / CAST(2 * greatest(n - n_pos, 1) AS DOUBLE)").as("cw_neg"))
-    var w = s.range(1).select(
-      expr(s"transform(sequence(0, ${QcWidth - 1}), f -> CAST(0 AS BIGINT))").as("wm"))
-    for (r <- 0 until QcRounds) {
+    var w = init.getOrElse(s.range(1).select(
+      expr(s"transform(sequence(0, ${QcWidth - 1}), f -> CAST(0 AS BIGINT))").as("wm")))
+    for (r0 <- 0 until rounds) {
+      val r = roundOffset + r0 // step schedule continues across phases
       val scored = feats.crossJoin(broadcast(w))
         .withColumn("m", expr(MarginExpr))
         .withColumn("p", expr(SigmoidExpr))
@@ -227,6 +236,29 @@ object ClassifierOps {
       .withColumn("majority_micro",
         when(col("n_test") === 0, lit(null).cast("long"))
           .otherwise(expr("CAST(round(CAST(greatest(tp + fn, fp + tn) * 1000000 AS DOUBLE) / n_test, 0) AS BIGINT)")))
+  }
+
+  /** Incremental (warm-start) training — the established `_incremental`
+    * convention applied to the model family: the standing model trains
+    * on the standing half of the corpus (the corpus_drift halves
+    * convention: doc_id % 2 == 0), then a corpus append triggers
+    * [[QcIncRounds]] refresh rounds over the GROWN corpus starting FROM
+    * the standing weights, at the step schedule's continuation (the
+    * tail rate — a refresh must adjust, not erase). Emits both vectors
+    * so the output pins the warm start itself: weight_standing_micro is
+    * the phase-1 artifact, weight_micro the refreshed model. */
+  val qualityClassifierIncremental: Q = (s, d) => {
+    val standing = qcFeats(qcFeatureRows(
+      documents(s, d).where(col("doc_id") % 2 === 0))).localCheckpoint()
+    val full = qcFeats(qcFeatureRows(documents(s, d))).localCheckpoint()
+    val wS = qcTrainWeights(s, standing)
+    val wF = qcTrainWeights(s, full,
+      rounds = QcIncRounds, roundOffset = QcRounds, init = Some(wS))
+    wS.select(posexplode(col("wm")))
+      .select(col("pos").cast("int").as("fid"), col("col").as("weight_standing_micro"))
+      .join(wF.select(posexplode(col("wm")))
+        .select(col("pos").cast("int").as("fid"), col("col").as("weight_micro")), "fid")
+      .orderBy("fid")
   }
 
   /** Calibration audit (the reliability-diagram table): bucket the
@@ -324,30 +356,41 @@ object ClassifierOps {
          FROM ${p}lab)"""
   }
 
-  /** CTE block training w0..w[[QcRounds]] over `${p}feats`; the final
-    * weights table is `w${QcRounds}`. */
-  private def trainSql(p: String): String = {
-    val rounds = (0 until QcRounds).map { r =>
-      raw"""m$r AS (SELECT f.doc_id, max(f.y) AS y,
+  /** Generic training chain: `$nRounds` rounds over `${fp}feats`,
+    * weights CTEs `${wp}w0 .. ${wp}w$nRounds` (round/margin/error CTEs
+    * share the `$wp` prefix so two chains can coexist in one oracle),
+    * starting from `$w0Body` with the step schedule entered at
+    * `$stepOffset` — the warm-start form the incremental op replays. */
+  private def trainChainSql(fp: String, wp: String, stepOffset: Int,
+      nRounds: Int, w0Body: String): String = {
+    val rounds = (0 until nRounds).map { r =>
+      raw"""${wp}m$r AS (SELECT f.doc_id, max(f.y) AS y,
              list_sum(list(f.x * (CAST(w.wm AS DOUBLE) / 1000000) ORDER BY f.fid)) AS m
-           FROM ${p}feats f JOIN w$r w ON w.fid = f.fid GROUP BY f.doc_id),
-         p$r AS (SELECT doc_id, y, 0.5 + m / (2.0 * (1.0 + abs(m))) AS p FROM m$r),
-         g$r AS (SELECT f.fid,
+           FROM ${fp}feats f JOIN ${wp}w$r w ON w.fid = f.fid GROUP BY f.doc_id),
+         ${wp}p$r AS (SELECT doc_id, y, 0.5 + m / (2.0 * (1.0 + abs(m))) AS p FROM ${wp}m$r),
+         ${wp}g$r AS (SELECT f.fid,
              SUM(CAST(round((p.p - p.y) * (CASE WHEN p.y = 1 THEN n.cw_pos ELSE n.cw_neg END) * f.x * 1000000, 0) AS BIGINT)) AS gm
-           FROM ${p}feats f JOIN p$r p USING (doc_id) CROSS JOIN ${p}nd n GROUP BY f.fid),
-         w${r + 1} AS MATERIALIZED (SELECT w.fid,
-             w.wm - CAST(round((${qcStep(r)} * CAST(COALESCE(g.gm, 0) AS DOUBLE)) / n.n, 0) AS BIGINT) AS wm
-           FROM w$r w LEFT JOIN g$r g USING (fid) CROSS JOIN ${p}nd n)"""
+           FROM ${fp}feats f JOIN ${wp}p$r p USING (doc_id) CROSS JOIN ${fp}nd n GROUP BY f.fid),
+         ${wp}w${r + 1} AS MATERIALIZED (SELECT w.fid,
+             w.wm - CAST(round((${qcStep(stepOffset + r)} * CAST(COALESCE(g.gm, 0) AS DOUBLE)) / n.n, 0) AS BIGINT) AS wm
+           FROM ${wp}w$r w LEFT JOIN ${wp}g$r g USING (fid) CROSS JOIN ${fp}nd n)"""
     }.mkString(",\n       ")
-    raw"""${p}nd AS (SELECT n, n_pos,
+    raw"""${fp}nd AS (SELECT n, n_pos,
            CAST(n AS DOUBLE) / CAST(2 * greatest(n_pos, 1) AS DOUBLE) AS cw_pos,
            CAST(n AS DOUBLE) / CAST(2 * greatest(n - n_pos, 1) AS DOUBLE) AS cw_neg
          FROM (SELECT greatest(COUNT(*), 1) AS n, COALESCE(SUM(y), 0) AS n_pos
-               FROM ${p}lab)),
-       w0 AS (SELECT CAST(f AS INT) AS fid, CAST(0 AS BIGINT) AS wm
-              FROM range(0, $QcWidth) t(f)),
+               FROM ${fp}lab)),
+       ${wp}w0 AS ($w0Body),
        $rounds"""
   }
+
+  private val ZeroW0 =
+    s"SELECT CAST(f AS INT) AS fid, CAST(0 AS BIGINT) AS wm FROM range(0, $QcWidth) t(f)"
+
+  /** CTE block training w0..w[[QcRounds]] over `${p}feats`; the final
+    * weights table is `w${QcRounds}`. */
+  private def trainSql(p: String): String =
+    trainChainSql(p, "", 0, QcRounds, ZeroW0)
 
   /** Score `${sp}feats` under w[[QcRounds]] → `${sp}sc` (doc_id, y,
     * p_micro, pred). */
@@ -370,6 +413,7 @@ object ClassifierOps {
     "quality_classifier_apply" -> qualityClassifierApply,
     "quality_classifier_eval" -> qualityClassifierEval,
     "quality_classifier_calibration" -> qualityClassifierCalibration,
+    "quality_classifier_incremental" -> qualityClassifierIncremental,
     "corpus_curate_model" -> corpusCurateModel,
   )
 
@@ -385,6 +429,13 @@ object ClassifierOps {
            SELECT doc_id, p_micro,
              CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS pred, y
            FROM sc ORDER BY doc_id""",
+    "quality_classifier_incremental" ->
+      raw"""WITH ${featsSql("s_", "WHERE doc_id % 2 = 0")},
+           ${featsSql("", "")},
+           ${trainChainSql("s_", "", 0, QcRounds, ZeroW0)},
+           ${trainChainSql("", "z", QcRounds, QcIncRounds, s"SELECT fid, wm FROM w$QcRounds")}
+           SELECT w.fid, w.wm AS weight_standing_micro, z.wm AS weight_micro
+           FROM w$QcRounds w JOIN zw$QcIncRounds z USING (fid) ORDER BY fid""",
     "quality_classifier_calibration" ->
       raw"""WITH ${featsSql("", "")},
            ${trainSql("")},

@@ -63,12 +63,13 @@ class ClassifierSpec extends SparkSpec {
     * fid-sorted feature list left-to-right, errors weight by n/(2·n_c),
     * per-(doc,fid) terms round to BIGINT micros before summing, steps
     * halve every 4 rounds. */
-  private def refTrain(ds: Seq[RefDoc], rounds: Int): Array[Long] = {
+  private def refTrain(ds: Seq[RefDoc], rounds: Int,
+      stepOffset: Int = 0, init: Array[Long] = Array.fill(D + 3)(0L)): Array[Long] = {
     val n = math.max(ds.size, 1).toLong
     val nPos = ds.count(_.y == 1).toLong
     val cwPos = n.toDouble / (2 * math.max(nPos, 1)).toDouble
     val cwNeg = n.toDouble / (2 * math.max(n - nPos, 1)).toDouble
-    val w = Array.fill(D + 3)(0L)
+    val w = init.clone()
     for (r <- 0 until rounds) {
       val gm = Array.fill(D + 3)(0L)
       for (doc <- ds) {
@@ -80,7 +81,7 @@ class ClassifierSpec extends SparkSpec {
         for ((f, x) <- doc.feats)
           gm(f) += roundHalfUp((p - doc.y) * cw * x * 1000000)
       }
-      val step = 16.0 * math.pow(0.5, r / 4)
+      val step = 16.0 * math.pow(0.5, (stepOffset + r) / 4)
       for (f <- 0 until D + 3)
         w(f) -= roundHalfUp((step * gm(f).toDouble) / n)
     }
@@ -134,6 +135,19 @@ class ClassifierSpec extends SparkSpec {
       assert(got(doc.id) == ((pm, pred, doc.y)),
         s"doc ${doc.id}: got ${got(doc.id)}, ref ${(pm, pred, doc.y)}")
     }
+  }
+
+  test("quality_classifier_incremental matches the warm-start reference; the refresh adjusts, not erases") {
+    val got = ops.ClassifierOps.queries("quality_classifier_incremental")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val standingRef = refTrain(ref.filter(_.id % 2 == 0), 16)
+    val refreshedRef = refTrain(ref, 4, stepOffset = 16, init = standingRef)
+    for (f <- 0 until D + 3) {
+      assert(got(f)._1 == standingRef(f), s"standing fid $f: ${got(f)._1} vs ${standingRef(f)}")
+      assert(got(f)._2 == refreshedRef(f), s"refreshed fid $f: ${got(f)._2} vs ${refreshedRef(f)}")
+    }
+    assert((0 until D + 3).exists(f => got(f)._1 != got(f)._2),
+      "the refresh changed nothing — the appended half taught nothing")
   }
 
   test("corpus_curate_model: kept rows are model-passed, content-unique, min-id elected, cap-bounded") {

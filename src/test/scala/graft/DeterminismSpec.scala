@@ -59,7 +59,8 @@ class DeterminismSpec extends SparkSpec {
     "quality_classifier_train", // GD rounds: micros gradients + sorted margin folds
     "quality_classifier_eval",  // split-train-score composition, one row
     "corpus_curate_model",      // model filter -> hash election -> salted cap
-    "quality_classifier_calibration") // decile table over the trained scores
+    "quality_classifier_calibration", // decile table over the trained scores
+    "quality_classifier_incremental") // warm-start chain: two phases, one schedule
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

@@ -74,7 +74,8 @@ class EmptyInputSpec extends SparkSpec {
     "corpus_expectations", "events_error_spike", "dedup_substring_eval",
     "corpus_drift", "mm_image_neardup_eval", "mm_audio_neardup_eval",
     "mm_video_neardup_eval",
-    "quality_classifier_train", "quality_classifier_eval")
+    "quality_classifier_train", "quality_classifier_eval",
+    "quality_classifier_incremental")
 
   for (name <- emptyOut) {
     test(s"$name returns zero rows on an empty corpus") {
