@@ -448,13 +448,13 @@ object Bench {
           out.toSeq
         }
         val reprobes = if (batches.isEmpty) Seq.empty else {
-          // the primary scale pass may have been contended mid-pass (a
-          // start gate can't prevent a co-tenant arriving later) — re-gate
-          // once before the adjudication sweep so the reprobes themselves
-          // start from a quiet window
-          awaitQuietWindow()
           var cur = spark1
-          val out = batches.flatMap { batch =>
+          // one fresh-context batch: gate on EVERY context, not once up
+          // front — a co-tenant arriving mid-sweep contaminated a whole
+          // adjudication pass (a trivial projection "confirmed" 14×)
+          // when only the first context was gated
+          def runBatch(batch: Seq[(String, Double)]): Seq[(String, Double, Double, Double, Seq[Double])] = {
+            awaitQuietWindow()
             cur.stop()
             SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
             cur = newSession(cpus)
@@ -484,7 +484,25 @@ object Bench {
               (n, raw, if (ok) sec else -1.0, if (ok) sec / p(n) else -1.0, la)
             }
           }
-          out
+          val first = batches.flatMap(runBatch)
+          // second adjudication attempt for anything STILL over the bar
+          // and not cost-model-tagged: the first sweep itself may have
+          // been contended end to end, and a reprobe that merely
+          // re-measures the same noise refutes nothing. Keep the MINIMUM
+          // — an isolated ratio is an upper bound on the plan's true
+          // ratio, so min-of-attempts only sheds contention, never truth.
+          val still = first.filter { case (n, _, _, r, _) =>
+            r > ScaleBar && !ExpectedSuperlinear.contains(n) }
+          if (still.isEmpty) first
+          else {
+            System.err.println(
+              s"BENCH: ${still.size} reprobed ratios still over the bar - second gated attempt")
+            val retried = runBatch(still.map(t => (t._1, t._2)))
+              .map(t => t._1 -> t).toMap
+            first.map { t =>
+              retried.get(t._1).filter(r => r._4 >= 0 && r._4 < t._4).getOrElse(t)
+            }
+          }
         }
         scaleReprobed = reprobes.map { case (n, _, _, r, _) => n -> r }.toMap
         val reprobeJson = if (reprobes.isEmpty) "" else {
