@@ -18,7 +18,8 @@ object SparkEntry {
     ops.RefOps.queries ++ ops.TextOps.queries ++ ops.DedupOps.queries ++
       ops.SimOps.queries ++ ops.MultimodalOps.queries ++
       ops.PipelineOps.queries ++ ops.RetrievalOps.queries ++
-      ops.ClassifierOps.queries
+      ops.ClassifierOps.queries ++ ops.SketchOps.queries ++
+      ops.SelectOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     ops.RefOps.oracles ++ ops.TextOps.oracles ++ ops.DedupOps.oracles ++
       ops.SimOps.oracles ++ ops.MultimodalOps.oracles ++
       ops.PipelineOps.oracles ++ ops.RetrievalOps.oracles ++
-      ops.ClassifierOps.oracles
+      ops.ClassifierOps.oracles ++ ops.SketchOps.oracles ++
+      ops.SelectOps.oracles
 }

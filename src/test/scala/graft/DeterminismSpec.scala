@@ -60,7 +60,14 @@ class DeterminismSpec extends SparkSpec {
     "quality_classifier_eval",  // split-train-score composition, one row
     "corpus_curate_model",      // model filter -> hash election -> salted cap
     "quality_classifier_calibration", // decile table over the trained scores
-    "quality_classifier_incremental") // warm-start chain: two phases, one schedule
+    "quality_classifier_incremental", // warm-start chain: two phases, one schedule
+    "dedup_bloom",           // bit_or word table + min-over-salt probe
+    "dedup_bloom_incremental", // full-outer word merge under one geometry
+    "dedup_bloom_eval",      // guarantee + FP decomposition, one row
+    "text_ngram_cms_topk",   // min-over-cells estimate + tie-broken top-k
+    "text_ngram_cms_eval",   // one-sided-error pin + ranked top-20 overlap
+    "corpus_dsir_select",    // integer weight sums + gumbel-keyed rank
+    "corpus_dsir_eval")      // sampled vs argmax enrichment, one row
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

@@ -66,7 +66,9 @@ class EmptyInputSpec extends SparkSpec {
     "mm_video_fingerprint", "mm_video_neardup_pairs",
     "vocab_unigram_train", "vocab_unigram_tokenize",
     "quality_classifier_apply", "corpus_curate_model",
-    "quality_classifier_calibration")
+    "quality_classifier_calibration",
+    "dedup_bloom", "dedup_bloom_incremental", "text_ngram_cms_topk",
+    "corpus_dsir_weights", "corpus_dsir_select")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
@@ -75,7 +77,8 @@ class EmptyInputSpec extends SparkSpec {
     "corpus_drift", "mm_image_neardup_eval", "mm_audio_neardup_eval",
     "mm_video_neardup_eval",
     "quality_classifier_train", "quality_classifier_eval",
-    "quality_classifier_incremental")
+    "quality_classifier_incremental",
+    "dedup_bloom_eval", "text_ngram_cms_eval", "corpus_dsir_eval")
 
   for (name <- emptyOut) {
     test(s"$name returns zero rows on an empty corpus") {

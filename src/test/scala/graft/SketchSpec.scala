@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Sketch-family pins against independent plain-Scala references (the
+  * mortonRef discipline — arrays and loops, no shared code with the
+  * operators): the bloom filter's word table, per-doc membership
+  * answers and both guarantee directions on a corpus WITH real
+  * cross-half duplicates (the harness corpus has none, so the crafted
+  * one exercises the true_dup path the eval row reports), and the CMS
+  * cell/estimate arithmetic with a planted heavy hitter.
+  */
+class SketchSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rws = rows.map { case (id, text, lang) =>
+      Row(id, text, lang, "src0", text.length.toLong) }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rws).asJava),
+      schema).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hex32(h: String): Long = java.lang.Long.parseLong(h.take(8), 16)
+
+  // ---- independent bloom reference ----
+
+  private val Salts = 4
+  private val BitsPerItem = 8
+
+  private def refGeom(nDistinct: Long): Long = {
+    val n = math.max(nDistinct, 1L)
+    (8 to 26).map(p => 1L << p).find(_ >= BitsPerItem * n).getOrElse(1L << 26)
+  }
+
+  private def refPositions(ch: String, m: Long): Seq[Long] =
+    (0 until Salts).map(i => hex32(md5hex(s"bloom$i:$ch")) % m)
+
+  private def refWords(hashes: Set[String], m: Long): Map[Long, Long] =
+    hashes.toSeq.flatMap(refPositions(_, m))
+      .groupBy(_ / 32)
+      .map { case (w, ps) => w -> ps.map(p => 1L << (p % 32).toInt).reduce(_ | _) }
+
+  private def refHit(ch: String, m: Long, words: Map[Long, Long]): Int =
+    if (refPositions(ch, m).forall(p =>
+      (words.getOrElse(p / 32, 0L) >> (p % 32).toInt & 1L) == 1L)) 1 else 0
+
+  /** 20 docs; odd ids < 10 duplicate the preceding even doc's text, so
+    * the incoming half contains 5 TRUE duplicates of the standing half
+    * plus 5 genuinely new docs. */
+  private lazy val dupCorpus: Seq[(Long, String, String)] =
+    (0L until 20L).map { i =>
+      val text =
+        if (i % 2 == 1 && i < 10) s"shared corpus text number ${i - 1} about data"
+        else s"shared corpus text number $i about data"
+      (i, text, "en")
+    }
+
+  test("dedup_bloom matches the plain-Scala reference filter exactly") {
+    val d = writeDocs(dupCorpus)
+    val out = SparkEntry.queries("dedup_bloom")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val standing = dupCorpus.filter(_._1 % 2 == 0).map(t => md5hex(t._2)).toSet
+    val m = refGeom(standing.size.toLong)
+    val words = refWords(standing, m)
+    val expected = dupCorpus.map { case (id, text, _) =>
+      (id, if (id % 2 == 0) 1 else 0, refHit(md5hex(text), m, words))
+    }.sortBy(_._1)
+    assert(out.toSeq == expected)
+  }
+
+  test("bloom guarantee on a corpus with real cross-half duplicates") {
+    val d = writeDocs(dupCorpus)
+    val row = SparkEntry.queries("dedup_bloom_eval")(spark, d).collect().head
+    assert(row.getAs[Long]("true_dups") == 5L)
+    assert(row.getAs[Long]("false_neg") == 0L) // bloom never misses
+    assert(row.getAs[Long]("bloom_hits_incoming") >= 5L)
+    assert(row.getAs[Long]("n_standing") == 10L)
+  }
+
+  test("dedup_bloom_incremental merges to the reference union filter at the standing geometry") {
+    val d = writeDocs(dupCorpus)
+    val out = SparkEntry.queries("dedup_bloom_incremental")(spark, d).collect()
+    val standing = dupCorpus.filter(_._1 % 4 == 0).map(t => md5hex(t._2)).toSet
+    val batch = dupCorpus.filter(_._1 % 4 == 2).map(t => md5hex(t._2)).toSet
+    val m = refGeom(standing.size.toLong)
+    val merged = refWords(standing ++ batch, m)
+    val got = out.map(r => r.getLong(0) -> r.getAs[Long]("word")).toMap
+    assert(got == merged)
+    // superset pin: appending can only ever ADD bits
+    out.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("word_standing"))) {
+        val ws = r.getAs[Long]("word_standing")
+        assert((r.getAs[Long]("word") & ws) == ws)
+      }
+    }
+  }
+
+  test("bloom eval on the harness corpus: guarantee holds, FP rate in the geometry's band") {
+    val row = SparkEntry.queries("dedup_bloom_eval")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(row.getAs[Long]("false_neg") == 0L)
+    // 8 bits/item, k=4: theoretical FP ≤ ~2.4 % across the next_pow2
+    // window; 10 % leaves room for small-sample variance at 250 probes
+    assert(row.getAs[Long]("fp_micro") <= 100000L)
+  }
+
+  // ---- independent CMS reference ----
+
+  private val CmsD = 4
+  private val CmsW = 16384
+
+  /** Reference estimate per distinct shingle, from per-doc DISTINCT
+    * 3-gram shingles (short docs collapse to the whole normalized
+    * text — TextShingles semantics). */
+  private def refCms(docs: Seq[(Long, String, String)]): Map[String, Long] = {
+    def shingles(text: String): Set[String] = {
+      val words = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim.split(" ").filter(_.nonEmpty)
+      if (words.length >= 3) words.sliding(3).map(_.mkString(" ")).toSet
+      else Set(words.mkString(" ")).filter(_.nonEmpty)
+    }
+    val stream = docs.flatMap(d => shingles(d._2))
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for (sh <- stream; r <- 0 until CmsD) {
+      val c = hex32(md5hex(s"cms$r:$sh")) % CmsW
+      cells((r, c)) = cells.getOrElse((r, c), 0L) + 1
+    }
+    stream.distinct.map { sh =>
+      sh -> (0 until CmsD).map(r => cells((r, hex32(md5hex(s"cms$r:$sh")) % CmsW))).min
+    }.toMap
+  }
+
+  /** 40 docs: 30 share one planted heavy 3-gram, 10 are singleton noise. */
+  private lazy val heavyCorpus: Seq[(Long, String, String)] =
+    (0L until 40L).map { i =>
+      val text =
+        if (i < 30) s"filler$i words around the planted heavy hitter phrase $i"
+        else s"unique doc $i with its own words entirely"
+      (i, text, "en")
+    }
+
+  test("text_ngram_cms_topk finds the planted heavy hitter with reference-exact estimates") {
+    val d = writeDocs(heavyCorpus)
+    val out = SparkEntry.queries("text_ngram_cms_topk")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("df_est"))
+    val ref = refCms(heavyCorpus)
+    // every reported estimate matches the reference sketch exactly
+    out.foreach { case (sh, est) => assert(ref(sh) == est, s"estimate mismatch for '$sh'") }
+    // the planted run's shingles (df=30 each) top the ranking — the
+    // shared middle of the 30 docs yields five df-30 3-grams, and every
+    // other shingle is a singleton
+    assert(out.head._2 >= 30L)
+    assert(out.head._1.matches(".*(planted|heavy|hitter|around|words).*"))
+  }
+
+  test("cms one-sided error on the harness corpus") {
+    val row = SparkEntry.queries("text_ngram_cms_eval")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(row.getAs[Long]("n_under") == 0L) // CMS never underestimates
+    assert(row.getAs[Long]("n_grams") > 0L)
+    assert(row.getAs[Long]("top20_overlap") >= 0L)
+  }
+}
