@@ -127,7 +127,11 @@ object SelectOps {
     w.withColumn("u16", expr(
       "CAST(conv(substring(md5(concat('dsir#', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)"))
       .withColumn("g_milli", expr(
-        "CAST(round(-ln(-ln((u16 + 0.5) / 65536.0)) * 1000, 0) AS BIGINT)"))
+        // CAST AS DOUBLE before the +0.5: Spark parses the bare literal
+        // as DECIMAL and a BIGINT+DECIMAL/DECIMAL chain quantizes u to 8
+        // digits — enough to straddle a millis boundary (measured at sf1:
+        // doc 45188, u16=65440, decimal 6530.5026 vs double 6530.49959)
+        "CAST(round(-ln(-ln((CAST(u16 AS DOUBLE) + 0.5) / 65536.0)) * 1000, 0) AS BIGINT)"))
       .withColumn("key_milli", col("w_milli") + col("g_milli"))
 
   /** The selected set: top-[[DsirK]] by Gumbel key, rank attached. The
