@@ -309,10 +309,63 @@ object Bench {
       if (clsAcc <= clsMaj)
         floorViolation = floorViolation.orElse(
           Some(s"quality_classifier_eval acc = $clsAcc <= majority $clsMaj at $floorTag"))
+      // sketch-family invariants as gates (the measured-quality
+      // convention): the bloom filter's no-false-negative guarantee and
+      // its observed FP rate (geometry band ≤ ~2.4 % across the
+      // next_pow2 window; ceiling 5 % leaves corpus slack, not drift
+      // slack), and the CMS pair — one-sided error (n_under must be 0)
+      // plus the theorem's bound-miss rate P[over > (e/w)N] ≤ e^-d ≈
+      // 1.8 % (measured 0 at both SFs; ceiling 5 %). The top-20 ranking
+      // overlap is published as a *_baseline: corpus-bound on the flat
+      // harness df distribution (no Zipf head), teaching material like
+      // the no-probe LSH knee, with the planted-head SketchSpec proving
+      // the instrument ranks where a head exists.
+      val blRow = SparkEntry.queries("dedup_bloom_eval")(spark, sfDir)
+        .collect().head
+      val blFn = blRow.getLong(blRow.fieldIndex("false_neg"))
+      val blFp = blRow.getLong(blRow.fieldIndex("fp_micro")) / 1e6
+      if (blFn != 0L)
+        floorViolation = floorViolation.orElse(
+          Some(s"dedup_bloom_eval false_neg = $blFn != 0 at $floorTag"))
+      if (blFp > 0.05)
+        floorViolation = floorViolation.orElse(
+          Some(s"dedup_bloom_eval fp rate = $blFp > 0.05 at $floorTag"))
+      val cmsRow = SparkEntry.queries("text_ngram_cms_eval")(spark, sfDir)
+        .collect().head
+      val cmsUnder = cmsRow.getLong(cmsRow.fieldIndex("n_under"))
+      val cmsGrams = math.max(cmsRow.getLong(cmsRow.fieldIndex("n_grams")), 1L)
+      val cmsMiss = cmsRow.getLong(cmsRow.fieldIndex("n_bound_miss")).toDouble / cmsGrams
+      val cmsTop = cmsRow.getLong(cmsRow.fieldIndex("top20_overlap")) / 20.0
+      if (cmsUnder != 0L)
+        floorViolation = floorViolation.orElse(
+          Some(s"text_ngram_cms_eval n_under = $cmsUnder != 0 at $floorTag"))
+      if (cmsMiss > 0.05)
+        floorViolation = floorViolation.orElse(
+          Some(s"text_ngram_cms_eval bound-miss rate = $cmsMiss > 0.05 at $floorTag"))
+      // DSIR: the greedy (argmax) selection must actually enrich the
+      // target slice — floor 1.1× against the measured 1.31-1.38; the
+      // Gumbel-SAMPLED lift rides as a *_baseline (softmax sampling's
+      // diversity tax on a corpus whose class gap is comparable to its
+      // within-class spread is a measured exhibit, not a floor).
+      val dsRow = SparkEntry.queries("corpus_dsir_eval")(spark, sfDir)
+        .collect().head
+      val dsArg =
+        if (dsRow.isNullAt(dsRow.fieldIndex("lift_argmax_milli"))) -1.0
+        else dsRow.getLong(dsRow.fieldIndex("lift_argmax_milli")) / 1e3
+      val dsSam =
+        if (dsRow.isNullAt(dsRow.fieldIndex("lift_milli"))) -1.0
+        else dsRow.getLong(dsRow.fieldIndex("lift_milli")) / 1e3
+      if (dsArg >= 0 && dsArg < 1.1)
+        floorViolation = floorViolation.orElse(
+          Some(s"corpus_dsir_eval argmax lift = $dsArg < 1.1 at $floorTag"))
       rJson + fJson + s""","substring_recall":$subRecall""" +
         s""","bm25_cap_recall":$capRecall""" +
         s""","filtered_ivf_recall":$fRecall""" +
-        s""","classifier_acc":$clsAcc,"classifier_majority":$clsMaj"""
+        s""","classifier_acc":$clsAcc,"classifier_majority":$clsMaj""" +
+        s""","bloom_false_neg":$blFn,"bloom_fp":$blFp""" +
+        s""","cms_under":$cmsUnder,"cms_bound_miss":$cmsMiss""" +
+        s""","cms_top20_overlap_baseline":$cmsTop""" +
+        s""","dsir_lift_argmax":$dsArg,"dsir_lift_sampled_baseline":$dsSam"""
     } catch {
       case e: Throwable =>
         // inability to MEASURE the floor must fail as loudly as missing

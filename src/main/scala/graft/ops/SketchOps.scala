@@ -203,14 +203,25 @@ object SketchOps {
   /** d hash rows × w counters. d=4 gives per-item bound-miss probability
     * e^−4 ≈ 1.8 %; w sets the overcount scale ε·N = (e/w)·N. The sketch
     * is d·w = 64k cells — map-side partials ship at most that many rows
-    * per task regardless of vocabulary size. Sizing is for the sf0.1+
-    * regime (where distinct shingles outnumber cells severalfold; at 100
-    * TB the gap is 10^4×): a first draft at w=512 was MEASURED saturated
-    * on the harness corpus — mean overcount 41 against a max true df of
-    * 7, top-20 overlap with the exact ranking 0/20 — which is what the
-    * top20_overlap column exists to catch. At w=16384 the expected
-    * collision mass per cell is N/w ≈ 1.6 and the heavy hitters
-    * separate. */
+    * per task regardless of vocabulary size.
+    *
+    * What the geometry buys, measured on the harness corpus: the CMS
+    * guarantee P[over > (e/w)·N] ≤ e^−d holds with room at every SF
+    * (bound_miss 0 of 27k grams at sf0.1 — max_over 37 vs the bound's
+    * 43 — and 0 of 686k at sf1, max_over 274 vs 432); that is the
+    * `bound_miss` column, and with `n_under` it is the pair of
+    * invariants the sketch actually promises. The top-20 RANKING gauge
+    * is corpus-bound teaching material: the harness 3-gram df
+    * distribution is FLAT (max true df ≈ its near-dup group size, no
+    * Zipf head), so once the collision mass N/w reaches the max df the
+    * overcounted singletons outrank the true head — measured overlap
+    * 10/20 at sf0.01 (N/w ≈ 1.6), 0/20 at sf0.1 (N/w ≈ 16). On a real
+    * web corpus the heavy head is orders of magnitude above ε·N and the
+    * ranking separates (SketchSpec's planted-head corpus shows exactly
+    * that: df=30 hitters over singleton noise rank 1.0); a first draft
+    * at w=512 saturated even the planted head — both regimes are the
+    * same mechanism, and the eval row prices it instead of assuming
+    * it. */
   private[ops] val CmsD = 4
   private[ops] val CmsW = 16384
   private val CmsTopN = 20
@@ -257,13 +268,22 @@ object SketchOps {
       .orderBy(col("df_est").desc, col("sh"))
       .limit(CmsTopN)
 
-  /** The sketch's measured error, one oracle-checked row: n_under MUST
-    * be 0 (CMS never underestimates — cells only ever add), n_exact /
-    * max_over / mean_over_micro quantify the collision overcount the
-    * cell budget costs on this corpus, and top20_overlap is the
-    * USE-CASE gauge — how many of the exact heavy-hitter top-20 the
-    * sketch ranking reproduces (both rankings tie-break on the gram, so
-    * the cut is deterministic in both engines). */
+  /** e in integer micros — the CMS bound's only transcendental, pinned
+    * as a constant so both engines derive the identical integer
+    * threshold floor(e·N/w) by pure BIGINT arithmetic. */
+  private val EMicro = 2718282L
+
+  /** The sketch's measured error, one oracle-checked row. The two
+    * INVARIANTS the sketch promises: n_under MUST be 0 (CMS never
+    * underestimates — cells only ever add) and n_bound_miss — grams
+    * whose overcount exceeds the theorem's ε·N = (e/w)·N — is bounded
+    * by e^−d per gram (measured 0 at every SF; Bench gates on the
+    * rate). n_exact / max_over / mean_over_micro quantify the collision
+    * overcount the cell budget costs on this corpus, and top20_overlap
+    * is the RANKING gauge — how many of the exact heavy-hitter top-20
+    * the sketch ranking reproduces (corpus-bound on the flat harness df
+    * distribution, see the geometry scaladoc; both rankings tie-break
+    * on the gram, so the cut is deterministic in both engines). */
   val ngramCmsEval: Q = (s, d) => {
     val est = cmsEstimates(s, d).localCheckpoint()
     val overlap = est.orderBy(col("df_est").desc, col("sh")).limit(CmsTopN)
@@ -271,14 +291,18 @@ object SketchOps {
       .join(est.orderBy(col("df_true").desc, col("sh")).limit(CmsTopN)
         .select("sh"), "sh")
       .agg(count(lit(1)).as("top20_overlap"))
-    est.agg(
-      count(lit(1)).as("n_grams"),
-      coalesce(sum("df_true"), lit(0L)).as("n_increments"),
-      lit(CmsD).as("d_rows"), lit(CmsW).as("w_cols"),
-      coalesce(sum(when(col("df_est") < col("df_true"), 1L).otherwise(0L)), lit(0L)).as("n_under"),
-      coalesce(sum(when(col("df_est") === col("df_true"), 1L).otherwise(0L)), lit(0L)).as("n_exact"),
-      coalesce(max(col("df_est") - col("df_true")), lit(0L)).as("max_over"),
-      coalesce(sum(col("df_est") - col("df_true")), lit(0L)).as("sum_over"))
+    val tot = est.agg(coalesce(sum("df_true"), lit(0L)).as("n_inc"))
+    est.crossJoin(broadcast(tot))
+      .withColumn("bound", expr(s"($EMicro * n_inc) div ${CmsW * 1000000L}"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(max("n_inc"), lit(0L)).as("n_increments"),
+        lit(CmsD).as("d_rows"), lit(CmsW).as("w_cols"),
+        coalesce(sum(when(col("df_est") < col("df_true"), 1L).otherwise(0L)), lit(0L)).as("n_under"),
+        coalesce(sum(when(col("df_est") - col("df_true") > col("bound"), 1L).otherwise(0L)), lit(0L)).as("n_bound_miss"),
+        coalesce(sum(when(col("df_est") === col("df_true"), 1L).otherwise(0L)), lit(0L)).as("n_exact"),
+        coalesce(max(col("df_est") - col("df_true")), lit(0L)).as("max_over"),
+        coalesce(sum(col("df_est") - col("df_true")), lit(0L)).as("sum_over"))
       .withColumn("mean_over_micro", expr(
         "CAST(round(CAST(sum_over * 1000000 AS DOUBLE) / greatest(n_grams, 1), 0) AS BIGINT)"))
       .drop("sum_over")
@@ -397,17 +421,19 @@ object SketchOps {
            $CmsEstSql,
            topc AS (SELECT sh FROM (SELECT sh, row_number() OVER (ORDER BY df_est DESC, sh) AS rn FROM est) WHERE rn <= $CmsTopN),
            topt AS (SELECT sh FROM (SELECT sh, row_number() OVER (ORDER BY df_true DESC, sh) AS rn FROM est) WHERE rn <= $CmsTopN),
-           ov AS (SELECT CAST(count(*) AS BIGINT) AS top20_overlap FROM topc JOIN topt USING (sh))
+           ov AS (SELECT CAST(count(*) AS BIGINT) AS top20_overlap FROM topc JOIN topt USING (sh)),
+           tot AS (SELECT coalesce(SUM(df_true), 0) AS n_inc FROM est)
            SELECT CAST(count(*) AS BIGINT) AS n_grams,
-             CAST(coalesce(SUM(df_true), 0) AS BIGINT) AS n_increments,
+             CAST(coalesce(MAX(t.n_inc), 0) AS BIGINT) AS n_increments,
              CAST($CmsD AS INT) AS d_rows, CAST($CmsW AS INT) AS w_cols,
              CAST(coalesce(SUM(CASE WHEN df_est < df_true THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_under,
+             CAST(coalesce(SUM(CASE WHEN df_est - df_true > ($EMicro * t.n_inc) // ${CmsW * 1000000L} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bound_miss,
              CAST(coalesce(SUM(CASE WHEN df_est = df_true THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_exact,
              CAST(coalesce(MAX(df_est - df_true), 0) AS BIGINT) AS max_over,
              CAST(round(CAST(coalesce(SUM(df_est - df_true), 0) * 1000000 AS DOUBLE) /
                greatest(count(*), 1), 0) AS BIGINT) AS mean_over_micro,
              (SELECT top20_overlap FROM ov) AS top20_overlap
-           FROM est""",
+           FROM est CROSS JOIN tot t""",
   )
 
   private lazy val CmsCellsSql =
