@@ -322,6 +322,125 @@ object SketchOps {
   )
 
   // ------------------------------------------------------------------
+  // Persisted sketch indexes — the 4th index family (after IVF, PQ and
+  // the text inverted index), with the family's standing contract:
+  // offline build, incremental append whose cost is the batch's own
+  // size, read-time merge that makes at-least-once replays invisible,
+  // and a query path that never rescans the corpus the index stands
+  // for. The sketch twist is that BOTH structures are monoids, so the
+  // append log IS the index: bloom words merge by bit_or (idempotent —
+  // even a partially-written append retried in full is absorbed), CMS
+  // cells merge by sum (NOT idempotent — replay safety instead comes
+  // from the (batch_id, r, c) key: Structured Streaming redelivers a
+  // batch under the SAME batch_id, and the one-row-per-key dedup drops
+  // the double count before the sum).
+  // ------------------------------------------------------------------
+
+  /** Build the standing bloom filter for corpus `d`: `dir/geom` (one
+    * row: n, m — the filter's frozen shape) and `dir/words` (sparse
+    * word table). Appends inherit this geometry forever (a bloom cannot
+    * resize; the [[dedupBloomIncremental]] scaladoc carries the
+    * consequence), so the build is where capacity is decided — in
+    * production n comes from the planned corpus size, here from the
+    * build corpus. */
+  def buildBloomIndex(s: SparkSession, d: String, dir: String): Unit = {
+    val hashed = hashedDocs(s, d).select("ch").distinct()
+    val geom = bloomGeom(hashed)
+    geom.coalesce(1).write.mode("overwrite").parquet(dir + "/geom")
+    bloomWords(bloomPositions(hashed, s.read.parquet(dir + "/geom"), Seq("ch")))
+      .write.mode("overwrite").parquet(dir + "/words")
+  }
+
+  /** Append a `(doc_id, text)` batch: hash, position at the STANDING
+    * geometry, append the batch's own sparse word table as new files —
+    * cost ∝ batch size, standing rows never rewritten. Idempotent under
+    * any replay interleaving by OR-monoid absorption at read time.
+    * Bootstrap: an append into a dir with no geometry freezes the
+    * FIRST BATCH's count as capacity (the streaming twin's cold start;
+    * a production deployment builds with planned capacity instead —
+    * the fp_micro gauge is what degrades if the corpus outgrows it). */
+  def appendToBloomIndex(s: SparkSession, dir: String, docs: DataFrame): Unit = {
+    val geomPath = new org.apache.hadoop.fs.Path(dir + "/geom")
+    val fs = geomPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hashed = docs
+      .select(md5(coalesce(col("text"), lit(""))).as("ch")).distinct()
+    if (!fs.exists(geomPath))
+      bloomGeom(hashed).coalesce(1).write.mode("overwrite").parquet(dir + "/geom")
+    bloomWords(bloomPositions(hashed, s.read.parquet(dir + "/geom"), Seq("ch")))
+      .write.mode("append").parquet(dir + "/words")
+  }
+
+  /** Membership probe of every document of corpus `d` against the
+    * persisted filter: the append log compacts to one word per word_idx
+    * by bit_or (the read-time merge), then each doc reads its k word
+    * cells from the broadcast table. Output (doc_id, bloom_hit). */
+  def bloomHitsFromIndex(s: SparkSession, d: String, dir: String): DataFrame = {
+    val geom = s.read.parquet(dir + "/geom")
+    val words = s.read.parquet(dir + "/words")
+      .groupBy("word_idx").agg(expr("bit_or(word)").as("word"))
+    bloomPositions(hashedDocs(s, d), geom, Seq("doc_id", "ch"))
+      .withColumn("word_idx", expr(s"pos div $WordBits"))
+      .join(broadcast(words), Seq("word_idx"), "left")
+      .withColumn("hit", expr(
+        s"CASE WHEN word IS NOT NULL AND (shiftright(word, CAST(pos % $WordBits AS INT)) & 1) = 1 THEN 1 ELSE 0 END"))
+      .groupBy("doc_id")
+      .agg(min("hit").as("bloom_hit"))
+      .orderBy("doc_id")
+  }
+
+  /** Build the standing CMS for corpus `d`: `dir/cells` rows of
+    * (batch_id, r, c, cnt); the build writes under batch_id −1 (the
+    * streaming appends use their nonnegative micro-batch ids). */
+  def buildCmsIndex(s: SparkSession, d: String, dir: String): Unit =
+    cmsCells(DedupOps.docShingles(s, d))
+      .select(lit(-1L).as("batch_id"), col("r"), col("c"), col("cnt"))
+      .write.mode("overwrite").parquet(dir + "/cells")
+
+  /** Append a `(doc_id, text)` batch's cells under its batch id. Counts
+    * are additive, so chunked ingest sums to the whole-corpus sketch
+    * exactly (shingling is per-doc); a redelivered batch re-appends the
+    * IDENTICAL (batch_id, r, c, cnt) rows, which the read-time
+    * per-key dedup collapses — the additive merge never sees the
+    * double count. */
+  def appendToCmsIndex(s: SparkSession, dir: String, docs: DataFrame,
+      batchId: Long): Unit = {
+    graft.expressions.TextShingles.register(s)
+    val sh = docs.select(col("doc_id"),
+      explode(expr("text_shingles(text, 3)")).as("sh"))
+    cmsCells(sh)
+      .select(lit(batchId).as("batch_id"), col("r"), col("c"), col("cnt"))
+      .write.mode("append").parquet(dir + "/cells")
+  }
+
+  /** The standing sketch: replay-deduped, then cell-wise summed. */
+  private def cmsMergedCells(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir + "/cells")
+      .dropDuplicates("batch_id", "r", "c")
+      .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+
+  /** Heavy hitters of corpus `d` scored against the PERSISTED sketch —
+    * byte-equal to [[ngramCmsTopK]] when the index holds exactly `d`
+    * (SketchIndexSpec pins it): the only corpus work is deriving the
+    * distinct grams to score; the sketch side is the merged d·w cells,
+    * broadcast as ever. */
+  def cmsTopKFromIndex(s: SparkSession, d: String, dir: String): DataFrame = {
+    val sh = DedupOps.docShingles(s, d)
+    val cells = cmsMergedCells(s, dir)
+    sh.select("sh").distinct()
+      .select(col("sh"), explode(expr(
+        s"""transform(sequence(0, ${CmsD - 1}), r -> named_struct(
+              'r', r,
+              'c', CAST(conv(substring(md5(concat('cms', CAST(r AS STRING), ':', sh)), 1, 8), 16, 10) AS BIGINT) % $CmsW))"""))
+        .as("rc"))
+      .join(broadcast(cells),
+        col("rc.r") === col("r") && col("rc.c") === col("c"))
+      .groupBy("sh")
+      .agg(min("cnt").as("df_est"))
+      .orderBy(col("df_est").desc, col("sh"))
+      .limit(CmsTopN)
+  }
+
+  // ------------------------------------------------------------------
   // DuckDB oracles
   // ------------------------------------------------------------------
 

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming maintenance of the persisted sketches
+  * ([[graft.ops.SketchOps]]) — the TextIndexIngest shape (no state-store
+  * state; the index directory IS the state, source offsets are the only
+  * checkpoint) applied to the two sketch monoids, whose merge laws give
+  * each ingest its own exactly-once story:
+  *
+  *  - Bloom (twin #22): appends are sparse word tables merged by bit_or
+  *    at read time. OR is IDEMPOTENT, so at-least-once redelivery —
+  *    even a partial first write interleaved with its full retry — is
+  *    absorbed with no key machinery at all. This is the Dolma-style
+  *    cross-snapshot deduper's ingest half: each arriving batch both
+  *    probes (upstream, via [[graft.ops.SketchOps.bloomHitsFromIndex]])
+  *    and enrolls its survivors.
+  *
+  *  - CMS (twin #23): appends are (batch_id, r, c, cnt) cell partials
+  *    merged by SUM — not idempotent, so replay safety rides on the
+  *    micro-batch id foreachBatch hands over: Structured Streaming
+  *    redelivers a failed batch under the SAME id, the re-run of the
+  *    deterministic cell aggregate yields the IDENTICAL rows, and the
+  *    read path's (batch_id, r, c) dedup collapses them before the sum
+  *    — the additive monoid never sees a double count.
+  *
+  * Both ingests cost only the arriving batch's own hash/shingle work;
+  * the standing structure is never rewritten. SketchIndexSpec pins the
+  * twins (chunked feed, killed between every chunk, replayed appends)
+  * byte-equal to the batch-built indexes.
+  */
+object BloomIngest {
+
+  /** Caller supplies trigger + checkpoint and starts the query.
+    * `docs` needs (doc_id, text). Cold start freezes the first batch's
+    * count as filter capacity (see appendToBloomIndex — production
+    * builds offline with planned capacity instead). */
+  def ingest(docs: DataFrame, dir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        graft.ops.SketchOps.appendToBloomIndex(b.sparkSession, dir, b)
+      }
+}
+
+/** See [[BloomIngest]] — the additive (CMS) half. */
+object CmsIngest {
+
+  def ingest(docs: DataFrame, dir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        graft.ops.SketchOps.appendToCmsIndex(b.sparkSession, dir, b, id)
+      }
+}
