@@ -68,16 +68,31 @@ object SelectOps {
     * CHUNK with the document's token distribution: (Σ cnt·lr)·L0/n_tok. */
   private[ops] val DsirRefLen = 64
 
+  /** The hashed-bucket expression (shared by the corpus aggregate and
+    * the from-model batch scorer — one tokenizer, one hash, forever). */
+  private val BucketExpr =
+    s"CAST(conv(substring(md5(concat('dsir:', tok)), 1, 8), 16, 10) AS BIGINT) % $DsirB"
+
+  /** (doc_id[, lang], b, cnt): per-document hashed-bucket counts over an
+    * arbitrary (doc_id, text[, lang]) frame. */
+  private def bucketFrame(docs: DataFrame, withLang: Boolean): DataFrame = {
+    val keys = if (withLang) Seq("doc_id", "lang") else Seq("doc_id")
+    val base =
+      if (withLang)
+        docs.select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"),
+          explode(split(normalizeText(col("text")), " ")).as("tok"))
+      else
+        docs.select(col("doc_id"),
+          explode(split(normalizeText(col("text")), " ")).as("tok"))
+    base.where(col("tok") =!= "")
+      .withColumn("b", expr(BucketExpr))
+      .groupBy((keys :+ "b").map(col): _*).agg(count(lit(1)).as("cnt"))
+  }
+
   /** (doc_id, lang, b, cnt): per-document hashed-bucket counts — the one
     * corpus-touching aggregate every downstream frame reuses. */
   private def docBuckets(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"),
-        explode(split(normalizeText(col("text")), " ")).as("tok"))
-      .where(col("tok") =!= "")
-      .withColumn("b", expr(
-        s"CAST(conv(substring(md5(concat('dsir:', tok)), 1, 8), 16, 10) AS BIGINT) % $DsirB"))
-      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
+    bucketFrame(documents(s, d), withLang = true)
 
   /** The bucket model: per bucket, Laplace-smoothed log ratio
     * ln(p_target(b) / p_raw(b)) on the millis grid. Only buckets present
@@ -117,6 +132,55 @@ object SelectOps {
   /** Importance weights per document. */
   val dsirWeights: Q = (s, d) =>
     docWeights(s, d).select("doc_id", "n_tok", "w_milli").orderBy("doc_id")
+
+  // ------------------------------------------------------------------
+  // The production split: train the bucket model OFFLINE over the
+  // standing corpus, score documents statelessly as they arrive
+  // (ModelScoreIngest's discipline, model-as-directory because DsirB
+  // rows outgrow the literal convention; it is still one broadcast).
+  // ------------------------------------------------------------------
+
+  /** Persist the standing bucket model: `dir/model` (b, lr_milli) —
+    * ≤ [[DsirB]] rows, the whole standing state of a DSIR deployment —
+    * plus `dir/consts` (1 row: oov_milli), the Laplace-smoothed log
+    * ratio of a bucket the standing corpus never saw (ct = cr = 0 ⇒
+    * ln((nr+B)/(nt+B))): live documents CAN hit buckets absent from
+    * the standing corpus, and dropping those tokens would silently
+    * shrink n_tok and skew the chunk normalization. */
+  def buildDsirModel(s: SparkSession, d: String, dir: String): Unit = {
+    val db = docBuckets(s, d)
+    bucketModel(db)
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/model")
+    db.agg(coalesce(sum("cnt"), lit(0L)).as("nr"))
+      .crossJoin(db.where(col("lang") === TargetLang)
+        .agg(coalesce(sum("cnt"), lit(0L)).as("nt")))
+      .select(expr(
+        s"CAST(round(ln(CAST(nr + $DsirB AS DOUBLE) / CAST(nt + $DsirB AS DOUBLE)) * 1000, 0) AS BIGINT)")
+        .as("oov_milli"))
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/consts")
+  }
+
+  /** Score a `(doc_id, text)` batch under the standing model —
+    * [[docWeights]]' exact integer frames with the model READ instead
+    * of derived, so scoring never touches the standing corpus. Buckets
+    * the standing model never saw take the smoothed OOV log ratio
+    * (left join + coalesce — for same-corpus docs no row misses, which
+    * is what makes the parity pin byte-exact). Output
+    * (doc_id, n_tok, w_milli); row-identical to [[dsirWeights]] when
+    * the model was built over the corpus the docs come from
+    * (SelectSpec pins it). */
+  def dsirWeightsFromModel(s: SparkSession, modelDir: String,
+      docs: DataFrame): DataFrame =
+    bucketFrame(docs, withLang = false)
+      .join(broadcast(s.read.parquet(modelDir + "/model")), Seq("b"), "left")
+      .crossJoin(broadcast(s.read.parquet(modelDir + "/consts")))
+      .withColumn("lr", coalesce(col("lr_milli"), col("oov_milli")))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tok"),
+        sum(col("cnt") * col("lr")).as("s_milli"))
+      .withColumn("w_milli", expr(
+        s"CAST(round(CAST(s_milli * $DsirRefLen AS DOUBLE) / n_tok, 0) AS BIGINT)"))
+      .select("doc_id", "n_tok", "w_milli")
 
   /** Gumbel key: w + g with g = −ln(−ln(u)), u deterministic from a
     * 16-bit md5 of the doc_id — the Gumbel-top-k trick makes the top-K

@@ -498,4 +498,34 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("bit_count"), s"$name:\n$plan")
     }
   }
+
+  test("dedup_bloom: the probe reads the BROADCAST word table, never a shuffle of the probe stream") {
+    val plan = finalPlan(graft.ops.SketchOps.queries("dedup_bloom")(spark, d))
+    // the standing filter (<= m/32 words, bounded by the 2^26 clamp)
+    // ships to the probes; a sort-merge join here would shuffle k rows
+    // per PROBED document — the anti-join the bloom exists to replace
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("text_ngram_cms_topk: cells broadcast to the gram probe; the cut is TakeOrderedAndProject") {
+    val plan = finalPlan(graft.ops.SketchOps.queries("text_ngram_cms_topk")(spark, d))
+    // cell counts partial-aggregate map-side (at most d*w rows per task
+    // regardless of vocabulary — the sketch's whole point)
+    assert(plan.contains("partial_count"), plan)
+    // the d*w-bounded sketch joins broadcast; the gram frame never shuffles for it
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // fixed-K cut = per-partition heaps, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("corpus_dsir_select: bucket model broadcasts; weights partial-aggregate; top-K is bounded heaps") {
+    val plan = finalPlan(graft.ops.SelectOps.queries("corpus_dsir_select")(spark, d))
+    // the <= DsirB-row model ships to the scorer (no doc x vocab work)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // per-doc weight sums combine map-side before their exchange
+    assert(plan.contains("partial_sum"), plan)
+    // the DsirK selection runs as TakeOrderedAndProject, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
