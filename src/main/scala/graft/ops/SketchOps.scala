@@ -366,27 +366,40 @@ object SketchOps {
       .select(md5(coalesce(col("text"), lit(""))).as("ch")).distinct()
     if (!fs.exists(geomPath))
       bloomGeom(hashed).coalesce(1).write.mode("overwrite").parquet(dir + "/geom")
-    bloomWords(bloomPositions(hashed, s.read.parquet(dir + "/geom"), Seq("ch")))
-      .write.mode("append").parquet(dir + "/words")
+    enrollHashes(s, dir, hashed)
   }
 
-  /** Membership probe of every document of corpus `d` against the
-    * persisted filter: the append log compacts to one word per word_idx
-    * by bit_or (the read-time merge), then each doc reads its k word
-    * cells from the broadcast table. Output (doc_id, bloom_hit). */
-  def bloomHitsFromIndex(s: SparkSession, d: String, dir: String): DataFrame = {
+  /** Geometry frame over an already-distinct hash frame — exposed for
+    * the ingest twins' cold-start bootstrap. */
+  def bloomGeomOf(distinctCh: DataFrame): DataFrame = bloomGeom(distinctCh)
+
+  /** Append a distinct-`ch` frame's sparse word table at the STANDING
+    * geometry (the enrollment half of probe-then-insert; OR-idempotent
+    * like every bloom append). */
+  def enrollHashes(s: SparkSession, dir: String, distinctCh: DataFrame): Unit =
+    bloomWords(bloomPositions(distinctCh, s.read.parquet(dir + "/geom"), Seq("ch")))
+      .write.mode("append").parquet(dir + "/words")
+
+  /** Probe an arbitrary `(doc_id, ch)` frame against the persisted
+    * filter: the append log compacts to one word per word_idx by bit_or
+    * (the read-time merge), then each row reads its k word cells from
+    * the broadcast table. Output (doc_id, bloom_hit). */
+  def bloomHitsOf(s: SparkSession, hashed: DataFrame, dir: String): DataFrame = {
     val geom = s.read.parquet(dir + "/geom")
     val words = s.read.parquet(dir + "/words")
       .groupBy("word_idx").agg(expr("bit_or(word)").as("word"))
-    bloomPositions(hashedDocs(s, d), geom, Seq("doc_id", "ch"))
+    bloomPositions(hashed, geom, Seq("doc_id", "ch"))
       .withColumn("word_idx", expr(s"pos div $WordBits"))
       .join(broadcast(words), Seq("word_idx"), "left")
       .withColumn("hit", expr(
         s"CASE WHEN word IS NOT NULL AND (shiftright(word, CAST(pos % $WordBits AS INT)) & 1) = 1 THEN 1 ELSE 0 END"))
       .groupBy("doc_id")
       .agg(min("hit").as("bloom_hit"))
-      .orderBy("doc_id")
   }
+
+  /** Membership probe of every document of corpus `d`. */
+  def bloomHitsFromIndex(s: SparkSession, d: String, dir: String): DataFrame =
+    bloomHitsOf(s, hashedDocs(s, d), dir).orderBy("doc_id")
 
   /** Build the standing CMS for corpus `d`: `dir/cells` rows of
     * (batch_id, r, c, cnt); the build writes under batch_id −1 (the
