@@ -134,6 +134,77 @@ object SketchOps {
       .select(col("doc_id"), col("in_standing"), col("bloom_hit"))
       .orderBy("doc_id")
 
+  // ------------------------------------------------------------------
+  // Sharded bloom — the capacity path past the single-filter broadcast
+  // clamp, implemented rather than waved at: the hash's FIRST NIBBLE
+  // routes every item to one of 16 sub-filters, each with its own
+  // geometry from its own standing count. Capacity before fp
+  // degradation grows 16x (and the nibble count is the dial: two
+  // nibbles = 256x); more importantly the probe join is keyed
+  // (shard, word_idx), so at scale the word table drops the broadcast
+  // hint, lives range-partitioned by shard on disk, and each probe
+  // touches only its shard's partition (the text-index prune shape) —
+  // no single task ever holds the whole filter.
+  // ------------------------------------------------------------------
+
+  /** md5 is uniform, so the first nibble splits the corpus evenly. */
+  private val ShardExpr = "substring(ch, 1, 1)"
+
+  /** (shard, m): per-shard geometry from the shard's own standing
+    * distinct count — the same next-pow2 rule per sub-filter. */
+  private def shardedGeom(standingCh: DataFrame): DataFrame =
+    standingCh.groupBy(expr(ShardExpr).as("shard"))
+      .agg(countDistinct("ch").as("n0"))
+      .select(col("shard"), greatest(col("n0"), lit(1L)).as("n"))
+      .select(col("shard"), expr(
+        s"""coalesce(array_min(filter(
+              transform(sequence($MinPow, $MaxPow), p -> CAST(pow(2, p) AS BIGINT)),
+              v -> v >= $BloomBitsPerItem * n)),
+            CAST(pow(2, $MaxPow) AS BIGINT))""").as("m"))
+
+  /** Bit positions within a row's own shard (the frame must already
+    * carry `shard` and `m`). */
+  private def shardedPositions(withGeom: DataFrame, keep: Seq[String]): DataFrame =
+    withGeom.select((keep :+ "shard").map(col) :+ explode(expr(
+      s"""transform(sequence(0, ${BloomSalts - 1}), i ->
+            CAST(conv(substring(md5(concat('bloom', CAST(i AS STRING), ':', ch)), 1, 8), 16, 10) AS BIGINT) % m)"""))
+      .as("pos"): _*)
+
+  /** Sharded membership probe, same population split as [[dedupBloom]]
+    * (standing = even doc_ids, everyone probes). A probe whose shard
+    * holds NO standing item has no sub-filter to hit — bloom_hit 0 by
+    * construction, handled via the left geometry join rather than
+    * assumed away. Per-shard false negatives stay impossible: an item
+    * and its duplicate share a hash, hence a shard, hence a geometry. */
+  val dedupBloomSharded: Q = (s, d) => {
+    val docs = hashedDocs(s, d)
+    val standing = docs.where(col("doc_id") % 2 === 0)
+    val geoms = shardedGeom(standing.select("ch").distinct())
+    val words = shardedPositions(
+      standing.select("ch").distinct()
+        .withColumn("shard", expr(ShardExpr))
+        .join(broadcast(geoms), "shard"), Seq("ch"))
+      .select(col("shard"), expr(s"pos div $WordBits").as("word_idx"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $WordBits AS INT))").as("bm"))
+      .groupBy("shard", "word_idx").agg(expr("bit_or(bm)").as("word"))
+    val probes = docs
+      .withColumn("in_standing", (col("doc_id") % 2 === 0).cast("int"))
+      .withColumn("shard", expr(ShardExpr))
+      .join(broadcast(geoms), Seq("shard"), "left")
+    val gated = probes.where(col("m").isNotNull)
+    val hits = shardedPositions(gated, Seq("doc_id", "ch", "in_standing"))
+      .withColumn("word_idx", expr(s"pos div $WordBits"))
+      .join(broadcast(words), Seq("shard", "word_idx"), "left")
+      .withColumn("hit", expr(
+        s"CASE WHEN word IS NOT NULL AND (shiftright(word, CAST(pos % $WordBits AS INT)) & 1) = 1 THEN 1 ELSE 0 END"))
+      .groupBy("doc_id", "in_standing")
+      .agg(min("hit").as("bloom_hit"))
+    probes.where(col("m").isNull)
+      .select(col("doc_id"), col("in_standing"), lit(0).as("bloom_hit"))
+      .unionByName(hits.select("doc_id", "in_standing", "bloom_hit"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental append — the bloom form of the established
     * `_incremental` convention: the standing filter (built from the
     * doc_id%4==0 quarter) absorbs a later batch (doc_id%4==2) by
@@ -315,6 +386,7 @@ object SketchOps {
 
   val queries: Map[String, Q] = Map(
     "dedup_bloom" -> dedupBloom,
+    "dedup_bloom_sharded" -> dedupBloomSharded,
     "dedup_bloom_incremental" -> dedupBloomIncremental,
     "dedup_bloom_eval" -> dedupBloomEval,
     "text_ngram_cms_topk" -> ngramCmsTopK,
@@ -503,6 +575,39 @@ object SketchOps {
            SELECT doc_id, CAST(in_standing AS INT) AS in_standing,
              CAST(bloom_hit AS INT) AS bloom_hit
            FROM probe ORDER BY doc_id""",
+    "dedup_bloom_sharded" ->
+      raw"""WITH ch AS (SELECT doc_id, md5(coalesce(text, '')) AS ch FROM documents),
+           sgeo AS (SELECT shard, coalesce(
+                 list_min(list_filter(
+                   list_transform(range($MinPow, ${MaxPow + 1}), p -> CAST(pow(2, p) AS BIGINT)),
+                   v -> v >= $BloomBitsPerItem * n)),
+                 CAST(pow(2, $MaxPow) AS BIGINT)) AS m
+               FROM (SELECT substr(ch, 1, 1) AS shard,
+                       greatest(count(DISTINCT ch), 1) AS n
+                     FROM ch WHERE doc_id % 2 = 0 GROUP BY substr(ch, 1, 1))),
+           sspos AS (SELECT s.shard, ${hex32("md5('bloom' || CAST(i AS VARCHAR) || ':' || s.ch)")} % g.m AS pos
+               FROM (SELECT DISTINCT substr(ch, 1, 1) AS shard, ch FROM ch WHERE doc_id % 2 = 0) s
+               JOIN sgeo g USING (shard) CROSS JOIN range(0, $BloomSalts) t(i)),
+           swords AS (SELECT shard, pos // $WordBits AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % $WordBits AS INT)) AS word
+               FROM sspos GROUP BY shard, pos // $WordBits),
+           sppos AS (SELECT c.doc_id,
+                 CASE WHEN c.doc_id % 2 = 0 THEN 1 ELSE 0 END AS in_standing,
+                 substr(c.ch, 1, 1) AS shard, g.m,
+                 CASE WHEN g.m IS NULL THEN NULL
+                      ELSE ${hex32("md5('bloom' || CAST(i AS VARCHAR) || ':' || c.ch)")} % g.m END AS pos
+               FROM ch c LEFT JOIN sgeo g ON g.shard = substr(c.ch, 1, 1)
+               CROSS JOIN range(0, $BloomSalts) t(i)),
+           shits AS (SELECT p.doc_id, p.in_standing,
+                 CASE WHEN p.m IS NULL THEN 0
+                      WHEN w.word IS NOT NULL
+                       AND ((w.word >> CAST(p.pos % $WordBits AS INT)) & 1) = 1
+                      THEN 1 ELSE 0 END AS hit
+               FROM sppos p LEFT JOIN swords w
+                 ON w.shard = p.shard AND w.word_idx = p.pos // $WordBits)
+           SELECT doc_id, CAST(in_standing AS INT) AS in_standing,
+             CAST(min(hit) AS INT) AS bloom_hit
+           FROM shits GROUP BY doc_id, in_standing ORDER BY doc_id""",
     "dedup_bloom_incremental" ->
       raw"""WITH ${bloomSql("doc_id % 4 = 0")},
            bpos AS (SELECT ${hex32("md5('bloom' || CAST(i AS VARCHAR) || ':' || s.ch)")} % g.m AS pos

@@ -62,6 +62,7 @@ class DeterminismSpec extends SparkSpec {
     "quality_classifier_calibration", // decile table over the trained scores
     "quality_classifier_incremental", // warm-start chain: two phases, one schedule
     "dedup_bloom",           // bit_or word table + min-over-salt probe
+    "dedup_bloom_sharded",   // per-shard geometry + (shard, word_idx) probe join
     "dedup_bloom_incremental", // full-outer word merge under one geometry
     "dedup_bloom_eval",      // guarantee + FP decomposition, one row
     "text_ngram_cms_topk",   // min-over-cells estimate + tie-broken top-k

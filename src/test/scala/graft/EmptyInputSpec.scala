@@ -67,7 +67,8 @@ class EmptyInputSpec extends SparkSpec {
     "vocab_unigram_train", "vocab_unigram_tokenize",
     "quality_classifier_apply", "corpus_curate_model",
     "quality_classifier_calibration",
-    "dedup_bloom", "dedup_bloom_incremental", "text_ngram_cms_topk",
+    "dedup_bloom", "dedup_bloom_sharded", "dedup_bloom_incremental",
+    "text_ngram_cms_topk",
     "corpus_dsir_weights", "corpus_dsir_select")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the

@@ -106,6 +106,25 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("dedup_bloom_sharded matches a per-shard plain-Scala reference; guarantee holds per shard") {
+    val d = writeDocs(dupCorpus)
+    val out = SparkEntry.queries("dedup_bloom_sharded")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val standing = dupCorpus.filter(_._1 % 2 == 0).map(t => md5hex(t._2)).toSet
+    val byShard = standing.groupBy(_.take(1))
+    val geoms = byShard.map { case (sh, chs) => sh -> refGeom(chs.size.toLong) }
+    val words = byShard.map { case (sh, chs) => sh -> refWords(chs, geoms(sh)) }
+    val expected = dupCorpus.map { case (id, text, _) =>
+      val ch = md5hex(text)
+      val sh = ch.take(1)
+      val hit = geoms.get(sh).map(m => refHit(ch, m, words(sh))).getOrElse(0)
+      (id, if (id % 2 == 0) 1 else 0, hit)
+    }.sortBy(_._1)
+    assert(out.toSeq == expected)
+    // per-shard no-false-negative: every standing row self-hits
+    out.filter(_._2 == 1).foreach(t => assert(t._3 == 1, s"standing doc ${t._1} missed"))
+  }
+
   test("bloom eval on the harness corpus: guarantee holds, FP rate in the geometry's band") {
     val row = SparkEntry.queries("dedup_bloom_eval")(spark, "/root/testdata/sf0.001")
       .collect().head
