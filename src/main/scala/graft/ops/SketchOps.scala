@@ -339,6 +339,30 @@ object SketchOps {
       .orderBy(col("df_est").desc, col("sh"))
       .limit(CmsTopN)
 
+  /** Incremental sketch append — [[dedupBloomIncremental]]'s convention
+    * for the ADDITIVE monoid: the standing quarter's cells
+    * (doc_id%4==0) absorb a later batch (doc_id%4==2) by cell-wise
+    * addition, value-identical to a direct build over the union
+    * (shingling is per-doc, so no chunking can change any cell).
+    * cnt_standing rides along so every output row also pins
+    * monotonicity — cells only ever grow. Unlike the bloom, a CMS
+    * append carries real information loss nowhere: the merge is exact,
+    * which is why distributed sketch roll-ups (per-partition partials,
+    * per-day partials, cross-datacenter unions) are the structure's
+    * whole deployment story. */
+  val ngramCmsIncremental: Q = (s, d) => {
+    val sh = DedupOps.docShingles(s, d)
+    val cs = cmsCells(sh.where(col("doc_id") % 4 === 0))
+      .withColumnRenamed("cnt", "cnt_standing")
+    val cb = cmsCells(sh.where(col("doc_id") % 4 === 2))
+      .withColumnRenamed("cnt", "cnt_batch")
+    cs.join(cb, Seq("r", "c"), "full_outer")
+      .select(col("r"), col("c"), col("cnt_standing"),
+        (coalesce(col("cnt_standing"), lit(0L)) +
+          coalesce(col("cnt_batch"), lit(0L))).as("cnt"))
+      .orderBy("r", "c")
+  }
+
   /** e in integer micros — the CMS bound's only transcendental, pinned
     * as a constant so both engines derive the identical integer
     * threshold floor(e·N/w) by pure BIGINT arithmetic. */
@@ -390,6 +414,7 @@ object SketchOps {
     "dedup_bloom_incremental" -> dedupBloomIncremental,
     "dedup_bloom_eval" -> dedupBloomEval,
     "text_ngram_cms_topk" -> ngramCmsTopK,
+    "text_ngram_cms_incremental" -> ngramCmsIncremental,
     "text_ngram_cms_eval" -> ngramCmsEval,
   )
 
@@ -652,6 +677,22 @@ object SketchOps {
            $CmsEstSql
            SELECT sh, df_est FROM est
            ORDER BY df_est DESC, sh LIMIT $CmsTopN""",
+    "text_ngram_cms_incremental" ->
+      raw"""WITH ${DedupOps.ShinglesSql},
+           csrc AS (SELECT t.r, md5('cms' || CAST(t.r AS VARCHAR) || ':' || sh.sh) AS h
+               FROM sh CROSS JOIN range(0, $CmsD) t(r) WHERE sh.doc_id % 4 = 0),
+           cs AS (SELECT r, ${hex32("h")} % $CmsW AS c,
+                 CAST(count(*) AS BIGINT) AS cnt_standing
+               FROM csrc GROUP BY r, ${hex32("h")} % $CmsW),
+           bsrc AS (SELECT t.r, md5('cms' || CAST(t.r AS VARCHAR) || ':' || sh.sh) AS h
+               FROM sh CROSS JOIN range(0, $CmsD) t(r) WHERE sh.doc_id % 4 = 2),
+           cb AS (SELECT r, ${hex32("h")} % $CmsW AS c,
+                 CAST(count(*) AS BIGINT) AS cnt_batch
+               FROM bsrc GROUP BY r, ${hex32("h")} % $CmsW)
+           SELECT CAST(r AS INT) AS r, CAST(c AS BIGINT) AS c, cnt_standing,
+             (coalesce(cnt_standing, 0) + coalesce(cnt_batch, 0)) AS cnt
+           FROM cs FULL OUTER JOIN cb USING (r, c)
+           ORDER BY r, c""",
     "text_ngram_cms_eval" ->
       raw"""WITH ${DedupOps.ShinglesSql},
            $CmsCellsSql,

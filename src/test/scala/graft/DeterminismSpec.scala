@@ -66,6 +66,7 @@ class DeterminismSpec extends SparkSpec {
     "dedup_bloom_incremental", // full-outer word merge under one geometry
     "dedup_bloom_eval",      // guarantee + FP decomposition, one row
     "text_ngram_cms_topk",   // min-over-cells estimate + tie-broken top-k
+    "text_ngram_cms_incremental", // full-outer cell merge, count additivity
     "text_ngram_cms_eval",   // one-sided-error pin + ranked top-20 overlap
     "corpus_dsir_select",    // integer weight sums + gumbel-keyed rank
     "corpus_dsir_eval")      // sampled vs argmax enrichment, one row

@@ -68,7 +68,7 @@ class EmptyInputSpec extends SparkSpec {
     "quality_classifier_apply", "corpus_curate_model",
     "quality_classifier_calibration",
     "dedup_bloom", "dedup_bloom_sharded", "dedup_bloom_incremental",
-    "text_ngram_cms_topk",
+    "text_ngram_cms_topk", "text_ngram_cms_incremental",
     "corpus_dsir_weights", "corpus_dsir_select")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
