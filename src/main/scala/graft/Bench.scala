@@ -62,7 +62,13 @@ object Bench {
     "sim_pq_topk" -> 0.7,
     // IVF lists × PQ codes composed: candidate recall bounds the
     // composition, measured at/above the plain-PQ level at both SFs
-    "sim_ivf_pq_topk" -> 0.7)
+    "sim_ivf_pq_topk" -> 0.7,
+    // 1-bit codes + exact rescore over the data-derived n/20 shortlist;
+    // measured 0.625 sf0.1 / 0.958 sf1 — recall IMPROVES with corpus
+    // scale (the weak-cosine tail's rank fraction shrinks in n; the
+    // shortlist scaladoc carries the knee analysis), so the floor sits
+    // under the small-corpus end with slack
+    "sim_binary_topk" -> 0.55)
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -229,7 +235,7 @@ object Bench {
       val truth = topSet("sim_brute_topk")
       val annNames = Seq("sim_lsh_topk",
         "sim_lsh_noprobe_baseline_topk", "sim_ivf_topk", "sim_q8_topk", "sim_ivf_q8_topk",
-        "sim_knn_graph", "sim_pq_topk", "sim_ivf_pq_topk")
+        "sim_knn_graph", "sim_pq_topk", "sim_ivf_pq_topk", "sim_binary_topk")
       val recalls = annNames.map { n =>
         val approx = topSet(n)
         val per = truth.toSeq.map { case (q, t) =>

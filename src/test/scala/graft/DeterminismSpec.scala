@@ -69,6 +69,7 @@ class DeterminismSpec extends SparkSpec {
     "text_ngram_cms_incremental", // full-outer cell merge, count additivity
     "text_ngram_cms_eval",   // one-sided-error pin + ranked top-20 overlap
     "corpus_dsir_select",    // integer weight sums + gumbel-keyed rank
+    "sim_binary_topk",       // hamming shortlist + float rescore, two-phase
     "corpus_dsir_eval")      // sampled vs argmax enrichment, one row
 
   for (name <- pinned) {

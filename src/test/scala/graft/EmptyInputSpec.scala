@@ -52,7 +52,7 @@ class EmptyInputSpec extends SparkSpec {
     "sample_split_hash", "sample_stratified", "corpus_mix", "corpus_stats",
     "sample_temperature", "text_entropy", "agg_hop_count", "agg_cumulate_count",
     "pack_sequences", "corpus_curate", "emb_quantize_int8", "sim_brute_topk",
-    "sim_lsh_topk",
+    "sim_lsh_topk", "emb_quantize_binary", "sim_binary_topk",
     "events_sessionize", "events_funnel", "events_retention",
     "events_attribution", "events_path_topk", "events_revenue_stats",
     "events_props_keys", "mm_frame_sample",
