@@ -817,8 +817,8 @@ object SimOps {
     * sign bit, so DuckDB BIGINT and Spark LongType agree bit for bit
     * with no two's-complement edge cases. Distinct powers mean the sum
     * IS the bitwise OR. */
-  private def binarized(s: SparkSession, d: String): DataFrame =
-    gatedVecs(s, d)
+  private[ops] def binarizeFrame(vecs: DataFrame): DataFrame =
+    vecs
       .withColumn("b_lo", expr(
         """aggregate(transform(sequence(0, 31), j ->
              IF(element_at(embedding, j + 1) >= 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
@@ -827,6 +827,9 @@ object SimOps {
         """aggregate(transform(sequence(0, 31), j ->
              IF(element_at(embedding, j + 33) >= 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
            CAST(0 AS BIGINT), (a, x) -> a + x)"""))
+
+  private def binarized(s: SparkSession, d: String): DataFrame =
+    binarizeFrame(gatedVecs(s, d))
 
   /** The sign-bit table as an inspectable query. */
   val quantizeBinary: Q = (s, d) =>
@@ -855,6 +858,58 @@ object SimOps {
     // the only approximation between this and the float baseline
     rankTopK(
       short.join(corpusWithNorm(s, d), "vec_id")
+        .join(broadcast(qset(s, d)), "q_id")
+        .withColumn("sim",
+          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
+      3)
+  }
+
+  /** Persist the binary index: `dir/codes` (vec_id, b_hi, b_lo — 8 B
+    * of signal per row, the 32× cut the family exists for) and
+    * `dir/vectors` (the float store the rescore reads for shortlist
+    * rows only). */
+  def buildBinaryIndex(s: SparkSession, d: String, dir: String): Unit = {
+    binarized(s, d).select("vec_id", "b_hi", "b_lo")
+      .write.mode("overwrite").parquet(dir + "/codes")
+    corpusWithNorm(s, d).write.mode("overwrite").parquet(dir + "/vectors")
+  }
+
+  /** Append a `(vec_id, embedding)` batch. Unlike PQ there is NO
+    * standing model to encode against — binarization is a pure
+    * projection, so appends can never drift from the build and no
+    * codebook-refresh policy exists to get wrong. Same retry contract
+    * as the PQ index: the query path dedups both tables by vec_id, so
+    * a replayed append is invisible (BinaryIndexSpec pins it). The
+    * batch rides the same corrupt-vector gate as the build. */
+  def appendToBinaryIndex(s: SparkSession, dir: String, batch: DataFrame): Unit = {
+    graft.expressions.VectorExpressions.register(s)
+    val gated = DedupOps.EmbGate.clean(
+      batch.select(col("vec_id"), col("embedding")), "c_nrm")
+    binarizeFrame(gated.select("vec_id", "embedding"))
+      .select("vec_id", "b_hi", "b_lo")
+      .write.mode("append").parquet(dir + "/codes")
+    gated.write.mode("append").parquet(dir + "/vectors")
+  }
+
+  /** Query the PERSISTED binary index with corpus `d`'s query set —
+    * identical semantics to [[binaryTopK]] over the same corpus
+    * (BinaryIndexSpec pins the equality). The shortlist depth derives
+    * from the DEDUPED code count, so a retry can't silently deepen
+    * it; the corpus table is touched only to binarize the 8 queries. */
+  def binaryTopKFromIndex(s: SparkSession, d: String, dir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val codes = s.read.parquet(dir + "/codes").dropDuplicates("vec_id")
+    val vectors = s.read.parquet(dir + "/vectors").dropDuplicates("vec_id")
+    val qs = binarizeFrame(
+      qset(s, d).select(col("q_id"), col("q_emb").as("embedding")))
+      .select(col("q_id"), col("b_hi").as("q_hi"), col("b_lo").as("q_lo"))
+    val ham = codes.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        -expr("bit_count(b_hi ^ q_hi) + bit_count(b_lo ^ q_lo)").cast("double"))
+    val short = rankTopK(ham, binShortlist(codes.count()))
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
+    rankTopK(
+      short.join(vectors, "vec_id")
         .join(broadcast(qset(s, d)), "q_id")
         .withColumn("sim",
           expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
