@@ -519,6 +519,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("sim_binary_topk: code table scans against broadcast query bits; no cartesian anywhere") {
+    val plan = finalPlan(graft.ops.SimOps.queries("sim_binary_topk")(spark, d))
+    // stage 1 is a scan of the 8 B/row code table against the 8
+    // broadcast query rows; stage 2 rescores the shortlist — neither
+    // may degenerate into a corpus-wide nested loop
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("bit_count"), plan)
+  }
+
   test("corpus_dsir_select: bucket model broadcasts; weights partial-aggregate; top-K is bounded heaps") {
     val plan = finalPlan(graft.ops.SelectOps.queries("corpus_dsir_select")(spark, d))
     // the <= DsirB-row model ships to the scorer (no doc x vocab work)
