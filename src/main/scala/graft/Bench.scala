@@ -336,6 +336,19 @@ object Bench {
       if (blFp > 0.05)
         floorViolation = floorViolation.orElse(
           Some(s"dedup_bloom_eval fp rate = $blFp > 0.05 at $floorTag"))
+      // HLL: the register sketch's measured error against the exact
+      // count it rides beside. Standard error is 1.04/sqrt(4096) ≈
+      // 1.6 % (measured 0.5-0.6 % at both SFs, raw branch at sf1, LC
+      // at sf0.1); the 5 % ceiling is ~3 sigma — corpus slack, not
+      // drift slack. Null rel_err (empty event stream) is vacuous.
+      val hllRow = SparkEntry.queries("events_unique_users_hll")(spark, sfDir)
+        .collect().head
+      val hllErr =
+        if (hllRow.isNullAt(hllRow.fieldIndex("rel_err_r"))) 0.0
+        else hllRow.getDouble(hllRow.fieldIndex("rel_err_r"))
+      if (hllErr > 0.05)
+        floorViolation = floorViolation.orElse(
+          Some(s"events_unique_users_hll rel_err = $hllErr > 0.05 at $floorTag"))
       val cmsRow = SparkEntry.queries("text_ngram_cms_eval")(spark, sfDir)
         .collect().head
       val cmsUnder = cmsRow.getLong(cmsRow.fieldIndex("n_under"))
@@ -370,6 +383,7 @@ object Bench {
         s""","classifier_acc":$clsAcc,"classifier_majority":$clsMaj""" +
         s""","bloom_false_neg":$blFn,"bloom_fp":$blFp""" +
         s""","cms_under":$cmsUnder,"cms_bound_miss":$cmsMiss""" +
+        s""","hll_rel_err":$hllErr""" +
         s""","cms_top20_overlap_baseline":$cmsTop""" +
         s""","dsir_lift_argmax":$dsArg,"dsir_lift_sampled_baseline":$dsSam"""
     } catch {

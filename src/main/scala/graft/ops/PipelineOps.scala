@@ -344,8 +344,12 @@ object PipelineOps {
     * over md5 is chosen over HLL deliberately: every engine computes the
     * SAME md5, so the k smallest hash values — and therefore the
     * estimate (k−1)/kth_min_fraction — are bit-identical and
-    * oracle-checkable, while HLL implementations differ per engine and
-    * can never pass an exact compare. Scale shape: the k-th smallest of
+    * oracle-checkable, while the engines' BUILT-IN HLLs differ by
+    * construction and can never pass an exact compare. (The registry
+    * also ships an oracle-checkable HLL — [[SketchOps]] pins its
+    * registers from scratch on the same md5 grid; what KMV still buys
+    * is the k-values form itself, whose estimate needs no bias
+    * constant.) Scale shape: the k-th smallest of
     * the token-hash stream is a TakeOrderedAndProject (per-partition
     * heap of k, driver merges partitions·k rows) — one scan, no global
     * sort; the exact count beside it is the audit path. */

@@ -405,6 +405,173 @@ object SketchOps {
   }
 
   // ------------------------------------------------------------------
+  // HyperLogLog — the register-file cardinality sketch (Flajolet,
+  // Fusy, Gandouet & Meunier, AofA'07). KMV ([[PipelineOps.kmvSketch]])
+  // already answers "how many distinct" with k sorted hash minima; HLL
+  // answers the same question with m = 2^p REGISTERS whose merge law is
+  // per-register MAX — an idempotent, commutative monoid. That merge law
+  // is what KMV lacks and what a 100 TB deployment actually exploits:
+  // per-partition register files combine map-side (each task ships at
+  // most m rows no matter how many items it saw), per-GROUP cardinality
+  // is one groupBy away ([[eventsHllByType]] — distinct users per event
+  // type in a single pass, no per-group distinct shuffle), roll-ups
+  // across days/datacenters are register maxes, and at-least-once
+  // replay is absorbed outright (max is idempotent — the bloom OR
+  // story, not the CMS batch-id story).
+  //
+  // Both engines' BUILT-IN HLLs (Spark approx_count_distinct, DuckDB
+  // approx_count_distinct) disagree by construction — different hash,
+  // different bias tables — so like every sketch here the registers are
+  // pinned from scratch on the shared md5 grid: 32-bit hash, low p bits
+  // route to a bucket, rho = leading-zero rank of the remaining
+  // [[HllWBits]] bits via length(bin(w)) — pure integer in both
+  // engines. The estimate's harmonic mean is computed EXACTLY: each
+  // register contributes the integer 2^(RhoMax − rho), so sum_int is a
+  // BIGINT and the raw estimate is ONE IEEE division of two exactly-
+  // representable doubles. The only transcendental (linear counting's
+  // ln) goes through the 1e-6 micro grid (the corpus_drift/unigram
+  // discipline).
+  // ------------------------------------------------------------------
+
+  /** p = 12 → m = 4096 registers; standard error 1.04/√m ≈ 1.6 %. */
+  private[ops] val HllP = 12
+  private[ops] val HllM = 4096
+  /** 32-bit hash minus p bucket bits. */
+  private val HllWBits = 20
+  /** rho of w = 0 (all remaining bits zero): WBits + 1. */
+  private val HllRhoMax = HllWBits + 1
+  /** 2^RhoMax — the exact-integer scale of the harmonic sum: an EMPTY
+    * register (rho 0) contributes 2^RhoMax, a register at rho r
+    * contributes 2^(RhoMax − r), and sum_int = Σ fits in BIGINT
+    * (≤ m·2^21 = 2^33). */
+  private val HllPow = 1L << HllRhoMax
+  /** alpha_m = 0.7213/(1 + 1.079/m) for m ≥ 128, on the micro grid —
+    * the bias constant is the estimate's only non-integer input besides
+    * the one final division. */
+  private val HllAlphaMicro = 721110L
+
+  /** (grp..., bucket, rho) register file over a `tok` frame. The
+    * groupBy's map-side partial MAX bounds every task's shuffle output
+    * at m rows per group — the property that makes corpus-scale
+    * cardinality a fixed-size exchange. */
+  private def hllRegisters(tokens: DataFrame, grp: Seq[String]): DataFrame =
+    tokens
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .select(grp.map(col) ++ Seq(
+        (col("h") % HllM).as("bucket"), expr(s"h div $HllM").as("w")): _*)
+      .withColumn("rho", when(col("w") === 0, lit(HllRhoMax))
+        .otherwise(lit(HllRhoMax) - length(bin(col("w")))).cast("int"))
+      .groupBy((grp :+ "bucket").map(col): _*)
+      .agg(max("rho").as("rho"))
+
+  /** Per-group estimate from a register file: n_present (nonzero
+    * registers), the exact harmonic sum_int, and the estimate with the
+    * textbook small-range branch — linear counting m·ln(m/V) when the
+    * raw estimate is under 2.5·m and zero registers remain (V = m −
+    * n_present). At harness scale LC is the active branch; the raw
+    * branch engages past ~10 k distinct (sf1's event stream). */
+  private def hllEstimate(regs: DataFrame, grp: Seq[String]): DataFrame = {
+    val agged = (if (grp.isEmpty) regs.groupBy() else regs.groupBy(grp.map(col): _*))
+      .agg(count(lit(1)).as("n_present"),
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoMax - rho)")),
+          lit(0L)).as("sum_present"))
+    agged
+      .withColumn("sum_int",
+        expr(s"sum_present + ($HllM - n_present) * CAST($HllPow AS BIGINT)"))
+      .withColumn("v_zero", expr(s"$HllM - n_present"))
+      // every literal is an integer with an explicit CAST AS DOUBLE —
+      // a bare 2.5/1000000.0 parses as DECIMAL in Spark but DOUBLE in
+      // DuckDB (the sf1-replay divergence class caught on DSIR)
+      .withColumn("e_raw", expr(
+        s"(CAST($HllAlphaMicro AS DOUBLE) * $HllM * $HllM * $HllPow) / (CAST(1000000 AS DOUBLE) * CAST(sum_int AS DOUBLE))"))
+      .withColumn("hll_estimate_r", expr(
+        s"""CASE WHEN e_raw <= CAST(${5 * HllM / 2} AS DOUBLE) AND v_zero > 0
+              THEN round($HllM * CAST(round(ln(CAST($HllM AS DOUBLE) / v_zero) * 1000000, 0) AS BIGINT) / CAST(1000000 AS DOUBLE), 6)
+              ELSE round(e_raw, 6) END"""))
+      .drop("sum_present", "e_raw", "v_zero")
+  }
+
+  /** rel_err beside the estimate — the KMV audit convention (NULL on an
+    * empty domain, never a 0/0 throw under ANSI mode). */
+  private def withRelErr(df: DataFrame): DataFrame =
+    df.withColumn("rel_err_r",
+      when(col("exact_distinct") === 0, lit(null).cast("double"))
+        .otherwise(round(
+          abs(col("hll_estimate_r") - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double"), 6)))
+
+  /** One-row sketch audit over a single-column `tok` frame: exact count
+    * beside the estimate (the audit path), n_present + sum_int pinning
+    * the full register state as integers. */
+  private def hllRow(tokens: DataFrame): DataFrame =
+    withRelErr(
+      tokens.agg(countDistinct("tok").as("exact_distinct"))
+        .crossJoin(broadcast(hllEstimate(hllRegisters(tokens, Nil), Nil)))
+        .select(col("exact_distinct"), col("n_present"), col("sum_int"),
+          col("hll_estimate_r")))
+
+  /** Event-stream token frame: distinct USERS, on the same string/md5
+    * grid as [[PipelineOps.eventsUniqueUsersKmv]] so the two sketches
+    * audit the identical domain. */
+  private def userTokens(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d).where(col("user_id").isNotNull)
+      .select(col("user_id"), col("user_id").cast("string").as("tok"))
+
+  /** Approximate distinct users over the event stream — HLL beside the
+    * registered KMV, same answer domain, mergeable registers. */
+  val eventsUniqueUsersHll: Q = (s, d) =>
+    hllRow(userTokens(s, d).select("tok"))
+
+  /** Approximate vocabulary size — HLL over the same unigram stream as
+    * [[PipelineOps.vocabKmv]]. */
+  val vocabHll: Q = (s, d) => {
+    graft.expressions.TextShingles.register(s)
+    hllRow(documents(s, d)
+      .select(explode(expr("text_shingles(text, 1)")).as("tok")))
+  }
+
+  /** Distinct users PER EVENT TYPE in one pass — the query the register
+    * monoid exists for: a single groupBy(type, bucket) MAX builds every
+    * group's register file simultaneously (each task ships ≤ m rows per
+    * group seen), where the exact form pays a full (type, user)
+    * distinct shuffle. The exact count rides along per group as the
+    * audit column. */
+  val eventsHllByType: Q = (s, d) => {
+    val toks = graft.Tables.events(s, d).where(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id").cast("string").as("tok"))
+    val est = hllEstimate(hllRegisters(toks, Seq("event_type")), Seq("event_type"))
+    withRelErr(
+      toks.groupBy("event_type").agg(countDistinct("tok").as("exact_distinct"))
+        .join(est, Seq("event_type"))
+        .select(col("event_type"), col("exact_distinct"), col("n_present"),
+          col("sum_int"), col("hll_estimate_r")))
+      .orderBy("event_type")
+  }
+
+  /** Incremental register merge — the `_incremental` convention for the
+    * MAX monoid: the standing register file (user_id%4==0) absorbs a
+    * later batch (user_id%4==2) by per-bucket greatest, value-identical
+    * to a direct build over the union (max is associative, commutative
+    * AND idempotent — of the three sketch merge laws this is the only
+    * one where even overlapping batches cannot perturb the answer).
+    * rho_standing rides along pinning monotonicity: registers only ever
+    * grow. */
+  val eventsHllIncremental: Q = (s, d) => {
+    val toks = userTokens(s, d)
+    val standing = hllRegisters(
+      toks.where(col("user_id") % 4 === 0).select("tok"), Nil)
+      .withColumnRenamed("rho", "rho_standing")
+    val batch = hllRegisters(
+      toks.where(col("user_id") % 4 === 2).select("tok"), Nil)
+      .withColumnRenamed("rho", "rho_batch")
+    standing.join(batch, Seq("bucket"), "full_outer")
+      .select(col("bucket"), col("rho_standing"),
+        greatest(coalesce(col("rho_standing"), lit(0)),
+          coalesce(col("rho_batch"), lit(0))).cast("int").as("rho"))
+      .orderBy("bucket")
+  }
+
+  // ------------------------------------------------------------------
   // Registration
   // ------------------------------------------------------------------
 
@@ -416,6 +583,10 @@ object SketchOps {
     "text_ngram_cms_topk" -> ngramCmsTopK,
     "text_ngram_cms_incremental" -> ngramCmsIncremental,
     "text_ngram_cms_eval" -> ngramCmsEval,
+    "events_unique_users_hll" -> eventsUniqueUsersHll,
+    "vocab_hll" -> vocabHll,
+    "events_hll_by_type" -> eventsHllByType,
+    "events_hll_incremental" -> eventsHllIncremental,
   )
 
   // ------------------------------------------------------------------
@@ -521,6 +692,30 @@ object SketchOps {
       .select(lit(batchId).as("batch_id"), col("r"), col("c"), col("cnt"))
       .write.mode("append").parquet(dir + "/cells")
   }
+
+  /** Build the standing HLL register file over a single-column `tok`
+    * frame: `dir/regs` rows of (bucket, rho). No geometry file — m is a
+    * compile-time constant (unlike the bloom, an HLL's size does not
+    * depend on the corpus; registers saturate gracefully instead). */
+  def buildHllIndex(s: SparkSession, dir: String, tokens: DataFrame): Unit =
+    hllRegisters(tokens, Nil).write.mode("overwrite").parquet(dir + "/regs")
+
+  /** Append a batch's register file — cost ∝ the batch's own hash work,
+    * standing rows never rewritten. MAX is idempotent, so like the
+    * bloom's OR (and unlike the CMS sum) ANY replay interleaving —
+    * full redelivery, a partial first write retried in full, even
+    * overlapping batches — is absorbed by the read-time merge with no
+    * batch-id machinery. */
+  def appendToHllIndex(s: SparkSession, dir: String, tokens: DataFrame): Unit =
+    hllRegisters(tokens, Nil).write.mode("append").parquet(dir + "/regs")
+
+  /** The standing cardinality estimate: per-bucket MAX over the append
+    * log (the read-time merge), then the same estimate tail the batch
+    * op runs — never a rescan of the corpus the index stands for. */
+  def hllEstimateFromIndex(s: SparkSession, dir: String): DataFrame =
+    hllEstimate(
+      s.read.parquet(dir + "/regs").groupBy("bucket").agg(max("rho").as("rho")),
+      Nil)
 
   /** The standing sketch: replay-deduped, then cell-wise summed. */
   private def cmsMergedCells(s: SparkSession, dir: String): DataFrame =
@@ -712,7 +907,92 @@ object SketchOps {
                greatest(count(*), 1), 0) AS BIGINT) AS mean_over_micro,
              (SELECT top20_overlap FROM ov) AS top20_overlap
            FROM est CROSS JOIN tot t""",
+    "events_unique_users_hll" -> hllOracleSql(
+      "SELECT CAST(user_id AS VARCHAR) AS tok FROM events WHERE user_id IS NOT NULL"),
+    "vocab_hll" -> hllOracleSql(
+      s"SELECT unnest(string_split(${DedupOps.NormSql}, ' ')) AS tok FROM documents"),
+    "events_hll_by_type" ->
+      raw"""WITH t AS (SELECT event_type, CAST(user_id AS VARCHAR) AS tok
+               FROM events WHERE user_id IS NOT NULL),
+           hh AS (SELECT event_type, ${hex32("md5(tok)")} AS h FROM t),
+           reg AS (SELECT event_type, h % $HllM AS bucket, ${hllRhoSql("h")} AS rho
+               FROM hh GROUP BY event_type, h % $HllM),
+           agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_present,
+                 CAST(coalesce(SUM(CAST(1 AS BIGINT) << CAST($HllRhoMax - rho AS INT)), 0) AS BIGINT) AS sum_present
+               FROM reg GROUP BY event_type),
+           st AS (SELECT event_type, n_present,
+                 CAST(sum_present + ($HllM - n_present) * CAST($HllPow AS BIGINT) AS BIGINT) AS sum_int,
+                 ($HllM - n_present) AS v_zero
+               FROM agg),
+           est AS (SELECT event_type, n_present, sum_int, ${hllEstSql()} AS hll_estimate_r
+               FROM (SELECT *, ${hllRawSql()} AS e_raw FROM st)),
+           ex AS (SELECT event_type, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+               FROM t GROUP BY event_type)
+           SELECT ex.event_type, ex.exact_distinct, est.n_present, est.sum_int,
+             est.hll_estimate_r,
+             CASE WHEN ex.exact_distinct = 0 THEN NULL
+                  ELSE round(abs(est.hll_estimate_r - CAST(ex.exact_distinct AS DOUBLE))
+                         / CAST(ex.exact_distinct AS DOUBLE), 6) END AS rel_err_r
+           FROM ex JOIN est USING (event_type) ORDER BY event_type""",
+    "events_hll_incremental" ->
+      raw"""WITH t AS (SELECT user_id, CAST(user_id AS VARCHAR) AS tok
+               FROM events WHERE user_id IS NOT NULL),
+           sreg AS (SELECT h % $HllM AS bucket, ${hllRhoSql("h")} AS rho_standing
+               FROM (SELECT ${hex32("md5(tok)")} AS h FROM t WHERE user_id % 4 = 0)
+               GROUP BY h % $HllM),
+           breg AS (SELECT h % $HllM AS bucket, ${hllRhoSql("h")} AS rho_batch
+               FROM (SELECT ${hex32("md5(tok)")} AS h FROM t WHERE user_id % 4 = 2)
+               GROUP BY h % $HllM)
+           SELECT coalesce(s.bucket, b.bucket) AS bucket, s.rho_standing,
+             CAST(greatest(coalesce(s.rho_standing, 0), coalesce(b.rho_batch, 0)) AS INT) AS rho
+           FROM sreg s FULL OUTER JOIN breg b ON s.bucket = b.bucket
+           ORDER BY bucket""",
   )
+
+  /** MAX-register expression over a 32-bit hash column (aggregate
+    * position; DuckDB dialect) — the rho the Spark side derives via
+    * length(bin(w)). */
+  private def hllRhoSql(h: String): String =
+    s"""CAST(MAX(CASE WHEN $h // $HllM = 0 THEN $HllRhoMax
+          ELSE $HllRhoMax - length(bin($h // $HllM)) END) AS INT)"""
+
+  /** The raw harmonic-mean estimate over (sum_int) — every literal an
+    * integer with an explicit DOUBLE cast (the decimal-literal parity
+    * trap). */
+  private def hllRawSql(): String =
+    s"""(CAST($HllAlphaMicro AS DOUBLE) * $HllM * $HllM * $HllPow)
+        / (CAST(1000000 AS DOUBLE) * CAST(sum_int AS DOUBLE))"""
+
+  /** Estimate with the linear-counting small-range branch over
+    * (e_raw, v_zero) — ln through the 1e-6 micro grid. */
+  private def hllEstSql(): String =
+    s"""CASE WHEN e_raw <= CAST(${5 * HllM / 2} AS DOUBLE) AND v_zero > 0
+          THEN round($HllM * CAST(round(ln(CAST($HllM AS DOUBLE) / v_zero) * 1000000, 0) AS BIGINT) / CAST(1000000 AS DOUBLE), 6)
+          ELSE round(e_raw, 6) END"""
+
+  /** The HLL oracle tail over any single-column `tok` CTE body — one
+    * shared SQL skeleton per sketch (the kmvOracleSql discipline), so
+    * sketch semantics cannot drift between registered instances. */
+  private def hllOracleSql(tokenSelect: String): String =
+    raw"""WITH t AS ($tokenSelect),
+         hh AS (SELECT ${hex32("md5(tok)")} AS h FROM t),
+         reg AS (SELECT h % $HllM AS bucket, ${hllRhoSql("h")} AS rho
+             FROM hh GROUP BY h % $HllM),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+               CAST(coalesce(SUM(CAST(1 AS BIGINT) << CAST($HllRhoMax - rho AS INT)), 0) AS BIGINT) AS sum_present
+             FROM reg),
+         st AS (SELECT n_present,
+               CAST(sum_present + ($HllM - n_present) * CAST($HllPow AS BIGINT) AS BIGINT) AS sum_int,
+               ($HllM - n_present) AS v_zero
+             FROM agg),
+         est AS (SELECT n_present, sum_int, ${hllEstSql()} AS hll_estimate_r
+             FROM (SELECT *, ${hllRawSql()} AS e_raw FROM st)),
+         ex AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct FROM t)
+         SELECT ex.exact_distinct, est.n_present, est.sum_int, est.hll_estimate_r,
+           CASE WHEN ex.exact_distinct = 0 THEN NULL
+                ELSE round(abs(est.hll_estimate_r - CAST(ex.exact_distinct AS DOUBLE))
+                       / CAST(ex.exact_distinct AS DOUBLE), 6) END AS rel_err_r
+         FROM ex, est"""
 
   private lazy val CmsCellsSql =
     raw"""shc AS (SELECT r, ${hex32("h")} % $CmsW AS c FROM (

@@ -54,3 +54,23 @@ object CmsIngest {
         graft.ops.SketchOps.appendToCmsIndex(b.sparkSession, dir, b, id)
       }
 }
+
+/** Streaming cardinality at ingest (twin #27): each micro-batch appends
+  * its own HLL register file ([[graft.ops.SketchOps.appendToHllIndex]]);
+  * the standing estimate re-derives through the read-time per-bucket MAX
+  * — the [[BloomIngest]] exactly-once class (MAX is idempotent like OR:
+  * redelivered batches, partial first writes retried in full, and even
+  * overlapping chunk boundaries are absorbed with no batch-id or dedup
+  * machinery), with the HLL twist that the state is a FIXED-SIZE
+  * register file regardless of stream length — the live distinct-users
+  * counter a 100 TB event pipeline keeps per day/tenant. `toks` needs a
+  * single `tok` column. */
+object HllIngest {
+
+  def ingest(toks: DataFrame, dir: String): DataStreamWriter[Row] =
+    toks.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        graft.ops.SketchOps.appendToHllIndex(b.sparkSession, dir, b)
+      }
+}

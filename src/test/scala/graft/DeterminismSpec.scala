@@ -70,7 +70,9 @@ class DeterminismSpec extends SparkSpec {
     "text_ngram_cms_eval",   // one-sided-error pin + ranked top-20 overlap
     "corpus_dsir_select",    // integer weight sums + gumbel-keyed rank
     "sim_binary_topk",       // hamming shortlist + float rescore, two-phase
-    "corpus_dsir_eval")      // sampled vs argmax enrichment, one row
+    "corpus_dsir_eval",      // sampled vs argmax enrichment, one row
+    "events_unique_users_hll", // exact-integer harmonic sum + micro-grid ln
+    "events_hll_incremental") // full-outer register max-merge
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

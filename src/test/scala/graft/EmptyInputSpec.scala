@@ -69,7 +69,8 @@ class EmptyInputSpec extends SparkSpec {
     "quality_classifier_calibration",
     "dedup_bloom", "dedup_bloom_sharded", "dedup_bloom_incremental",
     "text_ngram_cms_topk", "text_ngram_cms_incremental",
-    "corpus_dsir_weights", "corpus_dsir_select")
+    "corpus_dsir_weights", "corpus_dsir_select",
+    "events_hll_by_type", "events_hll_incremental")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
@@ -79,7 +80,8 @@ class EmptyInputSpec extends SparkSpec {
     "mm_video_neardup_eval",
     "quality_classifier_train", "quality_classifier_eval",
     "quality_classifier_incremental",
-    "dedup_bloom_eval", "text_ngram_cms_eval", "corpus_dsir_eval")
+    "dedup_bloom_eval", "text_ngram_cms_eval", "corpus_dsir_eval",
+    "events_unique_users_hll", "vocab_hll")
 
   for (name <- emptyOut) {
     test(s"$name returns zero rows on an empty corpus") {

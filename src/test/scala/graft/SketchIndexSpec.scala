@@ -171,4 +171,69 @@ class SketchIndexSpec extends SparkSpec {
     assert(got == want,
       "streamed chunked ingest must sum to the whole-corpus sketch")
   }
+
+  // ---- persisted HLL (5th sketch structure; max monoid) ----
+
+  import org.apache.spark.sql.functions.col
+
+  private def userToks = Tables.events(spark, sf)
+    .where(col("user_id").isNotNull)
+    .select(col("user_id").cast("string").as("tok"))
+
+  /** The batch op's estimate columns (drop the corpus-scan audit pair —
+    * the index answers without the corpus, so exact/rel_err are not its
+    * contract). */
+  private def batchEstimate: Seq[org.apache.spark.sql.Row] =
+    SparkEntry.queries("events_unique_users_hll")(spark, sf)
+      .select("n_present", "sum_int", "hll_estimate_r").collect().toSeq
+
+  test("persisted HLL: build -> estimate from index == events_unique_users_hll, byte for byte") {
+    val dir = tmp()
+    ops.SketchOps.buildHllIndex(spark, dir, userToks)
+    val got = ops.SketchOps.hllEstimateFromIndex(spark, dir).collect().toSeq
+    assert(got == batchEstimate)
+  }
+
+  test("HLL chunked appends absorb replays, partial retries AND overlapping batches (max idempotence)") {
+    val dir = tmp()
+    val a = userToks.where(col("tok").cast("long") % 3 === 0)
+    val b = userToks.where(col("tok").cast("long") % 3 === 1)
+    val c = userToks.where(col("tok").cast("long") % 3 === 2)
+    ops.SketchOps.appendToHllIndex(spark, dir, a)
+    ops.SketchOps.appendToHllIndex(spark, dir, b)
+    // full replay, a partial first write retried in full, and an append
+    // OVERLAPPING already-enrolled tokens — the interleaving class even
+    // the bloom twin never faces (its batches are disjoint by doc split)
+    ops.SketchOps.appendToHllIndex(spark, dir, b)
+    ops.SketchOps.appendToHllIndex(spark, dir, c.limit(3))
+    ops.SketchOps.appendToHllIndex(spark, dir, c)
+    ops.SketchOps.appendToHllIndex(spark, dir, a.unionAll(b))
+    val got = ops.SketchOps.hllEstimateFromIndex(spark, dir).collect().toSeq
+    assert(got == batchEstimate,
+      "replayed/partial/overlapping appends perturbed the register file")
+  }
+
+  test("streaming HLL ingest (twin #27): chunked, killed between chunks == batch register file") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val base = JFiles.createTempDirectory("graft_skidx_hstream").toString
+    val dir = s"$base/index"
+    val rows = userToks.orderBy("tok").collect().map(_.getString(0))
+    val srcDir = s"$base/src"
+    JFiles.createDirectories(JPaths.get(srcDir))
+    var nFile = 0
+    rows.grouped(math.max(rows.length / 4, 1)).foreach { chunk =>
+      JFiles.writeString(JPaths.get(srcDir, f"f$nFile%03d.json"),
+        chunk.map(t => s"""{"tok":"$t"}""").mkString("", "\n", "\n"))
+      nFile += 1
+      // fresh query per chunk: kill-between-chunk restart from checkpoint
+      val toks = spark.readStream.schema("tok STRING").json(srcDir)
+      val q = streaming.HllIngest.ingest(toks, dir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val got = ops.SketchOps.hllEstimateFromIndex(spark, dir).collect().toSeq
+    assert(got == batchEstimate,
+      "streamed chunked ingest must merge to the batch register file")
+  }
 }

@@ -183,6 +183,89 @@ class SketchSpec extends SparkSpec {
     assert(out.head._1.matches(".*(planted|heavy|hitter|around|words).*"))
   }
 
+  // ---- independent HLL reference ----
+
+  private def refHllRegs(toks: Iterable[String]): Map[Long, Int] =
+    toks.map { t =>
+      val h = hex32(md5hex(t))
+      val w = h / 4096
+      val rho =
+        if (w == 0) 21
+        else 21 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      (h % 4096) -> rho
+    }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** (n_present, sum_int, estimate) — the textbook HLL with the exact
+    * integer harmonic sum and micro-grid ln the operators pin. */
+  private def refHllEstimate(regs: Map[Long, Int]): (Long, Long, Double) = {
+    val nPresent = regs.size.toLong
+    val sumInt = regs.values.map(r => 1L << (21 - r)).sum +
+      (4096L - nPresent) * (1L << 21)
+    val v = 4096L - nPresent
+    val eRaw = (721110.0 * 4096 * 4096 * 2097152.0) / (1000000.0 * sumInt)
+    val est =
+      if (eRaw <= 10240.0 && v > 0) {
+        val lnMicro = math.round(math.log(4096.0 / v) * 1000000.0)
+        round6(4096L * lnMicro / 1000000.0)
+      } else round6(eRaw)
+    (nPresent, sumInt, est)
+  }
+
+  test("vocab_hll matches the plain-Scala reference register file exactly (LC branch)") {
+    val words = (0 until 500).map(i => s"tok$i")
+    val docs = (0L until 10L).map { d =>
+      (d, words.slice(d.toInt * 50, d.toInt * 50 + 50).mkString(" "), "en")
+    }
+    val dir = writeDocs(docs)
+    val row = SparkEntry.queries("vocab_hll")(spark, dir).collect().head
+    val (nP, sI, est) = refHllEstimate(refHllRegs(words))
+    assert(row.getAs[Long]("exact_distinct") == 500L)
+    assert(row.getAs[Long]("n_present") == nP)
+    assert(row.getAs[Long]("sum_int") == sI)
+    assert(row.getAs[Double]("hll_estimate_r") == est)
+    // the LC branch's accuracy: well inside the 1.04/sqrt(m) band
+    assert(row.getAs[Double]("rel_err_r") < 0.05,
+      s"LC estimate off by ${row.getAs[Double]("rel_err_r")}")
+  }
+
+  test("HLL raw branch engages past 2.5m distinct and stays within 3 sigma") {
+    // 30k distinct tokens saturate ~99.9% of the 4096 registers, so the
+    // raw harmonic-mean branch (untouchable at harness corpus scale) is
+    // exercised here: reference-exact arithmetic AND honest accuracy
+    val words = (0 until 30000).map(i => s"rawtok$i")
+    val dir = writeDocs(Seq((0L, words.mkString(" "), "en")))
+    val row = SparkEntry.queries("vocab_hll")(spark, dir).collect().head
+    val (nP, sI, est) = refHllEstimate(refHllRegs(words))
+    assert(row.getAs[Long]("n_present") == nP)
+    assert(row.getAs[Long]("sum_int") == sI)
+    assert(row.getAs[Double]("hll_estimate_r") == est)
+    val eRaw = (721110.0 * 4096 * 4096 * 2097152.0) / (1000000.0 * sI)
+    assert(eRaw > 10240.0, "corpus must be large enough for the raw branch")
+    // 3 sigma = 3 * 1.04/sqrt(4096) ~ 4.9%
+    assert(row.getAs[Double]("rel_err_r") < 0.05,
+      s"raw estimate off by ${row.getAs[Double]("rel_err_r")}")
+  }
+
+  test("events_hll_incremental: merged registers == reference union build; registers only grow") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val users = Tables.events(spark, sf).where(col("user_id").isNotNull)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSeq
+    val union = users.filter(u => u % 4 == 0 || u % 4 == 2).map(_.toString)
+    val want = refHllRegs(union)
+    val got = SparkEntry.queries("events_hll_incremental")(spark, sf).collect()
+    assert(got.map(r => r.getAs[Long]("bucket") -> r.getAs[Int]("rho")).toMap == want,
+      "max-merged registers must equal a direct build over the union")
+    // monotonicity: the merge can only raise a standing register
+    got.filter(!_.isNullAt(1)).foreach { r =>
+      assert(r.getAs[Int]("rho") >= r.getAs[Int]("rho_standing"))
+    }
+  }
+
   test("cms one-sided error on the harness corpus") {
     val row = SparkEntry.queries("text_ngram_cms_eval")(spark, "/root/testdata/sf0.001")
       .collect().head
