@@ -768,6 +768,93 @@ object DedupOps {
       .orderBy("cluster_id")
   }
 
+  // ------------------------------------------------------------------
+  // PageRank centrality — the graph-analytics step past connected
+  // components: CC says WHICH documents form a near-dup cluster,
+  // centrality says which one best REPRESENTS it. keepBest elects by an
+  // external quality signal; keepCentral elects by the graph itself —
+  // the document most linked within its cluster (the canonical original
+  // that every partial scrape overlaps) outranks a leaf that matched
+  // only one neighbor. On a 100 TB corpus both signals exist and
+  // disagree often enough that shipping only one is a policy decision
+  // the engine shouldn't make.
+  // ------------------------------------------------------------------
+
+  /** Damping d = 0.85 in micros. */
+  private[ops] val PrDampMicro = 850000L
+  /** Fixed unrolled round count — the bounded-iteration oracle
+    * discipline (CC rounds / MMR rounds / BPE rounds): 8 damped rounds
+    * contract the power iteration by 0.85^8 ≈ 0.27 of the initial
+    * error, ample to separate centers from leaves (the election only
+    * needs the RANKING within each cluster, not convergence to the
+    * fixpoint). */
+  private[ops] val PrRounds = 8
+  /** Total integer mass: 1e12 units spread over the nodes. Everything
+    * stays BIGINT — per-edge contribution is (damp · (pr div deg)) div
+    * 1e6, teleport is (150000 · (mass div N)) div 1e6 — so every round
+    * is shuffle-order-independent exact arithmetic in both engines
+    * (worst product 8.5e17 < 2^63); the integer divisions leak ≤ a few
+    * units per node per round, priced in the spec's mass-conservation
+    * pin. */
+  private[ops] val PrTotalMass = 1000000000000L
+
+  /** 8 rounds of damped PageRank over an undirected pair graph, all
+    * BIGINT. Scale shape: each round is ONE equi-join of the pr frame
+    * (|nodes| rows) with the edge list — pair-bounded by the same LSH /
+    * df caps that bound the pair generators themselves — plus one
+    * groupBy(dst) whose partial SUM combines map-side; fixed 8 rounds,
+    * lineage cut by checkpoint mid-loop (the CC discipline). No global
+    * sort, no per-node driver work. */
+  private[graft] def pagerankFrom(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nRow = deg.agg(count(lit(1)).as("n_nodes"))
+    var pr = deg.crossJoin(broadcast(nRow))
+      .select(col("src").as("doc_id"), col("deg"), col("n_nodes"),
+        expr(s"CAST($PrTotalMass AS BIGINT) div n_nodes").as("pr"))
+    for (r <- 1 to PrRounds) {
+      val contribs = pr.select(col("doc_id").as("src"),
+          expr(s"($PrDampMicro * (pr div deg)) div 1000000").as("c"))
+        .join(edges, "src")
+        .groupBy("dst").agg(sum("c").as("in_mass"))
+      pr = pr.join(contribs, pr("doc_id") === contribs("dst"), "left")
+        .select(col("doc_id"), col("deg"), col("n_nodes"),
+          (expr(s"(150000 * (CAST($PrTotalMass AS BIGINT) div n_nodes)) div 1000000") +
+            coalesce(col("in_mass"), lit(0L))).as("pr"))
+      // cut the join-per-round lineage before planning cost compounds
+      // (the sim_hybrid_mmr lesson, at a gentler 2-joins-per-round rate)
+      if (r % 4 == 0) pr = pr.localCheckpoint()
+    }
+    pr.select(col("doc_id"), col("deg"), col("pr").as("pr_mass"))
+  }
+
+  /** Centrality of every document in the jaccard near-dup pair graph —
+    * the [[cluster]] node domain with its mass ranking. */
+  val pagerank: Q = (s, d) =>
+    pagerankFrom(ngramJaccard(s, d).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
+  /** Graph-central keeper election: within each CC cluster, keep the
+    * max-PageRank document (min doc_id on exact mass ties). The
+    * centrality join adds one |paired docs|-sized exchange over
+    * [[cluster]]; the per-cluster argmax is the same tiny
+    * partial-agg-friendly struct-max as [[keepBest]]. */
+  val keepCentral: Q = (s, d) => {
+    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
+    val labels = connectedComponents(pairs)._1
+    val pr = pagerankFrom(pairs)
+    labels.join(pr, "doc_id")
+      .groupBy(col("cluster_keeper").as("cluster_id"))
+      .agg(max(struct(col("pr_mass"), (lit(0L) - col("doc_id")).as("neg_id"))).as("k"),
+        count(lit(1)).as("n_docs"))
+      .select(col("cluster_id"), (lit(0L) - col("k.neg_id")).as("central_doc"),
+        col("k.pr_mass").as("central_mass"), col("n_docs"))
+      .orderBy("cluster_id")
+  }
+
   /** Winnowed-fingerprint substring dedup (Schleimer et al., SIGMOD'03;
     * the exact-substring class of Lee et al. 2022): detect document pairs
     * sharing VERBATIM character spans — quotations, mirrored paragraphs,
@@ -1104,6 +1191,8 @@ object DedupOps {
     "dedup_embedding_incremental" -> embeddingIncremental,
     "dedup_embedding_lsh_eval" -> embeddingLshEval,
     "dedup_semantic_cluster" -> semanticCluster,
+    "dedup_pagerank" -> pagerank,
+    "dedup_keep_central" -> keepCentral,
   )
 
   /** Shared SQL fragments for the oracles (DuckDB dialect). NormSql is
@@ -1186,6 +1275,42 @@ object DedupOps {
             FROM j WHERE rn = 1
             UNION ALL
             SELECT -1, -1, -1, CAST(-1 AS BIGINT) FROM (SELECT 1) poison
+            WHERE (SELECT n_changed FROM cc_guard) > 0)
+          ORDER BY cluster_id""",
+    "dedup_pagerank" ->
+      s"""WITH $ShinglesSql,
+          sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          jpairs AS (SELECT doc_a, doc_b FROM jp
+                     JOIN sz sa ON sa.doc_id = doc_a
+                     JOIN sz sb ON sb.doc_id = doc_b
+                     WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3),
+          ${prRoundsCtes("jpairs", "doc_a", "doc_b")}
+          SELECT doc_id, deg, pr AS pr_mass FROM pr$PrRounds ORDER BY doc_id""",
+    "dedup_keep_central" ->
+      s"""WITH $ShinglesSql,
+          sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          jpairs AS (SELECT doc_a, doc_b FROM jp
+                     JOIN sz sa ON sa.doc_id = doc_a
+                     JOIN sz sb ON sb.doc_id = doc_b
+                     WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3),
+          ${ccRoundsCtes("jpairs", "doc_a", "doc_b")},
+          ${prRoundsCtes("jpairs", "doc_a", "doc_b")},
+          jn AS (SELECT c.lbl AS cluster_id, p.doc_id, p.pr,
+                   row_number() OVER (PARTITION BY c.lbl
+                     ORDER BY p.pr DESC, p.doc_id) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY c.lbl) AS BIGINT) AS n_docs
+                 FROM cc_labels c JOIN pr$PrRounds p ON p.doc_id = c.v)
+          SELECT * FROM (
+            SELECT cluster_id, doc_id AS central_doc, pr AS central_mass, n_docs
+            FROM jn WHERE rn = 1
+            UNION ALL
+            SELECT -1, -1, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) FROM (SELECT 1) poison
             WHERE (SELECT n_changed FROM cc_guard) > 0)
           ORDER BY cluster_id""",
     "dedup_ngram_jaccard" ->
@@ -1679,6 +1804,36 @@ object DedupOps {
         cc_labels AS (SELECT v, lbl FROM $fin),
         cc_guard AS (SELECT COUNT(*) AS n_changed
                      FROM $fin a JOIN $grd b ON a.v = b.v AND a.lbl <> b.lbl)"""
+  }
+
+  /** Unrolled PageRank rounds over `pairsCte(aCol, bCol)` — the DuckDB
+    * half of [[pagerankFrom]], ending in `pr{PrRounds}(doc_id, deg,
+    * tele, pr)`. Every round references its predecessor once and the
+    * edge list once; both are MATERIALIZED (the re-inlining gotcha
+    * would otherwise replay the whole shingle chain per round). */
+  private[ops] def prRoundsCtes(pairsCte: String, aCol: String, bCol: String): String = {
+    val rounds = (1 to PrRounds).map { i =>
+      val p = s"pr${i - 1}"
+      s"""pr$i AS MATERIALIZED (
+           SELECT p.doc_id, p.deg, p.tele, p.tele + COALESCE(cm.m, 0) AS pr
+           FROM $p p
+           LEFT JOIN (SELECT e.dst,
+                        CAST(SUM(($PrDampMicro * (q.pr // q.deg)) // 1000000) AS BIGINT) AS m
+                      FROM $p q JOIN pr_edges e ON e.src = q.doc_id
+                      GROUP BY e.dst) cm
+             ON cm.dst = p.doc_id)"""
+    }.mkString(",\n        ")
+    s"""pr_pairs AS MATERIALIZED (SELECT $aCol AS pa, $bCol AS pb FROM $pairsCte),
+        pr_edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pr_pairs
+                  UNION ALL SELECT pb, pa FROM pr_pairs),
+        pr_deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM pr_edges GROUP BY src),
+        pr_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM pr_deg),
+        pr0 AS MATERIALIZED (SELECT d.src AS doc_id, d.deg,
+                  (150000 * (CAST($PrTotalMass AS BIGINT) // n.n_nodes)) // 1000000 AS tele,
+                  CAST($PrTotalMass AS BIGINT) // n.n_nodes AS pr
+                FROM pr_deg d CROSS JOIN pr_n n),
+        $rounds"""
   }
 
   private lazy val semanticClusterOracle: String =

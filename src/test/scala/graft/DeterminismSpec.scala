@@ -72,7 +72,8 @@ class DeterminismSpec extends SparkSpec {
     "sim_binary_topk",       // hamming shortlist + float rescore, two-phase
     "corpus_dsir_eval",      // sampled vs argmax enrichment, one row
     "events_unique_users_hll", // exact-integer harmonic sum + micro-grid ln
-    "events_hll_incremental") // full-outer register max-merge
+    "events_hll_incremental", // full-outer register max-merge
+    "dedup_pagerank")        // 8 unrolled integer-mass damped rounds
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

@@ -70,7 +70,8 @@ class EmptyInputSpec extends SparkSpec {
     "dedup_bloom", "dedup_bloom_sharded", "dedup_bloom_incremental",
     "text_ngram_cms_topk", "text_ngram_cms_incremental",
     "corpus_dsir_weights", "corpus_dsir_select",
-    "events_hll_by_type", "events_hll_incremental")
+    "events_hll_by_type", "events_hll_incremental",
+    "dedup_pagerank", "dedup_keep_central")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
