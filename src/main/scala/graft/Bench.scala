@@ -349,6 +349,19 @@ object Bench {
       if (hllErr > 0.05)
         floorViolation = floorViolation.orElse(
           Some(s"events_unique_users_hll rel_err = $hllErr > 0.05 at $floorTag"))
+      // quantile sketch: worst per-quantile relative error vs exact.
+      // The bucket geometry bounds it at 1/16 = 6.25 % (measured 0-0.7 %
+      // on the harness corpus); the 7 % gate is geometry + interpolation
+      // slack — a bucketing regression (wrong msb, off-by-one sub) lands
+      // far above it.
+      val qsRow = SparkEntry.queries("corpus_quantile_sketch_eval")(spark, sfDir)
+        .collect().head
+      val qsErr = Seq("p50_err_micro", "p90_err_micro", "p99_err_micro")
+        .map(c => if (qsRow.isNullAt(qsRow.fieldIndex(c))) 0L
+          else qsRow.getLong(qsRow.fieldIndex(c))).max / 1e6
+      if (qsErr > 0.07)
+        floorViolation = floorViolation.orElse(
+          Some(s"corpus_quantile_sketch_eval worst rel err = $qsErr > 0.07 at $floorTag"))
       val cmsRow = SparkEntry.queries("text_ngram_cms_eval")(spark, sfDir)
         .collect().head
       val cmsUnder = cmsRow.getLong(cmsRow.fieldIndex("n_under"))
@@ -383,7 +396,7 @@ object Bench {
         s""","classifier_acc":$clsAcc,"classifier_majority":$clsMaj""" +
         s""","bloom_false_neg":$blFn,"bloom_fp":$blFp""" +
         s""","cms_under":$cmsUnder,"cms_bound_miss":$cmsMiss""" +
-        s""","hll_rel_err":$hllErr""" +
+        s""","hll_rel_err":$hllErr,"qsketch_worst_err":$qsErr""" +
         s""","cms_top20_overlap_baseline":$cmsTop""" +
         s""","dsir_lift_argmax":$dsArg,"dsir_lift_sampled_baseline":$dsSam"""
     } catch {

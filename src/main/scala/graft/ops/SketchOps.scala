@@ -572,6 +572,143 @@ object SketchOps {
   }
 
   // ------------------------------------------------------------------
+  // Log-histogram quantile sketch — bounded-state quantiles, the
+  // additive-monoid answer to [[PipelineOps.corpusQuantiles]]' exact
+  // histogram. The exact op's state is the length DOMAIN (fine for doc
+  // lengths, unbounded for a general long-tailed measure: byte sizes,
+  // latencies, token counts reach 10^9 distinct values); this sketch
+  // caps state at < 1000 buckets REGARDLESS of domain: values < 32 get
+  // exact unit buckets, larger values land in 16 sub-buckets per
+  // power-of-two octave (bucket width 1/16 of its floor, so any
+  // quantile estimate is within ~6.25 % of the true value — measured,
+  // not assumed, by the eval row). Everything is integer bit
+  // arithmetic on the shared bin()/shift grid: bucket ids are
+  // invertible (lo/width recompute from the id alone), ranks are
+  // micro-grid integers, and the merge is cell-wise ADD — per-task
+  // map-side partials ship ≤ 1000 rows, roll-ups across
+  // days/partitions are exact sums (the CMS deployment story for
+  // order statistics).
+  // ------------------------------------------------------------------
+
+  /** Type-1 quantile targets on the micro grid. */
+  private[ops] val QsQMicros = Seq(500000L, 900000L, 990000L)
+
+  /** bucket_id from a nonnegative BIGINT `n_chars`: the value itself
+    * under 32, else msb·16 + the next-4-bits sub-bucket. Monotone in
+    * the value (ids ≥ 96 for the octave range), so CDF order == value
+    * order. */
+  private val QsBucket =
+    """CASE WHEN n_chars < 32 THEN n_chars
+       ELSE length(bin(n_chars)) * 16
+            + CAST(shiftright(n_chars, CAST(length(bin(n_chars)) - 5 AS INT)) % 16 AS BIGINT) END"""
+
+  /** Inverse: the bucket's inclusive floor and width. */
+  private val QsLo =
+    """CASE WHEN bucket_id < 32 THEN bucket_id
+       ELSE shiftleft(16 + bucket_id % 16, CAST(bucket_id div 16 - 5 AS INT)) END"""
+  private val QsWidth =
+    """CASE WHEN bucket_id < 32 THEN CAST(1 AS BIGINT)
+       ELSE shiftleft(CAST(1 AS BIGINT), CAST(bucket_id div 16 - 5 AS INT)) END"""
+
+  /** (bucket_id, cnt) cells over a corpus — one map-side-partial
+    * groupBy, ≤ ~1000 rows shipped per task at any corpus size. */
+  private def qsCells(docs: DataFrame): DataFrame =
+    docs.where(col("n_chars").isNotNull)
+      .select(expr(QsBucket).as("bucket_id"))
+      .groupBy("bucket_id").agg(count(lit(1)).as("cnt"))
+
+  /** Quantiles from the sketch: running CDF over the ≤ 1000-row cell
+    * frame (the unpartitioned window is bounded by the SKETCH size,
+    * where the exact op's is bounded by the domain), target rank
+    * ceil(q·n) in pure integers, linear interpolation inside the hit
+    * bucket (exact-unit buckets interpolate to the exact value). */
+  private def qsEstimates(s: SparkSession, d: String): DataFrame = {
+    val cells = qsCells(documents(s, d))
+    val tot = cells.agg(coalesce(sum("cnt"), lit(0L)).as("n_docs"))
+    val cdf = cells
+      .withColumn("cum", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.orderBy("bucket_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+    cdf.select(col("bucket_id"), col("cnt"), col("cum"), col("n_docs"),
+        explode(expr(s"array(${QsQMicros.mkString("L,")}L)")).as("q_micro"))
+      .withColumn("target", expr("(q_micro * n_docs + 999999) div 1000000"))
+      .where(col("cum") >= col("target"))
+      .groupBy("q_micro")
+      .agg(min(struct(col("bucket_id"), col("cnt"), col("cum"),
+        col("n_docs"), col("target"))).as("k"))
+      .select(col("q_micro"), col("k.bucket_id").as("bucket_id"),
+        col("k.cnt").as("cnt"), col("k.cum").as("cum"),
+        col("k.n_docs").as("n_docs"), col("k.target").as("target"))
+      .withColumn("len_est", expr(
+        s"($QsLo) + ((target - (cum - cnt) - 1) * ($QsWidth)) div cnt"))
+  }
+
+  val quantileSketch: Q = (s, d) =>
+    qsEstimates(s, d)
+      .select(
+        expr("CAST(q_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)").as("q"),
+        col("len_est"), col("n_docs"))
+      .orderBy("q")
+
+  /** The measured instrument: sketch vs exact per quantile, one row.
+    * The exact side re-derives the type-1 quantile over the full
+    * histogram with the SAME micro-grid targets, so the only delta is
+    * bucket-width interpolation error — gated in Bench at 7 %
+    * (theoretical ceiling 1/16 ≈ 6.25 % plus interpolation slack). */
+  val quantileSketchEval: Q = (s, d) => {
+    val est = qsEstimates(s, d).select("q_micro", "len_est")
+    val hist = documents(s, d).where(col("n_chars").isNotNull)
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val cdf = hist
+      .withColumn("cum", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.orderBy("n_chars")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(hist.agg(coalesce(sum("cnt"), lit(0L)).as("n_docs"))))
+    val exact = cdf.select(col("n_chars"), col("cum"), col("n_docs"),
+        explode(expr(s"array(${QsQMicros.mkString("L,")}L)")).as("q_micro"))
+      .withColumn("target", expr("(q_micro * n_docs + 999999) div 1000000"))
+      .where(col("cum") >= col("target"))
+      .groupBy("q_micro")
+      .agg(min("n_chars").as("len_exact"), min("n_docs").as("n_docs"))
+    val nb = qsCells(documents(s, d)).agg(count(lit(1)).as("n_buckets"))
+    val j = exact.join(est, "q_micro")
+      .withColumn("err_micro", expr(
+        """CASE WHEN len_exact = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(round(CAST(abs(len_est - len_exact) * 1000000 AS DOUBLE)
+                  / CAST(len_exact AS DOUBLE), 0) AS BIGINT) END"""))
+    j.groupBy().agg(
+        min("n_docs").as("n_docs"),
+        max(when(col("q_micro") === 500000L, col("len_exact"))).as("p50_exact"),
+        max(when(col("q_micro") === 500000L, col("len_est"))).as("p50_est"),
+        max(when(col("q_micro") === 500000L, col("err_micro"))).as("p50_err_micro"),
+        max(when(col("q_micro") === 900000L, col("len_exact"))).as("p90_exact"),
+        max(when(col("q_micro") === 900000L, col("len_est"))).as("p90_est"),
+        max(when(col("q_micro") === 900000L, col("err_micro"))).as("p90_err_micro"),
+        max(when(col("q_micro") === 990000L, col("len_exact"))).as("p99_exact"),
+        max(when(col("q_micro") === 990000L, col("len_est"))).as("p99_est"),
+        max(when(col("q_micro") === 990000L, col("err_micro"))).as("p99_err_micro"))
+      .crossJoin(broadcast(nb))
+  }
+
+  /** Incremental cell merge — the additive `_incremental` convention
+    * (the CMS shape for order statistics): standing cells (doc%4==0)
+    * absorb a batch (doc%4==2) by cell-wise ADD, value-identical to a
+    * union build; cnt_standing rides along pinning monotonicity. */
+  val quantileSketchIncremental: Q = (s, d) => {
+    val docs = documents(s, d)
+    val cs = qsCells(docs.where(col("doc_id") % 4 === 0))
+      .withColumnRenamed("cnt", "cnt_standing")
+    val cb = qsCells(docs.where(col("doc_id") % 4 === 2))
+      .withColumnRenamed("cnt", "cnt_batch")
+    cs.join(cb, Seq("bucket_id"), "full_outer")
+      .select(col("bucket_id"), col("cnt_standing"),
+        (coalesce(col("cnt_standing"), lit(0L)) +
+          coalesce(col("cnt_batch"), lit(0L))).as("cnt"))
+      .orderBy("bucket_id")
+  }
+
+  // ------------------------------------------------------------------
   // Registration
   // ------------------------------------------------------------------
 
@@ -587,6 +724,9 @@ object SketchOps {
     "vocab_hll" -> vocabHll,
     "events_hll_by_type" -> eventsHllByType,
     "events_hll_incremental" -> eventsHllIncremental,
+    "corpus_quantile_sketch" -> quantileSketch,
+    "corpus_quantile_sketch_eval" -> quantileSketchEval,
+    "corpus_quantile_sketch_incremental" -> quantileSketchIncremental,
   )
 
   // ------------------------------------------------------------------
@@ -947,7 +1087,92 @@ object SketchOps {
              CAST(greatest(coalesce(s.rho_standing, 0), coalesce(b.rho_batch, 0)) AS INT) AS rho
            FROM sreg s FULL OUTER JOIN breg b ON s.bucket = b.bucket
            ORDER BY bucket""",
+    "corpus_quantile_sketch" ->
+      raw"""WITH $QsCellsSql,
+           $QsEstSql
+           SELECT CAST(q_micro AS DOUBLE) / CAST(1000000 AS DOUBLE) AS q,
+             len_est, n_docs
+           FROM qest ORDER BY q""",
+    "corpus_quantile_sketch_eval" ->
+      raw"""WITH $QsCellsSql,
+           $QsEstSql,
+           h AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars),
+           hc AS (SELECT n_chars,
+                 SUM(cnt) OVER (ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM h),
+           ht AS (SELECT CAST(coalesce(SUM(cnt), 0) AS BIGINT) AS n_docs FROM h),
+           ex AS (SELECT q.q_micro, MIN(hc.n_chars) AS len_exact,
+                 MIN(ht.n_docs) AS n_docs
+               FROM hc, ht, (SELECT unnest([${QsQMicros.mkString(", ")}]) AS q_micro) q
+               WHERE hc.cum >= (q.q_micro * ht.n_docs + 999999) // 1000000
+               GROUP BY q.q_micro),
+           nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets FROM qcells),
+           j AS (SELECT e.q_micro, e.len_exact, e.n_docs, s.len_est,
+                 CASE WHEN e.len_exact = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(round(CAST(abs(s.len_est - e.len_exact) * 1000000 AS DOUBLE)
+                             / CAST(e.len_exact AS DOUBLE), 0) AS BIGINT) END AS err_micro
+               FROM ex e JOIN qest s USING (q_micro))
+           SELECT CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+             CAST(MAX(CASE WHEN q_micro = 500000 THEN len_exact END) AS BIGINT) AS p50_exact,
+             CAST(MAX(CASE WHEN q_micro = 500000 THEN len_est END) AS BIGINT) AS p50_est,
+             CAST(MAX(CASE WHEN q_micro = 500000 THEN err_micro END) AS BIGINT) AS p50_err_micro,
+             CAST(MAX(CASE WHEN q_micro = 900000 THEN len_exact END) AS BIGINT) AS p90_exact,
+             CAST(MAX(CASE WHEN q_micro = 900000 THEN len_est END) AS BIGINT) AS p90_est,
+             CAST(MAX(CASE WHEN q_micro = 900000 THEN err_micro END) AS BIGINT) AS p90_err_micro,
+             CAST(MAX(CASE WHEN q_micro = 990000 THEN len_exact END) AS BIGINT) AS p99_exact,
+             CAST(MAX(CASE WHEN q_micro = 990000 THEN len_est END) AS BIGINT) AS p99_est,
+             CAST(MAX(CASE WHEN q_micro = 990000 THEN err_micro END) AS BIGINT) AS p99_err_micro,
+             (SELECT n_buckets FROM nb) AS n_buckets
+           FROM j""",
+    "corpus_quantile_sketch_incremental" ->
+      raw"""WITH cs AS (SELECT ${QsBucketSql("n_chars")} AS bucket_id,
+                 CAST(COUNT(*) AS BIGINT) AS cnt_standing
+               FROM documents WHERE n_chars IS NOT NULL AND doc_id % 4 = 0
+               GROUP BY 1),
+           cb AS (SELECT ${QsBucketSql("n_chars")} AS bucket_id,
+                 CAST(COUNT(*) AS BIGINT) AS cnt_batch
+               FROM documents WHERE n_chars IS NOT NULL AND doc_id % 4 = 2
+               GROUP BY 1)
+           SELECT bucket_id, cnt_standing,
+             (coalesce(cnt_standing, 0) + coalesce(cnt_batch, 0)) AS cnt
+           FROM cs FULL OUTER JOIN cb USING (bucket_id)
+           ORDER BY bucket_id""",
   )
+
+  /** DuckDB spelling of [[QsBucket]] over a named column. */
+  private def QsBucketSql(c: String): String =
+    s"""CASE WHEN $c < 32 THEN $c
+        ELSE length(bin($c)) * 16 + (($c >> (length(bin($c)) - 5)) % 16) END"""
+
+  private lazy val QsCellsSql =
+    raw"""qcells AS (SELECT ${QsBucketSql("n_chars")} AS bucket_id,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)"""
+
+  /** CDF + per-quantile hit bucket + interpolation, ending in
+    * `qest(q_micro, len_est, n_docs)` — the DuckDB half of
+    * [[qsEstimates]]. */
+  private lazy val QsEstSql =
+    raw"""qcdf AS (SELECT bucket_id, cnt,
+            CAST(SUM(cnt) OVER (ORDER BY bucket_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM qcells),
+       qtot AS (SELECT CAST(coalesce(SUM(cnt), 0) AS BIGINT) AS n_docs FROM qcells),
+       qhit AS (SELECT q.q_micro, MIN(c.bucket_id) AS bucket_id
+          FROM qcdf c, qtot t, (SELECT unnest([${QsQMicros.mkString(", ")}]) AS q_micro) q
+          WHERE c.cum >= (q.q_micro * t.n_docs + 999999) // 1000000
+          GROUP BY q.q_micro),
+       qest AS (SELECT h.q_micro,
+            (CASE WHEN c.bucket_id < 32 THEN c.bucket_id
+                  ELSE CAST(16 + c.bucket_id % 16 AS BIGINT) << CAST(c.bucket_id // 16 - 5 AS INT) END)
+            + (((q_micro * t.n_docs + 999999) // 1000000 - (c.cum - c.cnt) - 1)
+               * (CASE WHEN c.bucket_id < 32 THEN CAST(1 AS BIGINT)
+                       ELSE CAST(1 AS BIGINT) << CAST(c.bucket_id // 16 - 5 AS INT) END)) // c.cnt
+              AS len_est,
+            t.n_docs
+          FROM qhit h JOIN qcdf c ON c.bucket_id = h.bucket_id CROSS JOIN qtot t)"""
 
   /** MAX-register expression over a 32-bit hash column (aggregate
     * position; DuckDB dialect) — the rho the Spark side derives via

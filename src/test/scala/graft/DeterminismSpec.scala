@@ -73,7 +73,8 @@ class DeterminismSpec extends SparkSpec {
     "corpus_dsir_eval",      // sampled vs argmax enrichment, one row
     "events_unique_users_hll", // exact-integer harmonic sum + micro-grid ln
     "events_hll_incremental", // full-outer register max-merge
-    "dedup_pagerank")        // 8 unrolled integer-mass damped rounds
+    "dedup_pagerank",        // 8 unrolled integer-mass damped rounds
+    "corpus_quantile_sketch") // bounded-cell CDF + integer interpolation
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

@@ -71,7 +71,8 @@ class EmptyInputSpec extends SparkSpec {
     "text_ngram_cms_topk", "text_ngram_cms_incremental",
     "corpus_dsir_weights", "corpus_dsir_select",
     "events_hll_by_type", "events_hll_incremental",
-    "dedup_pagerank", "dedup_keep_central")
+    "dedup_pagerank", "dedup_keep_central",
+    "corpus_quantile_sketch", "corpus_quantile_sketch_incremental")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
@@ -82,7 +83,7 @@ class EmptyInputSpec extends SparkSpec {
     "quality_classifier_train", "quality_classifier_eval",
     "quality_classifier_incremental",
     "dedup_bloom_eval", "text_ngram_cms_eval", "corpus_dsir_eval",
-    "events_unique_users_hll", "vocab_hll")
+    "events_unique_users_hll", "vocab_hll", "corpus_quantile_sketch_eval")
 
   for (name <- emptyOut) {
     test(s"$name returns zero rows on an empty corpus") {

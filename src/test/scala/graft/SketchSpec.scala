@@ -266,6 +266,85 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  // ---- independent quantile-sketch reference ----
+
+  private def refQsBucket(v: Long): Long =
+    if (v < 32) v
+    else {
+      val msb = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      msb.toLong * 16 + ((v >> (msb - 5)) & 15)
+    }
+
+  private def refQsLoWidth(id: Long): (Long, Long) =
+    if (id < 32) (id, 1L)
+    else {
+      val w = 1L << (id / 16 - 5).toInt
+      ((16 + id % 16) << (id / 16 - 5).toInt, w)
+    }
+
+  /** Type-1 sketch quantile with in-bucket interpolation — the
+    * operators' arithmetic re-derived with arrays and loops. */
+  private def refQsQuantile(values: Seq[Long], qMicro: Long): Long = {
+    val cells = values.groupBy(refQsBucket).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val n = values.size.toLong
+    val target = (qMicro * n + 999999) / 1000000
+    var cum = 0L
+    for ((id, cnt) <- cells) {
+      cum += cnt
+      if (cum >= target) {
+        val (lo, w) = refQsLoWidth(id)
+        return lo + ((target - (cum - cnt) - 1) * w) / cnt
+      }
+    }
+    throw new IllegalStateException("target past CDF")
+  }
+
+  private def writeLens(lens: Seq[Long]): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_qs").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rws = lens.zipWithIndex.map { case (len, i) =>
+      Row(i.toLong, "t", "en", "src0", len) }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rws).asJava),
+      schema).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("quantile sketch matches the plain-Scala reference on a 6-decade log-uniform corpus") {
+    // the domain the EXACT histogram can't afford: values spread over
+    // 10^0..10^9 — a window over distinct values would carry ~1000
+    // distinct lengths here but billions in production; the sketch holds
+    // < 1000 buckets by construction at ANY spread
+    val rnd = new scala.util.Random(11)
+    val lens = (1 to 1000).map(_ => math.pow(10.0, rnd.nextDouble() * 9).toLong)
+    val d = writeLens(lens)
+    val got = SparkEntry.queries("corpus_quantile_sketch")(spark, d)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    val sorted = lens.sorted
+    for ((qm, q) <- Seq(500000L -> 0.5, 900000L -> 0.9, 990000L -> 0.99)) {
+      assert(got(q) == refQsQuantile(lens, qm), s"mismatch at q=$q")
+      // true type-1 quantile and the geometry's error bound
+      val exact = sorted(((qm * 1000 + 999999) / 1000000 - 1).toInt)
+      val err = math.abs(got(q) - exact).toDouble / exact
+      assert(err <= 0.0625 + 1e-9, s"q=$q err $err exceeds the 1/16 bucket bound")
+    }
+    val nBuckets = lens.map(refQsBucket).distinct.size
+    assert(nBuckets < 1000, s"bucket bound broken: $nBuckets")
+  }
+
+  test("quantile sketch bucket inverse round-trips the boundary values") {
+    for (v <- Seq(0L, 1L, 31L, 32L, 33L, 63L, 64L, 1L << 20, (1L << 40) + 7)) {
+      val id = refQsBucket(v)
+      val (lo, w) = refQsLoWidth(id)
+      assert(v >= lo && v < lo + w, s"v=$v outside bucket [$lo, ${lo + w})")
+      assert(w <= math.max(lo / 16, 1), s"v=$v width $w over 1/16 of floor $lo")
+    }
+  }
+
   test("cms one-sided error on the harness corpus") {
     val row = SparkEntry.queries("text_ngram_cms_eval")(spark, "/root/testdata/sf0.001")
       .collect().head
