@@ -220,6 +220,63 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Interpolation weight λ = 0.75 on the micro grid — the bigram share
+    * of the mixture; the unigram floor (1−λ) keeps unseen transitions
+    * finite with no discount machinery to pin cross-engine. */
+  private val BgLambdaMicro = 750000L
+
+  /** Interpolated bigram-LM negative log-likelihood per document — the
+    * order-sensitive upgrade of [[unigramNll]] (CCNet's KenLM filter is
+    * an n-gram model for exactly this reason): p(w|v) = λ·c(v,w)/c(v) +
+    * (1−λ)·c(w)/N, averaged over a document's transitions. A document
+    * whose words are corpus-typical but SCRAMBLED scores the same
+    * unigram NLL as its original and strictly worse here — word-salad
+    * spam, shuffled boilerplate, and template stuffing are exactly the
+    * class the unigram filter cannot see (OpGoldensSpec pins the
+    * separation on a permuted twin).
+    *
+    * Scale shape follows the unigram lesson end to end: transitions
+    * collapse to (doc_id, wp, wc, cnt_d) map-side BEFORE any join (the
+    * Zipf-skew fix — "of the" ships once per document, not once per
+    * occurrence); the bigram model and its context marginal are two
+    * aggregates over that same frame; the unigram model reuses the
+    * corpus token aggregate. Every join key is a model row with
+    * bounded fan-in. Per-doc fold over the SORTED (wp, wc) transition
+    * list (double addition is order-sensitive — the family
+    * discipline); the mixture probability itself is one fixed-order
+    * double expression over exact integer counts, mirrored
+    * parenthesis-for-parenthesis in the oracle. Documents with < 2
+    * tokens have no transitions and emit no row in either engine. */
+  val bigramNll: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select(col("doc_id"), split(normalizeText(col("text")), " ").as("tk"))
+    val trans = toks.where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS wp, tk[i] AS wc))")).as("t"))
+      .select(col("doc_id"), col("t.wp").as("wp"), col("t.wc").as("wc"))
+    val docTrans = trans.groupBy("doc_id", "wp", "wc").agg(count(lit(1)).as("cnt_d"))
+    val bi = docTrans.groupBy("wp", "wc").agg(sum("cnt_d").as("c_bi"))
+    val ctx = bi.groupBy("wp").agg(sum("c_bi").as("c_prev"))
+    val uni = toks.select(explode(col("tk")).as("tok")).where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c_uni"))
+    val tot = uni.agg(sum("c_uni").as("n_total"))
+    docTrans.join(bi, Seq("wp", "wc")).join(ctx, Seq("wp"))
+      .join(uni.withColumnRenamed("tok", "wc"), Seq("wc"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("wp"), col("wc"),
+        col("cnt_d"),
+        expr(s"""cnt_d * (-ln(($BgLambdaMicro * (CAST(c_bi AS DOUBLE) / c_prev)
+                 + ${1000000 - BgLambdaMicro} * (CAST(c_uni AS DOUBLE) / n_total))
+                 / CAST(1000000 AS DOUBLE)))""").as("wnll"))
+      .groupBy("doc_id")
+      .agg(sum("cnt_d").as("n_trans"),
+        aggregate(array_sort(collect_list(struct(col("wp"), col("wc"), col("wnll")))),
+          lit(0.0), (acc, x) => acc + x.getField("wnll")).as("s"))
+      .select(col("doc_id"), col("n_trans"),
+        round(col("s") / col("n_trans"), 6).as("avg_nll_r"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_token_count" -> tokenCount,
     "text_quality_score" -> qualityScore,
@@ -229,6 +286,7 @@ object TextOps {
     "text_repetition" -> repetition,
     "text_entropy" -> entropy,
     "text_unigram_nll" -> unigramNll,
+    "text_bigram_nll" -> bigramNll,
   )
 
   private val Norm = DedupOps.NormSql
@@ -315,5 +373,32 @@ object TextOps {
           SELECT doc_id, n_tok,
             round(ln((SELECT n_total FROM tot)) - s / n_tok, 6) AS avg_nll_r
           FROM d ORDER BY doc_id""",
+    "text_bigram_nll" ->
+      s"""WITH tks AS (SELECT doc_id, string_split($Norm, ' ') AS tk FROM documents),
+          tr AS (SELECT doc_id, tk, unnest(generate_series(2, len(tk))) AS i
+                 FROM tks WHERE len(tk) >= 2),
+          dt AS (SELECT doc_id, tk[i-1] AS wp, tk[i] AS wc,
+                   CAST(COUNT(*) AS BIGINT) AS cnt_d
+                 FROM tr GROUP BY doc_id, tk[i-1], tk[i]),
+          bi AS (SELECT wp, wc, CAST(SUM(cnt_d) AS BIGINT) AS c_bi
+                 FROM dt GROUP BY wp, wc),
+          ctx AS (SELECT wp, CAST(SUM(c_bi) AS BIGINT) AS c_prev FROM bi GROUP BY wp),
+          u AS (SELECT unnest(tk) AS tok FROM tks),
+          uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_uni
+                  FROM u WHERE tok <> '' GROUP BY tok),
+          tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS n_total FROM uni),
+          j AS (SELECT dt.doc_id, dt.wp, dt.wc, dt.cnt_d,
+                  dt.cnt_d * (-ln(($BgLambdaMicro * (CAST(bi.c_bi AS DOUBLE) / ctx.c_prev)
+                    + ${1000000 - BgLambdaMicro} * (CAST(uni.c_uni AS DOUBLE) / (SELECT n_total FROM tot)))
+                    / CAST(1000000 AS DOUBLE))) AS wnll
+                FROM dt
+                JOIN bi ON bi.wp = dt.wp AND bi.wc = dt.wc
+                JOIN ctx ON ctx.wp = dt.wp
+                JOIN uni ON uni.tok = dt.wc),
+          dd AS (SELECT doc_id, CAST(SUM(cnt_d) AS BIGINT) AS n_trans,
+                   list_sum(list(wnll ORDER BY wp, wc)) AS s
+                 FROM j GROUP BY doc_id)
+          SELECT doc_id, n_trans, round(s / n_trans, 6) AS avg_nll_r
+          FROM dd ORDER BY doc_id""",
   )
 }

@@ -74,7 +74,8 @@ class DeterminismSpec extends SparkSpec {
     "events_unique_users_hll", // exact-integer harmonic sum + micro-grid ln
     "events_hll_incremental", // full-outer register max-merge
     "dedup_pagerank",        // 8 unrolled integer-mass damped rounds
-    "corpus_quantile_sketch") // bounded-cell CDF + integer interpolation
+    "corpus_quantile_sketch", // bounded-cell CDF + integer interpolation
+    "text_bigram_nll")       // sorted transition fold over doubles
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

@@ -72,7 +72,8 @@ class EmptyInputSpec extends SparkSpec {
     "corpus_dsir_weights", "corpus_dsir_select",
     "events_hll_by_type", "events_hll_incremental",
     "dedup_pagerank", "dedup_keep_central",
-    "corpus_quantile_sketch", "corpus_quantile_sketch_incremental")
+    "corpus_quantile_sketch", "corpus_quantile_sketch_incremental",
+    "text_bigram_nll")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */

@@ -221,6 +221,32 @@ class OpGoldensSpec extends SparkSpec {
     assert(z.getLong(1) == 3L && z.getDouble(2) == 0.0)
   }
 
+  test("text_bigram_nll: analytic zero and the scrambled-twin separation unigram cannot see") {
+    // single doc of one repeated token: every transition has p = 1
+    // (bigram share 1, unigram share 1) → NLL exactly 0
+    val dir0 = writeDocs(Seq(Row(1L, "x x x", "en", "s0", 5L)))
+    val z = ops.TextOps.bigramNll(spark, dir0).collect().head
+    assert(z.getLong(1) == 2L && z.getDouble(2) == 0.0, s"analytic zero: $z")
+
+    // the class-separating property: doc 101 is a PERMUTATION of doc
+    // 100 (identical token multiset), so the unigram filter scores them
+    // identically — but its transitions break the corpus's bigram
+    // structure and the bigram NLL must rank it strictly worse
+    val sent = "the quick brown fox jumps over the lazy dog"
+    val rows = (1L to 10L).map(i => Row(i, sent, "en", "s0", sent.length.toLong)) ++ Seq(
+      Row(100L, sent, "en", "s0", sent.length.toLong),
+      Row(101L, "quick the fox brown over jumps lazy the dog", "en", "s0", sent.length.toLong))
+    val dir = writeDocs(rows)
+    val bg = ops.TextOps.bigramNll(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ug = ops.TextOps.unigramNll(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ug(100L) == ug(101L),
+      s"unigram must be blind to word order: ${ug(100L)} vs ${ug(101L)}")
+    assert(bg(101L) > bg(100L) + 0.5,
+      s"bigram must rank the scramble strictly worse: ${bg(100L)} vs ${bg(101L)}")
+  }
+
   test("vocab_bpe_train: merge chain on a compositional corpus, hand-computed") {
     // wf: "ab" ×2, "abc" ×1. Round 1: (a,b) n=3 beats (b,c) n=1 →
     // " ab ", " ab c ". Round 2: (ab,c) n=1 → "abc". Round 3: no pairs

@@ -389,6 +389,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
 
+  test("text_bigram_nll: transition pre-aggregate before every model join; totals is the only nested loop") {
+    val plan = finalPlan(graft.ops.TextOps.queries("text_bigram_nll")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    // the (doc_id, wp, wc) pre-aggregate collapses hot transitions
+    // ("of the") per document map-side before any exchange — the
+    // unigram Zipf lesson applied to pairs
+    assert(finalOnly.contains("partial_count"), plan)
+    assert("hashpartitioning\\(doc_id#\\d+L?, wp#\\d+, wc#\\d+".r.findFirstIn(finalOnly).isDefined,
+      s"probe side must be the (doc_id, wp, wc) aggregate, not raw transitions:\n$plan")
+    // 1-row totals frame is the only nested-loop join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalOnly).size <= 1, plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
   test("vocab_bpe_train: the word-frequency cap is a two-phase top-k, text-only scan") {
     // the train loop's ONLY corpus-touching job; everything after runs
     // on the checkpointed vocabulary frame
