@@ -622,15 +622,18 @@ object SketchOps {
     * where the exact op's is bounded by the domain), target rank
     * ceil(q·n) in pure integers, linear interpolation inside the hit
     * bucket (exact-unit buckets interpolate to the exact value). */
-  private def qsEstimates(s: SparkSession, d: String): DataFrame = {
-    val cells = qsCells(documents(s, d))
+  /** The estimate tail over any (bucket_id, cnt) cell frame: CDF,
+    * per-quantile hit bucket, integer interpolation — shared by the
+    * batch op and the persisted-index read so the sketch semantics
+    * cannot drift between them. */
+  private def qsQuantilesOf(cells: DataFrame): DataFrame = {
     val tot = cells.agg(coalesce(sum("cnt"), lit(0L)).as("n_docs"))
-    val cdf = cells
+    cells
       .withColumn("cum", sum("cnt").over(
         org.apache.spark.sql.expressions.Window.orderBy("bucket_id")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .crossJoin(broadcast(tot))
-    cdf.select(col("bucket_id"), col("cnt"), col("cum"), col("n_docs"),
+      .select(col("bucket_id"), col("cnt"), col("cum"), col("n_docs"),
         explode(expr(s"array(${QsQMicros.mkString("L,")}L)")).as("q_micro"))
       .withColumn("target", expr("(q_micro * n_docs + 999999) div 1000000"))
       .where(col("cum") >= col("target"))
@@ -643,6 +646,9 @@ object SketchOps {
       .withColumn("len_est", expr(
         s"($QsLo) + ((target - (cum - cnt) - 1) * ($QsWidth)) div cnt"))
   }
+
+  private def qsEstimates(s: SparkSession, d: String): DataFrame =
+    qsQuantilesOf(qsCells(documents(s, d)))
 
   val quantileSketch: Q = (s, d) =>
     qsEstimates(s, d)
@@ -856,6 +862,36 @@ object SketchOps {
     hllEstimate(
       s.read.parquet(dir + "/regs").groupBy("bucket").agg(max("rho").as("rho")),
       Nil)
+
+  /** Build the standing quantile-sketch cell log for corpus `d`:
+    * `dir/cells` rows (batch_id, bucket_id, cnt), build under −1 (the
+    * CMS index convention — the additive monoid's replay safety rides
+    * the batch id). */
+  def buildQsIndex(s: SparkSession, d: String, dir: String): Unit =
+    qsCells(documents(s, d))
+      .select(lit(-1L).as("batch_id"), col("bucket_id"), col("cnt"))
+      .write.mode("overwrite").parquet(dir + "/cells")
+
+  /** Append a `(doc_id, n_chars)` batch's cells under its batch id —
+    * cost ∝ the batch, standing rows never rewritten; a redelivered
+    * batch re-appends IDENTICAL (batch_id, bucket_id, cnt) rows that
+    * the read-time per-key dedup collapses before the sum. */
+  def appendToQsIndex(s: SparkSession, dir: String, docs: DataFrame,
+      batchId: Long): Unit =
+    qsCells(docs)
+      .select(lit(batchId).as("batch_id"), col("bucket_id"), col("cnt"))
+      .write.mode("append").parquet(dir + "/cells")
+
+  /** Quantiles from the persisted cells — replay-deduped, cell-summed,
+    * then the same CDF + interpolation tail as the batch op; never a
+    * corpus rescan. Output (q_micro, len_est, n_docs). */
+  def qsFromIndex(s: SparkSession, dir: String): DataFrame =
+    qsQuantilesOf(
+      s.read.parquet(dir + "/cells")
+        .dropDuplicates("batch_id", "bucket_id")
+        .groupBy("bucket_id").agg(sum("cnt").as("cnt")))
+      .select(col("q_micro"), col("len_est"), col("n_docs"))
+      .orderBy("q_micro")
 
   /** The standing sketch: replay-deduped, then cell-wise summed. */
   private def cmsMergedCells(s: SparkSession, dir: String): DataFrame =

@@ -74,3 +74,22 @@ object HllIngest {
         graft.ops.SketchOps.appendToHllIndex(b.sparkSession, dir, b)
       }
 }
+
+/** Streaming quantile monitoring at ingest (twin #28): each micro-batch
+  * appends its own (batch_id, bucket_id, cnt) cell partial
+  * ([[graft.ops.SketchOps.appendToQsIndex]]) — the [[CmsIngest]]
+  * additive class (replay safety = the batch id the read-time dedup
+  * keys on), giving a LIVE p50/p90/p99 over everything ingested so far
+  * in < 1000 cells of state at any value spread. The production
+  * monitor this models: length/latency distribution drift visible at
+  * ingest time, without a corpus-sized sort anywhere. `docs` needs an
+  * `n_chars` column. */
+object QsIngest {
+
+  def ingest(docs: DataFrame, dir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        graft.ops.SketchOps.appendToQsIndex(b.sparkSession, dir, b, id)
+      }
+}

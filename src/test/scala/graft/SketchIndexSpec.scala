@@ -236,4 +236,60 @@ class SketchIndexSpec extends SparkSpec {
     assert(got == batchEstimate,
       "streamed chunked ingest must merge to the batch register file")
   }
+
+  // ---- persisted quantile sketch (additive monoid, the CMS class) ----
+
+  /** The batch op's (q, len_est, n_docs) rows keyed back to micros for
+    * comparison with the index read. */
+  private def batchQuantiles: Map[Long, (Long, Long)] =
+    SparkEntry.queries("corpus_quantile_sketch")(spark, sf).collect()
+      .map(r => math.round(r.getDouble(0) * 1000000) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+
+  private def indexQuantiles(dir: String): Map[Long, (Long, Long)] =
+    ops.SketchOps.qsFromIndex(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("persisted quantile sketch: build -> quantiles from index == corpus_quantile_sketch") {
+    val dir = tmp()
+    ops.SketchOps.buildQsIndex(spark, sf, dir)
+    assert(indexQuantiles(dir) == batchQuantiles)
+  }
+
+  test("quantile-sketch chunked appends with a replayed batch id sum to the whole corpus") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+    ops.SketchOps.appendToQsIndex(spark, dir, docs.where(col("doc_id") % 3 === 0), 0L)
+    ops.SketchOps.appendToQsIndex(spark, dir, docs.where(col("doc_id") % 3 === 1), 1L)
+    // redelivery under the same id: identical cell rows, deduped pre-sum
+    ops.SketchOps.appendToQsIndex(spark, dir, docs.where(col("doc_id") % 3 === 1), 1L)
+    ops.SketchOps.appendToQsIndex(spark, dir, docs.where(col("doc_id") % 3 === 2), 2L)
+    assert(indexQuantiles(dir) == batchQuantiles,
+      "chunked+replayed cell appends must sum to the whole-corpus sketch")
+  }
+
+  test("streaming quantile ingest (twin #28): chunked, killed between chunks == batch sketch") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val base = JFiles.createTempDirectory("graft_skidx_qstream").toString
+    val dir = s"$base/index"
+    val rows = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .orderBy("doc_id").collect()
+      .map(r => s"""{"doc_id":${r.getLong(0)},"n_chars":${r.getLong(1)}}""")
+    val srcDir = s"$base/src"
+    JFiles.createDirectories(JPaths.get(srcDir))
+    var nFile = 0
+    rows.grouped(math.max(rows.length / 4, 1)).foreach { chunk =>
+      JFiles.writeString(JPaths.get(srcDir, f"f$nFile%03d.json"),
+        chunk.mkString("", "\n", "\n"))
+      nFile += 1
+      val docs = spark.readStream.schema("doc_id LONG, n_chars LONG").json(srcDir)
+      val q = streaming.QsIngest.ingest(docs, dir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(indexQuantiles(dir) == batchQuantiles,
+      "streamed chunked ingest must sum to the batch sketch")
+  }
 }
