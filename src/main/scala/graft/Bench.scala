@@ -362,6 +362,20 @@ object Bench {
       if (qsErr > 0.07)
         floorViolation = floorViolation.orElse(
           Some(s"corpus_quantile_sketch_eval worst rel err = $qsErr > 0.07 at $floorTag"))
+      // random projection: the JL distortion instrument. For k=16 the
+      // mean pairwise distance ratio concentrates near 0.984 with sd
+      // 1/sqrt(2k) ≈ 0.18 (measured 1.06 over the 190-pair sample);
+      // the [0.85, 1.15] gate catches a sign-matrix or scale
+      // regression, which lands far outside it.
+      val rpRow = SparkEntry.queries("emb_project_rp_eval")(spark, sfDir)
+        .collect().head
+      val rpMean =
+        if (rpRow.isNullAt(rpRow.fieldIndex("mean_ratio_micro"))) 1.0
+        else rpRow.getLong(rpRow.fieldIndex("mean_ratio_micro")) / 1e6
+      if (rpRow.getLong(rpRow.fieldIndex("n_pairs")) > 0 &&
+          (rpMean < 0.85 || rpMean > 1.15))
+        floorViolation = floorViolation.orElse(
+          Some(s"emb_project_rp_eval mean ratio = $rpMean outside [0.85, 1.15] at $floorTag"))
       val cmsRow = SparkEntry.queries("text_ngram_cms_eval")(spark, sfDir)
         .collect().head
       val cmsUnder = cmsRow.getLong(cmsRow.fieldIndex("n_under"))
@@ -397,6 +411,7 @@ object Bench {
         s""","bloom_false_neg":$blFn,"bloom_fp":$blFp""" +
         s""","cms_under":$cmsUnder,"cms_bound_miss":$cmsMiss""" +
         s""","hll_rel_err":$hllErr,"qsketch_worst_err":$qsErr""" +
+        s""","rp_mean_ratio":$rpMean""" +
         s""","cms_top20_overlap_baseline":$cmsTop""" +
         s""","dsir_lift_argmax":$dsArg,"dsir_lift_sampled_baseline":$dsSam"""
     } catch {

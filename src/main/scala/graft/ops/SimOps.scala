@@ -817,6 +817,81 @@ object SimOps {
     * sign bit, so DuckDB BIGINT and Spark LongType agree bit for bit
     * with no two's-complement edge cases. Distinct powers mean the sum
     * IS the bitwise OR. */
+  // ------------------------------------------------------------------
+  // Random projection (Johnson–Lindenstrauss) — deterministic ±1 dense
+  // projection 64 → 16 dims, the dimensionality-reduction step between
+  // full floats (256 B) and the quantizers: 4× storage for a measured
+  // pairwise-distance distortion (the eval row). The sign matrix comes
+  // from md5 parity, PRECOMPUTED ONCE in Scala and inlined as literal
+  // ± chains into BOTH engines' expressions (the winnowing-powers
+  // discipline) — no per-row hashing, and the whole projection runs
+  // in-row inside codegen with a fixed left-to-right addition order, so
+  // the doubles are IEEE-identical cross-engine. 1/√k = 1/4 is an exact
+  // binary scale: the projection contains NO transcendental at all.
+  // ------------------------------------------------------------------
+
+  private[ops] val RpK = 16
+  private[ops] val RpDim = 64
+
+  /** ±1 from the first md5 byte's parity per (out-dim, in-dim). */
+  private lazy val RpSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(RpK, RpDim) { (j, i) =>
+      md.reset()
+      if ((md.digest(s"rp:$j:$i".getBytes("UTF-8"))(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  /** The dim-j projection as a literal ± chain over `c` (0-based Spark
+    * subscripts; `oneBased` flips to DuckDB's). */
+  private def rpExpr(j: Int, c: String, oneBased: Boolean): String =
+    RpSigns(j).zipWithIndex.map { case (sg, i) =>
+      (if (sg > 0) " + " else " - ") +
+        s"CAST($c[${if (oneBased) i + 1 else i}] AS DOUBLE)"
+    }.mkString("(CAST(0 AS DOUBLE)", "", ") / CAST(4 AS DOUBLE)")
+
+  /** Projected table, values on the micro grid joined to the family's
+    * comma-string array convention (the qvec shape). */
+  val projectRp: Q = (s, d) =>
+    gatedVecs(s, d).select(col("vec_id"),
+      concat_ws(",", (0 until RpK).map(j => expr(
+        s"CAST(CAST(round((${rpExpr(j, "embedding", oneBased = false)}) * 1000000, 0) AS BIGINT) AS STRING)")): _*)
+        .as("proj_micro"))
+      .orderBy("vec_id")
+
+  /** The JL instrument: pairwise distance ratios ||Py−Px|| / ||y−x||
+    * over the deterministic vec_id<20 pair sample (190 pairs), as
+    * min/mean/max micros in one row. For k=16 the theory says mean
+    * ≈ 0.984 with sd 1/√(2k) ≈ 0.18 — Bench gates the measured mean
+    * inside [0.85, 1.15]; distances use IEEE sqrt (correctly rounded,
+    * hence deterministic) and the mean is an integer division over
+    * micro sums, order-free. */
+  val projectRpEval: Q = (s, d) => {
+    val em = gatedVecs(s, d).where(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"),
+        array((0 until RpK).map(j =>
+          expr(rpExpr(j, "embedding", oneBased = false))): _*).as("p"))
+    val a = em.select(col("vec_id").as("va"), col("embedding").as("ea"), col("p").as("pa"))
+    val b = em.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("p").as("pb"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("d2x", expr(
+        s"""aggregate(sequence(0, ${RpDim - 1}), CAST(0 AS DOUBLE), (acc, i) ->
+             acc + (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))"""))
+      .withColumn("d2y", expr(
+        s"""aggregate(sequence(0, ${RpK - 1}), CAST(0 AS DOUBLE), (acc, i) ->
+             acc + (pa[i] - pb[i]) * (pa[i] - pb[i]))"""))
+      .where(col("d2x") > 0)
+      .withColumn("ratio_micro", expr(
+        "CAST(round(sqrt(d2y / d2x) * 1000000, 0) AS BIGINT)"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min("ratio_micro").as("min_ratio_micro"),
+        max("ratio_micro").as("max_ratio_micro"),
+        coalesce(sum("ratio_micro"), lit(0L)).as("sum_ratio"))
+      .select(lit(RpDim).as("dim_in"), lit(RpK).as("dim_out"),
+        col("n_pairs"), col("min_ratio_micro"), col("max_ratio_micro"),
+        expr("sum_ratio div greatest(n_pairs, 1)").as("mean_ratio_micro"))
+  }
+
   private[ops] def binarizeFrame(vecs: DataFrame): DataFrame =
     vecs
       .withColumn("b_lo", expr(
@@ -1340,6 +1415,8 @@ object SimOps {
     "sim_brute_topk" -> bruteTopK,
     "emb_quantize_int8" -> quantizeInt8,
     "sim_q8_topk" -> q8TopK,
+    "emb_project_rp" -> projectRp,
+    "emb_project_rp_eval" -> projectRpEval,
     "emb_quantize_binary" -> quantizeBinary,
     "sim_binary_topk" -> binaryTopK,
     "sim_lsh_topk" -> lshTopK(DefaultLsh), // the usable default
@@ -1729,6 +1806,30 @@ object SimOps {
             array_to_string(list_transform(embedding,
               x -> CAST(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT) AS VARCHAR)), ',') AS qvec
           FROM sc ORDER BY vec_id""",
+    "emb_project_rp" ->
+      s"""SELECT vec_id, concat_ws(',', ${(0 until RpK).map(j =>
+        s"CAST(CAST(round((${rpExpr(j, "embedding", oneBased = true)}) * 1000000, 0) AS BIGINT) AS VARCHAR)").mkString(", ")}) AS proj_micro
+          FROM embeddings ORDER BY vec_id""",
+    "emb_project_rp_eval" ->
+      s"""WITH em AS (SELECT vec_id, embedding,
+              [${(0 until RpK).map(j => rpExpr(j, "embedding", oneBased = true)).mkString(", ")}] AS p
+            FROM embeddings WHERE vec_id < 20),
+          pr AS (SELECT a.embedding AS ea, b.embedding AS eb, a.p AS pa, b.p AS pb
+                 FROM em a JOIN em b ON a.vec_id < b.vec_id),
+          dd AS (SELECT
+              list_sum(list_transform(generate_series(1, $RpDim), i ->
+                (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))) AS d2x,
+              list_sum(list_transform(generate_series(1, $RpK), i ->
+                (pa[i] - pb[i]) * (pa[i] - pb[i]))) AS d2y
+            FROM pr),
+          rr AS (SELECT CAST(round(sqrt(d2y / d2x) * 1000000, 0) AS BIGINT) AS ratio_micro
+                 FROM dd WHERE d2x > 0)
+          SELECT CAST($RpDim AS INT) AS dim_in, CAST($RpK AS INT) AS dim_out,
+            CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            MIN(ratio_micro) AS min_ratio_micro,
+            MAX(ratio_micro) AS max_ratio_micro,
+            CAST(coalesce(SUM(ratio_micro), 0) // greatest(COUNT(*), 1) AS BIGINT) AS mean_ratio_micro
+          FROM rr""",
     "emb_quantize_binary" ->
       s"""WITH $BinCtes
           SELECT vec_id, b_hi, b_lo FROM bq ORDER BY vec_id""",

@@ -75,7 +75,8 @@ class DeterminismSpec extends SparkSpec {
     "events_hll_incremental", // full-outer register max-merge
     "dedup_pagerank",        // 8 unrolled integer-mass damped rounds
     "corpus_quantile_sketch", // bounded-cell CDF + integer interpolation
-    "text_bigram_nll")       // sorted transition fold over doubles
+    "text_bigram_nll",       // sorted transition fold over doubles
+    "emb_project_rp_eval")   // in-row folds + integer micro mean
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

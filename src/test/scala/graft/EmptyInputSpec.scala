@@ -73,7 +73,7 @@ class EmptyInputSpec extends SparkSpec {
     "events_hll_by_type", "events_hll_incremental",
     "dedup_pagerank", "dedup_keep_central",
     "corpus_quantile_sketch", "corpus_quantile_sketch_incremental",
-    "text_bigram_nll")
+    "text_bigram_nll", "emb_project_rp")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
@@ -84,7 +84,8 @@ class EmptyInputSpec extends SparkSpec {
     "quality_classifier_train", "quality_classifier_eval",
     "quality_classifier_incremental",
     "dedup_bloom_eval", "text_ngram_cms_eval", "corpus_dsir_eval",
-    "events_unique_users_hll", "vocab_hll", "corpus_quantile_sketch_eval")
+    "events_unique_users_hll", "vocab_hll", "corpus_quantile_sketch_eval",
+    "emb_project_rp_eval")
 
   for (name <- emptyOut) {
     test(s"$name returns zero rows on an empty corpus") {

@@ -221,6 +221,35 @@ class OpGoldensSpec extends SparkSpec {
     assert(z.getLong(1) == 3L && z.getDouble(2) == 0.0)
   }
 
+  test("emb_project_rp: plain-Scala reference projection, element for element") {
+    // re-derive the sign matrix and the left-to-right chain with arrays
+    // and loops; the operator's micro string for every vec_id < 5 must
+    // match exactly (pins matrix, order, scale AND rounding)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs = Array.tabulate(16, 64) { (j, i) =>
+      md.reset()
+      if ((md.digest(s"rp:$j:$i".getBytes("UTF-8"))(0) & 1) == 0) 1 else -1
+    }
+    val sf = "/root/testdata/sf0.001"
+    val vecs = Tables.embeddings(spark, sf)
+      .where(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    val got = ops.SimOps.queries("emb_project_rp")(spark, sf)
+      .where(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, x) <- vecs) {
+      val want = (0 until 16).map { j =>
+        var acc = 0.0
+        for (i <- 0 until 64) acc += signs(j)(i) * x(i).toDouble
+        val y = acc / 4.0
+        java.math.BigDecimal.valueOf(y * 1000000)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }.mkString(",")
+      assert(got(id) == want, s"vec $id: ${got(id)} != $want")
+    }
+  }
+
   test("text_bigram_nll: analytic zero and the scrambled-twin separation unigram cannot see") {
     // single doc of one repeated token: every transition has p = 1
     // (bigram share 1, unigram share 1) → NLL exactly 0
