@@ -68,7 +68,12 @@ object Bench {
     // scale (the weak-cosine tail's rank fraction shrinks in n; the
     // shortlist scaladoc carries the knee analysis), so the floor sits
     // under the small-corpus end with slack
-    "sim_binary_topk" -> 0.55)
+    "sim_binary_topk" -> 0.55,
+    // 16-dim JL shortlist + exact rescore at n/8 depth; measured 0.625
+    // sf0.1 / 0.708 sf1 — the same small-corpus knee as the binary
+    // rung (any 16-number code mixes neighbors on 64-dim near-random
+    // vectors), same improving-in-n trend, same floor discipline
+    "sim_rp_topk" -> 0.55)
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -235,7 +240,8 @@ object Bench {
       val truth = topSet("sim_brute_topk")
       val annNames = Seq("sim_lsh_topk",
         "sim_lsh_noprobe_baseline_topk", "sim_ivf_topk", "sim_q8_topk", "sim_ivf_q8_topk",
-        "sim_knn_graph", "sim_pq_topk", "sim_ivf_pq_topk", "sim_binary_topk")
+        "sim_knn_graph", "sim_pq_topk", "sim_ivf_pq_topk", "sim_binary_topk",
+        "sim_rp_topk")
       val recalls = annNames.map { n =>
         val approx = topSet(n)
         val per = truth.toSeq.map { case (q, t) =>

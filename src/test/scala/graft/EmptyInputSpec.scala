@@ -73,7 +73,7 @@ class EmptyInputSpec extends SparkSpec {
     "events_hll_by_type", "events_hll_incremental",
     "dedup_pagerank", "dedup_keep_central",
     "corpus_quantile_sketch", "corpus_quantile_sketch_incremental",
-    "text_bigram_nll", "emb_project_rp")
+    "text_bigram_nll", "emb_project_rp", "sim_rp_topk")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
