@@ -855,6 +855,74 @@ object DedupOps {
       .orderBy("cluster_id")
   }
 
+  /** Pair-graph structure audit in one row: triangle count, wedge
+    * count, and the global clustering coefficient — the instrument
+    * that tells a dedup operator whether its pair graph is CLIQUES
+    * (true duplicate groups triangulate: A≈B≈C implies A≈C, so high
+    * coefficient) or CHAINS (drifting near-dup paths where transitive
+    * closure over-merges — the known failure mode of CC-based dedup
+    * at loose thresholds). Exact integer arithmetic throughout:
+    * triangles enumerate a<b<c via two joins of the ORIENTED edge
+    * list (each join pair-bounded by the same LSH/df caps that bound
+    * the pair generators; the oriented form counts each triangle
+    * exactly once), wedges are Σ deg·(deg−1)/2, and the coefficient
+    * is micro-rounded 3·T/W. */
+  val graphStats: Q = (s, d) => {
+    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
+    val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .where(col("u") < col("v")).distinct().localCheckpoint()
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    val nodesEdges = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("coalesce(SUM(deg), CAST(0 AS BIGINT)) div 2").as("n_edges"),
+      expr("coalesce(SUM(deg * (deg - 1) div 2), CAST(0 AS BIGINT))").as("n_wedges"))
+    // wedges a<b<c from edges (a,b),(a,c); the closing edge (b,c)
+    // confirms the triangle — counted once because all three edges
+    // are oriented low→high
+    val e2 = e.select(col("u").as("a"), col("v").as("b"))
+    val e3 = e.select(col("u").as("a2"), col("v").as("c"))
+    val tri = e2.join(e3, col("a") === col("a2") && col("b") < col("c"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nodesEdges.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
+      .withColumn("clustering_micro", expr(
+        "CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE (3 * n_triangles * 1000000) div n_wedges END"))
+  }
+
+  /** Cross-method audit in one row: how much do the three near-dup
+    * pair generators — lexical (shingle jaccard), fingerprint (simhash
+    * hamming ≤ 3), semantic (embedding cosine LSH) — AGREE on this
+    * corpus? Each pairwise overlap is a Jaccard of PAIR SETS in
+    * micros. This is the instrument a curation team reads before
+    * picking a dedup policy: high lexical↔fingerprint agreement says
+    * simhash is a cheap proxy for shingles here; low text↔semantic
+    * agreement says the embedding space finds a DIFFERENT relation
+    * (on the harness corpus the embeddings are synthetic and
+    * uncorrelated with text — the honest reading is ≈ 0, and the
+    * instrument should say so rather than assume it). All counts are
+    * exact integers; the only divisions are final micro roundings. */
+  val methodAgreement: Q = (s, d) => {
+    val jp = ngramJaccard(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val sp = blockedPairsFrom(fingerprints(s, d), 4, 1, MaxHamming)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val cp = cosineLshPairs(s, d)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).localCheckpoint()
+    def n(df: DataFrame, c: String) = broadcast(df.agg(count(lit(1)).as(c)))
+    def inter(a: DataFrame, b: DataFrame, c: String) =
+      broadcast(a.join(b, Seq("doc_a", "doc_b")).agg(count(lit(1)).as(c)))
+    def agree(i: String, a: String, b: String) =
+      expr(s"CASE WHEN $a + $b - $i = 0 THEN CAST(0 AS BIGINT) ELSE ($i * 1000000) div ($a + $b - $i) END")
+    n(jp, "n_jaccard").crossJoin(n(sp, "n_simhash")).crossJoin(n(cp, "n_cosine"))
+      .crossJoin(inter(jp, sp, "i_js")).crossJoin(inter(jp, cp, "i_jc"))
+      .crossJoin(inter(sp, cp, "i_sc"))
+      .select(col("n_jaccard"), col("n_simhash"), col("n_cosine"),
+        col("i_js"), col("i_jc"), col("i_sc"),
+        agree("i_js", "n_jaccard", "n_simhash").as("agree_js_micro"),
+        agree("i_jc", "n_jaccard", "n_cosine").as("agree_jc_micro"),
+        agree("i_sc", "n_simhash", "n_cosine").as("agree_sc_micro"))
+  }
+
   /** Winnowed-fingerprint substring dedup (Schleimer et al., SIGMOD'03;
     * the exact-substring class of Lee et al. 2022): detect document pairs
     * sharing VERBATIM character spans — quotations, mirrored paragraphs,
@@ -1193,6 +1261,8 @@ object DedupOps {
     "dedup_semantic_cluster" -> semanticCluster,
     "dedup_pagerank" -> pagerank,
     "dedup_keep_central" -> keepCentral,
+    "dedup_graph_stats" -> graphStats,
+    "dedup_method_agreement" -> methodAgreement,
   )
 
   /** Shared SQL fragments for the oracles (DuckDB dialect). NormSql is
@@ -1682,7 +1752,60 @@ object DedupOps {
       s"""WITH $SimhashPairChainSql
           SELECT doc_a, doc_b, hamming FROM spairs ORDER BY doc_a, doc_b"""
 
+  /** The jaccard pair chain as a standalone SELECT (for nesting inside
+    * derived tables where CTE names would collide). Shared with
+    * PipelineOps' split-leakage oracles. */
+  private[ops] lazy val JaccardPairsSelect =
+    s"""WITH $ShinglesSql,
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT doc_a, doc_b FROM jp
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3"""
+
   private lazy val cosineOracles: Map[String, String] = Map(
+    "dedup_graph_stats" ->
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT doc_a AS u, doc_b AS v
+              FROM ($JaccardPairsSelect)),
+          dg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS deg
+                 FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+          ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(coalesce(SUM(deg), 0) // 2 AS BIGINT) AS n_edges,
+                   CAST(coalesce(SUM(deg * (deg - 1) // 2), 0) AS BIGINT) AS n_wedges
+                 FROM dg),
+          tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+                  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+          SELECT n_nodes, n_edges, n_wedges, n_triangles,
+            CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((3 * n_triangles * 1000000) // n_wedges AS BIGINT) END AS clustering_micro
+          FROM ne, tri""",
+    "dedup_method_agreement" ->
+      s"""WITH jm AS MATERIALIZED (SELECT doc_a, doc_b FROM ($JaccardPairsSelect)),
+          sm AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+              WITH $SimhashPairChainSql SELECT doc_a, doc_b FROM spairs)),
+          cm AS MATERIALIZED (SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+              WITH $CosineLshCtes SELECT vec_a, vec_b FROM tpairs)),
+          nj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_jaccard FROM jm),
+          ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_simhash FROM sm),
+          nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cosine FROM cm),
+          ijs AS (SELECT CAST(COUNT(*) AS BIGINT) AS i_js
+                  FROM jm JOIN sm USING (doc_a, doc_b)),
+          ijc AS (SELECT CAST(COUNT(*) AS BIGINT) AS i_jc
+                  FROM jm JOIN cm USING (doc_a, doc_b)),
+          isc AS (SELECT CAST(COUNT(*) AS BIGINT) AS i_sc
+                  FROM sm JOIN cm USING (doc_a, doc_b))
+          SELECT n_jaccard, n_simhash, n_cosine, i_js, i_jc, i_sc,
+            CASE WHEN n_jaccard + n_simhash - i_js = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((i_js * 1000000) // (n_jaccard + n_simhash - i_js) AS BIGINT) END AS agree_js_micro,
+            CASE WHEN n_jaccard + n_cosine - i_jc = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((i_jc * 1000000) // (n_jaccard + n_cosine - i_jc) AS BIGINT) END AS agree_jc_micro,
+            CASE WHEN n_simhash + n_cosine - i_sc = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((i_sc * 1000000) // (n_simhash + n_cosine - i_sc) AS BIGINT) END AS agree_sc_micro
+          FROM nj, ns, nc, ijs, ijc, isc""",
     // stp/smp mirror sampledCleanEmbeddings: step = 1 at every verify
     // sf (n = 500), so the sample is the whole corpus here
     "dedup_embedding_cosine" ->

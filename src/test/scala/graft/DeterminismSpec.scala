@@ -76,7 +76,9 @@ class DeterminismSpec extends SparkSpec {
     "dedup_pagerank",        // 8 unrolled integer-mass damped rounds
     "corpus_quantile_sketch", // bounded-cell CDF + integer interpolation
     "text_bigram_nll",       // sorted transition fold over doubles
-    "emb_project_rp_eval")   // in-row folds + integer micro mean
+    "emb_project_rp_eval",   // in-row folds + integer micro mean
+    "dedup_graph_stats",     // oriented-edge triangle joins, exact integers
+    "dedup_method_agreement") // pair-set jaccards over three generators
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

@@ -85,7 +85,7 @@ class EmptyInputSpec extends SparkSpec {
     "quality_classifier_incremental",
     "dedup_bloom_eval", "text_ngram_cms_eval", "corpus_dsir_eval",
     "events_unique_users_hll", "vocab_hll", "corpus_quantile_sketch_eval",
-    "emb_project_rp_eval")
+    "emb_project_rp_eval", "dedup_graph_stats", "dedup_method_agreement")
 
   for (name <- emptyOut) {
     test(s"$name returns zero rows on an empty corpus") {
