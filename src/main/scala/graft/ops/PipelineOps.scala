@@ -30,11 +30,78 @@ object PipelineOps {
   val sampleSplitHash: Q = (s, d) =>
     documents(s, d)
       .select(col("doc_id"), splitHash(col("doc_id")).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 58982, "train")      // 0.90 * 65536
-          .when(col("bucket") < 62259, "val")     // 0.95 * 65536
-          .otherwise("test"))
+      .withColumn("split", splitLabel(col("bucket")))
       .orderBy("doc_id")
+
+  /** The 90/5/5 bucket→label mapping, factored so the naive and
+    * cluster-aware splits can never disagree on the thresholds. */
+  private def splitLabel(bucket: org.apache.spark.sql.Column) =
+    when(bucket < 58982, "train")      // 0.90 * 65536
+      .when(bucket < 62259, "val")     // 0.95 * 65536
+      .otherwise("test")
+
+  /** Near-dup-aware train/val/test split: hash the document's near-dup
+    * CLUSTER KEEPER (connected components over the jaccard pair graph;
+    * a singleton is its own keeper), not the document itself — so a
+    * whole near-dup cluster always lands on ONE side of every split
+    * boundary. This is the leakage-safe split a training pipeline
+    * actually needs: under the naive per-doc hash, two near-copies of
+    * the same page routinely straddle train/test, and the eval set
+    * silently scores memorization ([[sampleSplitLeakage]] MEASURES that
+    * channel). Cost over [[sampleSplitHash]]: the CC label frame (pair
+    * endpoints only, bounded by the capped pair generator) plus one
+    * doc_id equi-join against the scan — the hash itself is still a
+    * pure projection, and unpaired documents (the overwhelming mass at
+    * 100 TB) take the coalesce fallback without ever joining a row. */
+  val sampleSplitCluster: Q = (s, d) => {
+    val pairs = DedupOps.ngramJaccard(s, d).select("doc_a", "doc_b")
+    val labels = DedupOps.connectedComponents(pairs)._1
+    documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_keeper"), col("doc_id")).as("split_key"))
+      .withColumn("bucket", splitHash(col("split_key")))
+      .withColumn("split", splitLabel(col("bucket")))
+      .orderBy("doc_id")
+  }
+
+  /** The split-leakage instrument: one row measuring how many near-dup
+    * pairs CROSS a split boundary under the naive per-doc hash
+    * ([[sampleSplitHash]]) vs the cluster-keeper hash
+    * ([[sampleSplitCluster]]). `naive_cross` is the total contamination
+    * channel (any boundary), `naive_train_test` the catastrophic one
+    * (a training copy of an eval document); `cluster_cross` is the
+    * guarantee AS DATA — structurally zero, because both endpoints of
+    * any pair share a component and therefore a keeper, and the row
+    * proves it the way bloom_false_neg proves the no-false-negative
+    * bound. The naive counts are a pure projection over the pair list
+    * (the split hash needs no join); only the cluster side joins the
+    * CC labels, twice, each bounded by the pair frame. */
+  val sampleSplitLeakage: Q = (s, d) => {
+    val pairs = DedupOps.ngramJaccard(s, d)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val labels = DedupOps.connectedComponents(pairs)._1
+    def crossFlag(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      when(splitLabel(splitHash(a)) =!= splitLabel(splitHash(b)), 1L).otherwise(0L)
+    val naive = broadcast(pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(crossFlag(col("doc_a"), col("doc_b"))), lit(0L)).as("naive_cross"),
+      coalesce(sum(when(
+        (splitLabel(splitHash(col("doc_a"))) === "train" &&
+          splitLabel(splitHash(col("doc_b"))) === "test") ||
+          (splitLabel(splitHash(col("doc_a"))) === "test" &&
+            splitLabel(splitHash(col("doc_b"))) === "train"), 1L).otherwise(0L)),
+        lit(0L)).as("naive_train_test")))
+    val clustered = broadcast(pairs
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_keeper").as("ka")), "doc_a")
+      .join(labels.select(col("doc_id").as("doc_b"), col("cluster_keeper").as("kb")), "doc_b")
+      .agg(coalesce(sum(crossFlag(col("ka"), col("kb"))), lit(0L)).as("cluster_cross")))
+    naive.crossJoin(clustered)
+      .select(col("n_pairs"), col("naive_cross"), col("naive_train_test"),
+        expr("CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT) ELSE (naive_cross * 1000000) div n_pairs END")
+          .as("naive_leak_micro"),
+        col("cluster_cross"))
+  }
 
   /** Shard count for the training-layout writer. Tiny on the harness
     * corpus; at 100 TB the same plan holds at any count because per-shard
@@ -1328,6 +1395,8 @@ object PipelineOps {
     "vocab_kmv" -> vocabKmv,
     "events_unique_users_kmv" -> eventsUniqueUsersKmv,
     "sample_split_hash" -> sampleSplitHash,
+    "sample_split_cluster" -> sampleSplitCluster,
+    "sample_split_leakage" -> sampleSplitLeakage,
     "corpus_shard_assign" -> corpusShardAssign,
     "corpus_shard_assign_incremental" -> corpusShardAssignIncremental,
     "sample_stratified" -> sampleStratified,
@@ -1344,6 +1413,13 @@ object PipelineOps {
   /** DuckDB hex-nibble value of char i (1-based) of md5 string h. */
   private def nib(h: String, i: Int): String =
     s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+
+  /** DuckDB spelling of [[splitLabel]] over a `bucket` column — shared
+    * by every split oracle so the thresholds can't drift. */
+  private val SplitCaseSql =
+    """CASE WHEN bucket < 58982 THEN 'train'
+            WHEN bucket < 62259 THEN 'val'
+            ELSE 'test' END"""
 
   private val StratRateSql = StratRates
     .map { case (q, r) => s"WHEN '$q' THEN $r" }
@@ -1878,6 +1954,58 @@ object PipelineOps {
                  WHEN bucket < 62259 THEN 'val'
                  ELSE 'test' END AS split
           FROM b ORDER BY doc_id""",
+    "sample_split_cluster" ->
+      s"""WITH jm AS MATERIALIZED (SELECT doc_a, doc_b
+              FROM (${DedupOps.JaccardPairsSelect})),
+          ${DedupOps.ccRoundsCtes("jm", "doc_a", "doc_b")},
+          base AS (SELECT d.doc_id, COALESCE(cl.lbl, d.doc_id) AS split_key
+                   FROM documents d LEFT JOIN cc_labels cl ON cl.v = d.doc_id),
+          h AS (SELECT doc_id, split_key,
+                  md5('split:' || CAST(split_key AS VARCHAR)) AS m FROM base),
+          b AS (SELECT doc_id, split_key,
+                  CAST(${nib("m", 1)} * 4096 + ${nib("m", 2)} * 256 +
+                       ${nib("m", 3)} * 16 + ${nib("m", 4)} AS BIGINT) AS bucket
+                FROM h)
+          SELECT * FROM (
+            SELECT doc_id, split_key, bucket, $SplitCaseSql AS split FROM b
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                   'unconverged' FROM (SELECT 1)
+            WHERE (SELECT n_changed FROM cc_guard) > 0)
+          ORDER BY doc_id""",
+    "sample_split_leakage" ->
+      s"""WITH jm AS MATERIALIZED (SELECT doc_a, doc_b
+              FROM (${DedupOps.JaccardPairsSelect})),
+          ${DedupOps.ccRoundsCtes("jm", "doc_a", "doc_b")},
+          nodes AS (SELECT DISTINCT id
+                    FROM (SELECT doc_a AS id FROM jm UNION ALL SELECT doc_b FROM jm)),
+          spl AS MATERIALIZED (SELECT id, $SplitCaseSql AS split
+                 FROM (SELECT id,
+                         CAST(${nib("m", 1)} * 4096 + ${nib("m", 2)} * 256 +
+                              ${nib("m", 3)} * 16 + ${nib("m", 4)} AS BIGINT) AS bucket
+                       FROM (SELECT id, md5('split:' || CAST(id AS VARCHAR)) AS m
+                             FROM nodes))),
+          nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_cross,
+                   CAST(COALESCE(SUM(CASE WHEN (sa.split = 'train' AND sb.split = 'test')
+                     OR (sa.split = 'test' AND sb.split = 'train') THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_train_test
+                 FROM jm JOIN spl sa ON sa.id = jm.doc_a
+                         JOIN spl sb ON sb.id = jm.doc_b),
+          cx AS (SELECT CAST(COALESCE(SUM(CASE WHEN ska.split <> skb.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS cluster_cross
+                 FROM jm JOIN cc_labels la ON la.v = jm.doc_a
+                         JOIN cc_labels lb ON lb.v = jm.doc_b
+                         JOIN spl ska ON ska.id = la.lbl
+                         JOIN spl skb ON skb.id = lb.lbl)
+          SELECT * FROM (
+            SELECT n_pairs, naive_cross, naive_train_test,
+              CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST((naive_cross * 1000000) // n_pairs AS BIGINT) END AS naive_leak_micro,
+              cluster_cross
+            FROM nv, cx
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) FROM (SELECT 1)
+            WHERE (SELECT n_changed FROM cc_guard) > 0)""",
     "text_ngram_topk" ->
       s"""WITH ${DedupOps.ShinglesSql}
           SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh

@@ -78,7 +78,8 @@ class DeterminismSpec extends SparkSpec {
     "text_bigram_nll",       // sorted transition fold over doubles
     "emb_project_rp_eval",   // in-row folds + integer micro mean
     "dedup_graph_stats",     // oriented-edge triangle joins, exact integers
-    "dedup_method_agreement") // pair-set jaccards over three generators
+    "dedup_method_agreement", // pair-set jaccards over three generators
+    "sample_split_leakage")  // CC-labeled boundary counts, exact integers
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

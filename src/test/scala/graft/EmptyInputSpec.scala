@@ -73,7 +73,8 @@ class EmptyInputSpec extends SparkSpec {
     "events_hll_by_type", "events_hll_incremental",
     "dedup_pagerank", "dedup_keep_central",
     "corpus_quantile_sketch", "corpus_quantile_sketch_incremental",
-    "text_bigram_nll", "emb_project_rp", "sim_rp_topk")
+    "text_bigram_nll", "emb_project_rp", "sim_rp_topk",
+    "sample_split_cluster")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
@@ -85,7 +86,8 @@ class EmptyInputSpec extends SparkSpec {
     "quality_classifier_incremental",
     "dedup_bloom_eval", "text_ngram_cms_eval", "corpus_dsir_eval",
     "events_unique_users_hll", "vocab_hll", "corpus_quantile_sketch_eval",
-    "emb_project_rp_eval", "dedup_graph_stats", "dedup_method_agreement")
+    "emb_project_rp_eval", "dedup_graph_stats", "dedup_method_agreement",
+    "sample_split_leakage")
 
   for (name <- emptyOut) {
     test(s"$name returns zero rows on an empty corpus") {
