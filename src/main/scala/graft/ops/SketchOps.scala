@@ -571,6 +571,52 @@ object SketchOps {
       .orderBy("bucket")
   }
 
+  /** Heaps-law vocabulary-growth curve — distinct tokens in the first
+    * N documents at doubling N — via CUMULATIVE HLL register merges:
+    * the instrument that says whether a corpus's vocabulary is still
+    * growing (keep crawling) or saturating (more data buys tokens the
+    * model already has). One pass builds a register file PER DOUBLING
+    * SEGMENT (segment = floor(log2(doc_id+1)), so segments 0..c union
+    * to the first 2^(c+1)−1 docs); checkpoint registers are per-bucket
+    * MAXes over segments ≤ c — the register monoid again, so the whole
+    * curve costs ONE fixed-size exchange (≤ segments·m rows) plus a
+    * broadcast ≤-join against the ~40-row checkpoint list, where the
+    * exact curve pays a full distinct shuffle PER CHECKPOINT. The
+    * exact count rides along as the audit column (min-first-seen-
+    * segment per token, then a domain-sized cumulative window — the
+    * corpus_quantiles discipline: the window sees segment ids, never
+    * token rows). Doc ids are the harness's ingest order; on a real
+    * corpus any monotone ingest stamp serves. */
+  val vocabGrowth: Q = (s, d) => {
+    graft.expressions.TextShingles.register(s)
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(expr("text_shingles(text, 1)")).as("tok"))
+      .withColumn("seg", (length(bin(col("doc_id") + 1)) - 1).cast("int"))
+    val regs = hllRegisters(toks.select("seg", "tok"), Seq("seg")).localCheckpoint()
+    val chk = broadcast(regs.select(col("seg").as("chk")).distinct())
+    val cum = regs.join(chk, col("seg") <= col("chk"))
+      .groupBy("chk", "bucket").agg(max("rho").as("rho"))
+    val est = hllEstimate(cum, Seq("chk"))
+    // exact audit: first-seen segment per token (vocabulary-sized
+    // groupBy — the audit's price, not the operator's), then the
+    // cumulative count over the ≤40-row segment domain
+    val firstSeen = toks.groupBy("tok").agg(min("seg").as("fs"))
+      .groupBy("fs").agg(count(lit(1)).as("new_toks"))
+    val exact = firstSeen.join(chk, col("fs") <= col("chk"))
+      .groupBy("chk").agg(sum("new_toks").as("exact_vocab"))
+    val nDocs = documents(s, d)
+      .select((length(bin(col("doc_id") + 1)) - 1).cast("int").as("seg"))
+      .join(chk, col("seg") <= col("chk"))
+      .groupBy("chk").agg(count(lit(1)).as("n_docs"))
+    withRelErr(
+      nDocs.join(exact, Seq("chk")).join(est, Seq("chk"))
+        .select(col("chk"), col("n_docs"),
+          col("exact_vocab").as("exact_distinct"), col("n_present"),
+          col("sum_int"), col("hll_estimate_r")))
+      .withColumnRenamed("exact_distinct", "exact_vocab")
+      .orderBy("chk")
+  }
+
   // ------------------------------------------------------------------
   // Log-histogram quantile sketch — bounded-state quantiles, the
   // additive-monoid answer to [[PipelineOps.corpusQuantiles]]' exact
@@ -730,6 +776,7 @@ object SketchOps {
     "vocab_hll" -> vocabHll,
     "events_hll_by_type" -> eventsHllByType,
     "events_hll_incremental" -> eventsHllIncremental,
+    "vocab_growth" -> vocabGrowth,
     "corpus_quantile_sketch" -> quantileSketch,
     "corpus_quantile_sketch_eval" -> quantileSketchEval,
     "corpus_quantile_sketch_incremental" -> quantileSketchIncremental,
@@ -1110,6 +1157,40 @@ object SketchOps {
                   ELSE round(abs(est.hll_estimate_r - CAST(ex.exact_distinct AS DOUBLE))
                          / CAST(ex.exact_distinct AS DOUBLE), 6) END AS rel_err_r
            FROM ex JOIN est USING (event_type) ORDER BY event_type""",
+    "vocab_growth" ->
+      raw"""WITH t AS MATERIALIZED (SELECT CAST(length(bin(doc_id + 1)) - 1 AS INT) AS seg,
+                 unnest(string_split(${DedupOps.NormSql}, ' ')) AS tok
+               FROM documents),
+           hh AS (SELECT seg, ${hex32("md5(tok)")} AS h FROM t),
+           reg AS MATERIALIZED (SELECT seg, h % $HllM AS bucket, ${hllRhoSql("h")} AS rho
+               FROM hh GROUP BY seg, h % $HllM),
+           chk AS MATERIALIZED (SELECT DISTINCT seg AS chk FROM reg),
+           cum AS (SELECT c.chk, r.bucket, CAST(MAX(r.rho) AS INT) AS rho
+               FROM reg r JOIN chk c ON r.seg <= c.chk GROUP BY c.chk, r.bucket),
+           agg AS (SELECT chk, CAST(COUNT(*) AS BIGINT) AS n_present,
+                 CAST(coalesce(SUM(CAST(1 AS BIGINT) << CAST($HllRhoMax - rho AS INT)), 0) AS BIGINT) AS sum_present
+               FROM cum GROUP BY chk),
+           st AS (SELECT chk, n_present,
+                 CAST(sum_present + ($HllM - n_present) * CAST($HllPow AS BIGINT) AS BIGINT) AS sum_int,
+                 ($HllM - n_present) AS v_zero
+               FROM agg),
+           est AS (SELECT chk, n_present, sum_int, ${hllEstSql()} AS hll_estimate_r
+               FROM (SELECT *, ${hllRawSql()} AS e_raw FROM st)),
+           fs AS (SELECT tok, MIN(seg) AS fs FROM t GROUP BY tok),
+           nt AS (SELECT fs, CAST(COUNT(*) AS BIGINT) AS new_toks FROM fs GROUP BY fs),
+           ex AS (SELECT c.chk, CAST(SUM(nt.new_toks) AS BIGINT) AS exact_vocab
+               FROM nt JOIN chk c ON nt.fs <= c.chk GROUP BY c.chk),
+           nd AS (SELECT c.chk, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM (SELECT CAST(length(bin(doc_id + 1)) - 1 AS INT) AS seg
+                     FROM documents) d
+               JOIN chk c ON d.seg <= c.chk GROUP BY c.chk)
+           SELECT nd.chk, nd.n_docs, ex.exact_vocab, est.n_present, est.sum_int,
+             est.hll_estimate_r,
+             CASE WHEN ex.exact_vocab = 0 THEN NULL
+                  ELSE round(abs(est.hll_estimate_r - CAST(ex.exact_vocab AS DOUBLE))
+                         / CAST(ex.exact_vocab AS DOUBLE), 6) END AS rel_err_r
+           FROM nd JOIN ex ON ex.chk = nd.chk JOIN est ON est.chk = nd.chk
+           ORDER BY nd.chk""",
     "events_hll_incremental" ->
       raw"""WITH t AS (SELECT user_id, CAST(user_id AS VARCHAR) AS tok
                FROM events WHERE user_id IS NOT NULL),

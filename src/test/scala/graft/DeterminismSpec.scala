@@ -79,7 +79,8 @@ class DeterminismSpec extends SparkSpec {
     "emb_project_rp_eval",   // in-row folds + integer micro mean
     "dedup_graph_stats",     // oriented-edge triangle joins, exact integers
     "dedup_method_agreement", // pair-set jaccards over three generators
-    "sample_split_leakage")  // CC-labeled boundary counts, exact integers
+    "sample_split_leakage",  // CC-labeled boundary counts, exact integers
+    "vocab_growth")          // cumulative register maxes + micro-grid ln
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {
