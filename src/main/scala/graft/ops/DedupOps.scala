@@ -890,6 +890,31 @@ object DedupOps {
         "CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE (3 * n_triangles * 1000000) div n_wedges END"))
   }
 
+  /** Cluster-size histogram over the jaccard pair graph — the dup-mass
+    * distribution a curation report leads with: how many docs sit in
+    * clusters of size k (k=1 singletons included), i.e. how much of the
+    * corpus is duplicated AND in what shape (a few giant mirror-farms
+    * vs many 2-copy pairs — very different excision strategies). The
+    * histogram domain is component SIZES (tiny, bounded by the largest
+    * cluster), so everything after CC is a domain-sized aggregate; the
+    * singleton row comes from two broadcast 1-row counts, never a join
+    * against the unpaired mass. */
+  val componentSizes: Q = (s, d) => {
+    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
+    val labels = connectedComponents(pairs)._1
+    val hist = labels.groupBy("cluster_keeper")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val singles = documents(s, d).agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("n_paired"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_paired")).as("n_clusters"))
+      .where(col("n_clusters") > 0)
+    hist.unionByName(singles)
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
   /** Cross-method audit in one row: how much do the three near-dup
     * pair generators — lexical (shingle jaccard), fingerprint (simhash
     * hamming ≤ 3), semantic (embedding cosine LSH) — AGREE on this
@@ -1263,6 +1288,7 @@ object DedupOps {
     "dedup_keep_central" -> keepCentral,
     "dedup_graph_stats" -> graphStats,
     "dedup_method_agreement" -> methodAgreement,
+    "dedup_component_sizes" -> componentSizes,
   )
 
   /** Shared SQL fragments for the oracles (DuckDB dialect). NormSql is
@@ -1767,6 +1793,26 @@ object DedupOps {
         WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3"""
 
   private lazy val cosineOracles: Map[String, String] = Map(
+    "dedup_component_sizes" ->
+      s"""WITH jm AS MATERIALIZED (SELECT doc_a, doc_b
+              FROM ($JaccardPairsSelect)),
+          ${ccRoundsCtes("jm", "doc_a", "doc_b")},
+          cs AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                 FROM cc_labels GROUP BY lbl),
+          h AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+                FROM cs GROUP BY cluster_size),
+          sg AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+                     - (SELECT CAST(COUNT(*) AS BIGINT) FROM cc_labels) AS n_clusters)
+          SELECT * FROM (
+            SELECT cluster_size, n_clusters, cluster_size * n_clusters AS n_docs
+            FROM (SELECT * FROM h
+                  UNION ALL SELECT * FROM sg WHERE n_clusters > 0)
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+            FROM (SELECT 1)
+            WHERE (SELECT n_changed FROM cc_guard) > 0)
+          ORDER BY cluster_size""",
     "dedup_graph_stats" ->
       s"""WITH e AS MATERIALIZED (SELECT DISTINCT doc_a AS u, doc_b AS v
               FROM ($JaccardPairsSelect)),

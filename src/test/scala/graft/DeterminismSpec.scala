@@ -80,7 +80,8 @@ class DeterminismSpec extends SparkSpec {
     "dedup_graph_stats",     // oriented-edge triangle joins, exact integers
     "dedup_method_agreement", // pair-set jaccards over three generators
     "sample_split_leakage",  // CC-labeled boundary counts, exact integers
-    "vocab_growth")          // cumulative register maxes + micro-grid ln
+    "vocab_growth",          // cumulative register maxes + micro-grid ln
+    "dedup_component_sizes") // CC-size histogram, exact integers
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

@@ -74,7 +74,7 @@ class EmptyInputSpec extends SparkSpec {
     "dedup_pagerank", "dedup_keep_central",
     "corpus_quantile_sketch", "corpus_quantile_sketch_incremental",
     "text_bigram_nll", "emb_project_rp", "sim_rp_topk",
-    "sample_split_cluster", "vocab_growth")
+    "sample_split_cluster", "vocab_growth", "dedup_component_sizes")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
