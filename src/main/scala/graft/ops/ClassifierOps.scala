@@ -318,6 +318,81 @@ object ClassifierOps {
       .orderBy("doc_id")
   }
 
+  /** (doc_id, p_micro, n_tok) — the score+cost frame the token-budget
+    * planner selects over. Whitespace tokens are the cost measure (the
+    * text_token_count grid, so budget units can't drift from the
+    * registered counter). */
+  private def budgetFrame(s: SparkSession, d: String): DataFrame = {
+    val feats = qcFeats(qcFeatureRows(documents(s, d))).localCheckpoint()
+    val w = qcTrainWeights(s, feats)
+    qcScore(feats, w).select("doc_id", "p_micro")
+      .join(documents(s, d).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok")), "doc_id")
+      .localCheckpoint()
+  }
+
+  /** Epoch budget: a quarter of the corpus's token mass — data-derived
+    * so the same operator is meaningful at every SF. */
+  private def budgetOf(docs: DataFrame): DataFrame =
+    broadcast(docs.agg(expr("sum(n_tok) div 4").as("budget")))
+
+  /** Threshold p_micro for the budget: the LOWEST score whose
+    * descending-cumulative token mass still fits — whole score-groups
+    * only, so selection = `p_micro >= thr` with no per-doc cumsum
+    * anywhere. The cumulative window runs over the SCORE DOMAIN
+    * (≤ 1e6+1 micro-grid rows regardless of corpus size — the
+    * corpus_quantiles discipline), never document rows. Sentinel
+    * Long.MaxValue when even the top group overflows the budget
+    * (selection legitimately empty). */
+  private def budgetThreshold(docs: DataFrame, budget: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = docs.groupBy("p_micro").agg(sum("n_tok").as("g_tok"))
+    val cum = perScore.withColumn("cum_tok",
+      sum("g_tok").over(Window.orderBy(col("p_micro").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    broadcast(cum.crossJoin(budget).where(col("cum_tok") <= col("budget"))
+      .agg(coalesce(min("p_micro"), lit(Long.MaxValue)).as("thr")))
+  }
+
+  /** Token-budget epoch planner: select the highest-model-quality
+    * documents whose combined token count fits the epoch's budget —
+    * the "which 25% do we actually train on" decision (quality
+    * classifier as the value signal, tokens as the cost). Greedy by
+    * score with WHOLE score-groups (underfill < one group's mass), so
+    * the plan is: one corpus pass to score, one groupBy(p_micro)
+    * histogram, one domain-sized cumulative window, one broadcast
+    * threshold compare — no global per-doc sort, no driver loop. */
+  val corpusTokenBudget: Q = (s, d) => {
+    val docs = budgetFrame(s, d)
+    docs.crossJoin(budgetThreshold(docs, budgetOf(docs)))
+      .where(col("p_micro") >= col("thr"))
+      .select("doc_id", "p_micro", "n_tok")
+      .orderBy("doc_id")
+  }
+
+  /** The planner's accounting row: budget, spend, fill fraction,
+    * threshold — the numbers an epoch report leads with. threshold_micro
+    * is NULL when nothing fit (sentinel never leaks). */
+  val corpusTokenBudgetEval: Q = (s, d) => {
+    val docs = budgetFrame(s, d)
+    val budget = budgetOf(docs)
+    val thr = budgetThreshold(docs, budget)
+    val picked = docs.crossJoin(thr).where(col("p_micro") >= col("thr"))
+    val spend = broadcast(picked.agg(
+      count(lit(1)).as("n_selected"),
+      coalesce(sum("n_tok"), lit(0L)).as("spent_tokens")))
+    val total = broadcast(docs.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum("n_tok"), lit(0L)).as("total_tokens")))
+    total.crossJoin(budget).crossJoin(thr).crossJoin(spend)
+      .select(col("n_docs"), col("total_tokens"), col("budget"),
+        when(col("thr") === Long.MaxValue, lit(null).cast("long"))
+          .otherwise(col("thr")).as("threshold_micro"),
+        col("n_selected"), col("spent_tokens"),
+        expr("CASE WHEN budget IS NULL OR budget = 0 THEN CAST(NULL AS BIGINT) ELSE (spent_tokens * 1000000) div budget END")
+          .as("fill_micro"))
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle (unrolled rounds — the BPE/WordPiece CTE discipline)
   // ------------------------------------------------------------------
@@ -415,7 +490,27 @@ object ClassifierOps {
     "quality_classifier_calibration" -> qualityClassifierCalibration,
     "quality_classifier_incremental" -> qualityClassifierIncremental,
     "corpus_curate_model" -> corpusCurateModel,
+    "corpus_token_budget" -> corpusTokenBudget,
+    "corpus_token_budget_eval" -> corpusTokenBudgetEval,
   )
+
+  /** The token-budget CTE tail over `sc` (from scoreSql): score+cost
+    * frame `bt`, score-domain cumulative `cm`, budget `bd`, threshold
+    * `th` — shared by the selection and eval oracles so planner
+    * semantics cannot drift between them. */
+  private lazy val BudgetCtesSql =
+    raw"""nt AS (SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+       bt AS MATERIALIZED (SELECT sc.doc_id, sc.p_micro, nt.n_tok
+           FROM sc JOIN nt USING (doc_id)),
+       ps AS (SELECT p_micro, SUM(n_tok) AS g_tok FROM bt GROUP BY p_micro),
+       cm AS (SELECT p_micro, SUM(g_tok) OVER (ORDER BY p_micro DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+              FROM ps),
+       bd AS (SELECT CAST(SUM(n_tok) // 4 AS BIGINT) AS budget FROM bt),
+       th AS (SELECT coalesce(MIN(p_micro), 9223372036854775807) AS thr
+              FROM cm, bd WHERE cum_tok <= budget)"""
 
   val oracles: Map[String, String] = Map(
     "quality_classifier_train" ->
@@ -436,6 +531,29 @@ object ClassifierOps {
            ${trainChainSql("", "z", QcRounds, QcIncRounds, s"SELECT fid, wm FROM w$QcRounds")}
            SELECT w.fid, w.wm AS weight_standing_micro, z.wm AS weight_micro
            FROM w$QcRounds w JOIN zw$QcIncRounds z USING (fid) ORDER BY fid""",
+    "corpus_token_budget" ->
+      raw"""WITH ${featsSql("", "")},
+           ${trainSql("")},
+           ${scoreSql("")},
+           $BudgetCtesSql
+           SELECT doc_id, p_micro, n_tok FROM bt, th
+           WHERE p_micro >= thr ORDER BY doc_id""",
+    "corpus_token_budget_eval" ->
+      raw"""WITH ${featsSql("", "")},
+           ${trainSql("")},
+           ${scoreSql("")},
+           $BudgetCtesSql,
+           sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_selected,
+                    CAST(coalesce(SUM(n_tok), 0) AS BIGINT) AS spent_tokens
+                  FROM bt, th WHERE p_micro >= thr),
+           tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(coalesce(SUM(n_tok), 0) AS BIGINT) AS total_tokens FROM bt)
+           SELECT tt.n_docs, tt.total_tokens, bd.budget,
+             CASE WHEN th.thr = 9223372036854775807 THEN NULL ELSE th.thr END AS threshold_micro,
+             sp.n_selected, sp.spent_tokens,
+             CASE WHEN bd.budget IS NULL OR bd.budget = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST((sp.spent_tokens * 1000000) // bd.budget AS BIGINT) END AS fill_micro
+           FROM tt, bd, th, sp""",
     "quality_classifier_calibration" ->
       raw"""WITH ${featsSql("", "")},
            ${trainSql("")},
