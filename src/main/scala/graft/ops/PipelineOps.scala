@@ -282,6 +282,62 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("keep_rank"))
   }
 
+  /** (source, n_docs, n_tokens) — the per-source mass frame both
+    * governance instruments below read: ONE map-side-partial groupBy
+    * over the scan, output bounded by the source domain. Whitespace
+    * tokens are the mass measure (the text_token_count grid). */
+  private def sourceMass(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(coalesce(col("source"), lit("")).as("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+
+  /** Per-source token shares — the Lorenz table a data-governance
+    * review reads before a mixing decision: each source's document and
+    * token counts, its share of the corpus, and the cumulative share
+    * of it plus all larger sources. Everything after the one
+    * scan-shaped aggregate is domain-sized (the window orders SOURCES,
+    * never documents); shares are integer micros off one broadcast
+    * total. */
+  val corpusSourceShares: Q = (s, d) => {
+    val mass = sourceMass(s, d)
+    val tot = broadcast(mass.agg(sum("n_tokens").as("tot")))
+    val w = Window.orderBy(col("n_tokens").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mass.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("CASE WHEN tot = 0 THEN CAST(0 AS BIGINT) ELSE (n_tokens * 1000000) div tot END").as("share_micro"),
+        expr("CASE WHEN tot = 0 THEN CAST(0 AS BIGINT) ELSE (cum_tokens * 1000000) div tot END").as("cum_share_micro"))
+      .orderBy(col("n_tokens").desc, col("source"))
+  }
+
+  /** Source-concentration audit in one row: Gini coefficient of the
+    * token mass across sources (0 = perfectly balanced, →1 = one
+    * source is the corpus), the top source's share, and the counts.
+    * G = (2·Σᵢ i·mᵢ − (n+1)·Σm) / (n·Σm) over masses sorted ascending
+    * — exact integers until the final micro division; ties don't
+    * perturb it (swapping equal masses leaves Σ i·mᵢ unchanged). The
+    * number a mixing policy thresholds on before corpus_source_cap
+    * decides where to cut. */
+  val corpusSourceGini: Q = (s, d) => {
+    val mass = sourceMass(s, d)
+    val ranked = mass.withColumn("i",
+      row_number().over(Window.orderBy(col("n_tokens"), col("source"))).cast("long"))
+    ranked.agg(
+      count(lit(1)).as("n_sources"),
+      coalesce(sum("n_tokens"), lit(0L)).as("total_tokens"),
+      coalesce(max("n_tokens"), lit(0L)).as("top_tokens"),
+      coalesce(sum(expr("i * n_tokens")), lit(0L)).as("iw"))
+      .select(col("n_sources"), col("total_tokens"),
+        expr("CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT) ELSE (top_tokens * 1000000) div total_tokens END")
+          .as("top_share_micro"),
+        expr("""CASE WHEN n_sources = 0 OR total_tokens = 0 THEN CAST(0 AS BIGINT)
+                ELSE ((2 * iw - (n_sources + 1) * total_tokens) * 1000000) div (n_sources * total_tokens) END""")
+          .as("gini_micro"))
+  }
+
   /** Head-vocabulary cap for [[corpusDrift]]: divergence is measured
     * over the top-[[DriftVocabCap]] tokens by combined count, with ALL
     * tail mass folded into one OOV bucket. Production sets the BPE 2¹⁸
@@ -1377,6 +1433,8 @@ object PipelineOps {
     "events_zorder_prune_eval" -> eventsZorderPruneEval,
     "events_zorder_incremental" -> eventsZorderIncremental,
     "corpus_source_cap" -> corpusSourceCap,
+    "corpus_source_shares" -> corpusSourceShares,
+    "corpus_source_gini" -> corpusSourceGini,
     "corpus_drift" -> corpusDrift,
     "corpus_quantiles" -> corpusQuantiles,
     "vocab_bpe_pairs" -> vocabBpePairs,
@@ -1620,6 +1678,41 @@ object PipelineOps {
                FROM documents)
           SELECT doc_id, source, CAST(keep_rank AS INT) AS keep_rank
           FROM r WHERE keep_rank <= $SourceCap ORDER BY doc_id""",
+    "corpus_source_shares" ->
+      raw"""WITH m AS (SELECT COALESCE(source, '') AS source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY COALESCE(source, '')),
+           t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM m),
+           c AS (SELECT source, n_docs, n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+                 FROM m)
+           SELECT source, n_docs, n_tokens,
+             CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((n_tokens * 1000000) // tot AS BIGINT) END AS share_micro,
+             CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((cum_tokens * 1000000) // tot AS BIGINT) END AS cum_share_micro
+           FROM c, t ORDER BY n_tokens DESC, source""",
+    "corpus_source_gini" ->
+      raw"""WITH m AS (SELECT COALESCE(source, '') AS source,
+                 CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY COALESCE(source, '')),
+           r AS (SELECT n_tokens,
+                   CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i
+                 FROM m),
+           a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(coalesce(SUM(n_tokens), 0) AS BIGINT) AS total_tokens,
+                   CAST(coalesce(MAX(n_tokens), 0) AS BIGINT) AS top_tokens,
+                   CAST(coalesce(SUM(i * n_tokens), 0) AS BIGINT) AS iw
+                 FROM r)
+           SELECT n_sources, total_tokens,
+             CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((top_tokens * 1000000) // total_tokens AS BIGINT) END AS top_share_micro,
+             CASE WHEN n_sources = 0 OR total_tokens = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(((2 * iw - (n_sources + 1) * total_tokens) * 1000000)
+                         // (n_sources * total_tokens) AS BIGINT) END AS gini_micro
+           FROM a""",
     "corpus_drift" ->
       s"""WITH t0 AS (SELECT doc_id % 2 = 0 AS even,
                  unnest(string_split(${DedupOps.NormSql}, ' ')) AS tok FROM documents),

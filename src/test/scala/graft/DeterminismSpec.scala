@@ -82,7 +82,8 @@ class DeterminismSpec extends SparkSpec {
     "sample_split_leakage",  // CC-labeled boundary counts, exact integers
     "vocab_growth",          // cumulative register maxes + micro-grid ln
     "dedup_component_sizes", // CC-size histogram, exact integers
-    "corpus_token_budget_eval") // domain-window threshold + broadcast compare
+    "corpus_token_budget_eval", // domain-window threshold + broadcast compare
+    "corpus_source_gini")    // rank-weighted integer Lorenz sum
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

@@ -75,7 +75,7 @@ class EmptyInputSpec extends SparkSpec {
     "corpus_quantile_sketch", "corpus_quantile_sketch_incremental",
     "text_bigram_nll", "emb_project_rp", "sim_rp_topk",
     "sample_split_cluster", "vocab_growth", "dedup_component_sizes",
-    "corpus_token_budget")
+    "corpus_token_budget", "corpus_source_shares")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
@@ -88,7 +88,7 @@ class EmptyInputSpec extends SparkSpec {
     "dedup_bloom_eval", "text_ngram_cms_eval", "corpus_dsir_eval",
     "events_unique_users_hll", "vocab_hll", "corpus_quantile_sketch_eval",
     "emb_project_rp_eval", "dedup_graph_stats", "dedup_method_agreement",
-    "sample_split_leakage", "corpus_token_budget_eval")
+    "sample_split_leakage", "corpus_token_budget_eval", "corpus_source_gini")
 
   for (name <- emptyOut) {
     test(s"$name returns zero rows on an empty corpus") {
