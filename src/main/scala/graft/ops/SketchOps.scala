@@ -587,29 +587,54 @@ object SketchOps {
     * corpus_quantiles discipline: the window sees segment ids, never
     * token rows). Doc ids are the harness's ingest order; on a real
     * corpus any monotone ingest stamp serves. */
-  val vocabGrowth: Q = (s, d) => {
-    graft.expressions.TextShingles.register(s)
-    val toks = documents(s, d)
-      .select(col("doc_id"), explode(expr("text_shingles(text, 1)")).as("tok"))
+  /** (seg, tok) unigram frame over a (doc_id, text) frame — segment =
+    * floor(log2(doc_id+1)), shared by the batch curve and the growth
+    * index so segment geometry cannot drift. Caller must have
+    * registered TextShingles on the session. */
+  private def growthToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(expr("text_shingles(text, 1)")).as("tok"))
       .withColumn("seg", (length(bin(col("doc_id") + 1)) - 1).cast("int"))
-    val regs = hllRegisters(toks.select("seg", "tok"), Seq("seg")).localCheckpoint()
+      .select("seg", "tok")
+
+  /** (seg, n_docs) partial doc counts over a (doc_id, ...) frame. */
+  private def segDocCounts(docs: DataFrame): DataFrame =
+    docs.select((length(bin(col("doc_id") + 1)) - 1).cast("int").as("seg"))
+      .groupBy("seg").agg(count(lit(1)).as("n_docs"))
+
+  /** The growth curve from a (seg, bucket, rho) register file + a
+    * (seg, n_docs) count frame: cumulative per-bucket maxes over
+    * seg ≤ chk through the broadcast checkpoint list, then the shared
+    * estimate tail → (chk, n_docs, n_present, sum_int,
+    * hll_estimate_r). */
+  private def growthCurveOf(regs: DataFrame, segDocs: DataFrame): DataFrame = {
     val chk = broadcast(regs.select(col("seg").as("chk")).distinct())
     val cum = regs.join(chk, col("seg") <= col("chk"))
       .groupBy("chk", "bucket").agg(max("rho").as("rho"))
     val est = hllEstimate(cum, Seq("chk"))
+    val nDocs = segDocs.join(chk, col("seg") <= col("chk"))
+      .groupBy("chk").agg(sum("n_docs").as("n_docs"))
+    nDocs.join(est, Seq("chk"))
+      .select(col("chk"), col("n_docs"), col("n_present"), col("sum_int"),
+        col("hll_estimate_r"))
+      .orderBy("chk")
+  }
+
+  val vocabGrowth: Q = (s, d) => {
+    graft.expressions.TextShingles.register(s)
+    val toks = growthToks(documents(s, d)).localCheckpoint()
+    val regs = hllRegisters(toks, Seq("seg")).localCheckpoint()
+    val curve = growthCurveOf(regs, segDocCounts(documents(s, d)))
     // exact audit: first-seen segment per token (vocabulary-sized
     // groupBy — the audit's price, not the operator's), then the
     // cumulative count over the ≤40-row segment domain
     val firstSeen = toks.groupBy("tok").agg(min("seg").as("fs"))
       .groupBy("fs").agg(count(lit(1)).as("new_toks"))
-    val exact = firstSeen.join(chk, col("fs") <= col("chk"))
+    val exact = firstSeen
+      .join(broadcast(regs.select(col("seg").as("chk")).distinct()),
+        col("fs") <= col("chk"))
       .groupBy("chk").agg(sum("new_toks").as("exact_vocab"))
-    val nDocs = documents(s, d)
-      .select((length(bin(col("doc_id") + 1)) - 1).cast("int").as("seg"))
-      .join(chk, col("seg") <= col("chk"))
-      .groupBy("chk").agg(count(lit(1)).as("n_docs"))
     withRelErr(
-      nDocs.join(exact, Seq("chk")).join(est, Seq("chk"))
+      curve.join(exact, Seq("chk"))
         .select(col("chk"), col("n_docs"),
           col("exact_vocab").as("exact_distinct"), col("n_present"),
           col("sum_int"), col("hll_estimate_r")))
@@ -909,6 +934,49 @@ object SketchOps {
     hllEstimate(
       s.read.parquet(dir + "/regs").groupBy("bucket").agg(max("rho").as("rho")),
       Nil)
+
+  /** Build the standing vocab-growth index over a (doc_id, text) frame:
+    * `dir/regs` (seg, bucket, rho) register partials — the MAX monoid —
+    * plus `dir/segdocs` (batch_id, seg, n_docs) count partials — the
+    * additive monoid under the batch-id replay key. Build writes under
+    * batch −1 (the CMS/Qs index convention). */
+  def buildGrowthIndex(s: SparkSession, dir: String, docs: DataFrame): Unit = {
+    graft.expressions.TextShingles.register(s)
+    hllRegisters(growthToks(docs), Seq("seg"))
+      .write.mode("overwrite").parquet(dir + "/regs")
+    segDocCounts(docs).select(lit(-1L).as("batch_id"), col("seg"), col("n_docs"))
+      .write.mode("overwrite").parquet(dir + "/segdocs")
+  }
+
+  /** Append a (doc_id, text) batch — cost ∝ the batch's own shingle
+    * work, standing rows never rewritten. Register rows are absorbed by
+    * the read-time MAX under ANY replay interleaving (the HLL story);
+    * doc counts are additive, so their replay safety rides the batch id
+    * (a redelivered batch re-appends IDENTICAL (batch_id, seg, n_docs)
+    * rows that the read-time dedup collapses before the sum — the Qs
+    * index story). One index, two monoids, each with its own
+    * exactly-once mechanism. */
+  def appendToGrowthIndex(s: SparkSession, dir: String, docs: DataFrame,
+      batchId: Long): Unit = {
+    graft.expressions.TextShingles.register(s)
+    hllRegisters(growthToks(docs), Seq("seg"))
+      .write.mode("append").parquet(dir + "/regs")
+    segDocCounts(docs).select(lit(batchId).as("batch_id"), col("seg"), col("n_docs"))
+      .write.mode("append").parquet(dir + "/segdocs")
+  }
+
+  /** The standing growth curve from the index — per-(seg, bucket) MAX
+    * over the register log, batch-id-deduped count sums, then the same
+    * cumulative tail as the batch op; never a corpus rescan (so no
+    * exact/rel_err audit columns — the index answers WITHOUT the
+    * corpus, which is its contract). */
+  def growthFromIndex(s: SparkSession, dir: String): DataFrame =
+    growthCurveOf(
+      s.read.parquet(dir + "/regs")
+        .groupBy("seg", "bucket").agg(max("rho").as("rho")),
+      s.read.parquet(dir + "/segdocs")
+        .dropDuplicates("batch_id", "seg")
+        .groupBy("seg").agg(sum("n_docs").as("n_docs")))
 
   /** Build the standing quantile-sketch cell log for corpus `d`:
     * `dir/cells` rows (batch_id, bucket_id, cnt), build under −1 (the

@@ -75,6 +75,28 @@ object HllIngest {
       }
 }
 
+/** Streaming vocabulary-growth monitoring at ingest (twin #29): each
+  * micro-batch appends its own per-segment register file + per-segment
+  * doc counts ([[graft.ops.SketchOps.appendToGrowthIndex]]); the
+  * standing Heaps-law curve re-derives through
+  * [[graft.ops.SketchOps.growthFromIndex]]. One index, two monoids,
+  * two exactly-once stories: registers absorb ANY replay interleaving
+  * by read-time MAX (the [[HllIngest]] class), doc counts ride the
+  * micro-batch id into a read-time dedup before their sum (the
+  * [[QsIngest]] class). The production question this answers live:
+  * is the crawl still buying vocabulary, per ingested prefix, without
+  * ever rescanning what was already ingested. `docs` needs
+  * (doc_id, text). */
+object GrowthIngest {
+
+  def ingest(docs: DataFrame, dir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        graft.ops.SketchOps.appendToGrowthIndex(b.sparkSession, dir, b, id)
+      }
+}
+
 /** Streaming quantile monitoring at ingest (twin #28): each micro-batch
   * appends its own (batch_id, bucket_id, cnt) cell partial
   * ([[graft.ops.SketchOps.appendToQsIndex]]) — the [[CmsIngest]]

@@ -292,4 +292,65 @@ class SketchIndexSpec extends SparkSpec {
     assert(indexQuantiles(dir) == batchQuantiles,
       "streamed chunked ingest must sum to the batch sketch")
   }
+
+  // ---- persisted vocab-growth index (two monoids in one index) ----
+
+  /** The batch op's curve columns (drop the corpus-scan audit pair —
+    * the index answers without the corpus). */
+  private def batchCurve: Seq[Row] =
+    SparkEntry.queries("vocab_growth")(spark, sf)
+      .select("chk", "n_docs", "n_present", "sum_int", "hll_estimate_r")
+      .collect().toSeq
+
+  test("persisted growth index: build -> curve from index == vocab_growth's curve columns") {
+    val dir = tmp()
+    ops.SketchOps.buildGrowthIndex(spark, dir, Tables.documents(spark, sf))
+    val got = ops.SketchOps.growthFromIndex(spark, dir).collect().toSeq
+    assert(got == batchCurve)
+  }
+
+  test("growth index: chunked appends absorb register replays AND count redeliveries") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val docs = Tables.documents(spark, sf)
+    ops.SketchOps.appendToGrowthIndex(spark, dir, docs.where(col("doc_id") % 3 === 0), 0L)
+    ops.SketchOps.appendToGrowthIndex(spark, dir, docs.where(col("doc_id") % 3 === 1), 1L)
+    // redelivery under the same id: registers absorb by MAX, counts by
+    // the (batch_id, seg) dedup — the two monoids' mechanisms exercised
+    // in one replay
+    ops.SketchOps.appendToGrowthIndex(spark, dir, docs.where(col("doc_id") % 3 === 1), 1L)
+    ops.SketchOps.appendToGrowthIndex(spark, dir, docs.where(col("doc_id") % 3 === 2), 2L)
+    val got = ops.SketchOps.growthFromIndex(spark, dir).collect().toSeq
+    assert(got == batchCurve,
+      "chunked+replayed growth appends must merge to the batch curve")
+  }
+
+  test("streaming growth ingest (twin #29): chunked, killed between chunks == batch curve") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val base = JFiles.createTempDirectory("graft_skidx_gstream").toString
+    val dir = s"$base/index"
+    val rows = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map { r =>
+        val t = r.getString(1).replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"doc_id":${r.getLong(0)},"text":"$t"}"""
+      }
+    val srcDir = s"$base/src"
+    JFiles.createDirectories(JPaths.get(srcDir))
+    var nFile = 0
+    rows.grouped(math.max(rows.length / 4, 1)).foreach { chunk =>
+      JFiles.writeString(JPaths.get(srcDir, f"f$nFile%03d.json"),
+        chunk.mkString("", "\n", "\n"))
+      nFile += 1
+      // fresh query per chunk: kill-between-chunk restart from checkpoint
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").json(srcDir)
+      val q = streaming.GrowthIngest.ingest(docs, dir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val got = ops.SketchOps.growthFromIndex(spark, dir).collect().toSeq
+    assert(got == batchCurve,
+      "streamed chunked growth ingest must merge to the batch curve")
+  }
 }
