@@ -338,6 +338,59 @@ object PipelineOps {
           .as("gini_micro"))
   }
 
+  /** The curation funnel — the accounting table every curation run
+    * publishes: doc and token counts after each stage of the canonical
+    * chain (raw → quality gate → exact dedup → near-dup keeper →
+    * per-source cap), with retention vs raw and vs the previous stage.
+    * Each stage reuses its family's exact discipline (withQuality's
+    * gate, corpus_curate's min-doc_id hash election, the jaccard CC
+    * keeper — elected among SURVIVORS, the way a staged pipeline
+    * actually dedups — and corpus_source_cap's salted-hash cap), so
+    * the funnel can never disagree with the operators it accounts for.
+    * All stage counts are broadcast 1-row aggregates; the output is
+    * five rows however large the corpus. */
+  val corpusFunnel: Q = (s, d) => {
+    val raw0 = documents(s, d).select(col("doc_id"), col("text"),
+        coalesce(col("source"), lit("")).as("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .localCheckpoint()
+    val qual = TextOps.withQuality(raw0).where(col("quality") === "good")
+      .select("doc_id", "text", "source", "n_tok").localCheckpoint()
+    val exact = qual.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+      .join(qual.select("doc_id", "source", "n_tok"), "doc_id")
+      .localCheckpoint()
+    val labels = DedupOps.connectedComponents(
+      DedupOps.ngramJaccard(s, d).select("doc_a", "doc_b"))._1
+    val withCk = exact.join(labels, Seq("doc_id"), "left")
+      .withColumn("ck", coalesce(col("cluster_keeper"), col("doc_id")))
+    val near = withCk.groupBy("ck").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .join(exact, "doc_id").localCheckpoint()
+    val capW = Window.partitionBy("source")
+      .orderBy(md5(concat(lit("cap#"), col("doc_id"))), col("doc_id"))
+    val capped = near.withColumn("keep_rank", row_number().over(capW))
+      .where(col("keep_rank") <= SourceCap)
+    def agg1(df: DataFrame, n: String, t: String) = broadcast(df.agg(
+      count(lit(1)).as(n), coalesce(sum("n_tok"), lit(0L)).as(t)))
+    val all = agg1(raw0, "n0", "t0").crossJoin(agg1(qual, "n1", "t1"))
+      .crossJoin(agg1(exact, "n2", "t2")).crossJoin(agg1(near, "n3", "t3"))
+      .crossJoin(agg1(capped, "n4", "t4"))
+    def row(i: Int, name: String, n: String, t: String, prev: String) =
+      all.select(lit(i).as("stage_idx"), lit(name).as("stage"),
+        col(n).as("n_docs"), col(t).as("n_tokens"),
+        expr(s"CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT) ELSE ($n * 1000000) div n0 END")
+          .as("retained_micro"),
+        expr(s"CASE WHEN $prev = 0 THEN CAST(0 AS BIGINT) ELSE ($n * 1000000) div $prev END")
+          .as("step_micro"))
+    row(0, "raw", "n0", "t0", "n0")
+      .unionByName(row(1, "quality", "n1", "t1", "n0"))
+      .unionByName(row(2, "exact_dedup", "n2", "t2", "n1"))
+      .unionByName(row(3, "near_dup", "n3", "t3", "n2"))
+      .unionByName(row(4, "source_cap", "n4", "t4", "n3"))
+      .orderBy("stage_idx")
+  }
+
   /** Head-vocabulary cap for [[corpusDrift]]: divergence is measured
     * over the top-[[DriftVocabCap]] tokens by combined count, with ALL
     * tail mass folded into one OOV bucket. Production sets the BPE 2¹⁸
@@ -1435,6 +1488,7 @@ object PipelineOps {
     "corpus_source_cap" -> corpusSourceCap,
     "corpus_source_shares" -> corpusSourceShares,
     "corpus_source_gini" -> corpusSourceGini,
+    "corpus_funnel" -> corpusFunnel,
     "corpus_drift" -> corpusDrift,
     "corpus_quantiles" -> corpusQuantiles,
     "vocab_bpe_pairs" -> vocabBpePairs,
@@ -1713,6 +1767,66 @@ object PipelineOps {
                   ELSE CAST(((2 * iw - (n_sources + 1) * total_tokens) * 1000000)
                          // (n_sources * total_tokens) AS BIGINT) END AS gini_micro
            FROM a""",
+    "corpus_funnel" ->
+      raw"""WITH r0 AS MATERIALIZED (SELECT doc_id, text,
+                 COALESCE(source, '') AS source,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+               FROM documents),
+           g AS (SELECT doc_id, text, source, n_tok, ${TextOps.QualityColsSql} FROM r0),
+           q AS MATERIALIZED (SELECT doc_id, text, source, n_tok FROM g
+                WHERE ${TextOps.QualityCaseSql} = 'good'),
+           ek AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+           e AS MATERIALIZED (SELECT q.doc_id, q.source, q.n_tok
+                FROM q JOIN ek USING (doc_id)),
+           jm AS MATERIALIZED (SELECT doc_a, doc_b FROM (${DedupOps.JaccardPairsSelect})),
+           ${DedupOps.ccRoundsCtes("jm", "doc_a", "doc_b")},
+           eck AS (SELECT e.doc_id, COALESCE(cl.lbl, e.doc_id) AS ck
+                   FROM e LEFT JOIN cc_labels cl ON cl.v = e.doc_id),
+           nk AS (SELECT MIN(doc_id) AS doc_id FROM eck GROUP BY ck),
+           nd AS MATERIALIZED (SELECT e.doc_id, e.source, e.n_tok
+                FROM e JOIN nk USING (doc_id)),
+           cp AS (SELECT doc_id, source, n_tok, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5('cap#' || CAST(doc_id AS VARCHAR)), doc_id) AS kr
+                  FROM nd),
+           c AS (SELECT doc_id, source, n_tok FROM cp WHERE kr <= $SourceCap),
+           a0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0, CAST(coalesce(SUM(n_tok), 0) AS BIGINT) AS t0 FROM r0),
+           a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1, CAST(coalesce(SUM(n_tok), 0) AS BIGINT) AS t1 FROM q),
+           a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2, CAST(coalesce(SUM(n_tok), 0) AS BIGINT) AS t2 FROM e),
+           a3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n3, CAST(coalesce(SUM(n_tok), 0) AS BIGINT) AS t3 FROM nd),
+           a4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n4, CAST(coalesce(SUM(n_tok), 0) AS BIGINT) AS t4 FROM c),
+           all0 AS (SELECT * FROM a0, a1, a2, a3, a4)
+           SELECT * FROM (
+             SELECT 0 AS stage_idx, 'raw' AS stage, n0 AS n_docs, t0 AS n_tokens,
+               CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT) ELSE CAST((n0 * 1000000) // n0 AS BIGINT) END AS retained_micro,
+               CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT) ELSE CAST((n0 * 1000000) // n0 AS BIGINT) END AS step_micro
+             FROM all0
+             UNION ALL
+             SELECT 1, 'quality', n1, t1,
+               CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT) ELSE CAST((n1 * 1000000) // n0 AS BIGINT) END,
+               CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT) ELSE CAST((n1 * 1000000) // n0 AS BIGINT) END
+             FROM all0
+             UNION ALL
+             SELECT 2, 'exact_dedup', n2, t2,
+               CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT) ELSE CAST((n2 * 1000000) // n0 AS BIGINT) END,
+               CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT) ELSE CAST((n2 * 1000000) // n1 AS BIGINT) END
+             FROM all0
+             UNION ALL
+             SELECT 3, 'near_dup', n3, t3,
+               CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT) ELSE CAST((n3 * 1000000) // n0 AS BIGINT) END,
+               CASE WHEN n2 = 0 THEN CAST(0 AS BIGINT) ELSE CAST((n3 * 1000000) // n2 AS BIGINT) END
+             FROM all0
+             UNION ALL
+             SELECT 4, 'source_cap', n4, t4,
+               CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT) ELSE CAST((n4 * 1000000) // n0 AS BIGINT) END,
+               CASE WHEN n3 = 0 THEN CAST(0 AS BIGINT) ELSE CAST((n4 * 1000000) // n3 AS BIGINT) END
+             FROM all0
+             UNION ALL
+             SELECT -1, 'unconverged', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+             FROM (SELECT 1)
+             WHERE (SELECT n_changed FROM cc_guard) > 0)
+           ORDER BY stage_idx""",
     "corpus_drift" ->
       s"""WITH t0 AS (SELECT doc_id % 2 = 0 AS even,
                  unnest(string_split(${DedupOps.NormSql}, ' ')) AS tok FROM documents),

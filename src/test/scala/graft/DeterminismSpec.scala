@@ -83,7 +83,8 @@ class DeterminismSpec extends SparkSpec {
     "vocab_growth",          // cumulative register maxes + micro-grid ln
     "dedup_component_sizes", // CC-size histogram, exact integers
     "corpus_token_budget_eval", // domain-window threshold + broadcast compare
-    "corpus_source_gini")    // rank-weighted integer Lorenz sum
+    "corpus_source_gini",    // rank-weighted integer Lorenz sum
+    "corpus_funnel")         // five-stage chain: gate, election, CC, cap
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

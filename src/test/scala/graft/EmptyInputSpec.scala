@@ -88,7 +88,8 @@ class EmptyInputSpec extends SparkSpec {
     "dedup_bloom_eval", "text_ngram_cms_eval", "corpus_dsir_eval",
     "events_unique_users_hll", "vocab_hll", "corpus_quantile_sketch_eval",
     "emb_project_rp_eval", "dedup_graph_stats", "dedup_method_agreement",
-    "sample_split_leakage", "corpus_token_budget_eval", "corpus_source_gini")
+    "sample_split_leakage", "corpus_token_budget_eval", "corpus_source_gini",
+    "corpus_funnel")
 
   for (name <- emptyOut) {
     test(s"$name returns zero rows on an empty corpus") {
