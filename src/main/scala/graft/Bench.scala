@@ -410,7 +410,31 @@ object Bench {
       if (dsArg >= 0 && dsArg < 1.1)
         floorViolation = floorViolation.orElse(
           Some(s"corpus_dsir_eval argmax lift = $dsArg < 1.1 at $floorTag"))
+      // vocab growth: worst checkpoint rel_err of the cumulative HLL
+      // curve vs the exact audit (same register geometry as the HLL
+      // gate; measured ≤ 0.8 % at every checkpoint at every SF — the
+      // 5 % ceiling catches a segment/merge regression).
+      val vgErr = SparkEntry.queries("vocab_growth")(spark, sfDir)
+        .collect().map(r =>
+          if (r.isNullAt(r.fieldIndex("rel_err_r"))) 0.0
+          else r.getDouble(r.fieldIndex("rel_err_r")))
+        .foldLeft(0.0)(math.max)
+      if (vgErr > 0.05)
+        floorViolation = floorViolation.orElse(
+          Some(s"vocab_growth worst rel_err = $vgErr > 0.05 at $floorTag"))
+      // split leakage: the cluster policy's guarantee is structural —
+      // any nonzero crossing count is a broken keeper hash, and the
+      // naive channel it closes rides along as the measured exhibit.
+      val slRow = SparkEntry.queries("sample_split_leakage")(spark, sfDir)
+        .collect().head
+      val slCross = slRow.getLong(slRow.fieldIndex("cluster_cross"))
+      val slNaive = slRow.getLong(slRow.fieldIndex("naive_leak_micro")) / 1e6
+      if (slCross != 0L)
+        floorViolation = floorViolation.orElse(
+          Some(s"sample_split_leakage cluster_cross = $slCross != 0 at $floorTag"))
       rJson + fJson + s""","substring_recall":$subRecall""" +
+        s""","growth_worst_err":$vgErr""" +
+        s""","split_cluster_cross":$slCross,"split_naive_leak_baseline":$slNaive""" +
         s""","bm25_cap_recall":$capRecall""" +
         s""","filtered_ivf_recall":$fRecall""" +
         s""","classifier_acc":$clsAcc,"classifier_majority":$clsMaj""" +

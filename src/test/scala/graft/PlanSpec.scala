@@ -552,4 +552,49 @@ class PlanSpec extends SparkSpec {
     // the DsirK selection runs as TakeOrderedAndProject, not a global sort
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("corpus_token_budget: the cumulative window consumes the score HISTOGRAM, never document rows") {
+    val plan = finalPlan(graft.ops.ClassifierOps.queries("corpus_token_budget")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    // the single-partition sort under the window must sit ABOVE the
+    // partial-aggregated groupBy(p_micro) histogram: the window's input
+    // is the bounded score domain, and the corpus-sized frame only ever
+    // crosses a hash exchange
+    val winIdx = finalOnly.indexOf("Window")
+    assert(winIdx >= 0, plan)
+    val below = finalOnly.substring(winIdx)
+    assert(below.contains("partial_sum(n_tok"),
+      s"the score histogram must partial-aggregate below the window:\n$plan")
+    // threshold + selection are broadcast 1-row compares, not a join of
+    // the doc frame against itself
+    assert(finalOnly.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!finalOnly.contains("CartesianProduct"), plan)
+  }
+
+  test("corpus_source_gini: every window and rank sees the SOURCE domain (post-aggregate), never documents") {
+    val plan = finalPlan(graft.ops.PipelineOps.queries("corpus_source_gini")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    val winIdx = finalOnly.indexOf("Window")
+    assert(winIdx >= 0, plan)
+    // below the rank window: the per-source mass aggregate with its
+    // map-side partials — the corpus never reaches the single partition
+    assert(finalOnly.substring(winIdx).contains("partial_sum(n_tok"),
+      s"the source-mass aggregate must sit below the rank window:\n$plan")
+    // the scan reads only what the mass frame needs
+    assert(finalOnly.contains("ReadSchema: struct<text:string,source:string>") ||
+      finalOnly.contains("ReadSchema: struct<source:string,text:string>"), plan)
+  }
+
+  test("vocab_growth: register file partial-aggregates map-side; the checkpoint <=-join broadcasts") {
+    val plan = finalPlan(graft.ops.SketchOps.queries("vocab_growth")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    // per-(seg, bucket) register maxes combine before their exchange —
+    // the fixed-size-exchange property the curve's cost story rests on
+    assert(finalOnly.contains("partial_max(rho"),
+      s"register maxes must combine map-side:\n$plan")
+    // the seg <= chk cumulative join ships the ~40-row checkpoint list,
+    // never a shuffle of the register file against itself
+    assert(finalOnly.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!finalOnly.contains("CartesianProduct"), plan)
+  }
 }
