@@ -20,7 +20,7 @@ object PipelineOps {
     * is the property that matters for train/eval hygiene at 100 TB
     * (random() splits churn on every run; partition-id splits churn on
     * every layout change). */
-  private[ops] def splitHash(c: org.apache.spark.sql.Column) =
+  private[graft] def splitHash(c: org.apache.spark.sql.Column) =
     conv(substring(md5(concat(lit("split:"), c.cast("string"))), 1, 4), 16, 10)
       .cast("long")
 
@@ -35,7 +35,7 @@ object PipelineOps {
 
   /** The 90/5/5 bucket→label mapping, factored so the naive and
     * cluster-aware splits can never disagree on the thresholds. */
-  private def splitLabel(bucket: org.apache.spark.sql.Column) =
+  private[graft] def splitLabel(bucket: org.apache.spark.sql.Column) =
     when(bucket < 58982, "train")      // 0.90 * 65536
       .when(bucket < 62259, "val")     // 0.95 * 65536
       .otherwise("test")

@@ -51,4 +51,76 @@ class SplitSpec extends SparkSpec {
     assert(row.getAs[Long]("naive_cross") > 0L,
       "naive split produced no crossing pairs - instrument is vacuous here")
   }
+
+  // ---- streaming split assignment under a standing label index ----
+
+  private def batchAssignments: Seq[org.apache.spark.sql.Row] =
+    SparkEntry.queries("sample_split_cluster")(spark, sf).collect().toSeq
+
+  test("split-assign ingest: full-index assignment == batch sample_split_cluster, row for row") {
+    val base = java.nio.file.Files.createTempDirectory("graft_split_idx").toString
+    streaming.SplitAssignIngest.buildLabelIndex(spark, sf, base)
+    streaming.SplitAssignIngest.appendAssignments(spark, base,
+      Tables.documents(spark, sf).select("doc_id"), 0L)
+    val got = streaming.SplitAssignIngest.assignmentsFromDir(spark, base)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == batchAssignments)
+  }
+
+  test("split-assign ingest: chunked appends + a redelivered batch id stay row-identical") {
+    val base = java.nio.file.Files.createTempDirectory("graft_split_idx2").toString
+    streaming.SplitAssignIngest.buildLabelIndex(spark, sf, base)
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    streaming.SplitAssignIngest.appendAssignments(spark, base, docs.where(col("doc_id") % 3 === 0), 0L)
+    streaming.SplitAssignIngest.appendAssignments(spark, base, docs.where(col("doc_id") % 3 === 1), 1L)
+    // redelivery: byte-identical rows, collapsed by the doc_id dedup
+    streaming.SplitAssignIngest.appendAssignments(spark, base, docs.where(col("doc_id") % 3 === 1), 1L)
+    streaming.SplitAssignIngest.appendAssignments(spark, base, docs.where(col("doc_id") % 3 === 2), 2L)
+    val got = streaming.SplitAssignIngest.assignmentsFromDir(spark, base)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == batchAssignments)
+  }
+
+  test("split-assign ingest (twin #30): chunked file stream, killed between chunks == batch op") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val base = JFiles.createTempDirectory("graft_split_stream").toString
+    val dir = s"$base/index"
+    streaming.SplitAssignIngest.buildLabelIndex(spark, sf, dir)
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    val srcDir = s"$base/src"
+    JFiles.createDirectories(JPaths.get(srcDir))
+    var nFile = 0
+    ids.grouped(math.max(ids.length / 4, 1)).foreach { chunk =>
+      JFiles.writeString(JPaths.get(srcDir, f"f$nFile%03d.json"),
+        chunk.map(i => s"""{"doc_id":$i}""").mkString("", "\n", "\n"))
+      nFile += 1
+      // fresh query per chunk: kill-between-chunk restart from checkpoint
+      val docs = spark.readStream.schema("doc_id LONG").json(srcDir)
+      val q = streaming.SplitAssignIngest.ingest(docs, dir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val got = streaming.SplitAssignIngest.assignmentsFromDir(spark, dir)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == batchAssignments,
+      "streamed chunked split assignment must equal the batch operator")
+  }
+
+  test("split-assign ingest: a novel doc (absent from the index) takes its own-hash split") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_split_idx3").toString
+    streaming.SplitAssignIngest.buildLabelIndex(spark, sf, base)
+    val novel = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.List.of(org.apache.spark.sql.Row(987654321L))),
+      StructType(Seq(StructField("doc_id", LongType))))
+    streaming.SplitAssignIngest.appendAssignments(spark, base, novel, 0L)
+    val got = streaming.SplitAssignIngest.assignmentsFromDir(spark, base).collect().head
+    assert(got.getAs[Long]("split_key") == 987654321L,
+      "a novel doc must fall back to its own id as the split key")
+    val naive = SparkEntry.queries("sample_split_hash")(spark, sf) // thresholds check
+    assert(naive.columns.contains("split")) // same splitLabel fragment by construction
+  }
 }
