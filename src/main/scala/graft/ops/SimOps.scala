@@ -1457,7 +1457,56 @@ object SimOps {
       .orderBy("vec_id")
   }
 
+  /** Class-geometry audit: pairwise cosine between LABEL CENTROIDS —
+    * the instrument that says whether the label classes are separable
+    * in embedding space at all (centroids near-orthogonal) or collapsed
+    * (high cosine), complementing [[labelPurity]]'s neighbor-level
+    * view with the global one. Exact integer arithmetic end-to-end:
+    * components land on the micro grid, centroid = truncating integer
+    * mean demoted to MILLIS (so the worst dot·1e6 stays ~6e13, far
+    * under BIGINT — the overflow headroom is designed, not assumed;
+    * Spark `div` and DuckDB `//` both truncate toward zero, checked on
+    * negatives), norms micro-round one IEEE sqrt. Everything after the
+    * one (label, pos)-grouped aggregate is label-domain-sized (the
+    * pairwise join is labels², ~45 rows here, bounded by the class
+    * count at any corpus size). On the harness's synthetic embeddings
+    * the honest reading is ≈0 cosine — the labels are assigned, not
+    * clustered, and the instrument must say so. */
+  val labelCentroids: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
+    val e = DedupOps.EmbGate.clean(embeddings(s, d), "nrm")
+      .where(col("label").isNotNull)
+      .select(col("label").cast("int").as("label"), col("embedding"))
+    val comp = e.select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        expr("CAST(round(CAST(col AS DOUBLE) * 1000000, 0) AS BIGINT)").as("v"))
+    val cent = comp.groupBy("label", "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), expr("(sv div n) div 1000").as("c"))
+      .localCheckpoint()
+    val counts = e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    val nrm = cent.groupBy("label")
+      .agg(expr("CAST(round(sqrt(CAST(sum(c * c) AS DOUBLE)), 0) AS BIGINT)").as("nrm"))
+    val a = cent.select(col("label").as("label_a"), col("pos"), col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("pos"), col("c").as("cb"))
+    a.join(b, Seq("pos")).where(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(expr("ca * cb")).as("dot"))
+      .join(nrm.select(col("label").as("label_a"), col("nrm").as("nrm_a")), "label_a")
+      .join(nrm.select(col("label").as("label_b"), col("nrm").as("nrm_b")), "label_b")
+      .join(counts.select(col("label").as("label_a"), col("n_vecs").as("n_a")), "label_a")
+      .join(counts.select(col("label").as("label_b"), col("n_vecs").as("n_b")), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        // the norms ride along so a big cosine between TINY centroids
+        // (random-assignment noise) cannot be misread as structure
+        col("nrm_a").as("nrm_a_milli"), col("nrm_b").as("nrm_b_milli"),
+        expr("CASE WHEN nrm_a * nrm_b = 0 THEN CAST(0 AS BIGINT) ELSE (dot * 1000000) div (nrm_a * nrm_b) END")
+          .as("cos_micro"))
+      .orderBy("label_a", "label_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "emb_label_centroids" -> labelCentroids,
     "sim_brute_topk" -> bruteTopK,
     "emb_quantize_int8" -> quantizeInt8,
     "sim_q8_topk" -> q8TopK,
@@ -1725,6 +1774,38 @@ object SimOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "emb_label_centroids" ->
+      raw"""WITH ec AS (SELECT label, embedding FROM embeddings
+               WHERE label IS NOT NULL AND len(embedding) = 64
+                 AND sqrt(list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) > 0
+                 AND NOT isnan(sqrt(list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))
+                 AND NOT isinf(sqrt(list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))),
+           comp AS (SELECT label, i - 1 AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+               FROM ec CROSS JOIN range(1, 65) t(i)),
+           cent AS MATERIALIZED (SELECT label, pos,
+                 (SUM(v) // COUNT(*)) // 1000 AS c
+               FROM comp GROUP BY label, pos),
+           cnts AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+               FROM ec GROUP BY label),
+           nr AS (SELECT label,
+                 CAST(round(sqrt(CAST(SUM(c * c) AS DOUBLE)), 0) AS BIGINT) AS nrm
+               FROM cent GROUP BY label),
+           dots AS (SELECT a.label AS label_a, b.label AS label_b,
+                 CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+               FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+               GROUP BY a.label, b.label)
+           SELECT d.label_a, d.label_b, ca.n_vecs AS n_a, cb.n_vecs AS n_b,
+             na.nrm AS nrm_a_milli, nb.nrm AS nrm_b_milli,
+             CASE WHEN na.nrm * nb.nrm = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((d.dot * 1000000) // (na.nrm * nb.nrm) AS BIGINT) END AS cos_micro
+           FROM dots d
+           JOIN nr na ON na.label = d.label_a JOIN nr nb ON nb.label = d.label_b
+           JOIN cnts ca ON ca.label = d.label_a JOIN cnts cb ON cb.label = d.label_b
+           ORDER BY d.label_a, d.label_b""",
     // dedup_semdedup: k-means argmin assignment + within-cluster cosine
     // pairs + the shared CC rounds + farthest-from-centroid election —
     // CTE for CTE the Spark chain, over the same kmeans oracle CTEs

@@ -84,7 +84,8 @@ class DeterminismSpec extends SparkSpec {
     "dedup_component_sizes", // CC-size histogram, exact integers
     "corpus_token_budget_eval", // domain-window threshold + broadcast compare
     "corpus_source_gini",    // rank-weighted integer Lorenz sum
-    "corpus_funnel")         // five-stage chain: gate, election, CC, cap
+    "corpus_funnel",         // five-stage chain: gate, election, CC, cap
+    "emb_label_centroids")   // integer centroid means + one IEEE sqrt
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

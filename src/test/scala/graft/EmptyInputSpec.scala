@@ -75,7 +75,7 @@ class EmptyInputSpec extends SparkSpec {
     "corpus_quantile_sketch", "corpus_quantile_sketch_incremental",
     "text_bigram_nll", "emb_project_rp", "sim_rp_topk",
     "sample_split_cluster", "vocab_growth", "dedup_component_sizes",
-    "corpus_token_budget", "corpus_source_shares")
+    "corpus_token_budget", "corpus_source_shares", "emb_label_centroids")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
