@@ -890,6 +890,28 @@ object DedupOps {
         "CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE (3 * n_triangles * 1000000) div n_wedges END"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * shingles that appear in NO other document (corpus df = 1) — the
+    * boilerplate gauge. Near 1: unique content; near 0: the document is
+    * assembled from text the corpus already has (mirror fragments,
+    * templates, quote farms) even when no single pair crosses the
+    * jaccard threshold — the gray zone pairwise dedup can't see. One
+    * shingle-df aggregate (map-side partials) + one hash join of the
+    * shingle frame against the df table; work ∝ corpus shingle volume,
+    * never docs². */
+  val ngramNovelty: Q = (s, d) => {
+    val sh = docShingles(s, d).localCheckpoint()
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        coalesce(sum(when(col("df") === 1, 1L).otherwise(0L)), lit(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_sh"), col("n_unique"),
+        expr("CASE WHEN n_sh = 0 THEN CAST(0 AS BIGINT) ELSE (n_unique * 1000000) div n_sh END")
+          .as("novelty_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Cluster-size histogram over the jaccard pair graph — the dup-mass
     * distribution a curation report leads with: how many docs sit in
     * clusters of size k (k=1 singletons included), i.e. how much of the
@@ -1289,6 +1311,7 @@ object DedupOps {
     "dedup_graph_stats" -> graphStats,
     "dedup_method_agreement" -> methodAgreement,
     "dedup_component_sizes" -> componentSizes,
+    "text_ngram_novelty" -> ngramNovelty,
   )
 
   /** Shared SQL fragments for the oracles (DuckDB dialect). NormSql is
@@ -1793,6 +1816,16 @@ object DedupOps {
         WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3"""
 
   private lazy val cosineOracles: Map[String, String] = Map(
+    "text_ngram_novelty" ->
+      s"""WITH $ShinglesSql,
+          df AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY sh),
+          pd AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+                   CAST(coalesce(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unique
+                 FROM sh s JOIN df ON df.sh = s.sh GROUP BY s.doc_id)
+          SELECT doc_id, n_sh, n_unique,
+            CASE WHEN n_sh = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((n_unique * 1000000) // n_sh AS BIGINT) END AS novelty_micro
+          FROM pd ORDER BY doc_id""",
     "dedup_component_sizes" ->
       s"""WITH jm AS MATERIALIZED (SELECT doc_a, doc_b
               FROM ($JaccardPairsSelect)),

@@ -235,6 +235,44 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Packing-efficiency accounting for [[packSequences]] in one row:
+    * how many documents the concat-and-chop layout CUTS at a context
+    * boundary (the training-quality price of zero padding — a cut doc
+    * loses cross-boundary attention), the tail underfill per shard (the
+    * only wasted tokens in this scheme), and the fill fraction. A doc
+    * is cut iff its first and last token land in different bins:
+    * (cum−n_tok) div C ≠ (cum−1) div C. Same per-shard cumulative
+    * window as the packer (so the accounting can't drift from the
+    * layout), then one broadcast-sized aggregate over shards. */
+  val packSequencesEval: Q = (s, d) => {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % NShards).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("cut", expr(
+        s"CASE WHEN (cum - n_tok) div $CtxTokens <> (cum - 1) div $CtxTokens THEN 1 ELSE 0 END"))
+    val shards = packed.groupBy("shard").agg(
+      max("cum").as("shard_tok"),
+      coalesce(sum("cut"), lit(0L)).as("shard_cut"))
+      .withColumn("shard_bins", expr(s"(shard_tok + ${CtxTokens - 1}) div $CtxTokens"))
+      .withColumn("shard_waste", expr(s"shard_bins * $CtxTokens - shard_tok"))
+    packed.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(shards.agg(
+        coalesce(sum("shard_tok"), lit(0L)).as("total_tokens"),
+        coalesce(sum("shard_bins"), lit(0L)).as("n_bins"),
+        coalesce(sum("shard_cut"), lit(0L)).as("n_cut_docs"),
+        coalesce(sum("shard_waste"), lit(0L)).as("tail_waste"))))
+      .select(col("n_docs"), col("total_tokens"), lit(CtxTokens.toLong).as("ctx_tokens"),
+        col("n_bins"), col("n_cut_docs"),
+        expr("CASE WHEN n_docs = 0 THEN CAST(0 AS BIGINT) ELSE (n_cut_docs * 1000000) div n_docs END")
+          .as("cut_micro"),
+        col("tail_waste"),
+        expr(s"CASE WHEN n_bins = 0 THEN CAST(0 AS BIGINT) ELSE (total_tokens * 1000000) div (n_bins * $CtxTokens) END")
+          .as("fill_micro"))
+  }
+
   /** End-to-end corpus curation — the composition the individual ops
     * exist for, as one declarative plan Catalyst optimizes WHOLE:
     * quality gate (the `good` tier of text_quality_score) → exact dedup
@@ -1519,6 +1557,7 @@ object PipelineOps {
     "text_ngram_topk" -> ngramTopK,
     "text_contamination" -> contamination,
     "pack_sequences" -> packSequences,
+    "pack_sequences_eval" -> packSequencesEval,
     "corpus_curate" -> corpusCurate,
   )
 
@@ -2254,5 +2293,37 @@ object PipelineOps {
           SELECT doc_id, shard, n_tok,
             CAST((cum - n_tok) // $CtxTokens AS BIGINT) AS bin
           FROM c ORDER BY doc_id""",
+    "pack_sequences_eval" ->
+      raw"""WITH t AS (SELECT doc_id, doc_id % $NShards AS shard,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+            FROM documents),
+          c AS (SELECT doc_id, shard, n_tok,
+                  CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM t),
+          p AS (SELECT *,
+                  CASE WHEN (cum - n_tok) // $CtxTokens <> (cum - 1) // $CtxTokens
+                       THEN 1 ELSE 0 END AS cut
+                FROM c),
+          sh AS (SELECT shard, CAST(MAX(cum) AS BIGINT) AS shard_tok,
+                   CAST(coalesce(SUM(cut), 0) AS BIGINT) AS shard_cut
+                 FROM p GROUP BY shard),
+          sh2 AS (SELECT *,
+                   CAST((shard_tok + ${CtxTokens - 1}) // $CtxTokens AS BIGINT) AS shard_bins
+                  FROM sh),
+          ag AS (SELECT CAST(coalesce(SUM(shard_tok), 0) AS BIGINT) AS total_tokens,
+                   CAST(coalesce(SUM(shard_bins), 0) AS BIGINT) AS n_bins,
+                   CAST(coalesce(SUM(shard_cut), 0) AS BIGINT) AS n_cut_docs,
+                   CAST(coalesce(SUM(shard_bins * $CtxTokens - shard_tok), 0) AS BIGINT) AS tail_waste
+                 FROM sh2),
+          nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM t)
+          SELECT nd.n_docs, ag.total_tokens, CAST($CtxTokens AS BIGINT) AS ctx_tokens,
+            ag.n_bins, ag.n_cut_docs,
+            CASE WHEN nd.n_docs = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((ag.n_cut_docs * 1000000) // nd.n_docs AS BIGINT) END AS cut_micro,
+            ag.tail_waste,
+            CASE WHEN ag.n_bins = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((ag.total_tokens * 1000000) // (ag.n_bins * $CtxTokens) AS BIGINT) END AS fill_micro
+          FROM nd, ag""",
   )
 }

@@ -85,7 +85,9 @@ class DeterminismSpec extends SparkSpec {
     "corpus_token_budget_eval", // domain-window threshold + broadcast compare
     "corpus_source_gini",    // rank-weighted integer Lorenz sum
     "corpus_funnel",         // five-stage chain: gate, election, CC, cap
-    "emb_label_centroids")   // integer centroid means + one IEEE sqrt
+    "emb_label_centroids",   // integer centroid means + one IEEE sqrt
+    "text_ngram_novelty",    // df join + integer unique fractions
+    "pack_sequences_eval")   // per-shard cumsum boundary accounting
 
   for (name <- pinned) {
     test(s"$name is identical under 3 vs 11 shuffle partitions") {

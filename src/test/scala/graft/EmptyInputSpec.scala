@@ -75,7 +75,8 @@ class EmptyInputSpec extends SparkSpec {
     "corpus_quantile_sketch", "corpus_quantile_sketch_incremental",
     "text_bigram_nll", "emb_project_rp", "sim_rp_topk",
     "sample_split_cluster", "vocab_growth", "dedup_component_sizes",
-    "corpus_token_budget", "corpus_source_shares", "emb_label_centroids")
+    "corpus_token_budget", "corpus_source_shares", "emb_label_centroids",
+    "text_ngram_novelty")
 
   /** Aggregate-shaped ops: one (or per-check) row of zero counts is the
     * correct empty-corpus answer — they must run, not throw. */
@@ -89,7 +90,7 @@ class EmptyInputSpec extends SparkSpec {
     "events_unique_users_hll", "vocab_hll", "corpus_quantile_sketch_eval",
     "emb_project_rp_eval", "dedup_graph_stats", "dedup_method_agreement",
     "sample_split_leakage", "corpus_token_budget_eval", "corpus_source_gini",
-    "corpus_funnel")
+    "corpus_funnel", "pack_sequences_eval")
 
   for (name <- emptyOut) {
     test(s"$name returns zero rows on an empty corpus") {
