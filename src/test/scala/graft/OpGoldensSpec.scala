@@ -316,4 +316,74 @@ class OpGoldensSpec extends SparkSpec {
       (2, "a", "a", "aa", 2L),
       (3, "aa", "aa", "aaaa", 2L)), s"run collapse: ${got.toSeq}")
   }
+
+  test("corpus_source_gini analytic extremes: balanced 0, one-dominant near (n-1)/n") {
+    // balanced: 4 sources x 4 tokens each -> G = 0 exactly
+    val bal = writeDocs((0L until 4L).map(i =>
+      Row(i, "w w w w", "en", s"s$i", 7L)))
+    val g0 = ops.PipelineOps.queries("corpus_source_gini")(spark, bal).collect().head
+    assert(g0.getAs[Long]("gini_micro") == 0L, g0.toString)
+    assert(g0.getAs[Long]("top_share_micro") == 250000L, g0.toString)
+    // extreme concentration: sources (1,1,1,97) tokens ->
+    // G = (2*(1*1+2*1+3*1+4*97) - 5*100) / (4*100) = (788-500)/400 = 0.72
+    val skew = writeDocs(Seq(
+      Row(0L, "w", "en", "sA", 1L),
+      Row(1L, "w", "en", "sB", 1L),
+      Row(2L, "w", "en", "sC", 1L),
+      Row(3L, ("w " * 96).trim + " w", "en", "sD", 193L)))
+    val g1 = ops.PipelineOps.queries("corpus_source_gini")(spark, skew).collect().head
+    assert(g1.getAs[Long]("gini_micro") == 720000L, g1.toString)
+    assert(g1.getAs[Long]("top_share_micro") == 970000L, g1.toString)
+  }
+
+  test("text_ngram_novelty analytic: disjoint docs read 1.0, a clone pair reads 0.0") {
+    val dir = writeDocs(Seq(
+      Row(1L, "alpha beta gamma delta epsilon", "en", "s0", 30L), // unique 3-grams
+      Row(2L, "one two three four five six", "en", "s0", 27L),    // unique 3-grams
+      Row(3L, "shared text block here now ok", "en", "s0", 29L),  // clone of 4
+      Row(4L, "shared text block here now ok", "en", "s0", 29L))) // clone of 3
+    val got = ops.DedupOps.queries("text_ngram_novelty")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("novelty_micro")).toMap
+    assert(got(1L) == 1000000L && got(2L) == 1000000L, got.toString)
+    assert(got(3L) == 0L && got(4L) == 0L, got.toString)
+  }
+
+  test("pack_sequences_eval analytic: exact-fit shard cuts nothing and wastes nothing") {
+    // one shard (doc_ids all ≡ 0 mod 8): four docs of 128 tokens =
+    // exactly one 512-token bin -> 0 cuts, 0 waste, fill 1.0
+    val doc128 = ("w " * 128).trim
+    val dir = writeDocs(Seq(0L, 8L, 16L, 24L).map(i =>
+      Row(i, doc128, "en", "s0", doc128.length.toLong)))
+    val r = ops.PipelineOps.queries("pack_sequences_eval")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_bins") == 1L, r.toString)
+    assert(r.getAs[Long]("n_cut_docs") == 0L, r.toString)
+    assert(r.getAs[Long]("tail_waste") == 0L, r.toString)
+    assert(r.getAs[Long]("fill_micro") == 1000000L, r.toString)
+    // one 513-token doc: spans the bin boundary -> cut, second bin
+    // wastes 511
+    val doc513 = ("w " * 513).trim
+    val dir2 = writeDocs(Seq(Row(0L, doc513, "en", "s0", doc513.length.toLong)))
+    val r2 = ops.PipelineOps.queries("pack_sequences_eval")(spark, dir2).collect().head
+    assert(r2.getAs[Long]("n_cut_docs") == 1L, r2.toString)
+    assert(r2.getAs[Long]("tail_waste") == 511L, r2.toString)
+  }
+
+  test("dedup_graph_stats analytic: a triangle plus a chain") {
+    // docs 1,2,3 mutually near-dup (one clone text) -> triangle;
+    // docs 4,5 pair -> one extra edge. Edges: 3 + 1 = 4.
+    // Degrees: 2,2,2,1,1 -> wedges = 3*1 + 0 + 0 = 3; triangles = 1;
+    // coefficient = 3*1/3 = 1.0
+    val tri = "common shared sentence used by the triangle docs exactly"
+    val pair = "another different shared sentence for the chain pair docs"
+    val dir = writeDocs(Seq(
+      Row(1L, tri, "en", "s0", 10L), Row(2L, tri, "en", "s0", 10L),
+      Row(3L, tri, "en", "s0", 10L), Row(4L, pair, "en", "s0", 10L),
+      Row(5L, pair, "en", "s0", 10L)))
+    val r = ops.DedupOps.queries("dedup_graph_stats")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_nodes") == 5L, r.toString)
+    assert(r.getAs[Long]("n_edges") == 4L, r.toString)
+    assert(r.getAs[Long]("n_wedges") == 3L, r.toString)
+    assert(r.getAs[Long]("n_triangles") == 1L, r.toString)
+    assert(r.getAs[Long]("clustering_micro") == 1000000L, r.toString)
+  }
 }
