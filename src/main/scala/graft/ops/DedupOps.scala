@@ -1781,11 +1781,16 @@ object DedupOps {
                        >> (3 - b % 4)) & 1) - 1 AS contrib
                 FROM bits),
           sc AS (SELECT doc_id, b, SUM(contrib) AS s FROM c GROUP BY doc_id, b),
-          fp AS (SELECT doc_id,
+          -- fp is read FOUR times by blocks and blocks TWICE by cand:
+          -- without MATERIALIZED, DuckDB re-inlines the ~170M-row bits
+          -- chain up to 8x (measured: the sf1 replay spilled past 80 GB
+          -- of temp and ran the disk out); materialized, the chain runs
+          -- once and the replay passes in ~3 min
+          fp AS MATERIALIZED (SELECT doc_id,
                    CAST(SUM(CASE WHEN s > 0 AND b < 32 THEN (1::BIGINT << (31 - b)) ELSE 0 END) AS BIGINT) AS fp_hi,
                    CAST(SUM(CASE WHEN s > 0 AND b >= 32 THEN (1::BIGINT << (63 - b)) ELSE 0 END) AS BIGINT) AS fp_lo
                  FROM sc GROUP BY doc_id),
-          blocks AS (
+          blocks AS MATERIALIZED (
             SELECT doc_id, fp_hi, fp_lo, 0 AS blk, fp_hi // 65536 AS bval FROM fp
             UNION ALL SELECT doc_id, fp_hi, fp_lo, 1, fp_hi % 65536 FROM fp
             UNION ALL SELECT doc_id, fp_hi, fp_lo, 2, fp_lo // 65536 FROM fp
