@@ -213,17 +213,48 @@ object ClassifierOps {
     * uncached. Bench caveat (the emb_pq_codes warm-codebook class):
     * quality_classifier_train's timed median reads the warm path after
     * its first run — its cold cost is the one-time offline build,
-    * measured ~5 s at sf0.1 in the training chain itself. */
-  private val weightsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+    * measured ~5 s at sf0.1 in the training chain itself.
+    *
+    * Cache key = dir path + a content fingerprint of the documents
+    * table (file names, sizes, mtimes — cheap driver-side listing, no
+    * data read): if a test regenerates data at a reused temp path, or
+    * the corpus behind a dir changes between runs in one JVM, the
+    * fingerprint changes and the model retrains instead of silently
+    * serving stale weights against a freshly-retrained oracle. */
+  private def corpusFingerprint(d: String): String = {
+    def ls(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(ls)
+      else Seq(f)
+    val root = new java.io.File(d, "documents.parquet")
+    ls(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+  }
 
   private def standingWeights(s: SparkSession, d: String): DataFrame = {
-    val wm = weightsCache.getOrElseUpdate(d, {
+    val key = d + "#" + corpusFingerprint(d)
+    // putIfAbsent of a lazy thunk, not getOrElseUpdate: two concurrent
+    // first callers (parallel bench/verify threads) must share ONE
+    // 12-round GD training for the once-per-JVM cost claim to hold
+    // (results are deterministic either way — this is cost, not
+    // correctness)
+    lazy val trained: Array[Long] = {
       val feats = qcFeats(qcFeatureRows(documents(s, d))).localCheckpoint()
       qcTrainWeights(s, feats).collect().head.getSeq[Long](0).toArray
-    })
+    }
+    val wm = weightsLazyCache.putIfAbsent(key, () => trained) match {
+      case Some(existing) => existing()
+      case None => weightsLazyCache(key)()
+    }
     s.range(1).select(typedLit(wm.toSeq).as("wm"))
   }
+
+  /** The weights cache holds memoizing `() => Array[Long]` thunks
+    * (each wraps a caller's `lazy val`) so the winning putIfAbsent's
+    * thunk is the only one ever forced — and forced exactly once even
+    * under concurrent first access (lazy-val initialization is
+    * thread-safe). */
+  private val weightsLazyCache =
+    scala.collection.concurrent.TrieMap.empty[String, () => Array[Long]]
 
   /** Per-document model score over the full corpus (train = apply corpus
     * here — the self-distillation setting; eval is the held-out form). */

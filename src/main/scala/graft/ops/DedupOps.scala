@@ -696,10 +696,16 @@ object DedupOps {
     (labels, rounds)
   }
 
-  /** Near-dup cluster assignment: connected components over the jaccard
-    * pair graph, each document labeled with the min doc_id reachable
-    * from it (the cluster's canonical keeper). Only docs that appear in
-    * some pair are emitted (singletons are their own keeper trivially).
+  /** Near-dup cluster assignment: connected components over the CAPPED
+    * jaccard pair graph ([[ngramJaccardCapped]] — as for EVERY
+    * graph/split/funnel consumer: the uncapped generator's Σdf² blows
+    * up on one hot boilerplate shingle, so only the explicitly-named
+    * baseline key `dedup_ngram_jaccard` ever runs it), each document
+    * labeled with the min doc_id reachable from it (the cluster's
+    * canonical keeper). Only docs that appear in some pair are emitted
+    * (singletons are their own keeper trivially). Harness shingle df
+    * maxes at 81 (sf1) < cap 100, so the capped and uncapped graphs —
+    * and every golden — are identical at all verify corpora.
     *
     * Scale note: star-contraction round count grows with component
     * chain DEPTH, and ScaleUp's mutated 10× corpus links its near-dup
@@ -711,7 +717,7 @@ object DedupOps {
     * round-7 artifact's 13.7× raw reading was co-tenant contention,
     * as every reprobed neighbor also showed. */
   val cluster: Q = (s, d) => {
-    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
+    val pairs = ngramJaccardCapped(s, d).select("doc_a", "doc_b")
     connectedComponents(pairs)._1.orderBy("doc_id")
   }
 
@@ -753,7 +759,7 @@ object DedupOps {
     * scan-shaped quality projection and the same tiny per-cluster
     * aggregate (min of a (rank, id) struct — partial-agg friendly). */
   val keepBest: Q = (s, d) => {
-    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
+    val pairs = ngramJaccardCapped(s, d).select("doc_a", "doc_b")
     val labels = connectedComponents(pairs)._1
     val ranked = TextOps.withQuality(documents(s, d))
       .select(col("doc_id"),
@@ -834,7 +840,7 @@ object DedupOps {
   /** Centrality of every document in the jaccard near-dup pair graph —
     * the [[cluster]] node domain with its mass ranking. */
   val pagerank: Q = (s, d) =>
-    pagerankFrom(ngramJaccard(s, d).select("doc_a", "doc_b"))
+    pagerankFrom(ngramJaccardCapped(s, d).select("doc_a", "doc_b"))
       .orderBy("doc_id")
 
   /** Graph-central keeper election: within each CC cluster, keep the
@@ -843,7 +849,7 @@ object DedupOps {
     * [[cluster]]; the per-cluster argmax is the same tiny
     * partial-agg-friendly struct-max as [[keepBest]]. */
   val keepCentral: Q = (s, d) => {
-    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
+    val pairs = ngramJaccardCapped(s, d).select("doc_a", "doc_b")
     val labels = connectedComponents(pairs)._1
     val pr = pagerankFrom(pairs)
     labels.join(pr, "doc_id")
@@ -868,7 +874,7 @@ object DedupOps {
     * exactly once), wedges are Σ deg·(deg−1)/2, and the coefficient
     * is micro-rounded 3·T/W. */
   val graphStats: Q = (s, d) => {
-    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
+    val pairs = ngramJaccardCapped(s, d).select("doc_a", "doc_b")
     val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .where(col("u") < col("v")).distinct().localCheckpoint()
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
@@ -922,7 +928,7 @@ object DedupOps {
     * singleton row comes from two broadcast 1-row counts, never a join
     * against the unpaired mass. */
   val componentSizes: Q = (s, d) => {
-    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
+    val pairs = ngramJaccardCapped(s, d).select("doc_a", "doc_b")
     val labels = connectedComponents(pairs)._1
     val hist = labels.groupBy("cluster_keeper")
       .agg(count(lit(1)).as("cluster_size"))
@@ -950,7 +956,7 @@ object DedupOps {
     * instrument should say so rather than assume it). All counts are
     * exact integers; the only divisions are final micro roundings. */
   val methodAgreement: Q = (s, d) => {
-    val jp = ngramJaccard(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val jp = ngramJaccardCapped(s, d).select("doc_a", "doc_b").localCheckpoint()
     val sp = blockedPairsFrom(fingerprints(s, d), 4, 1, MaxHamming)
       .select("doc_a", "doc_b").localCheckpoint()
     val cp = cosineLshPairs(s, d)
@@ -1351,15 +1357,8 @@ object DedupOps {
     // replayed at sf1 in 36 s only because jaccard clusters stay small;
     // the rounds form is cluster-shape-independent
     "dedup_cluster" ->
-      s"""WITH $ShinglesSql,
-          sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-          jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-          jpairs AS (SELECT doc_a, doc_b FROM jp
-                     JOIN sz sa ON sa.doc_id = doc_a
-                     JOIN sz sb ON sb.doc_id = doc_b
-                     WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3),
+      s"""WITH jpairs AS MATERIALIZED (SELECT doc_a, doc_b
+              FROM ($JaccardPairsSelect)),
           ${ccRoundsCtes("jpairs", "doc_a", "doc_b")}
           SELECT * FROM (
             SELECT v AS doc_id, lbl AS cluster_keeper FROM cc_labels
@@ -1368,15 +1367,8 @@ object DedupOps {
             WHERE (SELECT n_changed FROM cc_guard) > 0)
           ORDER BY doc_id""",
     "dedup_keep_best" ->
-      s"""WITH $ShinglesSql,
-          sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-          jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-          jpairs AS (SELECT doc_a, doc_b FROM jp
-                     JOIN sz sa ON sa.doc_id = doc_a
-                     JOIN sz sb ON sb.doc_id = doc_b
-                     WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3),
+      s"""WITH jpairs AS MATERIALIZED (SELECT doc_a, doc_b
+              FROM ($JaccardPairsSelect)),
           ${ccRoundsCtes("jpairs", "doc_a", "doc_b")},
           labels AS (SELECT v AS doc_id, lbl AS cluster_keeper FROM cc_labels),
           qb AS (SELECT doc_id, ${TextOps.QualityColsSql} FROM documents),
@@ -1397,27 +1389,13 @@ object DedupOps {
             WHERE (SELECT n_changed FROM cc_guard) > 0)
           ORDER BY cluster_id""",
     "dedup_pagerank" ->
-      s"""WITH $ShinglesSql,
-          sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-          jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-          jpairs AS (SELECT doc_a, doc_b FROM jp
-                     JOIN sz sa ON sa.doc_id = doc_a
-                     JOIN sz sb ON sb.doc_id = doc_b
-                     WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3),
+      s"""WITH jpairs AS MATERIALIZED (SELECT doc_a, doc_b
+              FROM ($JaccardPairsSelect)),
           ${prRoundsCtes("jpairs", "doc_a", "doc_b")}
           SELECT doc_id, deg, pr AS pr_mass FROM pr$PrRounds ORDER BY doc_id""",
     "dedup_keep_central" ->
-      s"""WITH $ShinglesSql,
-          sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-          jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-          jpairs AS (SELECT doc_a, doc_b FROM jp
-                     JOIN sz sa ON sa.doc_id = doc_a
-                     JOIN sz sb ON sb.doc_id = doc_b
-                     WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 3),
+      s"""WITH jpairs AS MATERIALIZED (SELECT doc_a, doc_b
+              FROM ($JaccardPairsSelect)),
           ${ccRoundsCtes("jpairs", "doc_a", "doc_b")},
           ${prRoundsCtes("jpairs", "doc_a", "doc_b")},
           jn AS (SELECT c.lbl AS cluster_id, p.doc_id, p.pr,
@@ -1806,14 +1784,23 @@ object DedupOps {
       s"""WITH $SimhashPairChainSql
           SELECT doc_a, doc_b, hamming FROM spairs ORDER BY doc_a, doc_b"""
 
-  /** The jaccard pair chain as a standalone SELECT (for nesting inside
-    * derived tables where CTE names would collide). Shared with
-    * PipelineOps' split-leakage oracles. */
+  /** The CAPPED jaccard pair chain as a standalone SELECT (for nesting
+    * inside derived tables where CTE names would collide) — mirrors
+    * [[ngramJaccardCapped]]: shingles with df > [[DfCap]] are pruned
+    * before pair generation, so every downstream graph / split / funnel
+    * consumer runs on the Σdf²-bounded generator, never the uncapped
+    * baseline. `kept` is MATERIALIZED — sz and the self-join read it
+    * three times, and DuckDB's re-inlining would replay the shingle
+    * explosion each time (the simhash-oracle lesson). Shared with
+    * PipelineOps' split/funnel oracles. */
   private[ops] lazy val JaccardPairsSelect =
     s"""WITH $ShinglesSql,
-        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        dfq AS (SELECT sh AS hsh, COUNT(*) AS df FROM sh GROUP BY sh),
+        kept AS MATERIALIZED (SELECT s.doc_id, s.sh FROM sh s
+               JOIN dfq ON s.sh = dfq.hsh WHERE df <= $DfCap),
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
         jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+               FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
         SELECT doc_a, doc_b FROM jp
         JOIN sz sa ON sa.doc_id = doc_a

@@ -54,7 +54,7 @@ object PipelineOps {
     * pure projection, and unpaired documents (the overwhelming mass at
     * 100 TB) take the coalesce fallback without ever joining a row. */
   val sampleSplitCluster: Q = (s, d) => {
-    val pairs = DedupOps.ngramJaccard(s, d).select("doc_a", "doc_b")
+    val pairs = DedupOps.ngramJaccardCapped(s, d).select("doc_a", "doc_b")
     val labels = DedupOps.connectedComponents(pairs)._1
     documents(s, d).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
@@ -78,7 +78,7 @@ object PipelineOps {
     * (the split hash needs no join); only the cluster side joins the
     * CC labels, twice, each bounded by the pair frame. */
   val sampleSplitLeakage: Q = (s, d) => {
-    val pairs = DedupOps.ngramJaccard(s, d)
+    val pairs = DedupOps.ngramJaccardCapped(s, d)
       .select("doc_a", "doc_b").localCheckpoint()
     val labels = DedupOps.connectedComponents(pairs)._1
     def crossFlag(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -399,7 +399,7 @@ object PipelineOps {
       .join(qual.select("doc_id", "source", "n_tok"), "doc_id")
       .localCheckpoint()
     val labels = DedupOps.connectedComponents(
-      DedupOps.ngramJaccard(s, d).select("doc_a", "doc_b"))._1
+      DedupOps.ngramJaccardCapped(s, d).select("doc_a", "doc_b"))._1
     val withCk = exact.join(labels, Seq("doc_id"), "left")
       .withColumn("ck", coalesce(col("cluster_keeper"), col("doc_id")))
     val near = withCk.groupBy("ck").agg(min("doc_id").as("doc_id"))

@@ -1550,7 +1550,10 @@ object SimOps {
 
   /** Sign-bit table CTE (`bq(vec_id, b_hi, b_lo)`) — the DuckDB
     * spelling of [[binarized]]: same dim→word→bit mapping, shifts ≤ 31,
-    * distinct powers so list_sum IS the bitwise OR. */
+    * distinct powers so list_sum IS the bitwise OR. Reads `embeddings`
+    * raw while the Spark side applies [[cleanEmbeddings]]'s EmbGate —
+    * parity pinned by the all-clean verify-corpus convention (EmbGate's
+    * doc), the same assumption the q8 chain and the RP oracles lean on. */
   private def BinCtes =
     s"""bq AS (SELECT vec_id,
           CAST(list_sum(list_transform(generate_series(1, 32), i ->
@@ -1934,6 +1937,9 @@ object SimOps {
             array_to_string(list_transform(embedding,
               x -> CAST(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT) AS VARCHAR)), ',') AS qvec
           FROM sc ORDER BY vec_id""",
+    // the RP family's oracles read `embeddings` raw (Spark side gates
+    // through cleanEmbeddings) — parity pinned by the all-clean
+    // verify-corpus convention, EmbGate's doc; same posture as BinCtes
     "emb_project_rp" ->
       s"""SELECT vec_id, concat_ws(',', ${(0 until RpK).map(j =>
         s"CAST(CAST(round((${rpExpr(j, "embedding", oneBased = true)}) * 1000000, 0) AS BIGINT) AS VARCHAR)").mkString(", ")}) AS proj_micro

@@ -312,8 +312,8 @@ object SketchOps {
 
   /** (sh, df_true, df_est): every distinct gram's exact df beside its
     * sketch estimate (min over the d cells it hashes to). The join side
-    * is the 2048-cell sketch — broadcast, never a shuffle of the gram
-    * frame. */
+    * is the d·w = 4·16384 = 65536-cell sketch — still broadcast-sized
+    * (≤ 64k longs), never a shuffle of the gram frame. */
   private def cmsEstimates(s: SparkSession, d: String): DataFrame = {
     val sh = DedupOps.docShingles(s, d)
     val cells = cmsCells(sh)

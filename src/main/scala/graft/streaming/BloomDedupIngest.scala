@@ -60,8 +60,13 @@ object BloomDedupIngest {
       .select(col("doc_id"), col("ch"), col("bloom_hit"),
         (col("bloom_hit") === 0 && col("doc_id") === col("keeper"))
           .cast("int").as("keep"))
-      .localCheckpoint() // pin the probe answers BEFORE enrollment
-                         // mutates the filter this frame reads
+      .localCheckpoint(true) // EAGER pin (explicitly, though true is the
+                             // default): the probe answers must
+                             // materialize BEFORE enrollment mutates the
+                             // filter this frame reads — eagerness, not
+                             // just checkpointing, is the load-bearing
+                             // property; a lazy checkpoint would defer
+                             // the scan past enrollHashes' append
     // ordering constraint: decisions land before enrollment (scaladoc)
     decisions.withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(dir + "/decisions")

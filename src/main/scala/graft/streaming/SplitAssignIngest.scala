@@ -30,7 +30,7 @@ object SplitAssignIngest {
     * batch cluster-split's own CC label frame, persisted. */
   def buildLabelIndex(s: SparkSession, standingDir: String, dir: String): Unit =
     graft.ops.DedupOps.connectedComponents(
-      graft.ops.DedupOps.ngramJaccard(s, standingDir).select("doc_a", "doc_b"))._1
+      graft.ops.DedupOps.ngramJaccardCapped(s, standingDir).select("doc_a", "doc_b"))._1
       .write.mode("overwrite").parquet(dir + "/labels")
 
   /** Assign one (doc_id, ...) batch under the standing index — the
