@@ -675,11 +675,18 @@ object Bench {
       // immutable per-run copy: target/bench.json is overwritten by the
       // next run, so cross-round regression deltas were computable only
       // when a round's full artifact happened to survive — the history
-      // file pins every official pass by wall-clock stamp
+      // file pins every official pass by wall-clock stamp. The SF TAG
+      // is in the filename, not just the payload: round 8's archive
+      // shelf mixed sf0.01 fast-loop runs with sf0.1 official runs
+      // under indistinguishable names, and a cross-archive diff read
+      // the 5× corpus-size difference as a suite-internal bimodality
+      // (tools/bench_diff.py now also refuses cross-sf compares)
       val stamp = java.time.format.DateTimeFormatter
         .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.now())
-      val hist = java.nio.file.Paths.get("target", "bench_history", s"bench_$stamp.json")
+      val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("unknown")
+      val hist = java.nio.file.Paths.get("target", "bench_history",
+        s"bench_${sfTag}_$stamp.json")
       java.nio.file.Files.createDirectories(hist.getParent)
       java.nio.file.Files.write(hist,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
