@@ -564,11 +564,21 @@ object Bench {
         // measurement is the reprobe itself)
         def estSec(n: String): Double = math.max(1.0, p(n) * 4.0)
         val overBar = ratios.toSeq.filter(_._2 > ScaleBar).sortBy(t => (estSec(t._1), t._1))
+        // near-bar band reprobes too: a raw ratio one noise-notch UNDER
+        // the bar (r8: vocab_wordpiece_train 11.2× vs bar 12, never
+        // reprobed) is the same epistemic hole as an over-bar one — the
+        // artifact can't say whether it's a cost model or drift. Sweep
+        // everything above 60% of the bar so the whole suspicious band
+        // carries an isolated number (r9 isolated: wordpiece train
+        // 2.75×, tokenize 3.51×, bm25 2.43× — context inflation, not
+        // superlinearity).
+        val suspicious = ratios.toSeq.filter(_._2 > ScaleBar * 0.6)
+          .sortBy(t => (estSec(t._1), t._1))
         val batches: Seq[Seq[(String, Double)]] = {
           val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
           var cur = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
           var acc = 0.0
-          for (q <- overBar) {
+          for (q <- suspicious) {
             if (cur.nonEmpty && acc + estSec(q._1) > ReprobeBatchBudgetSec
                 && out.size < MaxReprobeContexts - 1) {
               out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty; acc = 0.0
@@ -644,7 +654,7 @@ object Bench {
           }.mkString(",\"reprobe\":{", ",", "}")
           // every over-bar entry is adjudicated under the batched sweep —
           // the field stays so artifact readers can assert it
-          body + s""","reprobe_capped":false,"reprobe_contexts":${batches.size},"over_bar":${overBar.size}"""
+          body + s""","reprobe_capped":false,"reprobe_contexts":${batches.size},"over_bar":${overBar.size},"near_bar":${suspicious.size - overBar.size}"""
         }
         scaleJson =
           s""","scale":{"dir":"$scaleDir","factor":${ScaleUp.Factor},"gen_sec":$genSec,""" +

@@ -940,7 +940,13 @@ object PipelineOps {
     * pieces buy more compression per use), top [[WpVocabSize]] under
     * (score DESC, piece ASC). Single characters are the implicit
     * totality fallback of the tokenizer, not vocabulary rows. All work
-    * after the word-frequency aggregate is vocabulary-sized. */
+    * after the word-frequency aggregate is vocabulary-sized — i.e. the
+    * plan is LINEAR in corpus words then capped; the r8 artifact's
+    * 11.2× raw sf1 ratio sat one notch under the 12× bar unadjudicated,
+    * and the r9 isolated quiet-box probe reads 0.83 s → 2.28 s =
+    * **2.75×** at the 10× corpus (tokenize 3.51×) — context inflation
+    * in the single-pass scale tail, not a cost model. The near-bar
+    * reprobe band (> 0.6 × bar) now adjudicates this in-artifact. */
   val vocabWordpieceTrain: Q = (s, d) =>
     wpWordFreq(s, d)
       .select(col("cnt"), explode(expr(

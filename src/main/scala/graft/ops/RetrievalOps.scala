@@ -509,7 +509,10 @@ object RetrievalOps {
     * occupy every rank — RAG excludes the query's source). Same core,
     * same cap (derived from the CHUNK population — the corpus being
     * scored), same fold; output decomposes the composite id back into
-    * (chunk_doc_id, chunk_id). */
+    * (chunk_doc_id, chunk_id). Scale: r9 isolated quiet-box ratio at
+    * the 10× corpus is 3.32 s → 8.07 s = **2.43×** (the r8 raw 8.7×
+    * was scale-tail context inflation; the near-bar reprobe band now
+    * adjudicates this in-artifact). */
   val chunkBm25TopK: Q = (s, d) => {
     val dt = shingleFrame(s, chunkFrame(s, d).select(col("doc_id"), col("text")))
     val dl = dt.groupBy("doc_id").agg(sum("tf").as("dl"))
