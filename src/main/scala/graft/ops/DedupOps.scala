@@ -128,29 +128,42 @@ object DedupOps {
     * worth regardless of docs per partition. Wall-clock is md5-bound and
     * unchanged at test SF; bit-identity with the aggregation form is
     * pinned in FunctionsSpec. */
-  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(s, documents(s, d))
+
+  /** Signature frame over an arbitrary (doc_id, text) frame — shared
+    * with [[graft.streaming.MinhashDedupIngest]], so the streaming
+    * index and the batch operator can never hash differently. */
+  private[graft] def signaturesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.expressions.TextShingles.register(s)
     graft.expressions.MinHashSignatures.register(s)
-    documents(s, d)
+    docs
       .select(col("doc_id"),
         expr(s"minhash_sigs(text_shingles(text, 3), $NumHashes)").as("sigs"))
       .select(col("doc_id") +:
         (0 until NumHashes).map(i => element_at(col("sigs"), i + 1).as(s"s$i")): _*)
   }
 
+  /** (doc_id, band, bkey) band frame of a signature frame — the ONE
+    * banding scheme, shared by [[bandPairs]] and the streaming index. */
+  private[graft] def bandFrame(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      val key = concat_ws("|", (0 until BandSize).map(r => col(s"s${b * BandSize + r}")): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
   /** Deduped candidate pairs of the banded signature index (no output
     * sort) — shared by the LSH query and the estimate audit, so the two
     * can never silently disagree on what a candidate is. */
   private def bandPairs(sig: DataFrame, bucketCap: Option[Int] = None): DataFrame = {
-    val bandCols = (0 until NumHashes / BandSize).map { b =>
-      // delimited join: today's signatures are fixed-width md5 hex (no
-      // ambiguity), but a separator keeps distinct signature tuples from
-      // ever concatenating to the same key if the scheme changes width
-      val key = concat_ws("|", (0 until BandSize).map(r => col(s"s${b * BandSize + r}")): _*)
-      struct(lit(b).as("band"), key.as("bkey"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // delimited join key (inside bandFrame): today's signatures are
+    // fixed-width md5 hex (no ambiguity), but a separator keeps distinct
+    // signature tuples from ever concatenating to the same key if the
+    // scheme changes width
+    val bands = bandFrame(sig)
     // hot-band cap (same posture as the shingle DfCap): a band bucket of
     // n docs costs n² in the self-join, and a bucket every templated doc
     // falls into is boilerplate, not near-duplication — dropping buckets
@@ -193,6 +206,39 @@ object DedupOps {
   val minhashLshCapped: Q = (s, d) =>
     bandPairs(minhashSignatures(s, d), Some(BandBucketCap))
       .orderBy("doc_a", "doc_b")
+
+  /** Incremental MinHash-LSH dedup — the lambda-ingest form of
+    * [[minhashLshCapped]] (family split convention: even doc_ids are
+    * the standing corpus, odd the new batch): for each INGESTED
+    * document, how many standing documents and how many earlier-batch
+    * documents (smaller odd id) share at least one capped band bucket —
+    * the LSH admission decision a curation pipeline makes at ingest,
+    * the same report shape as [[substringIncremental]] /
+    * [[embeddingIncremental]]. The candidate definition is LITERALLY
+    * [[bandPairs]] with the production bucket cap, so this report can
+    * never disagree with the batch pair list it summarizes; per-batch
+    * cost ∝ batch bands × bucket size (≤ cap), never corpus². The
+    * persisted-index production shape is
+    * [[graft.streaming.MinhashDedupIngest]] (standing band index on
+    * disk, batch-id append log, read-time dedup). */
+  val minhashIncremental: Q = (s, d) => {
+    val pairs = bandPairs(minhashSignatures(s, d), Some(BandBucketCap))
+    val dirp = pairs.select(col("doc_a").as("v"), col("doc_b").as("partner"))
+      .unionByName(pairs.select(col("doc_b").as("v"), col("doc_a").as("partner")))
+      .where(col("v") % 2 === 1)
+    val perDoc = dirp.groupBy("v").agg(
+      sum(when(col("partner") % 2 === 0, 1L).otherwise(0L)).as("cm"),
+      sum(when(col("partner") % 2 === 1 && col("partner") < col("v"), 1L)
+        .otherwise(0L)).as("bm"))
+    documents(s, d).select(col("doc_id")).where(col("doc_id") % 2 === 1)
+      .join(perDoc, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cm"), lit(0L)).as("n_corpus_dups"),
+        coalesce(col("bm"), lit(0L)).as("n_earlier_batch_dups"))
+      .withColumn("kept",
+        col("n_corpus_dups") === 0 && col("n_earlier_batch_dups") === 0)
+      .orderBy("doc_id")
+  }
 
   /** MinHash as an ESTIMATOR, not just a bucketizer: for each LSH
     * candidate pair, the fraction of agreeing signature components is an
@@ -976,6 +1022,34 @@ object DedupOps {
         agree("i_sc", "n_simhash", "n_cosine").as("agree_sc_micro"))
   }
 
+  /** Provenance audit of the near-dup pair graph: the (source_lo,
+    * source_hi) matrix of capped-jaccard pair counts. Intra-source
+    * mass (src_lo = src_hi) reads as templates/boilerplate within one
+    * provider; cross-source mass reads as MIRRORS — the same page
+    * arriving through two providers — which is the dup class a mixing
+    * policy must excise BEFORE weighting sources (a mirrored corpus
+    * double-counts its shared mass into both sources' shares,
+    * corrupting corpus_source_shares' Lorenz table). Cost over the
+    * pair generator: two scan-shaped doc_id equi-joins and one
+    * aggregate on the SOURCE-PAIR domain (≤ sources², 20² here) —
+    * per-pair work O(1), output domain-sized at any corpus scale. The
+    * lo/hi canonicalization makes the matrix upper-triangular, so
+    * (a,b) and (b,a) mass lands in one cell. */
+  val crossSource: Q = (s, d) => {
+    val pairs = ngramJaccardCapped(s, d).select("doc_a", "doc_b")
+    val src = documents(s, d)
+      .select(col("doc_id"), coalesce(col("source"), lit("")).as("src"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("src").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("src").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_cross", (col("src_lo") =!= col("src_hi")).cast("int"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   /** Winnowed-fingerprint substring dedup (Schleimer et al., SIGMOD'03;
     * the exact-substring class of Lee et al. 2022): detect document pairs
     * sharing VERBATIM character spans — quotations, mirrored paragraphs,
@@ -1298,6 +1372,7 @@ object DedupOps {
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_minhash_lsh_capped" -> minhashLshCapped,
     "dedup_minhash_estimate" -> minhashEstimate,
+    "dedup_minhash_incremental" -> minhashIncremental,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_simhash_pairs_blocked" -> simhashPairsBlocked(6, 2),
@@ -1317,6 +1392,7 @@ object DedupOps {
     "dedup_graph_stats" -> graphStats,
     "dedup_method_agreement" -> methodAgreement,
     "dedup_component_sizes" -> componentSizes,
+    "dedup_cross_source" -> crossSource,
     "text_ngram_novelty" -> ngramNovelty,
   )
 
@@ -1475,6 +1551,31 @@ object DedupOps {
           FROM kept a JOIN kept b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
           ORDER BY doc_a, doc_b""",
+    "dedup_minhash_incremental" ->
+      s"""WITH $ShinglesSql,
+          sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+          bands AS ($bandSelects),
+          hot AS (SELECT band, bkey FROM bands GROUP BY band, bkey
+                  HAVING COUNT(*) > $BandBucketCap),
+          kept0 AS (SELECT b.* FROM bands b
+                    WHERE NOT EXISTS (SELECT 1 FROM hot h
+                                      WHERE h.band = b.band AND h.bkey = b.bkey)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM kept0 a JOIN kept0 b
+                     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          dirp AS (SELECT doc_a AS v, doc_b AS partner FROM cand
+                   UNION ALL SELECT doc_b, doc_a FROM cand),
+          per_doc AS (SELECT v,
+                        SUM(CASE WHEN partner % 2 = 0 THEN 1 ELSE 0 END) AS cm,
+                        SUM(CASE WHEN partner % 2 = 1 AND partner < v THEN 1 ELSE 0 END) AS bm
+                      FROM dirp WHERE v % 2 = 1 GROUP BY v)
+          SELECT d.doc_id,
+                 CAST(COALESCE(cm, 0) AS BIGINT) AS n_corpus_dups,
+                 CAST(COALESCE(bm, 0) AS BIGINT) AS n_earlier_batch_dups,
+                 (COALESCE(cm, 0) = 0 AND COALESCE(bm, 0) = 0) AS kept
+          FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.v
+          WHERE d.doc_id % 2 = 1
+          ORDER BY d.doc_id""",
     "dedup_minhash_estimate" -> {
       val matchSum = (0 until NumHashes)
         .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
@@ -1838,6 +1939,17 @@ object DedupOps {
             FROM (SELECT 1)
             WHERE (SELECT n_changed FROM cc_guard) > 0)
           ORDER BY cluster_size""",
+    "dedup_cross_source" ->
+      s"""WITH jm AS MATERIALIZED (SELECT doc_a, doc_b
+              FROM ($JaccardPairsSelect)),
+          src AS (SELECT doc_id, COALESCE(source, '') AS src FROM documents),
+          p AS (SELECT LEAST(a.src, b.src) AS src_lo,
+                  GREATEST(a.src, b.src) AS src_hi
+                FROM jm JOIN src a ON a.doc_id = jm.doc_a
+                        JOIN src b ON b.doc_id = jm.doc_b)
+          SELECT src_lo, src_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(CASE WHEN src_lo <> src_hi THEN 1 ELSE 0 END AS INT) AS is_cross
+          FROM p GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi""",
     "dedup_graph_stats" ->
       s"""WITH e AS MATERIALIZED (SELECT DISTINCT doc_a AS u, doc_b AS v
               FROM ($JaccardPairsSelect)),

@@ -386,4 +386,20 @@ class OpGoldensSpec extends SparkSpec {
     assert(r.getAs[Long]("n_triangles") == 1L, r.toString)
     assert(r.getAs[Long]("clustering_micro") == 1000000L, r.toString)
   }
+
+  test("dedup_cross_source analytic: mirrors cross, templates stay home") {
+    // docs 1,2 share text across sources a/b (a mirror -> one cross
+    // pair in cell (a,b)); docs 3,4 share text within source a (a
+    // template -> one intra pair in cell (a,a)); doc 5 is unique noise.
+    val mirror = "the very same mirrored page text fetched from two providers"
+    val templ = "provider a uses this exact boilerplate template on two pages"
+    val dir = writeDocs(Seq(
+      Row(1L, mirror, "en", "a", 10L), Row(2L, mirror, "en", "b", 10L),
+      Row(3L, templ, "en", "a", 10L), Row(4L, templ, "en", "a", 10L),
+      Row(5L, "completely unrelated filler words here nine ten", "en", "b", 10L)))
+    val rows = ops.DedupOps.queries("dedup_cross_source")(spark, dir).collect()
+      .map(r => (r.getAs[String]("src_lo"), r.getAs[String]("src_hi"),
+        r.getAs[Long]("n_pairs"), r.getAs[Int]("is_cross"))).toSeq
+    assert(rows == Seq(("a", "a", 1L, 0), ("a", "b", 1L, 1)), rows.toString)
+  }
 }
