@@ -273,6 +273,95 @@ object PipelineOps {
           .as("fill_micro"))
   }
 
+  /** One row per packed sequence (shard, bin) with doc/token mass, the
+    * DOMINANT source (most docs; min source on exact ties — the
+    * keepBest struct-min discipline), and the per-shard shuffled rank
+    * (row_number under a salted md5 of the sequence identity) — shared
+    * by the epoch-shuffle layout and its eval so layout and accounting
+    * can never drift. Everything after the packer's per-shard window
+    * is sequence-domain-sized (corpus tokens / ctx), and the shuffle
+    * rank's window is per-shard like the packer's own. */
+  private def shuffledSeqs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % NShards).as("shard"),
+        coalesce(col("source"), lit("")).as("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("bin", expr(s"CAST((cum - n_tok) div $CtxTokens AS BIGINT)"))
+    val dom = packed.groupBy("shard", "bin", "source")
+      .agg(count(lit(1)).as("src_docs"))
+      .groupBy("shard", "bin")
+      .agg(min(struct((lit(0L) - col("src_docs")).as("neg"),
+        col("source").as("src"))).as("m"))
+      .select(col("shard"), col("bin"), col("m.src").as("src_major"))
+    val sw = Window.partitionBy("shard").orderBy(
+      md5(concat(lit("ep0:"), col("shard").cast("string"), lit(":"),
+        col("bin").cast("string"))), col("bin"))
+    packed.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
+      .join(dom, Seq("shard", "bin"))
+      .withColumn("pos", row_number().over(sw).cast("long"))
+  }
+
+  /** Deterministic epoch-shuffle layout over [[packSequences]]' bins —
+    * the consumption ORDER a training loader reads, as data: each
+    * shard's sequences are permuted by a salted content hash (epoch 2
+    * is a salt change away) and the global order INTERLEAVES shards
+    * round-robin (`epoch_pos = pos·NShards + shard` — a pure
+    * projection, no global sort or dense global rank anywhere; gaps
+    * where shard lengths differ are harmless, order is what the loader
+    * consumes). Sequential-scan-friendly randomness: the loader still
+    * reads each shard's permuted list in order, while adjacent samples
+    * come from different shards AND random bins — the decorrelation an
+    * epoch shuffle exists to buy, with per-shard window state only. */
+  val packShuffleLayout: Q = (s, d) =>
+    shuffledSeqs(s, d)
+      .withColumn("epoch_pos", col("pos") * NShards + col("shard"))
+      .select("epoch_pos", "shard", "bin", "pos", "n_docs", "n_tok", "src_major")
+      .orderBy("epoch_pos")
+
+  /** The shuffle-quality gauge: same-dominant-source rate between
+    * ADJACENT sequences under the unshuffled shard-major reading order
+    * (neighbor = same shard, previous bin) vs the interleaved epoch
+    * order (neighbor = previous shard at the same rank; shard 0 wraps
+    * to the last shard's previous rank — exact except ≤ NShards tail
+    * pairs where shard lengths differ, the packer's bounded-waste
+    * posture). Both adjacency classes are equi-joins on the sequence
+    * domain; no global-order window anywhere. On the harness corpus
+    * sources cycle doc_id % 20, so BOTH rates read near the 1/20
+    * random floor (honestly reported — the flat-df convention); the
+    * OpGoldens block-source corpus pins the discriminating case where
+    * before ≫ after. */
+  val packShuffleEval: Q = (s, d) => {
+    val seqs = shuffledSeqs(s, d).localCheckpoint()
+    def rate(n: String, same: String) = expr(
+      s"CASE WHEN $n = 0 THEN CAST(0 AS BIGINT) ELSE ($same * 1000000) div $n END")
+    val before = broadcast(seqs.as("x").join(seqs.as("y"),
+      col("x.shard") === col("y.shard") && col("x.bin") === col("y.bin") + 1)
+      .agg(count(lit(1)).as("n_adj_before"),
+        coalesce(sum(when(col("x.src_major") === col("y.src_major"), 1L)
+          .otherwise(0L)), lit(0L)).as("same_before")))
+    val prev = seqs
+      .select((col("shard") + 1).as("shard"), col("pos"),
+        col("src_major").as("prev_src"))
+      .where(col("shard") < NShards)
+      .unionByName(seqs.where(col("shard") === NShards - 1)
+        .select(lit(0L).as("shard"), (col("pos") + 1).as("pos"),
+          col("src_major").as("prev_src")))
+    val after = broadcast(seqs.join(prev, Seq("shard", "pos"))
+      .agg(count(lit(1)).as("n_adj_after"),
+        coalesce(sum(when(col("src_major") === col("prev_src"), 1L)
+          .otherwise(0L)), lit(0L)).as("same_after")))
+    broadcast(seqs.agg(count(lit(1)).as("n_seqs")))
+      .crossJoin(before).crossJoin(after)
+      .select(col("n_seqs"), col("n_adj_before"), col("same_before"),
+        rate("n_adj_before", "same_before").as("before_micro"),
+        col("n_adj_after"), col("same_after"),
+        rate("n_adj_after", "same_after").as("after_micro"))
+  }
+
   /** End-to-end corpus curation — the composition the individual ops
     * exist for, as one declarative plan Catalyst optimizes WHOLE:
     * quality gate (the `good` tier of text_quality_score) → exact dedup
@@ -1564,6 +1653,8 @@ object PipelineOps {
     "text_contamination" -> contamination,
     "pack_sequences" -> packSequences,
     "pack_sequences_eval" -> packSequencesEval,
+    "pack_shuffle_layout" -> packShuffleLayout,
+    "pack_shuffle_eval" -> packShuffleEval,
     "corpus_curate" -> corpusCurate,
   )
 
@@ -2299,6 +2390,77 @@ object PipelineOps {
           SELECT doc_id, shard, n_tok,
             CAST((cum - n_tok) // $CtxTokens AS BIGINT) AS bin
           FROM c ORDER BY doc_id""",
+    "pack_shuffle_layout" ->
+      raw"""WITH t AS (SELECT doc_id, doc_id % $NShards AS shard,
+              COALESCE(source, '') AS source,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+            FROM documents),
+          c AS (SELECT doc_id, shard, source, n_tok,
+                  CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM t),
+          b AS (SELECT *, CAST((cum - n_tok) // $CtxTokens AS BIGINT) AS bin FROM c),
+          ps AS (SELECT shard, bin, source, CAST(COUNT(*) AS BIGINT) AS src_docs
+                 FROM b GROUP BY 1, 2, 3),
+          dom AS (SELECT shard, bin, source AS src_major FROM (
+                    SELECT shard, bin, source, row_number() OVER (
+                      PARTITION BY shard, bin ORDER BY src_docs DESC, source) AS rn
+                    FROM ps) WHERE rn = 1),
+          seqs AS (SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_tok) AS BIGINT) AS n_tok
+                   FROM b GROUP BY 1, 2),
+          j AS (SELECT s.shard, s.bin, s.n_docs, s.n_tok, d.src_major,
+                  CAST(row_number() OVER (PARTITION BY s.shard ORDER BY
+                    md5('ep0:' || CAST(s.shard AS VARCHAR) || ':' || CAST(s.bin AS VARCHAR)),
+                    s.bin) AS BIGINT) AS pos
+                FROM seqs s JOIN dom d USING (shard, bin))
+          SELECT pos * $NShards + shard AS epoch_pos, shard, bin, pos,
+            n_docs, n_tok, src_major
+          FROM j ORDER BY epoch_pos""",
+    "pack_shuffle_eval" ->
+      raw"""WITH t AS (SELECT doc_id, doc_id % $NShards AS shard,
+              COALESCE(source, '') AS source,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+            FROM documents),
+          c AS (SELECT doc_id, shard, source, n_tok,
+                  CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM t),
+          b AS (SELECT *, CAST((cum - n_tok) // $CtxTokens AS BIGINT) AS bin FROM c),
+          ps AS (SELECT shard, bin, source, CAST(COUNT(*) AS BIGINT) AS src_docs
+                 FROM b GROUP BY 1, 2, 3),
+          dom AS (SELECT shard, bin, source AS src_major FROM (
+                    SELECT shard, bin, source, row_number() OVER (
+                      PARTITION BY shard, bin ORDER BY src_docs DESC, source) AS rn
+                    FROM ps) WHERE rn = 1),
+          seqs AS MATERIALIZED (SELECT s.shard, s.bin, d.src_major,
+                  CAST(row_number() OVER (PARTITION BY s.shard ORDER BY
+                    md5('ep0:' || CAST(s.shard AS VARCHAR) || ':' || CAST(s.bin AS VARCHAR)),
+                    s.bin) AS BIGINT) AS pos
+                FROM (SELECT shard, bin FROM b GROUP BY 1, 2) s
+                JOIN dom d USING (shard, bin)),
+          bf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_adj_before,
+                   CAST(COALESCE(SUM(CASE WHEN x.src_major = y.src_major
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS same_before
+                 FROM seqs x JOIN seqs y
+                   ON x.shard = y.shard AND x.bin = y.bin + 1),
+          pv AS (SELECT shard + 1 AS shard, pos, src_major AS prev_src
+                 FROM seqs WHERE shard + 1 < $NShards
+                 UNION ALL
+                 SELECT CAST(0 AS BIGINT), pos + 1, src_major
+                 FROM seqs WHERE shard = $NShards - 1),
+          af AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_adj_after,
+                   CAST(COALESCE(SUM(CASE WHEN s.src_major = p.prev_src
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS same_after
+                 FROM seqs s JOIN pv p ON s.shard = p.shard AND s.pos = p.pos),
+          ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs FROM seqs)
+          SELECT n_seqs, n_adj_before, same_before,
+            CASE WHEN n_adj_before = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((same_before * 1000000) // n_adj_before AS BIGINT) END AS before_micro,
+            n_adj_after, same_after,
+            CASE WHEN n_adj_after = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((same_after * 1000000) // n_adj_after AS BIGINT) END AS after_micro
+          FROM ns, bf, af""",
     "pack_sequences_eval" ->
       raw"""WITH t AS (SELECT doc_id, doc_id % $NShards AS shard,
               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok

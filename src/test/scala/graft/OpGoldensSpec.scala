@@ -387,6 +387,27 @@ class OpGoldensSpec extends SparkSpec {
     assert(r.getAs[Long]("clustering_micro") == 1000000L, r.toString)
   }
 
+  test("pack_shuffle_eval analytic: block-source corpus — shuffle decorrelates") {
+    // 64 docs of exactly 512 tokens (one full bin each), sources in two
+    // 32-id blocks: every shard's bin order reads A,A,A,A,B,B,B,B, so
+    // shard-major adjacency is 6 same of 7 pairs per shard -> before
+    // = 6/7 = 857142 micro. The interleaved hash shuffle must read
+    // strictly lower (deterministic given the fixed salt, so this pin
+    // is stable, not flaky).
+    val doc512 = ("w " * 512).trim
+    val dir = writeDocs((0L until 64L).map(i =>
+      Row(i, doc512, "en", if (i < 32) "srcA" else "srcB", doc512.length.toLong)))
+    val r = ops.PipelineOps.queries("pack_shuffle_eval")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_seqs") == 64L, r.toString)
+    assert(r.getAs[Long]("n_adj_before") == 56L, r.toString)
+    assert(r.getAs[Long]("before_micro") == 857142L, r.toString)
+    assert(r.getAs[Long]("after_micro") < r.getAs[Long]("before_micro"), r.toString)
+    // the layout is a permutation: epoch positions are distinct and
+    // every (shard, bin) appears exactly once
+    val lay = ops.PipelineOps.queries("pack_shuffle_layout")(spark, dir).collect()
+    assert(lay.length == 64 && lay.map(_.getAs[Long]("epoch_pos")).distinct.length == 64)
+  }
+
   test("dedup_cross_source analytic: mirrors cross, templates stay home") {
     // docs 1,2 share text across sources a/b (a mirror -> one cross
     // pair in cell (a,b)); docs 3,4 share text within source a (a
