@@ -1079,7 +1079,11 @@ object PipelineOps {
     * become `<unk>` — WordPiece's own max_input_chars_per_word rule; the
     * angle bracket cannot occur in a normalized word, so the sentinel
     * can never collide with a real piece. */
-  val vocabWordpieceTokenize: Q = (s, d) => {
+  /** The per-word WordPiece token-array expression (MaxMatch fold over
+    * the trained vocabulary, collected once) — shared by the tokenize
+    * key and the fertility gauge so the two can never segment
+    * differently. */
+  private def wpToksExpr(s: SparkSession, d: String): String = {
     val vocab = vocabWordpieceTrain(s, d).collect().map(_.getString(1))
     val vLit =
       if (vocab.isEmpty) "array(cast(null as string))"
@@ -1088,15 +1092,18 @@ object PipelineOps {
       (probe, _) => s"array_contains($vLit, $probe)")
     // NB `substring(rem, 1, l)` inside the generated CASE reads the
     // suffix at the cursor: rem = substring(word, acc.pos, length(word))
-    val toksExpr =
-      s"""CASE WHEN length(word) > $WpMaxWordLen THEN array('<unk>')
-          ELSE aggregate(sequence(1, length(word)),
-            struct(cast(1 as int) as pos, cast(array() as array<string>) as toks),
-            (acc, i) -> IF(acc.pos > length(word), acc,
-              struct(cast(acc.pos + length($matchCase) as int) as pos,
-                concat(acc.toks, array($matchCase)) as toks)),
-            acc -> acc.toks)
-          END"""
+    s"""CASE WHEN length(word) > $WpMaxWordLen THEN array('<unk>')
+        ELSE aggregate(sequence(1, length(word)),
+          struct(cast(1 as int) as pos, cast(array() as array<string>) as toks),
+          (acc, i) -> IF(acc.pos > length(word), acc,
+            struct(cast(acc.pos + length($matchCase) as int) as pos,
+              concat(acc.toks, array($matchCase)) as toks)),
+          acc -> acc.toks)
+        END"""
+  }
+
+  val vocabWordpieceTokenize: Q = (s, d) => {
+    val toksExpr = wpToksExpr(s, d)
     wpWordFreq(s, d)
       .select(col("cnt"), explode(expr(toksExpr)).as("token"))
       .where(col("token") =!= "")
@@ -1258,6 +1265,55 @@ object PipelineOps {
       .where(col("token") =!= "")
       .groupBy("token").agg(sum("cnt").as("n"))
       .orderBy(col("n").desc, col("token")).limit(BpeTopN)
+  }
+
+  /** One-row fertility/compression gauge over a (word, cnt, w_toks)
+    * frame: occurrence-weighted tokens-per-word (fertility — the
+    * number a tokenizer is CHOSEN by: lower = fewer sequence positions
+    * per word of text) and characters-per-token (the compression view
+    * of the same trade). All sums run over the capped word-TYPE frame
+    * ([[wpWordFreq]], the trainers' own corpus-touching aggregate), so
+    * the gauge costs one word-domain scan however large the corpus. */
+  private def fertilityRow(name: String, wordToks: DataFrame): DataFrame =
+    wordToks.agg(
+      count(lit(1)).as("n_word_types"),
+      coalesce(sum("cnt"), lit(0L)).as("n_words"),
+      coalesce(sum(expr("cnt * length(word)")), lit(0L)).as("n_chars"),
+      coalesce(sum(expr("cnt * w_toks")), lit(0L)).as("n_tokens"))
+      .select(lit(name).as("tokenizer"), col("n_word_types"), col("n_words"),
+        col("n_chars"), col("n_tokens"),
+        expr("CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT) ELSE (n_tokens * 1000000) div n_words END")
+          .as("fertility_micro"),
+        expr("CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) ELSE (n_chars * 1000000) div n_tokens END")
+          .as("chars_per_token_micro"))
+
+  /** BPE fertility: replay the trained merges over each word type (the
+    * [[vocabBpeTokenize]] replace chain, word-frame form). */
+  val vocabBpeFertility: Q = (s, d) => {
+    val merges = bpeTrain(s, d)._1
+    var wordExpr = "concat(' ', regexp_replace(word, '(.)', '$1 '))"
+    for ((_, l, r, _, _) <- merges)
+      wordExpr = s"replace($wordExpr, ' $l $r ', ' $l$r ')"
+    fertilityRow("bpe", wpWordFreq(s, d).withColumn("w_toks",
+      expr(s"CAST(size(filter(split(trim($wordExpr), ' '), t -> t != '')) AS BIGINT)")))
+  }
+
+  /** WordPiece fertility: the MaxMatch fold's token count per word
+    * type ([[wpToksExpr]] — the tokenize key's own expression). */
+  val vocabWordpieceFertility: Q = (s, d) => {
+    val toksExpr = wpToksExpr(s, d)
+    fertilityRow("wordpiece", wpWordFreq(s, d).withColumn("w_toks",
+      expr(s"CAST(size(filter($toksExpr, t -> t != '')) AS BIGINT)")))
+  }
+
+  /** Unigram-LM fertility: the Viterbi segmentation's piece count per
+    * word type (the tokenize key's own integer-micro DP). */
+  val vocabUnigramFertility: Q = (s, d) => {
+    val cl = ugTrainedCosts(s, d)._2
+    fertilityRow("unigram", wpWordFreq(s, d).crossJoin(broadcast(cl))
+      .withColumn("w_toks", expr(
+        s"""CAST(size(filter(split(CASE WHEN length(word) > $UgMaxWordLen THEN '<unk>'
+            ELSE ${ugViterbiSegExpr("word")} END, ' '), t -> t != '')) AS BIGINT)""")))
   }
 
   val vocabBpePairs: Q = (s, d) =>
@@ -1628,6 +1684,9 @@ object PipelineOps {
     "vocab_bpe_train" -> vocabBpeTrain,
     "vocab_bpe_apply" -> vocabBpeApply,
     "vocab_bpe_tokenize" -> vocabBpeTokenize,
+    "vocab_bpe_fertility" -> vocabBpeFertility,
+    "vocab_wordpiece_fertility" -> vocabWordpieceFertility,
+    "vocab_unigram_fertility" -> vocabUnigramFertility,
     "vocab_wordpiece_train" -> vocabWordpieceTrain,
     "vocab_wordpiece_tokenize" -> vocabWordpieceTokenize,
     "vocab_unigram_train" -> vocabUnigramTrain,
@@ -1739,11 +1798,13 @@ object PipelineOps {
   /** The tokenize rounds: [[WpMaxWordLen]] unrolled consume steps (a
     * piece is ≥ 1 char, so words within the length cap finish), the BPE
     * unrolled-CTE discipline. */
-  private def wpTokenizeOracleSql: String = {
+  /** The WordPiece MaxMatch rounds as reusable CTEs `r0..rN` (one
+    * round per cursor step; row-per-word-type preserved throughout) —
+    * shared by the tokenize oracle and the fertility gauge's. */
+  private def wpTokRoundsSql: String = {
     val matchCase = wpMatchCase("rem", (probe, v) => s"list_contains($v, $probe)")
     val sb = new StringBuilder(
-      s"""WITH ${wpCtesSql},
-          r0 AS (SELECT cnt,
+      s"""r0 AS (SELECT cnt,
                    CASE WHEN len(word) > $WpMaxWordLen THEN '' ELSE word END AS rem,
                    CASE WHEN len(word) > $WpMaxWordLen THEN ['<unk>']
                         ELSE CAST([] AS VARCHAR[]) END AS toks
@@ -1755,13 +1816,33 @@ object PipelineOps {
                     CASE WHEN rem = '' THEN toks ELSE list_append(toks, $matchCase) END AS toks
                   FROM r${i - 1}, vl)""")
     }
-    sb.append(s"""
+    sb.toString
+  }
+
+  private def wpTokenizeOracleSql: String =
+    s"""WITH ${wpCtesSql},
+        ${wpTokRoundsSql}
         SELECT token, CAST(SUM(cnt) AS BIGINT) AS n
         FROM (SELECT cnt, unnest(toks) AS token FROM r$WpMaxWordLen)
         WHERE token <> ''
-        GROUP BY token ORDER BY n DESC, token LIMIT $BpeTopN""")
-    sb.toString
-  }
+        GROUP BY token ORDER BY n DESC, token LIMIT $BpeTopN"""
+
+  /** Fertility-gauge oracle tail: word-frame stats from `wfCte` + the
+    * per-word token counts from `tokCountSel` (a SELECT yielding one
+    * `(cnt, w_toks)` row per word type). */
+  private def fertilityOracleTail(name: String, wfCte: String, tokCountSel: String): String =
+    s"""ws AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_word_types,
+              CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_words,
+              CAST(COALESCE(SUM(cnt * len(word)), 0) AS BIGINT) AS n_chars
+            FROM $wfCte),
+        tk AS (SELECT CAST(COALESCE(SUM(cnt * w_toks), 0) AS BIGINT) AS n_tokens
+               FROM ($tokCountSel))
+        SELECT '$name' AS tokenizer, n_word_types, n_words, n_chars, n_tokens,
+          CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST((n_tokens * 1000000) // n_words AS BIGINT) END AS fertility_micro,
+          CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST((n_chars * 1000000) // n_tokens AS BIGINT) END AS chars_per_token_micro
+        FROM ws, tk"""
 
   /** Unigram-LM oracle: OOV/pre-word probes cost [[UgBigCost]] (losing
     * candidates by construction, so the engines' differing out-of-range
@@ -2000,6 +2081,23 @@ object PipelineOps {
       s"""WITH ${wpCtesSql}
           SELECT rank, piece, len, n, score FROM vm ORDER BY rank""",
     "vocab_wordpiece_tokenize" -> wpTokenizeOracleSql,
+    "vocab_bpe_fertility" ->
+      s"""${bpeCtesSql},
+          ${fertilityOracleTail("bpe", "wf",
+        s"SELECT cnt, CAST(len(list_filter(string_split(trim(seq), ' '), t -> t <> '')) AS BIGINT) AS w_toks FROM s$BpeTrainRounds")}""",
+    "vocab_wordpiece_fertility" ->
+      s"""WITH ${wpCtesSql},
+          ${wpTokRoundsSql},
+          ${fertilityOracleTail("wordpiece", "wf",
+        s"SELECT cnt, CAST(len(list_filter(toks, t -> t <> '')) AS BIGINT) AS w_toks FROM r$WpMaxWordLen")}""",
+    "vocab_unigram_fertility" ->
+      s"""WITH $ugCtesSql,
+          ${ugDpChainSql("fert", "uwf", s"ucl$UgEmRounds")},
+          fseg AS (SELECT word, cnt,
+              CASE WHEN len(word) > $UgMaxWordLen THEN '<unk>' ELSE b0.s END AS sg
+            FROM fert_$UgMaxWordLen),
+          ${fertilityOracleTail("unigram", "uwf",
+        "SELECT cnt, CAST(len(list_filter(string_split(sg, ' '), t -> t <> '')) AS BIGINT) AS w_toks FROM fseg")}""",
     "events_zorder_layout" ->
       s"""WITH $zorderCtesSql
           SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n,
