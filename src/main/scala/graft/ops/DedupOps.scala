@@ -1027,6 +1027,43 @@ object DedupOps {
         agree("i_sc", "n_simhash", "n_cosine").as("agree_sc_micro"))
   }
 
+  /** Threshold-calibration histogram: candidate-pair counts by jaccard
+    * DECILE over the capped inverted-index pair frame with the
+    * threshold floor LOWERED to 0.1 — the instrument that answers "what
+    * does moving the dedup threshold buy/cost" BEFORE anyone re-runs
+    * the pipeline at a new setting: each row is (decile floor, pairs in
+    * that decile, cumulative pairs at-or-above it), so the 0.3
+    * operating point's pair mass sits next to what 0.2 or 0.5 would
+    * select. Work ∝ the same Σ(df≤cap)² bound as the generators
+    * (candidates below 0.1 are never materialized past the aggregate);
+    * the histogram domain is 10 rows at any corpus size. Integer math:
+    * decile = (10·inter) div union (exact), no floats anywhere. */
+  val thresholdHistogram: Q = (s, d) => {
+    val sh = docShingles(s, d)
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > DfCap).select("sh")
+    val kept = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+      .where(col("inter") * 10 >= col("union_sz")) // jaccard >= 0.1
+      .withColumn("decile", expr("CAST((inter * 10) div union_sz AS INT)"))
+      .withColumn("decile", least(col("decile"), lit(9))) // j = 1.0 joins the top bucket
+    val hist = pairs.groupBy("decile").agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("decile").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    hist.withColumn("cum_pairs_at_or_above", sum("n_pairs").over(w))
+      .select(col("decile"), (col("decile") * 100000L).as("floor_micro"),
+        col("n_pairs"), col("cum_pairs_at_or_above"))
+      .orderBy("decile")
+  }
+
   /** Provenance audit of the near-dup pair graph: the (source_lo,
     * source_hi) matrix of capped-jaccard pair counts. Intra-source
     * mass (src_lo = src_hi) reads as templates/boilerplate within one
@@ -1398,6 +1435,7 @@ object DedupOps {
     "dedup_method_agreement" -> methodAgreement,
     "dedup_component_sizes" -> componentSizes,
     "dedup_cross_source" -> crossSource,
+    "dedup_threshold_histogram" -> thresholdHistogram,
     "text_ngram_novelty" -> ngramNovelty,
   )
 
@@ -1944,6 +1982,25 @@ object DedupOps {
             FROM (SELECT 1)
             WHERE (SELECT n_changed FROM cc_guard) > 0)
           ORDER BY cluster_size""",
+    "dedup_threshold_histogram" ->
+      s"""WITH $ShinglesSql,
+          dfq AS (SELECT sh AS hsh, COUNT(*) AS df FROM sh GROUP BY sh),
+          kept AS MATERIALIZED (SELECT s.doc_id, s.sh FROM sh s
+                 JOIN dfq ON s.sh = dfq.hsh WHERE df <= $DfCap),
+          sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+          jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                 FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          pj AS (SELECT inter, sa.n_sh + sb.n_sh - inter AS union_sz
+                 FROM jp JOIN sz sa ON sa.doc_id = doc_a
+                         JOIN sz sb ON sb.doc_id = doc_b
+                 WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter)),
+          dk AS (SELECT LEAST(CAST((inter * 10) // union_sz AS INT), 9) AS decile FROM pj),
+          h AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM dk GROUP BY decile)
+          SELECT decile, CAST(decile AS BIGINT) * 100000 AS floor_micro, n_pairs,
+            CAST(SUM(n_pairs) OVER (ORDER BY decile DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS cum_pairs_at_or_above
+          FROM h ORDER BY decile""",
     "dedup_cross_source" ->
       s"""WITH jm AS MATERIALIZED (SELECT doc_a, doc_b
               FROM ($JaccardPairsSelect)),

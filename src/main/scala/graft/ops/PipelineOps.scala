@@ -625,6 +625,62 @@ object PipelineOps {
     * the training-mix lever: reweighting quality tiers (or sources,
     * languages — any stratum column) without materializing per-stratum
     * tables. */
+  /** Holdout sample size for the bottom-k family — fixed, so the
+    * sample is an exact-k uniform draw at any corpus size. */
+  private[graft] val BkK = 200
+
+  /** The salted sample hash — shared with
+    * [[graft.streaming.BottomkSampleIngest]] so batch and stream can
+    * never rank a document differently. */
+  private[graft] def bkHash(c: org.apache.spark.sql.Column) =
+    md5(concat(lit("bk:"), c.cast("string")))
+
+  /** Exact-k uniform holdout sample: the [[BkK]] documents with the
+    * smallest salted content hash — the bottom-k sketch AS A SAMPLE
+    * (the KMV machinery pointed at selection instead of cardinality).
+    * Properties a maintained eval set needs, by construction: uniform
+    * without replacement (md5 order is corpus-order-independent),
+    * EXACTLY k, stable under growth (a doc leaves only when evicted by
+    * a smaller hash — expected churn k·ln(n₂/n₁) over a growth
+    * window), and a mergeable monoid (bottom-k of a union = bottom-k
+    * of the parts' bottom-ks — twin #32's exactly-once lever). Plan:
+    * TakeOrderedAndProject (per-partition heap + driver merge of
+    * 32·k rows), never a global sort; the rank window runs on k rows. */
+  val sampleBottomK: Q = (s, d) => {
+    val w = Window.orderBy("sample_hash", "doc_id")
+    documents(s, d)
+      .select(col("doc_id"), bkHash(col("doc_id")).as("sample_hash"))
+      .orderBy("sample_hash", "doc_id").limit(BkK)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select("rank", "doc_id", "sample_hash")
+      .orderBy("rank")
+  }
+
+  /** Holdout-churn report — the lambda form (family convention: even
+    * doc_ids standing, odd the new batch): full outer of the STANDING
+    * corpus's bottom-k and the merged corpus's bottom-k, flagging which
+    * standing holdout members the batch EVICTED. This is the
+    * eval-stability instrument: a holdout that churns too fast under
+    * ingest silently invalidates longitudinal eval comparisons, and
+    * expected churn is k·(batch mass fraction) — the row set lets a
+    * pipeline CHECK that against what actually happened. Both bottom-ks
+    * are heap+merge top-k; the join is k-domain-sized. */
+  val sampleBottomKIncremental: Q = (s, d) => {
+    def bk(df: DataFrame) = df
+      .select(col("doc_id"), bkHash(col("doc_id")).as("sample_hash"))
+      .orderBy("sample_hash", "doc_id").limit(BkK)
+    val standing = bk(documents(s, d).where(col("doc_id") % 2 === 0))
+      .withColumn("in_standing", lit(true))
+    val merged = bk(documents(s, d))
+      .withColumn("in_merged", lit(true))
+    standing.join(merged, Seq("doc_id", "sample_hash"), "full_outer")
+      .select(col("doc_id"), col("sample_hash"),
+        coalesce(col("in_standing"), lit(false)).as("in_standing"),
+        coalesce(col("in_merged"), lit(false)).as("in_merged"))
+      .withColumn("evicted", col("in_standing") && !col("in_merged"))
+      .orderBy("sample_hash", "doc_id")
+  }
+
   val sampleStratified: Q = (s, d) => {
     val rate = StratRates.tail.foldLeft(
       when(col("quality") === StratRates.head._1, lit(StratRates.head._2))) {
@@ -1704,6 +1760,8 @@ object PipelineOps {
     "corpus_shard_assign" -> corpusShardAssign,
     "corpus_shard_assign_incremental" -> corpusShardAssignIncremental,
     "sample_stratified" -> sampleStratified,
+    "sample_bottomk" -> sampleBottomK,
+    "sample_bottomk_incremental" -> sampleBottomKIncremental,
     "corpus_mix" -> corpusMix,
     "sample_temperature" -> sampleTemperature,
     "lang_id_eval" -> langIdEval,
@@ -2307,6 +2365,32 @@ object PipelineOps {
             round(1.0 - CAST(SUM(distinct3) AS DOUBLE) /
               CAST(SUM(total3) AS DOUBLE), 6) AS rep_ratio_r
           FROM q GROUP BY quality ORDER BY quality""",
+    "sample_bottomk" ->
+      s"""WITH h AS (SELECT doc_id, md5('bk:' || CAST(doc_id AS VARCHAR)) AS sample_hash
+            FROM documents),
+          r AS (SELECT doc_id, sample_hash,
+                  CAST(row_number() OVER (ORDER BY sample_hash, doc_id) AS INT) AS rank
+                FROM h)
+          SELECT rank, doc_id, sample_hash FROM r WHERE rank <= $BkK ORDER BY rank""",
+    "sample_bottomk_incremental" ->
+      s"""WITH h AS (SELECT doc_id, md5('bk:' || CAST(doc_id AS VARCHAR)) AS sample_hash
+            FROM documents),
+          st AS (SELECT doc_id, sample_hash FROM (
+                   SELECT doc_id, sample_hash,
+                     row_number() OVER (ORDER BY sample_hash, doc_id) AS rk
+                   FROM h WHERE doc_id % 2 = 0) WHERE rk <= $BkK),
+          mg AS (SELECT doc_id, sample_hash FROM (
+                   SELECT doc_id, sample_hash,
+                     row_number() OVER (ORDER BY sample_hash, doc_id) AS rk
+                   FROM h) WHERE rk <= $BkK),
+          j AS (SELECT COALESCE(st.doc_id, mg.doc_id) AS doc_id,
+                  COALESCE(st.sample_hash, mg.sample_hash) AS sample_hash,
+                  st.doc_id IS NOT NULL AS in_standing,
+                  mg.doc_id IS NOT NULL AS in_merged
+                FROM st FULL OUTER JOIN mg ON st.doc_id = mg.doc_id)
+          SELECT doc_id, sample_hash, in_standing, in_merged,
+            (in_standing AND NOT in_merged) AS evicted
+          FROM j ORDER BY sample_hash, doc_id""",
     "sample_stratified" ->
       s"""WITH b AS (SELECT doc_id, ${TextOps.QualityColsSql} FROM documents),
           q AS (SELECT doc_id,
