@@ -541,7 +541,39 @@ object ClassifierOps {
          ${nib("md5('split:' || CAST(doc_id AS VARCHAR))", 3)} * 16 +
          ${nib("md5('split:' || CAST(doc_id AS VARCHAR))", 4)})"""
 
+  /** Quality-annealed curriculum over the packed layout: every
+    * [[PipelineOps.packSequences]] bin scored by the standing quality
+    * model's truncating integer MEAN doc score, emitted in ascending
+    * score order — the "anneal on your best data last" schedule
+    * (low-scoring sequences consumed early, the cleanest mass closing
+    * the run). The composition key of the model family and the packer:
+    * the packer's own per-shard window, the classifier's own standing
+    * weights, one doc_id equi-join between them, then everything is
+    * sequence-domain-sized. The output order IS the curriculum (sort
+    * key mean_score_micro, shard, bin — no dense global rank needed,
+    * same posture as pack_shuffle_layout's projection positions). */
+  val packCurriculum: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % PipelineOps.NShards).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("bin", expr(s"CAST((cum - n_tok) div ${PipelineOps.CtxTokens} AS BIGINT)"))
+    val scored = qcScore(qcFeats(qcFeatureRows(documents(s, d))), standingWeights(s, d))
+      .select(col("doc_id"), col("p_micro"))
+    packed.join(scored, "doc_id")
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"),
+        sum("p_micro").as("sum_p"))
+      .withColumn("mean_score_micro", expr("sum_p div n_docs"))
+      .select("shard", "bin", "n_docs", "n_tok", "mean_score_micro")
+      .orderBy("mean_score_micro", "shard", "bin")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pack_curriculum" -> packCurriculum,
     "quality_classifier_train" -> qualityClassifierTrain,
     "quality_classifier_apply" -> qualityClassifierApply,
     "quality_classifier_eval" -> qualityClassifierEval,
@@ -582,6 +614,27 @@ object ClassifierOps {
            SELECT doc_id, p_micro,
              CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS pred, y
            FROM sc ORDER BY doc_id""",
+    "pack_curriculum" ->
+      raw"""WITH ${featsSql("", "")},
+           ${trainSql("")},
+           ${scoreSql("")},
+           t AS (SELECT doc_id, doc_id % ${PipelineOps.NShards} AS shard,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+                 FROM documents),
+           c AS (SELECT doc_id, shard, n_tok,
+                   CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                 FROM t),
+           b AS (SELECT doc_id, shard, n_tok,
+                   CAST((cum - n_tok) // ${PipelineOps.CtxTokens} AS BIGINT) AS bin
+                 FROM c),
+           sq AS (SELECT b.shard, b.bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(b.n_tok) AS BIGINT) AS n_tok,
+                    CAST(SUM(sc.p_micro) AS BIGINT) AS sum_p
+                  FROM b JOIN sc USING (doc_id) GROUP BY 1, 2)
+           SELECT shard, bin, n_docs, n_tok,
+             CAST(sum_p // n_docs AS BIGINT) AS mean_score_micro
+           FROM sq ORDER BY mean_score_micro, shard, bin""",
     "quality_classifier_incremental" ->
       raw"""WITH ${featsSql("s_", "WHERE doc_id % 2 = 0")},
            ${featsSql("", "")},

@@ -212,8 +212,8 @@ object PipelineOps {
       .orderBy("doc_id", "eval_id")
   }
 
-  private val NShards = 8
-  private val CtxTokens = 512
+  private[ops] val NShards = 8
+  private[ops] val CtxTokens = 512
 
   /** Sequence packing: assign documents to fixed token-budget bins for
     * pretraining batches. Deterministic shard-parallel form: docs hash to
