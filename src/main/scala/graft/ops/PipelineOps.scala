@@ -212,6 +212,32 @@ object PipelineOps {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** Decontamination as an ACTION, not just a report — the excision
+    * decision per corpus document under [[contamination]]'s own flag
+    * (≥ half of any eval document's shingles): n_eval_hits is how many
+    * eval items the doc would leak, `excised` the verdict. The
+    * detection→action symmetry the substring family already has
+    * (spans → excise); a decontam stage drops `excised` rows before
+    * training. Same broadcast-inverted-index plan as the detector —
+    * the per-doc fold adds one |flagged|-bounded aggregate. */
+  val contaminationExcise: Q = (s, d) => {
+    val sh = DedupOps.docShingles(s, d)
+    val eval = sh.where(col("doc_id") < NEvalDocs)
+      .select(col("doc_id").as("eval_id"), col("sh"))
+    val evalSz = eval.groupBy("eval_id").agg(count(lit(1)).as("eval_sz"))
+    val hits = sh.where(col("doc_id") >= NEvalDocs)
+      .join(broadcast(eval), "sh")
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("inter"))
+      .join(broadcast(evalSz), "eval_id")
+      .where(col("inter") * 2 >= col("eval_sz"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_eval_hits"))
+    documents(s, d).select(col("doc_id")).where(col("doc_id") >= NEvalDocs)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"))
+      .withColumn("excised", col("n_eval_hits") > 0)
+      .orderBy("doc_id")
+  }
+
   private[ops] val NShards = 8
   private[ops] val CtxTokens = 512
 
@@ -1768,6 +1794,7 @@ object PipelineOps {
     "corpus_stats" -> corpusStats,
     "text_ngram_topk" -> ngramTopK,
     "text_contamination" -> contamination,
+    "text_contamination_excise" -> contaminationExcise,
     "pack_sequences" -> packSequences,
     "pack_sequences_eval" -> packSequencesEval,
     "pack_shuffle_layout" -> packShuffleLayout,
@@ -2545,6 +2572,20 @@ object PipelineOps {
           SELECT doc_id, eval_id, inter, eval_sz
           FROM it JOIN sz USING (eval_id)
           WHERE inter * 2 >= eval_sz ORDER BY doc_id, eval_id""",
+    "text_contamination_excise" ->
+      s"""WITH ${DedupOps.ShinglesSql},
+          ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id < $NEvalDocs),
+          sz AS (SELECT eval_id, COUNT(*) AS eval_sz FROM ev GROUP BY eval_id),
+          it AS (SELECT s.doc_id, ev.eval_id, COUNT(*) AS inter
+                 FROM sh s JOIN ev ON s.sh = ev.sh
+                 WHERE s.doc_id >= $NEvalDocs GROUP BY s.doc_id, ev.eval_id),
+          fl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits
+                 FROM it JOIN sz USING (eval_id)
+                 WHERE inter * 2 >= eval_sz GROUP BY doc_id)
+          SELECT d.doc_id, CAST(COALESCE(fl.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+            COALESCE(fl.n_eval_hits, 0) > 0 AS excised
+          FROM documents d LEFT JOIN fl ON fl.doc_id = d.doc_id
+          WHERE d.doc_id >= $NEvalDocs ORDER BY d.doc_id""",
     "corpus_curate" ->
       s"""WITH g AS (SELECT doc_id, text, ${TextOps.QualityColsSql} FROM documents),
           q AS (SELECT doc_id, text FROM g
