@@ -480,6 +480,39 @@ object SimOps {
           expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
       3)
 
+  /** Recall CURVE of the IVF index against exact brute force, as data:
+    * one row per depth k ∈ 1..[[K]] with hit counts and recall@k in
+    * micros — the instrument an index TUNING session reads (recall@1
+    * tells you about the top neighbor, recall@5 about the shoulder;
+    * the bench gates a single point, this key publishes the shape).
+    * Exact integer plan: both rankings run at depth K once; a hit's
+    * contribution to every k ≥ max(true rank, approx rank) makes the
+    * curve one |hits|-histogram + a K-row cumulative join — no per-k
+    * re-ranking, everything after the two top-K passes is K-domain. */
+  val recallCurve: Q = (s, d) => {
+    val truth = bruteTop(s, d, K)
+      .select(col("q_id"), col("rank").as("t_rank"), col("neighbor_id"))
+    val approx = rankTopK(
+      ivfCandidates(s, d)
+        .withColumn("sim",
+          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
+      K).select(col("q_id"), col("rank").as("a_rank"), col("neighbor_id"))
+    val hist = truth.join(approx, Seq("q_id", "neighbor_id"))
+      .select(greatest(col("t_rank"), col("a_rank")).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("n"))
+    val nq = broadcast(truth.select("q_id").distinct()
+      .agg(count(lit(1)).as("n_queries")))
+    val kFrame = s.range(1, K + 1).select(col("id").cast("int").as("k"))
+    kFrame.join(hist, col("m") <= col("k"), "left")
+      .groupBy("k").agg(coalesce(sum("n"), lit(0L)).as("n_hits"))
+      .crossJoin(nq)
+      .withColumn("n_possible", col("n_queries") * col("k"))
+      .select(col("k"), col("n_queries"), col("n_hits"), col("n_possible"),
+        expr("CASE WHEN n_possible = 0 THEN CAST(0 AS BIGINT) ELSE (n_hits * 1000000) div n_possible END")
+          .as("recall_micro"))
+      .orderBy("k")
+  }
+
   /** Closure-assignment slack: a corpus vector joins the list of EVERY
     * centroid whose (squared) distance is within (1+ε) of its nearest —
     * boundary vectors are replicated into the neighboring lists they
@@ -1518,6 +1551,7 @@ object SimOps {
     "sim_lsh_topk" -> lshTopK(DefaultLsh), // the usable default
     "sim_lsh_noprobe_baseline_topk" -> lshTopK(KneeLsh),
     "sim_ivf_topk" -> ivfTopK,
+    "sim_recall_curve" -> recallCurve,
     "sim_ivf_q8_topk" -> ivfQ8TopK,
     "sim_label_purity" -> labelPurity,
     "sim_knn_graph" -> knnGraph,
@@ -2079,5 +2113,37 @@ object SimOps {
                      FROM scored)
           SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
           FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
+    "sim_recall_curve" ->
+      s"""WITH ${ivfPairsCtes},
+          iscored AS (SELECT p.q_id, p.vec_id,
+                        ${cos("qe.embedding", "ce.embedding")} AS sim
+                      FROM pairs p
+                      JOIN embeddings ce ON ce.vec_id = p.vec_id
+                      JOIN embeddings qe ON qe.vec_id = p.q_id),
+          iranked AS (SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS a_rank
+                      FROM iscored),
+          bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQueries),
+          bscored AS (SELECT bq.q_id, e.vec_id,
+                        ${cos("bq.q_emb", "e.embedding")} AS sim
+                      FROM embeddings e JOIN bq ON e.vec_id <> bq.q_id),
+          branked AS (SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS t_rank
+                      FROM bscored),
+          hist AS (SELECT GREATEST(t.t_rank, a.a_rank) AS m, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM branked t JOIN iranked a
+                     ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+                   WHERE t.t_rank <= $K AND a.a_rank <= $K
+                   GROUP BY 1),
+          nq AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries
+                 FROM branked WHERE t_rank <= $K),
+          kf AS (SELECT CAST(unnest(generate_series(1, $K)) AS INT) AS k),
+          hz AS (SELECT kf.k, CAST(COALESCE(SUM(hist.n), 0) AS BIGINT) AS n_hits
+                 FROM kf LEFT JOIN hist ON hist.m <= kf.k GROUP BY kf.k)
+          SELECT k, n_queries, n_hits,
+            CAST(n_queries * k AS BIGINT) AS n_possible,
+            CASE WHEN n_queries * k = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((n_hits * 1000000) // (n_queries * k) AS BIGINT) END AS recall_micro
+          FROM hz, nq ORDER BY k""",
   )
 }
