@@ -597,4 +597,47 @@ class PlanSpec extends SparkSpec {
     assert(finalOnly.contains("BroadcastNestedLoopJoin"), plan)
     assert(!finalOnly.contains("CartesianProduct"), plan)
   }
+
+  test("sample_bottomk: heap+merge top-k, never a global sort of the corpus") {
+    val plan = finalPlan(graft.ops.PipelineOps.queries("sample_bottomk")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("TakeOrderedAndProject"),
+      s"the k smallest hashes must come from per-partition heaps + driver merge:\n$plan")
+  }
+
+  test("pack_shuffle_layout: every window is shard-partitioned (no single-partition rank)") {
+    val plan = finalPlan(graft.ops.PipelineOps.queries("pack_shuffle_layout")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    val windows = finalOnly.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, plan)
+    assert(windows.forall(_.contains("shard")),
+      s"a window without the shard partition key serializes the corpus:\n$plan")
+  }
+
+  test("dedup_keep_central_incremental: batch path is partial struct-max aggregates, no cartesian") {
+    val plan = finalPlan(
+      graft.ops.DedupOps.queries("dedup_keep_central_incremental")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    // the election + assignment argmaxes partial-aggregate map-side;
+    // per-batch work is joins against the standing label/mass frames —
+    // never a doc×doc product (the standing CC/PR chain is the offline
+    // build, not the per-batch path)
+    assert(finalOnly.contains("partial_max"), plan)
+    assert(!finalOnly.contains("CartesianProduct"), plan)
+  }
+
+  test("dedup_cross_source: hot-shingle prune broadcasts; source-pair agg combines map-side") {
+    val plan = finalPlan(graft.ops.DedupOps.queries("dedup_cross_source")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    // the df cap's anti-join ships the tiny hot list, never a shuffle.
+    // Pinned on the INITIAL plan: at sf0.001 the hot list is EMPTY and
+    // AQE's empty-relation propagation elides the LeftAnti from the
+    // final plan entirely (which is itself broadcast-shaped behavior —
+    // a shuffled anti join would leave its Exchange behind)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(finalOnly.contains("BroadcastHashJoin"), plan)
+    // the source-pair matrix aggregate partial-aggregates before its
+    // (domain-sized) exchange
+    assert(finalOnly.contains("partial_count"), plan)
+  }
 }
