@@ -36,10 +36,16 @@ object DedupOps {
     * (graft.expressions.TextShingles) — same semantics as the declarative
     * normalize+split+slide pipeline, ~15× faster; explode keeps this
     * fully distributed. */
-  private[ops] def docShingles(s: SparkSession, d: String): DataFrame = {
+  private[ops] def docShingles(s: SparkSession, d: String): DataFrame =
+    shinglesOfDocs(s, documents(s, d))
+
+  /** The (doc_id, sh) shingle frame of an arbitrary document frame —
+    * exposed so streaming twins can append per-batch shingle state that
+    * is row-identical to the batch operator's frame (content-derived,
+    * so replays collapse under DISTINCT). */
+  private[graft] def shinglesOfDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.expressions.TextShingles.register(s)
-    documents(s, d)
-      .select(col("doc_id"), explode(expr("text_shingles(text, 3)")).as("sh"))
+    docs.select(col("doc_id"), explode(expr("text_shingles(text, 3)")).as("sh"))
   }
 
   /** N-gram Jaccard near-dup via inverted index: explode shingles,
@@ -80,16 +86,21 @@ object DedupOps {
     * 0.3 such pairs are dominated by shared boilerplate, which is usually
     * exactly what dedup should NOT fire on. The hot list is tiny by
     * construction (few shingles can exceed df > cap), so it broadcasts. */
-  val ngramJaccardCapped: Q = (s, d) => {
+  val ngramJaccardCapped: Q = (s, d) => cappedPairsFromShingles(docShingles(s, d))
+
+  /** The df-capped jaccard pair generator over an arbitrary shingle
+    * frame — the [[ngramJaccardCapped]] body, exposed so the funnel
+    * twin's read-time fold runs the IDENTICAL generator over its
+    * accumulated shingle state. */
+  private[graft] def cappedPairsFromShingles(sh0: DataFrame): DataFrame = {
     // the shingle frame feeds four branches (df aggregate + sizes + both
     // self-join sides) and is recomputed per branch — measured (r9,
     // isolated sf0.1): checkpointing sh + the anti-joined frame reads
     // 2.97 s vs 2.73 s recomputed; the one-pass TextShingles expression
     // is cheaper than materializing its output, so recompute wins
-    val sh = docShingles(s, d)
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > DfCap).select("sh")
-    jaccardFromShingles(sh.join(broadcast(hot), Seq("sh"), "left_anti"))
+    jaccardFromShingles(sh0.join(broadcast(hot), Seq("sh"), "left_anti"))
   }
 
   /** Asymmetric shingle containment C(A→B) = |A∩B| / |A|: detects a
@@ -912,6 +923,102 @@ object DedupOps {
       .orderBy("cluster_id")
   }
 
+  /** Incremental keeper election — the [[keepCentral]] lambda under the
+    * registry's standing-corpus split convention (even doc_ids = the
+    * standing corpus with its CC labels + PageRank masses already built;
+    * odd = the incoming batch, exactly [[minhashIncremental]] /
+    * [[embeddingIncremental]]'s split). The point: electing a keeper on
+    * ingest must NOT re-run CC + 8 PageRank rounds over the corpus
+    * graph — per-batch work is the batch's capped cross pairs against
+    * the standing side plus domain-sized aggregates.
+    *
+    * Semantics (all BIGINT, frozen-field):
+    *  - a batch doc joins the standing cluster where it has the most
+    *    capped-jaccard partners (ties → smaller cluster_id); a partner
+    *    outside the standing pair graph anchors its own singleton
+    *    cluster. No cross pairs → the doc is its own cluster (the
+    *    [[graft.streaming.SplitAssignIngest]] novel-doc rule: correct at
+    *    assignment time, not an approximation).
+    *  - its mass is the first power-iteration estimate under the FROZEN
+    *    standing field: Σ over standing partners of
+    *    (damp · (pr div deg)) div 1e6 — the same per-edge term as
+    *    [[pagerankFrom]]'s rounds, with standing masses and degrees
+    *    deliberately NOT updated (that's what makes it incremental; the
+    *    periodic full rebuild is [[keepCentral]] itself). Teleport is
+    *    omitted, so the election is conservative: a batch doc outranks
+    *    the standing central only on neighbor contributions alone, and
+    *    exact mass ties keep the standing central.
+    *
+    * Scale shape: the standing CC/PR chain is the offline build (at
+    * 100 TB it persists like the band/IVF indexes; here it's derived
+    * from the even half per the split convention); the batch path is
+    * one pair-bounded join batch×standing, two left joins against the
+    * |paired-docs|-sized label/mass frames, and struct-max partial
+    * aggregates over touched clusters — cost ∝ batch, never corpus².
+    * Reference rationale: the same standing-vs-delta lambda every other
+    * dedup family ships (`flink-applications/03-flink-cdc-jdbc.json:4`'s
+    * continuous-ingest posture applied to keeper election). */
+  val keepCentralIncremental: Q = (s, d) => {
+    // ONE capped pair generation feeds both halves; checkpointed so the
+    // shingle self-join lineage runs once, not once per branch below
+    val all = ngramJaccardCapped(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val even = all.where(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+    val labels = connectedComponents(even)._1 // (doc_id, cluster_keeper)
+    val pr = pagerankFrom(even)               // (doc_id, deg, pr_mass)
+    val standingCentral = labels.join(pr, "doc_id")
+      .groupBy(col("cluster_keeper").as("cluster_id"))
+      .agg(max(struct(col("pr_mass"), (lit(0L) - col("doc_id")).as("neg_id"))).as("k"))
+      .select(col("cluster_id"), (lit(0L) - col("k.neg_id")).as("s_doc"),
+        col("k.pr_mass").as("s_mass"))
+    // batch→standing cross edges from the SAME generator (parity filter,
+    // not a second self-join)
+    val cross = all.where(col("doc_a") % 2 =!= col("doc_b") % 2)
+      .select(
+        when(col("doc_a") % 2 === 1, col("doc_a")).otherwise(col("doc_b")).as("b_doc"),
+        when(col("doc_a") % 2 === 1, col("doc_b")).otherwise(col("doc_a")).as("partner"))
+    val pc = cross
+      .join(labels.withColumnRenamed("doc_id", "partner"), Seq("partner"), "left")
+      .join(pr.withColumnRenamed("doc_id", "partner"), Seq("partner"), "left")
+      .select(col("b_doc"),
+        coalesce(col("cluster_keeper"), col("partner")).as("p_cluster"),
+        coalesce(expr(s"($PrDampMicro * (pr_mass div deg)) div 1000000"), lit(0L))
+          .as("c"))
+    val assigned = pc.groupBy("b_doc", "p_cluster").agg(count(lit(1)).as("n_links"))
+      .groupBy("b_doc")
+      .agg(max(struct(col("n_links"), (lit(0L) - col("p_cluster")).as("neg_c"))).as("k"))
+      .select(col("b_doc"), (lit(0L) - col("k.neg_c")).as("cluster_id"))
+      .join(pc.groupBy("b_doc").agg(sum("c").as("est_mass")), "b_doc")
+    // election per touched cluster: standing central (src_rank 1 wins
+    // mass ties) vs the batch docs assigned there; clusters anchored by
+    // an unpaired standing doc have no election row — central is that
+    // doc itself at mass 0
+    val cand = assigned.select(col("cluster_id"), col("b_doc").as("doc"),
+      col("est_mass").as("mass"), lit(0).as("src_rank"))
+    val touched = assigned.select("cluster_id").distinct()
+      .join(standingCentral, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), coalesce(col("s_doc"), col("cluster_id")).as("doc"),
+        coalesce(col("s_mass"), lit(0L)).as("mass"), lit(1).as("src_rank"))
+    val elected = cand.unionByName(touched)
+      .groupBy("cluster_id")
+      .agg(max(struct(col("mass"), col("src_rank"),
+          (lit(0L) - col("doc")).as("neg_d"))).as("k"),
+        sum(when(col("src_rank") === 0, 1L).otherwise(0L)).as("n_batch_joined"))
+      .select(col("cluster_id"), (lit(0L) - col("k.neg_d")).as("central_doc"),
+        col("k.mass").as("central_mass"),
+        when(col("k.src_rank") === 1, lit("standing")).otherwise(lit("batch"))
+          .as("central_src"),
+        col("n_batch_joined"))
+    // novel batch docs: their own singleton clusters (odd ids can never
+    // collide with the even standing cluster ids)
+    val unmatched = documents(s, d).select(col("doc_id"))
+      .where(col("doc_id") % 2 === 1)
+      .join(assigned.select(col("b_doc").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("cluster_id"), col("doc_id").as("central_doc"),
+        lit(0L).as("central_mass"), lit("batch").as("central_src"),
+        lit(1L).as("n_batch_joined"))
+    elected.unionByName(unmatched).orderBy("cluster_id")
+  }
+
   /** Pair-graph structure audit in one row: triangle count, wedge
     * count, and the global clustering coefficient — the instrument
     * that tells a dedup operator whether its pair graph is CLIQUES
@@ -1431,6 +1538,7 @@ object DedupOps {
     "dedup_semantic_cluster" -> semanticCluster,
     "dedup_pagerank" -> pagerank,
     "dedup_keep_central" -> keepCentral,
+    "dedup_keep_central_incremental" -> keepCentralIncremental,
     "dedup_graph_stats" -> graphStats,
     "dedup_method_agreement" -> methodAgreement,
     "dedup_component_sizes" -> componentSizes,
@@ -1527,6 +1635,74 @@ object DedupOps {
             FROM jn WHERE rn = 1
             UNION ALL
             SELECT -1, -1, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) FROM (SELECT 1) poison
+            WHERE (SELECT n_changed FROM cc_guard) > 0)
+          ORDER BY cluster_id""",
+    // the incremental election: CC + PR rounds run on the EVEN-ONLY pair
+    // graph (the standing build); the batch path is pure joins/windows
+    // over the cross edges — mirrors the Spark frozen-field semantics
+    // term for term (same damp·(pr div deg) div 1e6 edge contribution,
+    // no teleport, standing wins exact mass ties via src_rank DESC)
+    "dedup_keep_central_incremental" ->
+      s"""WITH jp AS MATERIALIZED (SELECT doc_a, doc_b
+              FROM ($JaccardPairsSelect)),
+          jeven AS MATERIALIZED (SELECT doc_a, doc_b FROM jp
+              WHERE doc_a % 2 = 0 AND doc_b % 2 = 0),
+          ${ccRoundsCtes("jeven", "doc_a", "doc_b")},
+          ${prRoundsCtes("jeven", "doc_a", "doc_b")},
+          scj AS (SELECT c.lbl AS cluster_id, p.doc_id, p.pr,
+                    row_number() OVER (PARTITION BY c.lbl
+                      ORDER BY p.pr DESC, p.doc_id) AS rn
+                  FROM cc_labels c JOIN pr$PrRounds p ON p.doc_id = c.v),
+          scentral AS (SELECT cluster_id, doc_id AS s_doc, pr AS s_mass
+                       FROM scj WHERE rn = 1),
+          cre AS (SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS b_doc,
+                         CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS partner
+                  FROM jp WHERE (doc_a % 2) <> (doc_b % 2)),
+          pcx AS (SELECT cre.b_doc,
+                    COALESCE(l.lbl, cre.partner) AS p_cluster,
+                    COALESCE(($PrDampMicro * (p.pr // p.deg)) // 1000000, 0) AS c
+                  FROM cre
+                  LEFT JOIN cc_labels l ON l.v = cre.partner
+                  LEFT JOIN pr$PrRounds p ON p.doc_id = cre.partner),
+          lnk AS (SELECT b_doc, p_cluster, COUNT(*) AS n_links
+                  FROM pcx GROUP BY b_doc, p_cluster),
+          asn AS (SELECT b_doc, p_cluster AS cluster_id
+                  FROM (SELECT b_doc, p_cluster,
+                          row_number() OVER (PARTITION BY b_doc
+                            ORDER BY n_links DESC, p_cluster) AS arn
+                        FROM lnk) WHERE arn = 1),
+          estm AS (SELECT b_doc, CAST(SUM(c) AS BIGINT) AS est_mass
+                   FROM pcx GROUP BY b_doc),
+          cand AS (SELECT a.cluster_id, a.b_doc AS doc, e.est_mass AS mass,
+                          0 AS src_rank
+                   FROM asn a JOIN estm e ON e.b_doc = a.b_doc
+                   UNION ALL
+                   SELECT t.cluster_id, COALESCE(sc.s_doc, t.cluster_id),
+                          CAST(COALESCE(sc.s_mass, 0) AS BIGINT), 1
+                   FROM (SELECT DISTINCT cluster_id FROM asn) t
+                   LEFT JOIN scentral sc ON sc.cluster_id = t.cluster_id),
+          el AS (SELECT cluster_id, doc, mass, src_rank,
+                   row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY mass DESC, src_rank DESC, doc) AS ern,
+                   SUM(CASE WHEN src_rank = 0 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY cluster_id) AS nbj
+                 FROM cand)
+          SELECT * FROM (
+            SELECT cluster_id, doc AS central_doc,
+                   CAST(mass AS BIGINT) AS central_mass,
+                   CASE WHEN src_rank = 1 THEN 'standing' ELSE 'batch' END
+                     AS central_src,
+                   CAST(nbj AS BIGINT) AS n_batch_joined
+            FROM el WHERE ern = 1
+            UNION ALL
+            SELECT d.doc_id, d.doc_id, CAST(0 AS BIGINT), 'batch',
+                   CAST(1 AS BIGINT)
+            FROM documents d
+            WHERE d.doc_id % 2 = 1
+              AND NOT EXISTS (SELECT 1 FROM asn WHERE asn.b_doc = d.doc_id)
+            UNION ALL
+            SELECT -1, -1, CAST(-1 AS BIGINT), 'poison', CAST(-1 AS BIGINT)
+            FROM (SELECT 1) poison
             WHERE (SELECT n_changed FROM cc_guard) > 0)
           ORDER BY cluster_id""",
     "dedup_ngram_jaccard" ->
