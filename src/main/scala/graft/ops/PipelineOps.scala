@@ -502,19 +502,35 @@ object PipelineOps {
     * the funnel can never disagree with the operators it accounts for.
     * All stage counts are broadcast 1-row aggregates; the output is
     * five rows however large the corpus. */
-  val corpusFunnel: Q = (s, d) => {
-    val raw0 = documents(s, d).select(col("doc_id"), col("text"),
+  val corpusFunnel: Q = (s, d) => funnelCore(
+    funnelMetaOf(documents(s, d)),
+    DedupOps.ngramJaccardCapped(s, d).select("doc_a", "doc_b"))
+
+  /** Per-document funnel metadata — everything the stage accounting
+    * needs, with the raw text already reduced to derived columns
+    * (hash, token count, quality verdict). Deterministic per document,
+    * so per-batch unions of this frame equal the whole-corpus frame —
+    * the property [[graft.streaming.FunnelIngest]]'s appended state
+    * relies on. */
+  private[graft] def funnelMetaOf(docs: DataFrame): DataFrame =
+    TextOps.withQuality(docs.select(col("doc_id"), col("text"),
         coalesce(col("source"), lit("")).as("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
-      .localCheckpoint()
-    val qual = TextOps.withQuality(raw0).where(col("quality") === "good")
-      .select("doc_id", "text", "source", "n_tok").localCheckpoint()
-    val exact = qual.groupBy(md5(col("text")).as("content_hash"))
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok")))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        md5(col("text")).as("content_hash"),
+        (col("quality") === "good").as("is_good"))
+
+  /** The five-stage fold over (meta, pair graph) — shared verbatim by
+    * the batch operator and the streaming twin's read-time report, so
+    * twin equality is structural (the DriftIngest discipline). */
+  private[graft] def funnelCore(meta0: DataFrame, pairs: DataFrame): DataFrame = {
+    val raw0 = meta0.localCheckpoint()
+    val qual = raw0.where(col("is_good")).localCheckpoint()
+    val exact = qual.groupBy("content_hash")
       .agg(min("doc_id").as("doc_id")).select("doc_id")
       .join(qual.select("doc_id", "source", "n_tok"), "doc_id")
       .localCheckpoint()
-    val labels = DedupOps.connectedComponents(
-      DedupOps.ngramJaccardCapped(s, d).select("doc_a", "doc_b"))._1
+    val labels = DedupOps.connectedComponents(pairs)._1
     val withCk = exact.join(labels, Seq("doc_id"), "left")
       .withColumn("ck", coalesce(col("cluster_keeper"), col("doc_id")))
     val near = withCk.groupBy("ck").agg(min("doc_id").as("doc_id"))
