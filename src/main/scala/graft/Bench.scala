@@ -520,7 +520,7 @@ object Bench {
 
   /** Newest prior archive for this sf tag, searching the committed
     * round shelf first, then this round's own target/ output. */
-  private def latestArchive(sfTag: String): Option[java.nio.file.Path] = {
+  private[graft] def latestArchive(sfTag: String): Option[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
     val pat = ("bench_" + java.util.regex.Pattern.quote(sfTag) +
       "_\\d{8}_\\d{6}\\.json").r
@@ -539,7 +539,7 @@ object Bench {
     * first `"queries":{...}` object (the scale pass's nested copy comes
     * later in the line). Values are flat numbers, so the first `}` ends
     * the object. */
-  private def archiveMedians(path: java.nio.file.Path): Map[String, Double] = {
+  private[graft] def archiveMedians(path: java.nio.file.Path): Map[String, Double] = {
     val line = new String(java.nio.file.Files.readAllBytes(path),
       java.nio.charset.StandardCharsets.UTF_8)
     val tag = "\"queries\":{"
@@ -564,7 +564,7 @@ object Bench {
     * scale curve, no history archive — the official artifact shape is
     * unchanged when the flag is absent. Override the subset with
     * SPARK_GRAFT_QUICK_KEYS=key1,key2,… */
-  private def quickKeys(): Set[String] =
+  private[graft] def quickKeys(): Set[String] =
     sys.env.get("SPARK_GRAFT_QUICK_KEYS") match {
       case Some(ks) => ks.split(',').map(_.trim).filter(_.nonEmpty).toSet
       case None => SparkEntry.queries.keys.toSeq.sorted

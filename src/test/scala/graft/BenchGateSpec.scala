@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files => JFiles}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Pins for the bench artifact's regression-gate helpers: the archive
+  * parser must read the PRIMARY medians (not the scale pass's nested
+  * copy), the baseline finder must pick the newest same-sf archive, and
+  * the --quick subset must cover every family prefix. Pure-JVM — no
+  * SparkSession. */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("archiveMedians parses the primary queries object, not the scale copy") {
+    val line =
+      """{"metric":"total","value":9.9,"unit":"sec","runs":3,"failed":[]""" +
+        ""","regressions":{"x":{"prev":1.0,"cur":3.0,"ratio":3.00}}""" +
+        ""","queries":{"a_q":1.25,"b_q":0.5,"c_q":-1}""" +
+        ""","scale":{"dir":"t","queries":{"a_q":99.0},"ratio":{"a_q":79.2}},"sf":"x"}"""
+    val p = JFiles.createTempFile("bench_parse", ".json")
+    JFiles.write(p, (line + "\n").getBytes(UTF_8))
+    val m = Bench.archiveMedians(p)
+    assert(m == Map("a_q" -> 1.25, "b_q" -> 0.5, "c_q" -> -1.0), m)
+  }
+
+  test("archiveMedians on a real archived round artifact finds full-registry medians") {
+    val shelf = java.nio.file.Paths.get("bench_history")
+    assume(JFiles.isDirectory(shelf))
+    import scala.jdk.CollectionConverters._
+    val s = JFiles.list(shelf)
+    val one = try s.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("bench_sf0.1_"))
+      .sortBy(_.getFileName.toString).lastOption
+    finally s.close()
+    assume(one.nonEmpty)
+    val m = Bench.archiveMedians(one.get)
+    assert(m.size > 100, s"expected a full-registry medians map, got ${m.size}")
+    // archived medians are seconds: plausible magnitudes, no NaN parses
+    assert(m.values.forall(v => v >= -1 && v < 3600), m.filter(_._2 >= 3600))
+  }
+
+  test("latestArchive picks the newest stamp for the sf tag and ignores other tags") {
+    val m = Bench.latestArchive("sf0.1")
+    assume(m.nonEmpty)
+    assert(m.get.getFileName.toString.startsWith("bench_sf0.1_"), m)
+    // an sf tag with no archives yields None, not a cross-sf fallback
+    assert(Bench.latestArchive("sf-nonexistent").isEmpty)
+  }
+
+  test("quick subset covers every family prefix exactly once") {
+    val qk = Bench.quickKeys()
+    val families = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSet
+    assert(qk.map(_.takeWhile(_ != '_')) == families)
+    assert(qk.size == families.size)
+    assert(qk.subsetOf(SparkEntry.queries.keySet))
+  }
+}
