@@ -1538,8 +1538,57 @@ object SimOps {
       .orderBy("label_a", "label_b")
   }
 
+  /** Corpus embedding-dispersion audit — the diversity-collapse gauge a
+    * curation pipeline reads after dedup/selection: mean pairwise dot
+    * among a group's vectors vs the group's mean self dot (their ratio
+    * ≈ mean pairwise cosine for norm-homogeneous embeddings), per label
+    * and for the whole corpus (label_grp −1). Selection that collapses
+    * onto one mode RAISES the ratio toward 1; a diverse corpus stays
+    * near 0.
+    *
+    * Exact O(n) by the sum-of-vectors identity — NEVER a pair join:
+    * Σ_{i≠j}⟨vᵢ,vⱼ⟩ = ‖Σv‖² − Σ‖vᵢ‖², so one (group, pos) aggregate
+    * (map-side partials over the exploded component frame) carries the
+    * whole audit; everything after is domain-sized (labels × 64).
+    * Engine parity by construction: components micro-quantized to
+    * BIGINT, component sums demoted to millis BEFORE squaring and the
+    * self-dot total demoted once globally (the emb_label_centroids
+    * headroom discipline — micro sums square past 2^63 at ~10⁶
+    * vectors; the milli grid buys 10⁶× and costs the third decimal),
+    * then pure integer div (truncation toward zero matches DuckDB `//`
+    * on negatives, checked in the centroids round). */
+  val embDispersion: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
+    val e = DedupOps.EmbGate.clean(embeddings(s, d), "dnrm").drop("dnrm")
+    val comp = e.select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        expr("CAST(round(CAST(col AS DOUBLE) * 1000000, 0) AS BIGINT)").as("v"))
+      .localCheckpoint()
+    val lblPos = comp.where(col("label").isNotNull)
+      .groupBy(col("label").cast("long").as("grp"), col("pos"))
+      .agg(sum("v").as("sv"), sum(expr("v * v")).as("q2"), count(lit(1)).as("n"))
+    val allPos = comp.groupBy(col("pos"))
+      .agg(sum("v").as("sv"), sum(expr("v * v")).as("q2"), count(lit(1)).as("n"))
+      .withColumn("grp", lit(-1L))
+    lblPos.unionByName(allPos.select("grp", "pos", "sv", "q2", "n"))
+      .groupBy("grp")
+      .agg(expr("sum((sv div 1000) * (sv div 1000))").as("s2_milli2"),
+        sum("q2").as("q_micro2"), max("n").as("n_vecs"))
+      .select(col("grp").as("label_grp"), col("n_vecs"),
+        expr("(q_micro2 div 1000000) div greatest(n_vecs, 1)")
+          .as("mean_self_milli2"),
+        expr("""CASE WHEN n_vecs < 2 THEN CAST(0 AS BIGINT)
+                ELSE (s2_milli2 - (q_micro2 div 1000000)) div (n_vecs * (n_vecs - 1)) END""")
+          .as("mean_pair_milli2"))
+      .withColumn("dispersion_ratio_micro",
+        expr("""CASE WHEN mean_self_milli2 = 0 THEN CAST(0 AS BIGINT)
+                ELSE (mean_pair_milli2 * 1000000) div mean_self_milli2 END"""))
+      .orderBy("label_grp")
+  }
+
   val queries: Map[String, Q] = Map(
     "emb_label_centroids" -> labelCentroids,
+    "emb_dispersion" -> embDispersion,
     "sim_brute_topk" -> bruteTopK,
     "emb_quantize_int8" -> quantizeInt8,
     "sim_q8_topk" -> q8TopK,
@@ -1843,6 +1892,49 @@ object SimOps {
            JOIN nr na ON na.label = d.label_a JOIN nr nb ON nb.label = d.label_b
            JOIN cnts ca ON ca.label = d.label_a JOIN cnts cb ON cb.label = d.label_b
            ORDER BY d.label_a, d.label_b""",
+    // the dispersion audit mirrors the Spark grid discipline step for
+    // step: micro components, milli-demoted sums squared, one global
+    // demotion of the self-dot total, integer div throughout (DuckDB //
+    // truncates toward zero like Spark div — checked on negatives in
+    // the centroids round). Gate spelled out per the centroids oracle.
+    "emb_dispersion" ->
+      raw"""WITH ec AS (SELECT label, embedding FROM embeddings
+               WHERE len(embedding) = 64
+                 AND sqrt(list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) > 0
+                 AND NOT isnan(sqrt(list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))
+                 AND NOT isinf(sqrt(list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))),
+           comp AS MATERIALIZED (SELECT label, i - 1 AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+               FROM ec CROSS JOIN range(1, 65) t(i)),
+           lblpos AS (SELECT CAST(label AS BIGINT) AS grp, pos,
+                 CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(v * v) AS BIGINT) AS q2,
+                 CAST(COUNT(*) AS BIGINT) AS n
+               FROM comp WHERE label IS NOT NULL GROUP BY 1, 2),
+           allpos AS (SELECT CAST(-1 AS BIGINT) AS grp, pos,
+                 CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(v * v) AS BIGINT) AS q2,
+                 CAST(COUNT(*) AS BIGINT) AS n
+               FROM comp GROUP BY 1, 2),
+           u AS (SELECT * FROM lblpos UNION ALL SELECT * FROM allpos),
+           f AS (SELECT grp,
+                 CAST(SUM((sv // 1000) * (sv // 1000)) AS BIGINT) AS s2,
+                 CAST(SUM(q2) AS BIGINT) AS qm,
+                 CAST(MAX(n) AS BIGINT) AS n_vecs
+               FROM u GROUP BY grp),
+           g AS (SELECT grp AS label_grp, n_vecs,
+                 CAST((qm // 1000000) // greatest(n_vecs, 1) AS BIGINT)
+                   AS mean_self_milli2,
+                 CAST(CASE WHEN n_vecs < 2 THEN 0
+                      ELSE (s2 - (qm // 1000000)) // (n_vecs * (n_vecs - 1)) END
+                   AS BIGINT) AS mean_pair_milli2
+               FROM f)
+           SELECT label_grp, n_vecs, mean_self_milli2, mean_pair_milli2,
+             CAST(CASE WHEN mean_self_milli2 = 0 THEN 0
+                  ELSE (mean_pair_milli2 * 1000000) // mean_self_milli2 END
+               AS BIGINT) AS dispersion_ratio_micro
+           FROM g ORDER BY label_grp""",
     // dedup_semdedup: k-means argmin assignment + within-cluster cosine
     // pairs + the shared CC rounds + farthest-from-centroid election —
     // CTE for CTE the Spark chain, over the same kmeans oracle CTEs
