@@ -467,7 +467,7 @@ object DedupOps {
     * all-NaN vector, whose NaN cosine then outranks every real neighbor
     * under DESC sort. The oracles carry the same explicit WHERE
     * ([[EmbCleanSql]]) so the engines drop identical rows. */
-  private[ops] object EmbGate {
+  private[graft] object EmbGate {
     val Dim = 64
     def clean(df: DataFrame, normName: String): DataFrame =
       df.where(size(col("embedding")) === Dim)

@@ -1560,6 +1560,18 @@ object SimOps {
   val embDispersion: Q = (s, d) => {
     graft.expressions.VectorExpressions.register(s)
     val e = DedupOps.EmbGate.clean(embeddings(s, d), "dnrm").drop("dnrm")
+    dispersionFromAgg(dispersionPartials(e))
+  }
+
+  /** The (grp, pos, sv, q2, n) partial frame [[embDispersion]] folds —
+    * exposed because it is an additive monoid over vectors: partials
+    * from disjoint batches SUM to the corpus frame (Σv, Σv², n are all
+    * per-row sums; grp −1 is the corpus-wide view). The streaming twin
+    * (DispersionIngest, twin #34) appends exactly this frame per batch
+    * and re-derives through [[dispersionFromAgg]], so twin equality is
+    * structural. Caller has already gated the vectors (EmbGate is
+    * per-row, hence batch-distributable). */
+  private[graft] def dispersionPartials(e: DataFrame): DataFrame = {
     val comp = e.select(col("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos"),
         expr("CAST(round(CAST(col AS DOUBLE) * 1000000, 0) AS BIGINT)").as("v"))
@@ -1571,7 +1583,13 @@ object SimOps {
       .agg(sum("v").as("sv"), sum(expr("v * v")).as("q2"), count(lit(1)).as("n"))
       .withColumn("grp", lit(-1L))
     lblPos.unionByName(allPos.select("grp", "pos", "sv", "q2", "n"))
-      .groupBy("grp")
+  }
+
+  /** Finish the dispersion audit from a (grp, pos, sv, q2, n) frame —
+    * the milli demotion / integer-div grid documented on
+    * [[embDispersion]]. Shared verbatim by the batch op and twin #34. */
+  private[graft] def dispersionFromAgg(t: DataFrame): DataFrame =
+    t.groupBy("grp")
       .agg(expr("sum((sv div 1000) * (sv div 1000))").as("s2_milli2"),
         sum("q2").as("q_micro2"), max("n").as("n_vecs"))
       .select(col("grp").as("label_grp"), col("n_vecs"),
@@ -1584,7 +1602,6 @@ object SimOps {
         expr("""CASE WHEN mean_self_milli2 = 0 THEN CAST(0 AS BIGINT)
                 ELSE (mean_pair_milli2 * 1000000) div mean_self_milli2 END"""))
       .orderBy("label_grp")
-  }
 
   val queries: Map[String, Q] = Map(
     "emb_label_centroids" -> labelCentroids,
