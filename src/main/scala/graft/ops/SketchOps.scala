@@ -268,6 +268,97 @@ object SketchOps {
   }
 
   // ------------------------------------------------------------------
+  // Bloom semi-join reduction — the sketch pointed at JOIN pruning
+  // ------------------------------------------------------------------
+
+  /** Distinct dim-side join keys under the build predicate, on the md5
+    * grid ([[hashedDocs]]'s `ch` convention, so the whole bloom stack
+    * reuses verbatim). */
+  private def urgentOrderKeys(s: SparkSession, d: String): DataFrame =
+    graft.Tables.orders(s, d)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(md5(col("o_orderkey").cast("string")).as("ch")).distinct()
+
+  /** Per-distinct-fact-key bloom verdict against the dim-key filter,
+    * with the fact multiplicity and exact membership riding along.
+    * Probe cost ∝ DISTINCT fact keys (k broadcast word lookups each),
+    * never fact rows — the accounting rejoins by integer sums. */
+  private def bloomJoinProbe(s: SparkSession, d: String): DataFrame = {
+    val dimKeys = urgentOrderKeys(s, d)
+    val geom = bloomGeom(dimKeys)
+    val words = bloomWords(bloomPositions(dimKeys, geom, Seq("ch")))
+    val factKeys = graft.Tables.lineitem(s, d)
+      .groupBy(md5(col("l_orderkey").cast("string")).as("ch"))
+      .agg(count(lit(1)).as("nrows"))
+    bloomPositions(factKeys, geom, Seq("ch", "nrows"))
+      .withColumn("word_idx", expr(s"pos div $WordBits"))
+      .join(broadcast(words), Seq("word_idx"), "left")
+      .withColumn("hit", expr(
+        s"CASE WHEN word IS NOT NULL AND (shiftright(word, CAST(pos % $WordBits AS INT)) & 1) = 1 THEN 1 ELSE 0 END"))
+      .groupBy("ch", "nrows")
+      .agg(min("hit").as("bloom_hit"))
+      .join(dimKeys.withColumn("is_match", lit(1)), Seq("ch"), "left")
+      .withColumn("is_match", coalesce(col("is_match"), lit(0)))
+  }
+
+  /** Semi-join reduction via the bloom filter — THE canonical 100 TB
+    * join pattern: a selective dim predicate ('1-URGENT', ~20 %) is
+    * compiled into ≤ 8 MiB of broadcast bits, the fact side is pruned
+    * BEFORE its shuffle, and only then does the real equi-join run.
+    * False positives cost one wasted shuffle row each (the join removes
+    * them); false negatives are impossible, so the result is
+    * value-identical to the direct join — which is exactly what the
+    * oracle checks: the plain SQL join, no bloom anywhere. The pruning
+    * economics are the _eval row's job, not this one's.
+    *
+    * Here the pass-key set rides a broadcast semi-join back onto the
+    * fact (bounded by dim matches + measured-fp stragglers ≈ the dim
+    * key count, the same budget class as the word table); past THAT
+    * clamp a deployment probes per fact row map-side instead — the
+    * word table stays ≤ 2^[[MaxPow]] bits regardless. */
+  val joinBloomPrefilter: Q = (s, d) => {
+    val passKeys = bloomJoinProbe(s, d).where(col("bloom_hit") === 1)
+      .select("ch")
+    val fact = graft.Tables.lineitem(s, d)
+      .withColumn("ch", md5(col("l_orderkey").cast("string")))
+      .join(broadcast(passKeys), Seq("ch")) // the map-side prune
+      .drop("ch")
+    val dim = graft.Tables.orders(s, d)
+      .where(col("o_orderpriority") === "1-URGENT")
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("o_custkey"), col("o_totalprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** The pruning economics as one oracle-checked row: how many fact
+    * rows the filter admits vs how many truly match, the observed
+    * false-pass rate over non-matching rows, and the pruned fraction —
+    * the number that says whether building the filter paid for itself
+    * (here ~4 of 5 fact rows never reach the shuffle). Cross-engine
+    * exact: the DuckDB oracle rebuilds the identical word table from
+    * the identical dim keys and probes the identical fact keys. */
+  val joinBloomPruneEval: Q = (s, d) => {
+    val probe = bloomJoinProbe(s, d)
+    val geomRow = bloomGeom(urgentOrderKeys(s, d))
+    probe.agg(
+      sum("nrows").as("fact_rows"),
+      sum(expr("nrows * bloom_hit")).as("pass_rows"),
+      sum(expr("nrows * is_match")).as("match_rows"),
+      sum(expr("nrows * (bloom_hit - is_match)")).as("false_pass"))
+      .crossJoin(broadcast(geomRow))
+      .select(col("n").as("n_dim_keys"), col("m").as("m_bits"),
+        coalesce(col("fact_rows"), lit(0L)).as("fact_rows"),
+        coalesce(col("pass_rows"), lit(0L)).as("pass_rows"),
+        coalesce(col("match_rows"), lit(0L)).as("match_rows"),
+        coalesce(col("false_pass"), lit(0L)).as("false_pass"))
+      .withColumn("fp_micro", expr(
+        "CASE WHEN fact_rows - match_rows = 0 THEN CAST(0 AS BIGINT) ELSE (false_pass * 1000000) div (fact_rows - match_rows) END"))
+      .withColumn("pruned_micro", expr(
+        "CASE WHEN fact_rows = 0 THEN CAST(0 AS BIGINT) ELSE ((fact_rows - pass_rows) * 1000000) div fact_rows END"))
+  }
+
+  // ------------------------------------------------------------------
   // Count-min sketch
   // ------------------------------------------------------------------
 
@@ -794,6 +885,8 @@ object SketchOps {
     "dedup_bloom_sharded" -> dedupBloomSharded,
     "dedup_bloom_incremental" -> dedupBloomIncremental,
     "dedup_bloom_eval" -> dedupBloomEval,
+    "join_bloom_prefilter" -> joinBloomPrefilter,
+    "join_bloom_prune_eval" -> joinBloomPruneEval,
     "text_ngram_cms_topk" -> ngramCmsTopK,
     "text_ngram_cms_incremental" -> ngramCmsIncremental,
     "text_ngram_cms_eval" -> ngramCmsEval,
@@ -1156,6 +1249,60 @@ object SketchOps {
              CAST(a.false_neg AS BIGINT) AS false_neg,
              CAST(round(CAST(a.false_pos * 1000000 AS DOUBLE) /
                greatest(a.n_incoming - a.true_dups, 1), 0) AS BIGINT) AS fp_micro
+           FROM agg a CROSS JOIN geom g""",
+    // The prefilter's oracle is the PLAIN join on purpose: bloom false
+    // negatives are impossible and false positives die in the real
+    // join, so result identity against the bloom-free SQL IS the
+    // correctness claim. The _eval oracle rebuilds the word table.
+    "join_bloom_prefilter" ->
+      raw"""SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_totalprice
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderpriority = '1-URGENT'
+           ORDER BY l.l_orderkey, l.l_linenumber""",
+    "join_bloom_prune_eval" ->
+      raw"""WITH dk AS (SELECT DISTINCT md5(CAST(o_orderkey AS VARCHAR)) AS ch
+               FROM orders WHERE o_orderpriority = '1-URGENT'),
+           geom AS (SELECT n, coalesce(
+                 list_min(list_filter(
+                   list_transform(range($MinPow, ${MaxPow + 1}), p -> CAST(pow(2, p) AS BIGINT)),
+                   v -> v >= $BloomBitsPerItem * n)),
+                 CAST(pow(2, $MaxPow) AS BIGINT)) AS m
+               FROM (SELECT greatest(count(*), 1) AS n FROM dk)),
+           spos AS (SELECT ${hex32("md5('bloom' || CAST(i AS VARCHAR) || ':' || s.ch)")} % g.m AS pos
+               FROM dk s CROSS JOIN range(0, $BloomSalts) t(i) CROSS JOIN geom g),
+           words AS (SELECT pos // $WordBits AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % $WordBits AS INT)) AS word
+               FROM spos GROUP BY pos // $WordBits),
+           fk AS (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS ch,
+                 CAST(count(*) AS BIGINT) AS nrows
+               FROM lineitem GROUP BY 1),
+           ppos AS (SELECT f.ch, f.nrows,
+                 ${hex32("md5('bloom' || CAST(i AS VARCHAR) || ':' || f.ch)")} % g.m AS pos
+               FROM fk f CROSS JOIN range(0, $BloomSalts) t(i) CROSS JOIN geom g),
+           hits AS (SELECT p.ch, p.nrows,
+                 CASE WHEN w.word IS NOT NULL
+                       AND ((w.word >> CAST(p.pos % $WordBits AS INT)) & 1) = 1
+                      THEN 1 ELSE 0 END AS hit
+               FROM ppos p LEFT JOIN words w ON w.word_idx = p.pos // $WordBits),
+           probe AS (SELECT ch, nrows, min(hit) AS bloom_hit
+               FROM hits GROUP BY ch, nrows),
+           acct AS (SELECT p.nrows, p.bloom_hit,
+                 CASE WHEN d2.ch IS NULL THEN 0 ELSE 1 END AS is_match
+               FROM probe p LEFT JOIN dk d2 ON d2.ch = p.ch),
+           agg AS (SELECT coalesce(SUM(nrows), 0) AS fact_rows,
+                 coalesce(SUM(nrows * bloom_hit), 0) AS pass_rows,
+                 coalesce(SUM(nrows * is_match), 0) AS match_rows,
+                 coalesce(SUM(nrows * (bloom_hit - is_match)), 0) AS false_pass
+               FROM acct)
+           SELECT g.n AS n_dim_keys, g.m AS m_bits,
+             CAST(a.fact_rows AS BIGINT) AS fact_rows,
+             CAST(a.pass_rows AS BIGINT) AS pass_rows,
+             CAST(a.match_rows AS BIGINT) AS match_rows,
+             CAST(a.false_pass AS BIGINT) AS false_pass,
+             CASE WHEN a.fact_rows - a.match_rows = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((a.false_pass * 1000000) // (a.fact_rows - a.match_rows) AS BIGINT) END AS fp_micro,
+             CASE WHEN a.fact_rows = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(((a.fact_rows - a.pass_rows) * 1000000) // a.fact_rows AS BIGINT) END AS pruned_micro
            FROM agg a CROSS JOIN geom g""",
     "text_ngram_cms_topk" ->
       raw"""WITH ${DedupOps.ShinglesSql},

@@ -359,6 +359,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_bloom_prefilter: dim filter pushed, bloom words broadcast, fact pruned map-side") {
+    val plan = finalPlan(graft.ops.SketchOps.queries("join_bloom_prefilter")(spark, d))
+    // the dim predicate reaches the orders scan (both the filter build
+    // and the final join read only the selective slice)
+    assert(plan.contains("EqualTo(o_orderpriority,1-URGENT)"), plan)
+    // word-table probe + pass-key prune are broadcast joins — the fact
+    // side never shuffles to discover what the filter already knows
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("events attribution/paths: one user_id window pass feeding a tiny-key aggregate") {
     for (name <- Seq("events_attribution", "events_path_topk")) {
       val plan = finalPlan(graft.ops.RefOps.queries(name)(spark, d))
