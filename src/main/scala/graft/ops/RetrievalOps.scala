@@ -180,6 +180,47 @@ object RetrievalOps {
       .orderBy("q_id")
   }
 
+  /** Mining depth for [[hardNegatives]] — deeper than the serving K so
+    * dropping the near-dup positives still leaves a usable negative
+    * set per query. */
+  private val HnK = 10
+
+  /** Hard-negative mining for contrastive retrieval training — the
+    * standard dense-retriever data-prep step (DPR, Karpukhin et al.
+    * EMNLP'20: "BM25 hard negatives"): for each query doc, the top
+    * BM25 candidates are exactly the lexically-confusable documents a
+    * bi-encoder must learn to push away. The trap this operator
+    * exists to close is FALSE negatives: a near-duplicate of the query
+    * ranks at the top of BM25 and, labeled as a negative, teaches the
+    * model to separate a pair that should coincide. So each candidate
+    * carries its verdict from the capped jaccard pair graph (the SAME
+    * generator the dedup shelf elects keepers from) and `neg_rank`
+    * numbers only the cleared candidates (0 = excluded positive) —
+    * a trainer takes `neg_rank BETWEEN 1 AND n` per query and never
+    * sees a poisoned pair.
+    *
+    * Scale shape: candidates ride the existing capped BM25 machinery
+    * (broadcast query model, partition-local top-k); the near-dup
+    * flags come from the Σdf²-bounded capped generator restricted to
+    * the query batch BEFORE the join (query-batch-sized, broadcast);
+    * the running renumber is a per-query window over ≤ [[HnK]] rows. */
+  val hardNegatives: Q = (s, d) => {
+    val cand = bm25Top(s, d, HnK, capped = true)
+    val p = DedupOps.ngramJaccardCapped(s, d).select("doc_a", "doc_b")
+    val symQ = p.select(col("doc_a").as("q_id"), col("doc_b").as("neighbor_id"))
+      .unionByName(p.select(col("doc_b").as("q_id"), col("doc_a").as("neighbor_id")))
+      .where(col("q_id") < NQueries)
+      .withColumn("nd", lit(1))
+    val w = Window.partitionBy("q_id").orderBy("rank")
+    cand.join(broadcast(symQ), Seq("q_id", "neighbor_id"), "left")
+      .withColumn("is_near_dup", coalesce(col("nd"), lit(0))).drop("nd")
+      .withColumn("neg_rank",
+        when(col("is_near_dup") === 1, lit(0)).otherwise(
+          sum(lit(1) - col("is_near_dup")).over(w)).cast("int"))
+      .select("q_id", "rank", "neighbor_id", "score_r", "is_near_dup", "neg_rank")
+      .orderBy("q_id", "rank")
+  }
+
   /** Per-document top-5 keywords by smooth TF-IDF (sublinear tf,
     * sklearn's `(1+ln tf)·(ln((1+N)/(1+df))+1)`). Unlike BM25 every doc
     * is a "query", so the model can't ride a broadcast query batch;
@@ -533,6 +574,7 @@ object RetrievalOps {
   val queries: Map[String, Q] = Map(
     "text_bm25_topk" -> bm25TopK,
     "text_bm25_eval" -> bm25Eval,
+    "text_hard_negatives" -> hardNegatives,
     "text_tfidf_topterms" -> tfidfTopTerms,
     "sim_hybrid_rrf" -> hybridRrf,
     "chunk_bm25_topk" -> chunkBm25TopK,
@@ -599,6 +641,25 @@ object RetrievalOps {
                 FROM sc)
           SELECT q_id, CAST(rank AS INT) AS rank, doc_id AS neighbor_id, score_r
           FROM r WHERE rank <= $K ORDER BY q_id, rank""",
+    "text_hard_negatives" ->
+      s"""WITH ${bm25Ctes(capped = true)},
+          r AS (SELECT q_id, doc_id, score_r,
+                  row_number() OVER (PARTITION BY q_id ORDER BY score_r DESC, doc_id) AS rank
+                FROM sc),
+          cand AS (SELECT q_id, CAST(rank AS INT) AS rank, doc_id AS neighbor_id, score_r
+                   FROM r WHERE rank <= $HnK),
+          nd AS (SELECT doc_a, doc_b FROM (${DedupOps.JaccardPairsSelect})),
+          sym AS (SELECT doc_a AS q_id, doc_b AS neighbor_id FROM nd
+                  UNION ALL SELECT doc_b, doc_a FROM nd),
+          fl AS (SELECT c.q_id, c.rank, c.neighbor_id, c.score_r,
+                   CASE WHEN s.q_id IS NULL THEN 0 ELSE 1 END AS is_near_dup
+                 FROM cand c LEFT JOIN sym s
+                   ON s.q_id = c.q_id AND s.neighbor_id = c.neighbor_id)
+          SELECT q_id, rank, neighbor_id, score_r,
+            CAST(is_near_dup AS INT) AS is_near_dup,
+            CAST(CASE WHEN is_near_dup = 1 THEN 0
+                 ELSE SUM(1 - is_near_dup) OVER (PARTITION BY q_id ORDER BY rank) END AS INT) AS neg_rank
+          FROM fl ORDER BY q_id, rank""",
     "text_bm25_eval" ->
       s"""WITH ${bm25Ctes(capped = false)},
           rf AS (SELECT q_id, doc_id,

@@ -423,4 +423,25 @@ class OpGoldensSpec extends SparkSpec {
         r.getAs[Long]("n_pairs"), r.getAs[Int]("is_cross"))).toSeq
     assert(rows == Seq(("a", "a", 1L, 0), ("a", "b", 1L, 1)), rows.toString)
   }
+
+  test("text_hard_negatives: the BM25-top near-dup is flagged and neg_rank skips it") {
+    // The harness corpus reads is_near_dup = 0 honestly (query docs 0-7
+    // have no near-dup partners), so the exclusion path — the whole
+    // point of the operator — is pinned here: a clone of the query
+    // tops BM25 and MUST come out flagged with neg_rank 0, while a
+    // merely-confusable doc (one shared trigram, jaccard 1/11 < 0.3)
+    // becomes the FIRST usable negative.
+    val q = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 7).map(i =>
+      Row(i.toLong, s"filler$i word$i token$i extra$i", "en", "s0", 30L))
+    val dir = writeDocs(Seq(Row(0L, q, "en", "s0", q.length.toLong)) ++ filler ++ Seq(
+      Row(8L, q, "en", "s0", q.length.toLong),
+      Row(9L, "alpha beta gamma nine ten eleven twelve thirteen", "en", "s0", 48L)))
+    val rows = ops.RetrievalOps.queries("text_hard_negatives")(spark, dir)
+      .collect().filter(_.getLong(0) == 0L)
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(4), r.getInt(5))).toSeq
+    assert(rows.length == 2, rows.toString)
+    assert(rows.head == ((1, 8L, 1, 0)), s"clone must rank 1, flagged, excluded: $rows")
+    assert(rows(1) == ((2, 9L, 0, 1)), s"confusable must be the first usable negative: $rows")
+  }
 }
