@@ -274,7 +274,7 @@ object SketchOps {
   /** Distinct dim-side join keys under the build predicate, on the md5
     * grid ([[hashedDocs]]'s `ch` convention, so the whole bloom stack
     * reuses verbatim). */
-  private def urgentOrderKeys(s: SparkSession, d: String): DataFrame =
+  private[graft] def urgentOrderKeys(s: SparkSession, d: String): DataFrame =
     graft.Tables.orders(s, d)
       .where(col("o_orderpriority") === "1-URGENT")
       .select(md5(col("o_orderkey").cast("string")).as("ch")).distinct()
@@ -319,6 +319,15 @@ object SketchOps {
   val joinBloomPrefilter: Q = (s, d) => {
     val passKeys = bloomJoinProbe(s, d).where(col("bloom_hit") === 1)
       .select("ch")
+    prefilteredJoin(s, d, passKeys)
+  }
+
+  /** The prune-then-join tail shared by the in-memory operator and the
+    * maintained-index path (one spelling, the TextIndex discipline):
+    * pass keys semi-join the fact map-side, then the real equi-join
+    * runs over the survivors only. */
+  private[graft] def prefilteredJoin(s: SparkSession, d: String,
+      passKeys: DataFrame): DataFrame = {
     val fact = graft.Tables.lineitem(s, d)
       .withColumn("ch", md5(col("l_orderkey").cast("string")))
       .join(broadcast(passKeys), Seq("ch")) // the map-side prune
@@ -329,6 +338,37 @@ object SketchOps {
       .select(col("l_orderkey"), col("l_linenumber"),
         col("o_custkey"), col("o_totalprice"))
       .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Freeze the join-filter geometry for `dir` from the build corpus's
+    * dim-key count (production: the PLANNED dim size — a bloom cannot
+    * resize, the [[buildBloomIndex]] contract). Words arrive only
+    * through appends, so a fresh build is an empty filter a dim
+    * ingest then populates. */
+  def buildJoinBloomGeom(s: SparkSession, d: String, dir: String): Unit =
+    bloomGeom(urgentOrderKeys(s, d)).coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/geom")
+
+  /** [[joinBloomPrefilter]] served from the MAINTAINED filter: the
+    * append log compacts by bit_or, distinct fact keys probe the
+    * broadcast words, and the shared [[prefilteredJoin]] tail runs.
+    * Bloom false negatives are impossible at ANY append state, so the
+    * result equals the plain join over whatever dim slice has been
+    * enrolled — the ingest twin's equality pin. */
+  def joinPrefilterFromIndex(s: SparkSession, d: String, dir: String): DataFrame = {
+    val geom = s.read.parquet(dir + "/geom")
+    val words = s.read.parquet(dir + "/words")
+      .groupBy("word_idx").agg(expr("bit_or(word)").as("word"))
+    val factKeys = graft.Tables.lineitem(s, d)
+      .select(md5(col("l_orderkey").cast("string")).as("ch")).distinct()
+    val pass = bloomPositions(factKeys, geom, Seq("ch"))
+      .withColumn("word_idx", expr(s"pos div $WordBits"))
+      .join(broadcast(words), Seq("word_idx"), "left")
+      .withColumn("hit", expr(
+        s"CASE WHEN word IS NOT NULL AND (shiftright(word, CAST(pos % $WordBits AS INT)) & 1) = 1 THEN 1 ELSE 0 END"))
+      .groupBy("ch").agg(min("hit").as("bloom_hit"))
+      .where(col("bloom_hit") === 1).select("ch")
+    prefilteredJoin(s, d, pass)
   }
 
   /** The pruning economics as one oracle-checked row: how many fact
