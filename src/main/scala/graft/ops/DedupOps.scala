@@ -1134,6 +1134,54 @@ object DedupOps {
         agree("i_sc", "n_simhash", "n_cosine").as("agree_sc_micro"))
   }
 
+  /** Token-mass accounting per dedup policy — the number a curation
+    * PLANNING session actually reads: not how many PAIRS each method
+    * finds ([[methodAgreement]]'s view) but how many documents and
+    * TOKENS dropping non-keepers would buy, per method, against the
+    * corpus totals. Complements the funnel (which prices ONE fixed
+    * chain) with the method-by-method compare that decides WHICH chain
+    * to run on the next 100 TB.
+    *
+    * All three removed sets are keeper-complement projections of
+    * machinery that is already scale-bounded: exact is the md5
+    * group-min, the cluster methods are the shared skew-safe CC over
+    * the CAPPED jaccard / pigeonhole-blocked simhash pair graphs.
+    * The token join touches only removed docs; totals are one
+    * broadcast row; everything after is 3-row method domain. */
+  val savings: Q = (s, d) => {
+    val toks = documents(s, d).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+    val totals = toks.agg(count(lit(1)).as("docs_total"),
+      sum("ntok").as("tokens_total"))
+    val exactRemoved = documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("ch"))
+      .join(documents(s, d).groupBy(md5(col("text")).as("ch"))
+        .agg(min("doc_id").as("keeper")), Seq("ch"))
+      .where(col("doc_id") =!= col("keeper")).select("doc_id")
+    val jacRemoved = connectedComponents(
+        ngramJaccardCapped(s, d).select("doc_a", "doc_b"))._1
+      .where(col("doc_id") =!= col("cluster_keeper")).select("doc_id")
+    val simRemoved = connectedComponents(
+        blockedPairsFrom(fingerprints(s, d), 4, 1, MaxHamming)
+          .select("doc_a", "doc_b"))._1
+      .where(col("doc_id") =!= col("cluster_keeper")).select("doc_id")
+    def methodRow(m: String, removed: DataFrame): DataFrame =
+      removed.join(toks, "doc_id")
+        .agg(count(lit(1)).as("docs_removed"),
+          coalesce(sum("ntok"), lit(0L)).as("tokens_removed"))
+        .select(lit(m).as("method"), col("docs_removed"), col("tokens_removed"))
+    methodRow("exact", exactRemoved)
+      .unionByName(methodRow("ngram_cluster", jacRemoved))
+      .unionByName(methodRow("simhash_cluster", simRemoved))
+      .crossJoin(broadcast(totals))
+      .select(col("method"), col("docs_total"), col("docs_removed"),
+        col("tokens_total"), col("tokens_removed"),
+        expr("""CASE WHEN tokens_total = 0 THEN CAST(0 AS BIGINT)
+                ELSE (tokens_removed * 1000000) div tokens_total END""")
+          .as("saved_micro"))
+      .orderBy("method")
+  }
+
   /** Threshold-calibration histogram: candidate-pair counts by jaccard
     * DECILE over the capped inverted-index pair frame with the
     * threshold floor LOWERED to 0.1 — the instrument that answers "what
@@ -1541,6 +1589,7 @@ object DedupOps {
     "dedup_keep_central_incremental" -> keepCentralIncremental,
     "dedup_graph_stats" -> graphStats,
     "dedup_method_agreement" -> methodAgreement,
+    "dedup_savings" -> savings,
     "dedup_component_sizes" -> componentSizes,
     "dedup_cross_source" -> crossSource,
     "dedup_threshold_histogram" -> thresholdHistogram,
@@ -2227,6 +2276,60 @@ object DedupOps {
             CASE WHEN n_simhash + n_cosine - i_sc = 0 THEN CAST(0 AS BIGINT)
                  ELSE CAST((i_sc * 1000000) // (n_simhash + n_cosine - i_sc) AS BIGINT) END AS agree_sc_micro
           FROM nj, ns, nc, ijs, ijc, isc""",
+    // NOTE on scoping: DuckDB does NOT reliably shadow an outer CTE
+    // name inside a nested WITH (a first draft's outer `toks` captured
+    // the simhash chain's inner `toks`) — so every outer name here is
+    // unique (dtoks/dtot/...) and both CC chains live in fully
+    // self-contained nested scopes that share no name with the outer
+    // level, each surfacing its own convergence guard.
+    "dedup_savings" ->
+      raw"""WITH dtoks AS MATERIALIZED (SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ntok
+             FROM documents),
+          dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS docs_total,
+               CAST(SUM(ntok) AS BIGINT) AS tokens_total FROM dtoks),
+          exr AS (SELECT d.doc_id FROM documents d
+             JOIN (SELECT md5(text) AS ch, MIN(doc_id) AS keeper
+                   FROM documents GROUP BY 1) k ON md5(d.text) = k.ch
+             WHERE d.doc_id <> k.keeper),
+          jrm0 AS MATERIALIZED (SELECT v, lbl, n_changed FROM (
+             WITH jp AS MATERIALIZED (SELECT doc_a, doc_b FROM ($JaccardPairsSelect)),
+             ${ccRoundsCtes("jp", "doc_a", "doc_b")}
+             SELECT c.v, c.lbl, g.n_changed FROM cc_labels c, cc_guard g)),
+          jrm AS (SELECT v AS doc_id FROM jrm0 WHERE v <> lbl),
+          srm0 AS MATERIALIZED (SELECT v, lbl, n_changed FROM (
+             WITH $SimhashPairChainSql,
+             ${ccRoundsCtes("spairs", "doc_a", "doc_b")}
+             SELECT c.v, c.lbl, g.n_changed FROM cc_labels c, cc_guard g)),
+          srm AS (SELECT v AS doc_id FROM srm0 WHERE v <> lbl),
+          acc AS (
+            SELECT 'exact' AS method,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM exr) AS docs_removed,
+              (SELECT CAST(coalesce(SUM(t.ntok), 0) AS BIGINT)
+               FROM exr JOIN dtoks t USING (doc_id)) AS tokens_removed
+            UNION ALL
+            SELECT 'ngram_cluster',
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM jrm),
+              (SELECT CAST(coalesce(SUM(t.ntok), 0) AS BIGINT)
+               FROM jrm JOIN dtoks t USING (doc_id))
+            UNION ALL
+            SELECT 'simhash_cluster',
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM srm),
+              (SELECT CAST(coalesce(SUM(t.ntok), 0) AS BIGINT)
+               FROM srm JOIN dtoks t USING (doc_id)))
+          SELECT * FROM (
+            SELECT a.method, dtot.docs_total, a.docs_removed,
+              dtot.tokens_total, a.tokens_removed,
+              CASE WHEN dtot.tokens_total = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST((a.tokens_removed * 1000000) // dtot.tokens_total AS BIGINT) END AS saved_micro
+            FROM acc a, dtot
+            UNION ALL
+            SELECT '~guard', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+              CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+            FROM (SELECT 1) poison
+            WHERE (SELECT max(n_changed) FROM jrm0) > 0
+               OR (SELECT max(n_changed) FROM srm0) > 0)
+          ORDER BY method""",
     // stp/smp mirror sampledCleanEmbeddings: step = 1 at every verify
     // sf (n = 500), so the sample is the whole corpus here
     "dedup_embedding_cosine" ->
