@@ -346,6 +346,27 @@ object Bench {
       if (blFp > 0.05)
         floorViolation = floorViolation.orElse(
           Some(s"dedup_bloom_eval fp rate = $blFp > 0.05 at $floorTag"))
+      // join-pruning bloom: the no-false-negative guarantee as a sign
+      // check (a matching fact row failing the filter would drive
+      // false_pass = pass − match negative), the observed false-pass
+      // rate under the same 5 % geometry ceiling as the dedup bloom,
+      // and a 50 % pruned-fraction floor — the dim predicate admits
+      // ~20 % of orders, so a filter that stops paying for itself
+      // (pruning < half the fact) is a broken build, not a trade.
+      val jbRow = SparkEntry.queries("join_bloom_prune_eval")(spark, sfDir)
+        .collect().head
+      val jbFalsePass = jbRow.getLong(jbRow.fieldIndex("false_pass"))
+      val jbFp = jbRow.getLong(jbRow.fieldIndex("fp_micro")) / 1e6
+      val jbPruned = jbRow.getLong(jbRow.fieldIndex("pruned_micro")) / 1e6
+      if (jbFalsePass < 0L)
+        floorViolation = floorViolation.orElse(
+          Some(s"join_bloom_prune_eval false_pass = $jbFalsePass < 0 (a matching row was dropped) at $floorTag"))
+      if (jbFp > 0.05)
+        floorViolation = floorViolation.orElse(
+          Some(s"join_bloom_prune_eval fp rate = $jbFp > 0.05 at $floorTag"))
+      if (jbPruned < 0.5)
+        floorViolation = floorViolation.orElse(
+          Some(s"join_bloom_prune_eval pruned fraction = $jbPruned < 0.5 at $floorTag"))
       // HLL: the register sketch's measured error against the exact
       // count it rides beside. Standard error is 1.04/sqrt(4096) ≈
       // 1.6 % (measured 0.5-0.6 % at both SFs, raw branch at sf1, LC
@@ -443,6 +464,7 @@ object Bench {
         s""","filtered_ivf_recall":$fRecall""" +
         s""","classifier_acc":$clsAcc,"classifier_majority":$clsMaj""" +
         s""","bloom_false_neg":$blFn,"bloom_fp":$blFp""" +
+        s""","join_bloom_fp":$jbFp,"join_bloom_pruned":$jbPruned""" +
         s""","cms_under":$cmsUnder,"cms_bound_miss":$cmsMiss""" +
         s""","hll_rel_err":$hllErr,"qsketch_worst_err":$qsErr""" +
         s""","rp_mean_ratio":$rpMean""" +
