@@ -723,6 +723,82 @@ object PipelineOps {
       .orderBy("sample_hash", "doc_id")
   }
 
+  /** Weighted-sample size (shared with the uniform family's [[BkK]]
+    * shape) and the per-document weight cap. The cap bounds the salted-
+    * hash fan per row — 64 md5s of short strings is a fixed projection
+    * cost — and is the standard scale guard: above it, extra tokens no
+    * longer buy selection probability (documented, not hidden). */
+  private[graft] val WbkK = 200
+  private[graft] val WbkCap = 64
+
+  /** Shared token-weight column: whitespace token count, floored at 1
+    * (so zero-weight rows cannot produce an empty priority list) and
+    * capped at [[WbkCap]]. */
+  private def wbkWeightCol =
+    least(lit(WbkCap), greatest(lit(1),
+      size(split(trim(col("text")), "\\s+")))).cast("int")
+
+  /** Exact-k WEIGHTED sample without replacement — the
+    * Efraimidis–Spirakis A-ES scheme realized in exact integers: with
+    * integer weight w, the max of w independently salted md5s has
+    * exactly the distribution of the A-ES key u^(1/w) (CDF x^w), so
+    * "top-[[WbkK]] by max-of-w salted hashes" IS weighted order
+    * sampling — no floating-point pow/log whose libm rounding could
+    * diverge between engines (the decimal-literal parity lesson).
+    * Weight = token count, so the sample approximates TOKEN-uniform
+    * instead of document-uniform — the draw a training-mix audit wants
+    * when short boilerplate dominates document counts but not token
+    * mass. Plan shape: the priority is a pure projection
+    * (array_max over a sequence fold, codegen'd, no explode row
+    * growth), then TakeOrderedAndProject — per-partition heap + driver
+    * merge of partitions·k rows, never a global sort. Same determinism
+    * properties as [[sampleBottomK]]: corpus-order-independent,
+    * reproducible, and mergeable (max-of-salted-hashes is per-doc
+    * state; top-k of a union = top-k of the parts' top-ks). */
+  val sampleWeightedBottomK: Q = (s, d) => {
+    val w = Window.orderBy(col("priority").desc, col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), wbkWeightCol.as("w"))
+      .withColumn("priority", expr(
+        "array_max(transform(sequence(1, w), " +
+          "j -> md5(concat('wbk:', CAST(doc_id AS STRING), ':', CAST(j AS STRING)))))"))
+      .orderBy(col("priority").desc, col("doc_id")).limit(WbkK)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select("rank", "doc_id", "w", "priority")
+      .orderBy("rank")
+  }
+
+  /** The size-bias audit of [[sampleWeightedBottomK]]: mean tokens per
+    * document in the corpus, in the uniform [[sampleBottomK]] draw, and
+    * in the weighted draw, as exact integer micros, plus the measured
+    * lift of the weighted mean over the corpus mean. A weighted sampler
+    * whose lift reads ≤ 1.0 is drawing uniformly — the mechanism gauge,
+    * not a tautology (the lift is computed from the UNCAPPED token
+    * counts, so cap distortion shows up here too). Everything after the
+    * two k-row top-ks is k-domain or a single map-side aggregate. */
+  val sampleWeightedEval: Q = (s, d) => {
+    val toks = documents(s, d).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+    val corp = toks.agg(count(lit(1)).as("n_docs"),
+      sum("toks").as("corpus_tokens"))
+    val uagg = sampleBottomK(s, d).select("doc_id").join(toks, "doc_id")
+      .agg(count(lit(1)).as("k_uniform"), sum("toks").as("uniform_tokens"))
+    val wagg = sampleWeightedBottomK(s, d).select("doc_id").join(toks, "doc_id")
+      .agg(count(lit(1)).as("k_weighted"), sum("toks").as("weighted_tokens"))
+    corp.crossJoin(uagg).crossJoin(wagg)
+      .withColumn("corpus_mean_micro",
+        expr("corpus_tokens * 1000000 div n_docs"))
+      .withColumn("uniform_mean_micro",
+        expr("uniform_tokens * 1000000 div k_uniform"))
+      .withColumn("weighted_mean_micro",
+        expr("weighted_tokens * 1000000 div k_weighted"))
+      .withColumn("lift_micro",
+        expr("weighted_mean_micro * 1000000 div corpus_mean_micro"))
+      .select("n_docs", "corpus_tokens", "k_uniform", "uniform_tokens",
+        "k_weighted", "weighted_tokens", "corpus_mean_micro",
+        "uniform_mean_micro", "weighted_mean_micro", "lift_micro")
+  }
+
   val sampleStratified: Q = (s, d) => {
     val rate = StratRates.tail.foldLeft(
       when(col("quality") === StratRates.head._1, lit(StratRates.head._2))) {
@@ -1804,6 +1880,8 @@ object PipelineOps {
     "sample_stratified" -> sampleStratified,
     "sample_bottomk" -> sampleBottomK,
     "sample_bottomk_incremental" -> sampleBottomKIncremental,
+    "sample_weighted_bottomk" -> sampleWeightedBottomK,
+    "sample_weighted_eval" -> sampleWeightedEval,
     "corpus_mix" -> corpusMix,
     "sample_temperature" -> sampleTemperature,
     "lang_id_eval" -> langIdEval,
@@ -2434,6 +2512,51 @@ object PipelineOps {
           SELECT doc_id, sample_hash, in_standing, in_merged,
             (in_standing AND NOT in_merged) AS evicted
           FROM j ORDER BY sample_hash, doc_id""",
+    "sample_weighted_bottomk" ->
+      s"""WITH wtoks AS (SELECT doc_id,
+            CAST(least($WbkCap, greatest(1,
+              len(regexp_split_to_array(trim(text), '\\s+')))) AS INT) AS w
+            FROM documents),
+          prio AS (SELECT doc_id, w,
+              list_max(list_transform(range(1, CAST(w AS BIGINT) + 1),
+                j -> md5('wbk:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)))) AS priority
+            FROM wtoks),
+          rk AS (SELECT doc_id, w, priority,
+              CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS INT) AS rank
+            FROM prio)
+          SELECT rank, doc_id, w, priority FROM rk WHERE rank <= $WbkK ORDER BY rank""",
+    "sample_weighted_eval" ->
+      s"""WITH ttoks AS (SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks,
+            CAST(least($WbkCap, greatest(1,
+              len(regexp_split_to_array(trim(text), '\\s+')))) AS INT) AS w
+            FROM documents),
+          wprio AS (SELECT doc_id, toks,
+              list_max(list_transform(range(1, CAST(w AS BIGINT) + 1),
+                j -> md5('wbk:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)))) AS priority
+            FROM ttoks),
+          wsel AS (SELECT toks FROM (
+                     SELECT toks, row_number() OVER (ORDER BY priority DESC, doc_id) AS rkw
+                     FROM wprio) t1 WHERE rkw <= $WbkK),
+          usel AS (SELECT t2.toks FROM (
+                     SELECT doc_id,
+                       row_number() OVER (ORDER BY md5('bk:' || CAST(doc_id AS VARCHAR)), doc_id) AS rku
+                     FROM documents) s1 JOIN ttoks t2 USING (doc_id)
+                   WHERE s1.rku <= $BkK),
+          corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(toks) AS BIGINT) AS corpus_tokens FROM ttoks),
+          uagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_uniform,
+                     CAST(SUM(toks) AS BIGINT) AS uniform_tokens FROM usel),
+          wagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_weighted,
+                     CAST(SUM(toks) AS BIGINT) AS weighted_tokens FROM wsel)
+          SELECT n_docs, corpus_tokens, k_uniform, uniform_tokens,
+            k_weighted, weighted_tokens,
+            corpus_tokens * 1000000 // n_docs AS corpus_mean_micro,
+            uniform_tokens * 1000000 // k_uniform AS uniform_mean_micro,
+            weighted_tokens * 1000000 // k_weighted AS weighted_mean_micro,
+            (weighted_tokens * 1000000 // k_weighted) * 1000000
+              // (corpus_tokens * 1000000 // n_docs) AS lift_micro
+          FROM corp, uagg, wagg""",
     "sample_stratified" ->
       s"""WITH b AS (SELECT doc_id, ${TextOps.QualityColsSql} FROM documents),
           q AS (SELECT doc_id,

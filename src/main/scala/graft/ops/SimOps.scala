@@ -513,6 +513,75 @@ object SimOps {
       .orderBy("k")
   }
 
+  /** The nprobe sweep ceiling for [[probeCurve]] — covers the operating
+    * point ([[NProbe]] = 3) with one notch of headroom either side. */
+  private val MaxProbe = 4
+
+  /** nprobe TUNING curve of the IVF index — recall@3 and candidate
+    * fraction at every nprobe ∈ 1..[[MaxProbe]], as queryable data
+    * (the sibling of [[recallCurve]]: that key sweeps DEPTH at fixed
+    * probing, this one sweeps PROBING at fixed depth — together they
+    * are the two axes an index tuning session walks). The scaladoc at
+    * [[NProbe]] quotes measured points of exactly this curve; this key
+    * publishes the whole shape so the nprobe choice is auditable from
+    * the result set, not a code comment. Exact integer plan: centroid
+    * distances and lists are computed ONCE; each (query, vector)
+    * candidate pair carries m = the smallest probe rank that reaches
+    * it, the ≤ [[MaxProbe]]-way expansion joins pairs to the nprobe
+    * grid (m ≤ p), and one rank window per (p, query) group scores the
+    * per-probe top-3 — candidate work stays Σ list² over probed lists
+    * at every p, never corpus². */
+  val probeCurve: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
+    val cents = centroidFrame(s, d)
+    val lists = ivfLists(s, d, cents)
+    val wq = Window.partitionBy("q_id").orderBy(col("c_dist").asc, col("c_id").asc)
+    val qr = withCentDist(cents, qset(s, d), "q_emb")
+      .withColumn("p_rank", row_number().over(wq))
+      .where(col("p_rank") <= MaxProbe)
+      .select(col("q_id"), col("c_id").as("probe_list"), col("p_rank"))
+    val cand = lists.join(broadcast(qr),
+        col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(min("p_rank").as("m"))
+    val scored = cand
+      .join(corpusWithNorm(s, d), "vec_id")
+      .join(broadcast(qset(s, d)), "q_id")
+      .withColumn("sim",
+        expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm")))
+      .select("q_id", "vec_id", "m", "sim")
+    val pframe = s.range(1, MaxProbe + 1).select(col("id").cast("int").as("nprobe"))
+    val expanded = scored.join(broadcast(pframe), col("m") <= col("nprobe"))
+    val wr = Window.partitionBy("nprobe", "q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val ranked = expanded.withColumn("a_rank", row_number().over(wr))
+      .where(col("a_rank") <= 3)
+    val truth = bruteTop(s, d, 3)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
+    val hits = ranked.join(truth, Seq("q_id", "vec_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    val ccount = expanded.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+    val nq = qset(s, d).agg(count(lit(1)).as("n_queries"))
+    // raw-count parity note: the oracle's denominator is COUNT(*) over
+    // embeddings (all-clean verify-corpus convention, EmbGate's doc) —
+    // gatedVecs here so a corrupt vector can't inflate the denominator
+    val nc = gatedVecs(s, d).agg(count(lit(1)).as("n_corpus"))
+    pframe
+      .join(ccount, Seq("nprobe"), "left")
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nq)).crossJoin(broadcast(nc))
+      .select(col("nprobe"), col("n_queries"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (col("n_queries") * 3).as("n_possible"),
+        col("n_corpus"))
+      .withColumn("recall_micro", expr(
+        "CASE WHEN n_possible = 0 THEN CAST(0 AS BIGINT) ELSE (n_hits * 1000000) div n_possible END"))
+      .withColumn("cand_frac_micro", expr(
+        "CASE WHEN n_queries * (n_corpus - 1) = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_candidates * 1000000) div (n_queries * (n_corpus - 1)) END"))
+      .orderBy("nprobe")
+  }
+
   /** Closure-assignment slack: a corpus vector joins the list of EVERY
     * centroid whose (squared) distance is within (1+ε) of its nearest —
     * boundary vectors are replicated into the neighboring lists they
@@ -1618,6 +1687,7 @@ object SimOps {
     "sim_lsh_noprobe_baseline_topk" -> lshTopK(KneeLsh),
     "sim_ivf_topk" -> ivfTopK,
     "sim_recall_curve" -> recallCurve,
+    "sim_ivf_probe_curve" -> probeCurve,
     "sim_ivf_q8_topk" -> ivfQ8TopK,
     "sim_label_purity" -> labelPurity,
     "sim_knn_graph" -> knnGraph,
@@ -2222,6 +2292,70 @@ object SimOps {
                      FROM scored)
           SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
           FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
+    "sim_ivf_probe_curve" ->
+      s"""WITH ${kmeansCtesSql(KMeansIters)},
+          pcents AS (SELECT c_id, c_emb FROM cents$KMeansIters),
+          pcorpus_d AS (SELECT e.vec_id, e.embedding, c.c_id,
+                          ${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")}
+                            - 2 * ${dot("e.embedding", "c.c_emb")} AS c_dist
+                        FROM embeddings e CROSS JOIN pcents c),
+          pmd AS (SELECT vec_id, MIN(c_dist) AS min_dist FROM pcorpus_d GROUP BY vec_id),
+          plists AS (SELECT d.vec_id, d.c_id AS list_id
+                     FROM pcorpus_d d JOIN pmd USING (vec_id)
+                     WHERE d.c_dist <= greatest(pmd.min_dist, 0.0) * (1.0 + $ClosureEps)),
+          pq_d AS (SELECT e.vec_id AS q_id, c.c_id,
+                     ${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")}
+                       - 2 * ${dot("e.embedding", "c.c_emb")} AS c_dist
+                   FROM embeddings e CROSS JOIN pcents c
+                   WHERE e.vec_id < $NQueries),
+          pqr AS (SELECT q_id, c_id AS probe_list, rn AS p_rank FROM
+                    (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c_dist, c_id) rn
+                     FROM pq_d) t WHERE rn <= $MaxProbe),
+          pcand AS (SELECT q.q_id, l.vec_id, CAST(MIN(q.p_rank) AS INT) AS m
+                    FROM plists l JOIN pqr q
+                      ON l.list_id = q.probe_list AND l.vec_id <> q.q_id
+                    GROUP BY 1, 2),
+          pscored AS (SELECT c.q_id, c.vec_id, c.m,
+                        ${cos("qe.embedding", "ce.embedding")} AS sim
+                      FROM pcand c
+                      JOIN embeddings ce ON ce.vec_id = c.vec_id
+                      JOIN embeddings qe ON qe.vec_id = c.q_id),
+          pf AS (SELECT CAST(unnest(generate_series(1, $MaxProbe)) AS INT) AS nprobe),
+          pexp AS (SELECT pf.nprobe, s.q_id, s.vec_id, s.sim
+                   FROM pscored s JOIN pf ON s.m <= pf.nprobe),
+          pranked AS (SELECT nprobe, q_id, vec_id,
+                        row_number() OVER (PARTITION BY nprobe, q_id ORDER BY sim DESC, vec_id) AS a_rank
+                      FROM pexp),
+          ptruth AS (SELECT q_id, vec_id FROM (
+                       SELECT bq.vec_id AS q_id, e.vec_id,
+                         row_number() OVER (PARTITION BY bq.vec_id
+                           ORDER BY ${cos("bq.embedding", "e.embedding")} DESC, e.vec_id) AS t_rank
+                       FROM embeddings e
+                       JOIN embeddings bq ON bq.vec_id < $NQueries AND e.vec_id <> bq.vec_id)
+                     WHERE t_rank <= 3),
+          phits AS (SELECT a.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+                    FROM pranked a JOIN ptruth t
+                      ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+                    WHERE a.a_rank <= 3 GROUP BY 1),
+          pcc AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+                  FROM pexp GROUP BY 1),
+          pnq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+                  FROM embeddings WHERE vec_id < $NQueries),
+          pnc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings)
+          SELECT pf.nprobe, n_queries,
+            CAST(COALESCE(pcc.n_candidates, 0) AS BIGINT) AS n_candidates,
+            CAST(COALESCE(phits.n_hits, 0) AS BIGINT) AS n_hits,
+            CAST(n_queries * 3 AS BIGINT) AS n_possible,
+            n_corpus,
+            CASE WHEN n_queries * 3 = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((COALESCE(phits.n_hits, 0) * 1000000) // (n_queries * 3) AS BIGINT) END AS recall_micro,
+            CASE WHEN n_queries * (n_corpus - 1) = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((COALESCE(pcc.n_candidates, 0) * 1000000) // (n_queries * (n_corpus - 1)) AS BIGINT) END AS cand_frac_micro
+          FROM pf
+          LEFT JOIN pcc ON pcc.nprobe = pf.nprobe
+          LEFT JOIN phits ON phits.nprobe = pf.nprobe
+          CROSS JOIN pnq CROSS JOIN pnc
+          ORDER BY pf.nprobe""",
     "sim_recall_curve" ->
       s"""WITH ${ivfPairsCtes},
           iscored AS (SELECT p.q_id, p.vec_id,

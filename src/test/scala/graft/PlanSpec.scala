@@ -616,6 +616,28 @@ class PlanSpec extends SparkSpec {
       s"the k smallest hashes must come from per-partition heaps + driver merge:\n$plan")
   }
 
+  test("sample_weighted_bottomk: priority is a projection, cut is heap+merge top-k") {
+    val plan = finalPlan(
+      graft.ops.PipelineOps.queries("sample_weighted_bottomk")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("TakeOrderedAndProject"),
+      s"the weighted draw must be per-partition heaps + driver merge, not a global sort:\n$plan")
+    // the salted-hash fan stays inside a projection — no Generate/explode
+    // row growth feeding the cut
+    assert(!finalOnly.contains("Generate"),
+      s"the max-of-w-hashes priority must not explode rows:\n$plan")
+  }
+
+  test("sim_ivf_probe_curve: probe grid broadcasts; centroid work never cartesians the corpus") {
+    val plan = finalPlan(
+      graft.ops.SimOps.queries("sim_ivf_probe_curve")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(!finalOnly.contains("CartesianProduct"), plan)
+    assert(finalOnly.contains("BroadcastHashJoin") ||
+      finalOnly.contains("BroadcastNestedLoopJoin"),
+      s"the nprobe grid and query set must broadcast:\n$plan")
+  }
+
   test("pack_shuffle_layout: every window is shard-partitioned (no single-partition rank)") {
     val plan = finalPlan(graft.ops.PipelineOps.queries("pack_shuffle_layout")(spark, d))
     val finalOnly = plan.split("== Initial Plan ==").head
