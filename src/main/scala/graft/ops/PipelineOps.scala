@@ -755,17 +755,49 @@ object PipelineOps {
     * properties as [[sampleBottomK]]: corpus-order-independent,
     * reproducible, and mergeable (max-of-salted-hashes is per-doc
     * state; top-k of a union = top-k of the parts' top-ks). */
-  val sampleWeightedBottomK: Q = (s, d) => {
-    val w = Window.orderBy(col("priority").desc, col("doc_id"))
-    documents(s, d)
-      .select(col("doc_id"), wbkWeightCol.as("w"))
+  /** (doc_id, w, priority) of any frame with doc_id + text — shared by
+    * the batch draw, the churn report, and
+    * [[graft.streaming.WeightedSampleIngest]] so the three can never
+    * rank a document differently. */
+  private[graft] def weightedPriorities(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), wbkWeightCol.as("w"))
       .withColumn("priority", expr(
         "array_max(transform(sequence(1, w), " +
           "j -> md5(concat('wbk:', CAST(doc_id AS STRING), ':', CAST(j AS STRING)))))"))
+
+  /** The top-[[WbkK]] weighted draw of a frame (unranked). */
+  private[graft] def weightedTopK(df: DataFrame): DataFrame =
+    weightedPriorities(df)
       .orderBy(col("priority").desc, col("doc_id")).limit(WbkK)
+
+  val sampleWeightedBottomK: Q = (s, d) => {
+    val w = Window.orderBy(col("priority").desc, col("doc_id"))
+    weightedTopK(documents(s, d))
       .withColumn("rank", row_number().over(w).cast("int"))
       .select("rank", "doc_id", "w", "priority")
       .orderBy("rank")
+  }
+
+  /** Weighted-holdout churn report — the family's lambda form (evens
+    * standing, odds the new batch, the [[sampleBottomKIncremental]]
+    * convention): which standing weighted-draw members the merged
+    * corpus EVICTED. Same eval-stability reading as the uniform churn
+    * key, but under token-mass weighting the expected churn is the
+    * batch's TOKEN share, not its document share — the two reports side
+    * by side show a pipeline whether its holdout drift is volume or
+    * composition. Both draws are heap+merge top-ks; the join is
+    * k-domain. */
+  val sampleWeightedIncremental: Q = (s, d) => {
+    val standing = weightedTopK(documents(s, d).where(col("doc_id") % 2 === 0))
+      .withColumn("in_standing", lit(true))
+    val merged = weightedTopK(documents(s, d))
+      .withColumn("in_merged", lit(true))
+    standing.join(merged, Seq("doc_id", "w", "priority"), "full_outer")
+      .select(col("doc_id"), col("w"), col("priority"),
+        coalesce(col("in_standing"), lit(false)).as("in_standing"),
+        coalesce(col("in_merged"), lit(false)).as("in_merged"))
+      .withColumn("evicted", col("in_standing") && !col("in_merged"))
+      .orderBy(col("priority").desc, col("doc_id"))
   }
 
   /** The size-bias audit of [[sampleWeightedBottomK]]: mean tokens per
@@ -1882,6 +1914,7 @@ object PipelineOps {
     "sample_bottomk_incremental" -> sampleBottomKIncremental,
     "sample_weighted_bottomk" -> sampleWeightedBottomK,
     "sample_weighted_eval" -> sampleWeightedEval,
+    "sample_weighted_incremental" -> sampleWeightedIncremental,
     "corpus_mix" -> corpusMix,
     "sample_temperature" -> sampleTemperature,
     "lang_id_eval" -> langIdEval,
@@ -2525,6 +2558,32 @@ object PipelineOps {
               CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS INT) AS rank
             FROM prio)
           SELECT rank, doc_id, w, priority FROM rk WHERE rank <= $WbkK ORDER BY rank""",
+    "sample_weighted_incremental" ->
+      s"""WITH iw AS (SELECT doc_id,
+            CAST(least($WbkCap, greatest(1,
+              len(regexp_split_to_array(trim(text), '\\s+')))) AS INT) AS w
+            FROM documents),
+          ip AS (SELECT doc_id, w,
+              list_max(list_transform(range(1, CAST(w AS BIGINT) + 1),
+                j -> md5('wbk:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)))) AS priority
+            FROM iw),
+          ist AS (SELECT doc_id, w, priority FROM (
+                    SELECT doc_id, w, priority,
+                      row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+                    FROM ip WHERE doc_id % 2 = 0) WHERE rk <= $WbkK),
+          img AS (SELECT doc_id, w, priority FROM (
+                    SELECT doc_id, w, priority,
+                      row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+                    FROM ip) WHERE rk <= $WbkK),
+          ij AS (SELECT COALESCE(ist.doc_id, img.doc_id) AS doc_id,
+                   COALESCE(ist.w, img.w) AS w,
+                   COALESCE(ist.priority, img.priority) AS priority,
+                   ist.doc_id IS NOT NULL AS in_standing,
+                   img.doc_id IS NOT NULL AS in_merged
+                 FROM ist FULL OUTER JOIN img ON ist.doc_id = img.doc_id)
+          SELECT doc_id, w, priority, in_standing, in_merged,
+            (in_standing AND NOT in_merged) AS evicted
+          FROM ij ORDER BY priority DESC, doc_id""",
     "sample_weighted_eval" ->
       s"""WITH ttoks AS (SELECT doc_id,
             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks,

@@ -40,6 +40,67 @@ class WeightedSampleSpec extends SparkSpec {
       s"weighted mean ($wMean) must exceed the uniform-sample mean ($uMean)")
   }
 
+  private lazy val batchSample =
+    SparkEntry.queries("sample_weighted_bottomk")(spark, sf).collect().toSeq
+
+  private def docs2 = Tables.documents(spark, sf).select("doc_id", "text")
+  private def evens = docs2.where(col("doc_id") % 2 === 0)
+  private def odds = docs2.where(col("doc_id") % 2 === 1)
+
+  private def got(dir: String) =
+    streaming.WeightedSampleIngest.sampleFromDir(spark, dir).collect().toSeq
+
+  test("weighted ingest: seed + one batch == batch sample_weighted_bottomk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wbk1").toString
+    streaming.WeightedSampleIngest.buildSampleIndex(spark, evens, dir)
+    streaming.WeightedSampleIngest.processBatch(spark, dir, odds, 0L)
+    assert(got(dir) == batchSample)
+  }
+
+  test("weighted ingest: chunked + redelivered batches stay row-identical (content-derived monoid)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wbk2").toString
+    streaming.WeightedSampleIngest.buildSampleIndex(spark, evens, dir)
+    streaming.WeightedSampleIngest.processBatch(spark, dir, odds.where(col("doc_id") % 3 === 0), 0L)
+    streaming.WeightedSampleIngest.processBatch(spark, dir, odds.where(col("doc_id") % 3 === 1), 1L)
+    streaming.WeightedSampleIngest.processBatch(spark, dir, odds.where(col("doc_id") % 3 === 1), 1L)
+    streaming.WeightedSampleIngest.processBatch(spark, dir, odds.where(col("doc_id") % 3 === 2), 2L)
+    assert(got(dir) == batchSample)
+  }
+
+  test("weighted ingest (twin #36): chunked file stream, killed between chunks == batch op") {
+    import java.nio.file.{Files => JFiles}
+    val base = JFiles.createTempDirectory("graft_wbk3").toString
+    val dir = s"$base/index"
+    streaming.WeightedSampleIngest.buildSampleIndex(spark, evens, dir)
+    val ids = odds.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val srcDir = s"$base/src"
+    ids.grouped(math.max(ids.length / 4, 1)).foreach { chunk =>
+      odds.where(col("doc_id").isin(chunk: _*))
+        .write.mode("append").parquet(srcDir)
+      val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(srcDir)
+      val q = streaming.WeightedSampleIngest.ingest(stream, dir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(got(dir) == batchSample,
+      "streamed chunked weighted-holdout maintenance must equal the batch operator")
+  }
+
+  test("weighted churn report: eviction algebra is exact") {
+    val rows = SparkEntry.queries("sample_weighted_incremental")(spark, sf).collect()
+    val k = graft.ops.PipelineOps.WbkK
+    assert(rows.count(_.getAs[Boolean]("in_merged")) == k)
+    assert(rows.filter(_.getAs[Boolean]("evicted"))
+      .forall(r => r.getAs[Boolean]("in_standing") && !r.getAs[Boolean]("in_merged")))
+    assert(rows.exists(_.getAs[Boolean]("evicted")))
+    val merged = rows.filter(_.getAs[Boolean]("in_merged"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("priority"))).toSet
+    val bk = batchSample
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("priority"))).toSet
+    assert(merged == bk)
+  }
+
   test("nprobe curve: recall and candidate volume are monotone, hits bounded by possible") {
     val rows = SparkEntry.queries("sim_ivf_probe_curve")(spark, sf)
       .orderBy("nprobe").collect()
