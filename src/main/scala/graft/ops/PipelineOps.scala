@@ -190,7 +190,7 @@ object PipelineOps {
       .orderBy(col("df").desc, col("sh"))
       .limit(TopN)
 
-  private val NEvalDocs = 10
+  private[ops] val NEvalDocs = 10
 
   /** Eval-set decontamination: flag corpus documents containing ≥ half of
     * an eval document's shingles (asymmetric containment |∩|/|eval| — a

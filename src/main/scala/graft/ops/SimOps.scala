@@ -513,6 +513,47 @@ object SimOps {
       .orderBy("k")
   }
 
+  /** Cosine floor above which a corpus document counts as a semantic
+    * near-copy of an eval item. 0.35 sits at ~p99 of the best-eval
+    * cosine on the near-random harness embeddings (median 0.19, max
+    * 0.49 at sf0.01), so the harness flags are honestly the tail; on a
+    * real corpus a contaminated doc reads ≈ 1.0 and the threshold is a
+    * wide margin (the planted-golden pin in SemanticContaminationSpec
+    * exercises exactly that). */
+  private val SemContThreshold = 0.35
+
+  /** Semantic eval-set contamination — the embedding-space sibling of
+    * [[PipelineOps.contamination]] (same eval identity: ids <
+    * [[PipelineOps.NEvalDocs]]; doc_id ≡ vec_id on the harness corpus).
+    * The n-gram detector catches verbatim and near-verbatim leaks; this
+    * one catches PARAPHRASED eval items — the leak class n-gram overlap
+    * is blind to — by flagging corpus vectors whose best cosine against
+    * any eval vector clears [[SemContThreshold]]. Plan: the eval side
+    * is small by definition → broadcast; the corpus side is ONE
+    * projection + map-side struct-max per doc (no pair shuffle at all —
+    * candidate work is |corpus|·|eval| inside whole-stage codegen). At
+    * 100 TB an eval suite of thousands of items is still
+    * broadcast-sized; past that the RP/binary prefilter rungs compose
+    * in front of this exact scoring. */
+  val contaminationSemantic: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
+    val eval = DedupOps.EmbGate.clean(
+        embeddings(s, d).where(col("vec_id") < PipelineOps.NEvalDocs)
+          .select(col("vec_id"), col("embedding")), "e_nrm")
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
+        col("e_nrm"))
+    corpusWithNorm(s, d).where(col("vec_id") >= PipelineOps.NEvalDocs)
+      .join(broadcast(eval), lit(true))
+      .withColumn("sim",
+        expr("float_dot(embedding, e_emb)") / (col("c_nrm") * col("e_nrm")))
+      .groupBy(col("vec_id").as("doc_id"))
+      .agg(max(struct(col("sim"), (lit(0L) - col("eval_id")).as("neg_id"))).as("k"))
+      .select(col("doc_id"), (lit(0L) - col("k.neg_id")).as("best_eval_id"),
+        round(col("k.sim"), 6).as("best_sim_r"),
+        (col("k.sim") >= lit(SemContThreshold)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** The nprobe sweep ceiling for [[probeCurve]] — covers the operating
     * point ([[NProbe]] = 3) with one notch of headroom either side. */
   private val MaxProbe = 4
@@ -1688,6 +1729,7 @@ object SimOps {
     "sim_ivf_topk" -> ivfTopK,
     "sim_recall_curve" -> recallCurve,
     "sim_ivf_probe_curve" -> probeCurve,
+    "text_contamination_semantic" -> contaminationSemantic,
     "sim_ivf_q8_topk" -> ivfQ8TopK,
     "sim_label_purity" -> labelPurity,
     "sim_knn_graph" -> knnGraph,
@@ -2292,6 +2334,21 @@ object SimOps {
                      FROM scored)
           SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
           FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
+    "text_contamination_semantic" ->
+      s"""WITH sc_ev AS (SELECT vec_id AS eval_id, embedding AS e_emb
+            FROM embeddings WHERE vec_id < ${PipelineOps.NEvalDocs}),
+          sc_c AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id >= ${PipelineOps.NEvalDocs}),
+          sc_s AS (SELECT c.vec_id AS doc_id, ev.eval_id,
+                     ${cos("c.embedding", "ev.e_emb")} AS sim
+                   FROM sc_c c CROSS JOIN sc_ev ev),
+          sc_r AS (SELECT doc_id, eval_id, sim,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, eval_id) AS rn
+                   FROM sc_s)
+          SELECT doc_id, CAST(eval_id AS BIGINT) AS best_eval_id,
+            round(sim, 6) AS best_sim_r,
+            sim >= CAST($SemContThreshold AS DOUBLE) AS contaminated
+          FROM sc_r WHERE rn = 1 ORDER BY doc_id""",
     "sim_ivf_probe_curve" ->
       s"""WITH ${kmeansCtesSql(KMeansIters)},
           pcents AS (SELECT c_id, c_emb FROM cents$KMeansIters),
