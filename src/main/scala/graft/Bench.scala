@@ -367,6 +367,16 @@ object Bench {
       if (jbPruned < 0.5)
         floorViolation = floorViolation.orElse(
           Some(s"join_bloom_prune_eval pruned fraction = $jbPruned < 0.5 at $floorTag"))
+      // weighted sampler: a weighted draw whose mean token mass does
+      // not exceed the corpus mean is drawing uniformly — the size-bias
+      // floor is the mechanism check (WeightedSampleSpec pins the A-ES
+      // monotonicity; this pins the end-to-end effect on real data).
+      val wsRow = SparkEntry.queries("sample_weighted_eval")(spark, sfDir)
+        .collect().head
+      val wsLift = wsRow.getLong(wsRow.fieldIndex("lift_micro")) / 1e6
+      if (wsLift <= 1.0)
+        floorViolation = floorViolation.orElse(
+          Some(s"sample_weighted_eval lift = $wsLift <= 1.0 (the weighted draw is not size-biased) at $floorTag"))
       // HLL: the register sketch's measured error against the exact
       // count it rides beside. Standard error is 1.04/sqrt(4096) ≈
       // 1.6 % (measured 0.5-0.6 % at both SFs, raw branch at sf1, LC
@@ -465,6 +475,7 @@ object Bench {
         s""","classifier_acc":$clsAcc,"classifier_majority":$clsMaj""" +
         s""","bloom_false_neg":$blFn,"bloom_fp":$blFp""" +
         s""","join_bloom_fp":$jbFp,"join_bloom_pruned":$jbPruned""" +
+        s""","weighted_sample_lift":$wsLift""" +
         s""","cms_under":$cmsUnder,"cms_bound_miss":$cmsMiss""" +
         s""","hll_rel_err":$hllErr,"qsketch_worst_err":$qsErr""" +
         s""","rp_mean_ratio":$rpMean""" +
