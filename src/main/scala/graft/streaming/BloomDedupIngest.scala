@@ -82,6 +82,15 @@ object BloomDedupIngest {
         processBatch(b.sparkSession, dir, b, id)
       }
 
+  /** Rewrite the word log to one pre-OR'd row per cell — probe-
+    * invariant (bit_or is the store's own fold, [[IndexCompaction]]).
+    * The DECISIONS log is deliberately NOT compacted: it is the
+    * operator's output history, not folded state, and its replay fold
+    * is keyed by batch_id (provenance compaction would erase the very
+    * column the fold reconciles on). */
+  def compact(s: SparkSession, dir: String): Unit =
+    IndexCompaction.compactBloomWords(s, dir + "/words")
+
   /** The decision log, replay-folded: min(bloom_hit) / max(keep) per
     * (batch_id, doc_id) — the first delivery's answer, deterministically,
     * under any redelivery count or interleaving. */

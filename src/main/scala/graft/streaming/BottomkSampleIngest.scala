@@ -51,6 +51,17 @@ object BottomkSampleIngest {
         processBatch(b.sparkSession, dir, b, id)
       }
 
+  /** Rewrite the candidate log to its folded bottom-k — result-
+    * invariant for every future read and append ([[IndexCompaction]]'s
+    * fixed-point argument: hashes are static and batches only add
+    * candidates, so a row outside the current bottom-k can never
+    * re-enter). Run on the deployment's own cadence to keep log files
+    * ∝ state, not ∝ batches. */
+  def compact(s: SparkSession, dir: String): Unit =
+    IndexCompaction.compactTopK(s, dir + "/cands",
+      Seq(col("sample_hash"), col("doc_id")), graft.ops.PipelineOps.BkK,
+      Seq("doc_id", "sample_hash"))
+
   /** The standing holdout: bottom-k fold over the DISTINCT candidate
     * set — byte-identical to the batch operator over the same corpus
     * (the monoid claim, pinned by BottomkSampleSpec). */

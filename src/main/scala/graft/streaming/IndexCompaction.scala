@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Compaction for the append-log index stores — the operation every
+  * ingest twin's scaladoc promises ("compactable by rewriting the
+  * fold") and nothing implemented until now. At 100 TB the per-batch
+  * append pattern is the small-files problem: a holdout log ingesting
+  * 10k micro-batches holds 10k parquet files of ≤ k rows each, and the
+  * read-time fold pays file-listing + footer costs linear in BATCHES,
+  * not in state. Compaction rewrites the log to its folded form — the
+  * result every future read and append sees is UNCHANGED, because each
+  * store's fold is a monoid and the folded frame is a fixed point:
+  *
+  *  - top-k candidate logs (bottom-k / weighted holdouts): priorities
+  *    are static functions of content and batches only ADD candidates,
+  *    so a row outside the current global top-k can never re-enter any
+  *    future top-k — keeping exactly the current winners loses nothing.
+  *  - bloom word logs: the fold is bit_or per word cell, idempotent
+  *    and commutative — one pre-OR'd row per cell IS the fold.
+  *
+  * Crash story (same posture as [[UpsertSink.mergeBatch]]): the folded
+  * frame is fully written to `<path>.compact` BEFORE the live log is
+  * touched, then two renames swap it in with the displaced log parked
+  * at `<path>.old` until the swap completes. A crash leaves either the
+  * old log, the old log plus a stale tmp (overwritten on retry), or
+  * the new log — never a half-log. Single-writer is the supported
+  * mode (the same assumption every ingest in this shelf states). */
+object IndexCompaction {
+
+  /** Parquet file count of a log directory (the gauge compaction
+    * exists to shrink). */
+  def parquetFileCount(s: SparkSession, path: String): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(st => st.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Write `folded` beside `path`, then swap it in atomically-enough:
+    * old log parked at `.old` during the flip, removed on success,
+    * restored on a failed second rename. */
+  private def swapIn(s: SparkSession, path: String, folded: DataFrame): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".compact")
+    val bak = new Path(path + ".old")
+    // materialize the fold BEFORE touching the source it reads from
+    folded.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(bak, true)
+    if (fs.exists(p) && !fs.rename(p, bak))
+      sys.error(s"compaction: could not park the live log $path")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(bak, p) // restore; the fold attempt is abandoned
+      sys.error(s"compaction: could not swap the folded log into $path")
+    }
+    fs.delete(bak, true)
+  }
+
+  /** Compact a candidate log to its current top-k under (orderCols,
+    * then the remaining columns as written). `keep` must be the SAME
+    * ordering + k the store's read fold uses — the caller-facing
+    * wrappers on each ingest object pin that. The rewritten log carries
+    * batch_id = -1 (the seed sentinel: provenance of compacted rows is
+    * intentionally collapsed, exactly like a seed build). */
+  def compactTopK(s: SparkSession, path: String,
+      order: Seq[org.apache.spark.sql.Column], k: Int,
+      valueCols: Seq[String]): Unit = {
+    val folded = s.read.parquet(path)
+      .select(valueCols.map(col): _*).distinct()
+      .orderBy(order: _*).limit(k)
+      .withColumn("batch_id", lit(-1L))
+      .coalesce(1)
+    swapIn(s, path, folded)
+  }
+
+  /** Compact a bloom word log: bit_or per cell key (every column
+    * except `word` is part of the key, so the same code serves the
+    * flat (word_idx) and sharded (shard, word_idx) layouts). */
+  def compactBloomWords(s: SparkSession, path: String): Unit = {
+    val log = s.read.parquet(path)
+    val keyCols = log.columns.filterNot(_ == "word").toSeq
+    val folded = log.groupBy(keyCols.map(col): _*)
+      .agg(expr("bit_or(word)").as("word"))
+      .select(log.columns.map(col): _*)
+      .coalesce(1)
+    swapIn(s, path, folded)
+  }
+}

@@ -45,4 +45,10 @@ object JoinBloomIngest {
   /** The pruned fact join against everything enrolled so far. */
   def prefilterFromIndex(s: SparkSession, d: String, dir: String): DataFrame =
     graft.ops.SketchOps.joinPrefilterFromIndex(s, d, dir)
+
+  /** Rewrite the word log to one pre-OR'd row per cell — the fold is
+    * the store's own bit_or monoid, so every future probe and append
+    * is unchanged ([[IndexCompaction]]). */
+  def compact(s: SparkSession, dir: String): Unit =
+    IndexCompaction.compactBloomWords(s, dir + "/words")
 }

@@ -49,6 +49,14 @@ object WeightedSampleIngest {
         processBatch(b.sparkSession, dir, b, id)
       }
 
+  /** Rewrite the candidate log to its folded top-k — result-invariant
+    * for every future read and append ([[IndexCompaction]]'s fixed-
+    * point argument; priorities are static functions of content). */
+  def compact(s: SparkSession, dir: String): Unit =
+    IndexCompaction.compactTopK(s, dir + "/cands",
+      Seq(col("priority").desc, col("doc_id")), graft.ops.PipelineOps.WbkK,
+      Seq("doc_id", "w", "priority"))
+
   /** The standing weighted holdout: top-k fold over the DISTINCT
     * candidate set — byte-identical to the batch operator over the
     * same corpus (the monoid claim, pinned by WeightedSampleSpec). */

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Compaction invariance pins: for each compactable store, append a
+  * multi-batch log, snapshot the folded answer + file count, compact,
+  * and require (a) the answer byte-equal, (b) strictly fewer files,
+  * (c) a post-compaction append still folds correctly — the three
+  * properties that make "run compaction on your own cadence" a safe
+  * operational instruction at 100 TB. */
+class CompactionSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs2 = Tables.documents(spark, sf).select("doc_id", "text")
+  private def files(p: String) =
+    streaming.IndexCompaction.parquetFileCount(spark, p)
+
+  test("bottomk candidate log: compaction is fold-invariant and shrinks the log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_bk").toString
+    val ids = docs2.select("doc_id")
+    streaming.BottomkSampleIngest.buildSampleIndex(
+      spark, ids.where(col("doc_id") % 4 === 0), dir)
+    (1 to 3).foreach(i => streaming.BottomkSampleIngest.processBatch(
+      spark, dir, ids.where(col("doc_id") % 4 === i), i.toLong))
+    val before = streaming.BottomkSampleIngest.sampleFromDir(spark, dir).collect().toSeq
+    val filesBefore = files(s"$dir/cands")
+    streaming.BottomkSampleIngest.compact(spark, dir)
+    assert(streaming.BottomkSampleIngest.sampleFromDir(spark, dir).collect().toSeq == before)
+    assert(files(s"$dir/cands") < filesBefore,
+      s"compaction must shrink the log: $filesBefore -> ${files(s"$dir/cands")}")
+    // the compacted log is a working store: a fresh append still folds
+    streaming.BottomkSampleIngest.processBatch(spark, dir, ids, 9L)
+    assert(streaming.BottomkSampleIngest.sampleFromDir(spark, dir).collect().toSeq == before,
+      "re-appending already-seen candidates must not move the fold")
+  }
+
+  test("weighted candidate log: compaction is fold-invariant and shrinks the log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_wbk").toString
+    streaming.WeightedSampleIngest.buildSampleIndex(
+      spark, docs2.where(col("doc_id") % 4 === 0), dir)
+    (1 to 3).foreach(i => streaming.WeightedSampleIngest.processBatch(
+      spark, dir, docs2.where(col("doc_id") % 4 === i), i.toLong))
+    val before = streaming.WeightedSampleIngest.sampleFromDir(spark, dir).collect().toSeq
+    val filesBefore = files(s"$dir/cands")
+    streaming.WeightedSampleIngest.compact(spark, dir)
+    assert(streaming.WeightedSampleIngest.sampleFromDir(spark, dir).collect().toSeq == before)
+    assert(files(s"$dir/cands") < filesBefore)
+    streaming.WeightedSampleIngest.processBatch(spark, dir, docs2, 9L)
+    assert(streaming.WeightedSampleIngest.sampleFromDir(spark, dir).collect().toSeq == before)
+  }
+
+  test("join-bloom word log: compaction is probe-invariant and shrinks the log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_jb").toString
+    val orders = Tables.orders(spark, sf)
+    // seed geometry + enroll in three chunks (the twin's own build path)
+    graft.ops.SketchOps.buildJoinBloomGeom(spark, sf, dir)
+    (0 to 2).foreach(i => streaming.JoinBloomIngest.appendBatch(
+      spark, dir, orders.where(col("o_orderkey") % 3 === i)))
+    val before = streaming.JoinBloomIngest
+      .prefilterFromIndex(spark, sf, dir).orderBy("l_orderkey", "l_linenumber")
+      .collect().toSeq
+    val filesBefore = files(s"$dir/words")
+    streaming.JoinBloomIngest.compact(spark, dir)
+    assert(streaming.JoinBloomIngest
+      .prefilterFromIndex(spark, sf, dir).orderBy("l_orderkey", "l_linenumber")
+      .collect().toSeq == before)
+    assert(files(s"$dir/words") < filesBefore)
+    // a fresh enroll over the compacted log still ORs in correctly
+    streaming.JoinBloomIngest.appendBatch(spark, dir, orders)
+    assert(streaming.JoinBloomIngest
+      .prefilterFromIndex(spark, sf, dir).orderBy("l_orderkey", "l_linenumber")
+      .collect().toSeq == before,
+      "re-enrolling already-enrolled keys must not change the probe")
+  }
+}
