@@ -76,6 +76,30 @@ object IndexCompaction {
     swapIn(s, path, folded)
   }
 
+  /** Compact a register log whose fold is MAX per cell key — the HLL
+    * class (idempotent like OR). Every column except `valueCol` is the
+    * key, so the same code serves the flat (bucket) and segmented
+    * (seg, bucket) register layouts.
+    *
+    * Deliberately NOT offered for the ADDITIVE stores (CMS cells,
+    * quantile-sketch cells, growth segdocs, dispersion partials, funnel
+    * partials): their read folds dedup on batch_id BEFORE the sum, and
+    * compaction erases exactly the ids a redelivered batch would
+    * reconcile against — a replay arriving after compaction would
+    * double-count. Additive logs compact safely only past a replay
+    * horizon (offsets committed strictly beyond every logged batch),
+    * an argument this harness can't check; the idempotent folds need
+    * no such argument. */
+  def compactMaxFold(s: SparkSession, path: String, valueCol: String): Unit = {
+    val log = s.read.parquet(path)
+    val keyCols = log.columns.filterNot(_ == valueCol).toSeq
+    val folded = log.groupBy(keyCols.map(col): _*)
+      .agg(max(valueCol).as(valueCol))
+      .select(log.columns.map(col): _*)
+      .coalesce(1)
+    swapIn(s, path, folded)
+  }
+
   /** Compact a bloom word log: bit_or per cell key (every column
     * except `word` is part of the key, so the same code serves the
     * flat (word_idx) and sharded (shard, word_idx) layouts). */

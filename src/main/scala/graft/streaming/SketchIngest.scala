@@ -73,6 +73,11 @@ object HllIngest {
       .foreachBatch { (b: Dataset[Row], _: Long) =>
         graft.ops.SketchOps.appendToHllIndex(b.sparkSession, dir, b)
       }
+
+  /** Rewrite the register log to one row per bucket (MAX fold —
+    * estimate-invariant, [[IndexCompaction]]). */
+  def compact(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    IndexCompaction.compactMaxFold(s, dir + "/regs", "rho")
 }
 
 /** Streaming vocabulary-growth monitoring at ingest (twin #29): each

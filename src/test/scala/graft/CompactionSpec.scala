@@ -49,6 +49,23 @@ class CompactionSpec extends SparkSpec {
     assert(streaming.WeightedSampleIngest.sampleFromDir(spark, dir).collect().toSeq == before)
   }
 
+  test("hll register log: compaction is estimate-invariant and shrinks the log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_hll").toString
+    graft.expressions.TextShingles.register(spark)
+    def toks(m: Int) = docs2.where(col("doc_id") % 3 === m)
+      .select(explode(expr("text_shingles(text, 1)")).as("tok"))
+    graft.ops.SketchOps.buildHllIndex(spark, dir, toks(0))
+    (1 to 2).foreach(i => graft.ops.SketchOps.appendToHllIndex(spark, dir, toks(i)))
+    val before = graft.ops.SketchOps.hllEstimateFromIndex(spark, dir).collect().toSeq
+    val filesBefore = files(s"$dir/regs")
+    streaming.HllIngest.compact(spark, dir)
+    assert(graft.ops.SketchOps.hllEstimateFromIndex(spark, dir).collect().toSeq == before)
+    assert(files(s"$dir/regs") < filesBefore)
+    // re-appending an already-merged batch is absorbed by the MAX fold
+    graft.ops.SketchOps.appendToHllIndex(spark, dir, toks(1))
+    assert(graft.ops.SketchOps.hllEstimateFromIndex(spark, dir).collect().toSeq == before)
+  }
+
   test("join-bloom word log: compaction is probe-invariant and shrinks the log") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp_jb").toString
     val orders = Tables.orders(spark, sf)
