@@ -319,6 +319,44 @@ object ClassifierOps {
       .orderBy("fid")
   }
 
+  /** Model-version rollout gate — the question a pipeline asks BEFORE
+    * swapping the refreshed model in: how much of the corpus changes
+    * keep-verdict, and in which direction. Scores the FULL corpus under
+    * the standing model (phase-1 of [[qualityClassifierIncremental]]'s
+    * chain) and under the warm-start refresh, and reports the 2×2
+    * verdict-flip matrix with exact integer evidence: n per
+    * (pred_old, pred_new) cell, the summed score drift (exact BIGINT —
+    * no mean division whose negative-floor semantics could diverge
+    * between engines), and each cell's corpus share. The off-diagonal
+    * cells ARE the rollout blast radius; a refresh that flips more than
+    * a few percent is a retrain, not a refresh. Cost: the incremental
+    * chain's two trainings + two stateless scoring passes; everything
+    * after is a 4-row domain. */
+  val qualityModelDiff: Q = (s, d) => {
+    val standing = qcFeats(qcFeatureRows(
+      documents(s, d).where(col("doc_id") % 2 === 0))).localCheckpoint()
+    val full = qcFeats(qcFeatureRows(documents(s, d))).localCheckpoint()
+    val wS = qcTrainWeights(s, standing)
+    val wF = qcTrainWeights(s, full,
+      rounds = QcIncRounds, roundOffset = QcRounds, init = Some(wS))
+    val sOld = qcScore(full, wS)
+      .select(col("doc_id"), col("p_micro").as("p_old"),
+        col("pred").as("pred_old"))
+    val sNew = qcScore(full, wF)
+      .select(col("doc_id"), col("p_micro").as("p_new"),
+        col("pred").as("pred_new"))
+    val cells = sOld.join(sNew, "doc_id")
+      .groupBy("pred_old", "pred_new")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("p_new - p_old")).as("sum_dp_micro"))
+    val total = cells.agg(sum("n").as("total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("pred_old"), col("pred_new"), col("n"),
+        col("sum_dp_micro"),
+        expr("n * 1000000 div total").as("share_micro"))
+      .orderBy("pred_old", "pred_new")
+  }
+
   /** Calibration audit (the reliability-diagram table): bucket the
     * model's scores into deciles and report, per bucket, how often the
     * label actually is positive — the evidence that p is usable as a
@@ -579,6 +617,7 @@ object ClassifierOps {
     "quality_classifier_eval" -> qualityClassifierEval,
     "quality_classifier_calibration" -> qualityClassifierCalibration,
     "quality_classifier_incremental" -> qualityClassifierIncremental,
+    "quality_model_diff" -> qualityModelDiff,
     "corpus_curate_model" -> corpusCurateModel,
     "corpus_token_budget" -> corpusTokenBudget,
     "corpus_token_budget_eval" -> corpusTokenBudgetEval,
@@ -642,6 +681,34 @@ object ClassifierOps {
            ${trainChainSql("", "z", QcRounds, QcIncRounds, s"SELECT fid, wm FROM w$QcRounds")}
            SELECT w.fid, w.wm AS weight_standing_micro, z.wm AS weight_micro
            FROM w$QcRounds w JOIN zw$QcIncRounds z USING (fid) ORDER BY fid""",
+    "quality_model_diff" ->
+      raw"""WITH ${featsSql("s_", "WHERE doc_id % 2 = 0")},
+           ${featsSql("", "")},
+           ${trainChainSql("s_", "", 0, QcRounds, ZeroW0)},
+           ${trainChainSql("", "z", QcRounds, QcIncRounds, s"SELECT fid, wm FROM w$QcRounds")},
+           om AS (SELECT f.doc_id,
+               list_sum(list(f.x * (CAST(w.wm AS DOUBLE) / 1000000) ORDER BY f.fid)) AS m
+             FROM feats f JOIN w$QcRounds w ON w.fid = f.fid GROUP BY f.doc_id),
+           osc AS (SELECT doc_id,
+               CAST(round((0.5 + m / (2.0 * (1.0 + abs(m)))) * 1000000, 0) AS BIGINT) AS p_old
+             FROM om),
+           nm2 AS (SELECT f.doc_id,
+               list_sum(list(f.x * (CAST(w.wm AS DOUBLE) / 1000000) ORDER BY f.fid)) AS m
+             FROM feats f JOIN zw$QcIncRounds w ON w.fid = f.fid GROUP BY f.doc_id),
+           nsc AS (SELECT doc_id,
+               CAST(round((0.5 + m / (2.0 * (1.0 + abs(m)))) * 1000000, 0) AS BIGINT) AS p_new
+             FROM nm2),
+           dj AS (SELECT o.doc_id, o.p_old, nn.p_new,
+                    CAST(CASE WHEN o.p_old >= 500000 THEN 1 ELSE 0 END AS INT) AS pred_old,
+                    CAST(CASE WHEN nn.p_new >= 500000 THEN 1 ELSE 0 END AS INT) AS pred_new
+                  FROM osc o JOIN nsc nn USING (doc_id)),
+           dg AS (SELECT pred_old, pred_new, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(p_new - p_old) AS BIGINT) AS sum_dp_micro
+                  FROM dj GROUP BY 1, 2),
+           dt AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM dg)
+           SELECT pred_old, pred_new, n, sum_dp_micro,
+             CAST(n * 1000000 // total AS BIGINT) AS share_micro
+           FROM dg, dt ORDER BY pred_old, pred_new""",
     "corpus_token_budget" ->
       raw"""WITH ${featsSql("", "")},
            ${trainSql("")},
