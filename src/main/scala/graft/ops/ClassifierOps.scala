@@ -379,6 +379,33 @@ object ClassifierOps {
       .orderBy("bucket")
   }
 
+  /** Annotation-batch size for [[sampleUncertainty]]. */
+  private[ops] val UncK = 100
+
+  /** Uncertainty sampling — the annotation selector of the active-
+    * learning loop the classifier family implies: the [[UncK]] docs the
+    * standing model is LEAST sure about (|p − ½| smallest), i.e. where
+    * one human label buys the most decision-boundary information. This
+    * is the operation that closes train → apply → (label the uncertain
+    * band) → incremental-refresh into a loop. Scoring is the stateless
+    * broadcast-weights projection; the cut is TakeOrderedAndProject
+    * (per-partition heap + driver merge), never a global sort — at
+    * 100 TB the annotation batch costs one scan. Exact integers
+    * end-to-end (p_micro and its distance from 500000). */
+  val sampleUncertainty: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val feats = qcFeats(qcFeatureRows(documents(s, d)))
+    val w = standingWeights(s, d)
+    val win = Window.orderBy(col("dist_micro"), col("doc_id"))
+    qcScore(feats, w)
+      .select(col("doc_id"), col("p_micro"),
+        expr("abs(p_micro - 500000)").as("dist_micro"))
+      .orderBy(col("dist_micro"), col("doc_id")).limit(UncK)
+      .withColumn("rank", row_number().over(win).cast("int"))
+      .select("rank", "doc_id", "p_micro", "dist_micro")
+      .orderBy("rank")
+  }
+
   /** End-to-end MODEL-BASED curation — the composition a production
     * pipeline actually runs (RefinedWeb's pipeline order): model-scored
     * quality filter → exact content dedup → per-source cap. Each stage
@@ -618,6 +645,7 @@ object ClassifierOps {
     "quality_classifier_calibration" -> qualityClassifierCalibration,
     "quality_classifier_incremental" -> qualityClassifierIncremental,
     "quality_model_diff" -> qualityModelDiff,
+    "sample_uncertainty" -> sampleUncertainty,
     "corpus_curate_model" -> corpusCurateModel,
     "corpus_token_budget" -> corpusTokenBudget,
     "corpus_token_budget_eval" -> corpusTokenBudgetEval,
@@ -681,6 +709,17 @@ object ClassifierOps {
            ${trainChainSql("", "z", QcRounds, QcIncRounds, s"SELECT fid, wm FROM w$QcRounds")}
            SELECT w.fid, w.wm AS weight_standing_micro, z.wm AS weight_micro
            FROM w$QcRounds w JOIN zw$QcIncRounds z USING (fid) ORDER BY fid""",
+    "sample_uncertainty" ->
+      raw"""WITH ${featsSql("", "")},
+           ${trainSql("")},
+           ${scoreSql("")},
+           unc AS (SELECT doc_id, p_micro,
+                     abs(p_micro - 500000) AS dist_micro FROM sc),
+           uncr AS (SELECT doc_id, p_micro, dist_micro,
+                      CAST(row_number() OVER (ORDER BY dist_micro, doc_id) AS INT) AS rank
+                    FROM unc)
+           SELECT rank, doc_id, p_micro, dist_micro
+           FROM uncr WHERE rank <= $UncK ORDER BY rank""",
     "quality_model_diff" ->
       raw"""WITH ${featsSql("s_", "WHERE doc_id % 2 = 0")},
            ${featsSql("", "")},

@@ -1615,6 +1615,57 @@ object SimOps {
     * count at any corpus size). On the harness's synthetic embeddings
     * the honest reading is ≈0 cosine — the labels are assigned, not
     * clustered, and the instrument must say so. */
+  /** Embedding-space drift between the standing corpus and the new
+    * batch — the GEOMETRY sibling of PipelineOps' `corpus_drift`
+    * (vocabulary): per label, the cosine between the two halves'
+    * centroids (evens = standing, odds = batch, the family's lambda
+    * convention) with both norms and counts riding along. A healthy
+    * append reads cos ≈ 1 per label; an embedding-model version skew
+    * or a source-mix shift drags it down BEFORE any downstream index
+    * quality gauge moves — this is the early-warning instrument. Same
+    * exact-integer grid as [[labelCentroids]] (micro components →
+    * summed → milli-demoted centroids), one (label, half, pos)
+    * map-side aggregate over the component frame, everything after
+    * domain-sized (labels × 64). */
+  val embDrift: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
+    val e = DedupOps.EmbGate.clean(embeddings(s, d), "nrm")
+      .where(col("label").isNotNull)
+      .select(col("label").cast("int").as("label"),
+        (col("vec_id") % 2).cast("int").as("half"), col("embedding"))
+    val comp = e.select(col("label"), col("half"), posexplode(col("embedding")))
+      .select(col("label"), col("half"), col("pos"),
+        expr("CAST(round(CAST(col AS DOUBLE) * 1000000, 0) AS BIGINT)").as("v"))
+    val cent = comp.groupBy("label", "half", "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .select(col("label"), col("half"), col("pos"),
+        expr("(sv div n) div 1000").as("c"))
+      .localCheckpoint()
+    val counts = e.groupBy("label", "half").agg(count(lit(1)).as("n_vecs"))
+    val nrm = cent.groupBy("label", "half")
+      .agg(expr("CAST(round(sqrt(CAST(sum(c * c) AS DOUBLE)), 0) AS BIGINT)").as("nrm"))
+    val a = cent.where(col("half") === 0)
+      .select(col("label"), col("pos"), col("c").as("ca"))
+    val b = cent.where(col("half") === 1)
+      .select(col("label"), col("pos"), col("c").as("cb"))
+    a.join(b, Seq("label", "pos"))
+      .groupBy("label").agg(sum(expr("ca * cb")).as("dot"))
+      .join(nrm.where(col("half") === 0)
+        .select(col("label"), col("nrm").as("nrm_standing_milli")), "label")
+      .join(nrm.where(col("half") === 1)
+        .select(col("label"), col("nrm").as("nrm_batch_milli")), "label")
+      .join(counts.where(col("half") === 0)
+        .select(col("label"), col("n_vecs").as("n_standing")), "label")
+      .join(counts.where(col("half") === 1)
+        .select(col("label"), col("n_vecs").as("n_batch")), "label")
+      .select(col("label"), col("n_standing"), col("n_batch"),
+        col("nrm_standing_milli"), col("nrm_batch_milli"),
+        expr("CASE WHEN nrm_standing_milli * nrm_batch_milli = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (dot * 1000000) div (nrm_standing_milli * nrm_batch_milli) END")
+          .as("cos_micro"))
+      .orderBy("label")
+  }
+
   val labelCentroids: Q = (s, d) => {
     graft.expressions.VectorExpressions.register(s)
     val e = DedupOps.EmbGate.clean(embeddings(s, d), "nrm")
@@ -1715,6 +1766,7 @@ object SimOps {
 
   val queries: Map[String, Q] = Map(
     "emb_label_centroids" -> labelCentroids,
+    "emb_drift" -> embDrift,
     "emb_dispersion" -> embDispersion,
     "sim_brute_topk" -> bruteTopK,
     "emb_quantize_int8" -> quantizeInt8,
@@ -1989,6 +2041,42 @@ object SimOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "emb_drift" ->
+      raw"""WITH dec AS (SELECT label, CAST(vec_id % 2 AS INT) AS half, embedding
+               FROM embeddings
+               WHERE label IS NOT NULL AND len(embedding) = 64
+                 AND sqrt(list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) > 0
+                 AND NOT isnan(sqrt(list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))
+                 AND NOT isinf(sqrt(list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))),
+           dcomp AS (SELECT label, half, i - 1 AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+               FROM dec CROSS JOIN range(1, 65) t(i)),
+           dcent AS MATERIALIZED (SELECT label, half, pos,
+                 (SUM(v) // COUNT(*)) // 1000 AS c
+               FROM dcomp GROUP BY label, half, pos),
+           dcnts AS (SELECT label, half, CAST(COUNT(*) AS BIGINT) AS n_vecs
+               FROM dec GROUP BY label, half),
+           dnr AS (SELECT label, half,
+                 CAST(round(sqrt(CAST(SUM(c * c) AS DOUBLE)), 0) AS BIGINT) AS nrm
+               FROM dcent GROUP BY label, half),
+           ddots AS (SELECT a.label, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+               FROM dcent a JOIN dcent b
+                 ON a.label = b.label AND a.pos = b.pos
+                 AND a.half = 0 AND b.half = 1
+               GROUP BY a.label)
+           SELECT d.label, cs.n_vecs AS n_standing, cb.n_vecs AS n_batch,
+             ns.nrm AS nrm_standing_milli, nb.nrm AS nrm_batch_milli,
+             CASE WHEN ns.nrm * nb.nrm = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((d.dot * 1000000) // (ns.nrm * nb.nrm) AS BIGINT) END AS cos_micro
+           FROM ddots d
+           JOIN dnr ns ON ns.label = d.label AND ns.half = 0
+           JOIN dnr nb ON nb.label = d.label AND nb.half = 1
+           JOIN dcnts cs ON cs.label = d.label AND cs.half = 0
+           JOIN dcnts cb ON cb.label = d.label AND cb.half = 1
+           ORDER BY d.label""",
     "emb_label_centroids" ->
       raw"""WITH ec AS (SELECT label, embedding FROM embeddings
                WHERE label IS NOT NULL AND len(embedding) = 64
