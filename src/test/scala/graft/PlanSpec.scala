@@ -638,6 +638,22 @@ class PlanSpec extends SparkSpec {
       s"the nprobe grid and query set must broadcast:\n$plan")
   }
 
+  test("sample_uncertainty: annotation cut is heap+merge top-k over a stateless scoring projection") {
+    val plan = finalPlan(
+      graft.ops.ClassifierOps.queries("sample_uncertainty")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("TakeOrderedAndProject"),
+      s"the uncertainty band must come from per-partition heaps, not a global sort:\n$plan")
+  }
+
+  test("emb_drift: one map-side (label, half, pos) aggregate; no cartesian") {
+    val plan = finalPlan(graft.ops.SimOps.queries("emb_drift")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("partial_sum") || finalOnly.contains("partial_count"),
+      s"the component aggregate must combine map-side:\n$plan")
+    assert(!finalOnly.contains("CartesianProduct"), plan)
+  }
+
   test("pack_shuffle_layout: every window is shard-partitioned (no single-partition rank)") {
     val plan = finalPlan(graft.ops.PipelineOps.queries("pack_shuffle_layout")(spark, d))
     val finalOnly = plan.split("== Initial Plan ==").head
