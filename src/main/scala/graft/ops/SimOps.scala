@@ -1627,43 +1627,54 @@ object SimOps {
     * summed → milli-demoted centroids), one (label, half, pos)
     * map-side aggregate over the component frame, everything after
     * domain-sized (labels × 64). */
-  val embDrift: Q = (s, d) => {
-    graft.expressions.VectorExpressions.register(s)
-    val e = DedupOps.EmbGate.clean(embeddings(s, d), "nrm")
-      .where(col("label").isNotNull)
-      .select(col("label").cast("int").as("label"),
-        (col("vec_id") % 2).cast("int").as("half"), col("embedding"))
-    val comp = e.select(col("label"), col("half"), posexplode(col("embedding")))
-      .select(col("label"), col("half"), col("pos"),
+  /** (label, pos, sv, n) centroid partials of a gated vector frame —
+    * the additive cells [[embDrift]] folds. Shared with
+    * [[graft.streaming.EmbDriftIngest]] (twin #37) so batch and
+    * maintained drift can never diverge: sv and n are exact longs
+    * (additive across batches); the milli demotion happens ONLY in
+    * [[driftFromAgg]], at finish time — the twin-#34 additivity lesson. */
+  private[graft] def driftPartials(vecs: DataFrame): DataFrame =
+    vecs.where(col("label").isNotNull)
+      .select(col("label").cast("int").as("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
         expr("CAST(round(CAST(col AS DOUBLE) * 1000000, 0) AS BIGINT)").as("v"))
-    val cent = comp.groupBy("label", "half", "pos")
+      .groupBy("label", "pos")
       .agg(sum("v").as("sv"), count(lit(1)).as("n"))
-      .select(col("label"), col("half"), col("pos"),
-        expr("(sv div n) div 1000").as("c"))
+
+  /** Finish the drift report from two (label, pos, sv, n) partial
+    * frames — the ONE place the milli demotion and the cosine run. */
+  private[graft] def driftFromAgg(standing: DataFrame, batch: DataFrame): DataFrame = {
+    def prep(df: DataFrame) = df.select(col("label"), col("pos"),
+        expr("(sv div n) div 1000").as("c"), col("n"))
       .localCheckpoint()
-    val counts = e.groupBy("label", "half").agg(count(lit(1)).as("n_vecs"))
-    val nrm = cent.groupBy("label", "half")
-      .agg(expr("CAST(round(sqrt(CAST(sum(c * c) AS DOUBLE)), 0) AS BIGINT)").as("nrm"))
-    val a = cent.where(col("half") === 0)
-      .select(col("label"), col("pos"), col("c").as("ca"))
-    val b = cent.where(col("half") === 1)
-      .select(col("label"), col("pos"), col("c").as("cb"))
-    a.join(b, Seq("label", "pos"))
+    val a = prep(standing)
+    val b = prep(batch)
+    def side(cent: DataFrame, nrmName: String, cntName: String) = {
+      val nrm = cent.groupBy("label")
+        .agg(expr("CAST(round(sqrt(CAST(sum(c * c) AS DOUBLE)), 0) AS BIGINT)").as(nrmName),
+          max("n").as(cntName))
+      nrm
+    }
+    val na = side(a, "nrm_standing_milli", "n_standing")
+    val nb = side(b, "nrm_batch_milli", "n_batch")
+    a.select(col("label"), col("pos"), col("c").as("ca"))
+      .join(b.select(col("label"), col("pos"), col("c").as("cb")), Seq("label", "pos"))
       .groupBy("label").agg(sum(expr("ca * cb")).as("dot"))
-      .join(nrm.where(col("half") === 0)
-        .select(col("label"), col("nrm").as("nrm_standing_milli")), "label")
-      .join(nrm.where(col("half") === 1)
-        .select(col("label"), col("nrm").as("nrm_batch_milli")), "label")
-      .join(counts.where(col("half") === 0)
-        .select(col("label"), col("n_vecs").as("n_standing")), "label")
-      .join(counts.where(col("half") === 1)
-        .select(col("label"), col("n_vecs").as("n_batch")), "label")
+      .join(na, "label").join(nb, "label")
       .select(col("label"), col("n_standing"), col("n_batch"),
         col("nrm_standing_milli"), col("nrm_batch_milli"),
         expr("CASE WHEN nrm_standing_milli * nrm_batch_milli = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE (dot * 1000000) div (nrm_standing_milli * nrm_batch_milli) END")
           .as("cos_micro"))
       .orderBy("label")
+  }
+
+  val embDrift: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
+    val gated = DedupOps.EmbGate.clean(embeddings(s, d), "nrm")
+    driftFromAgg(
+      driftPartials(gated.where(col("vec_id") % 2 === 0)),
+      driftPartials(gated.where(col("vec_id") % 2 === 1)))
   }
 
   val labelCentroids: Q = (s, d) => {
