@@ -379,6 +379,30 @@ object ClassifierOps {
       .orderBy("bucket")
   }
 
+  /** Method-vs-method agreement: the rule-based quality gate (the
+    * `good` tier of text_quality_score — the label SOURCE the model
+    * trains on) against the trained classifier's verdict, as the
+    * quality family's confusion matrix — [[qualityModelDiff]] compares
+    * model VERSIONS, this compares METHODS, the same two instruments
+    * the dedup family ships (method_agreement / savings). The
+    * off-diagonals are where the 8-feature hashed model generalizes
+    * past (or fails to reproduce) its own teacher — at 100 TB the
+    * standing instrument that says whether the cheap rule gate can be
+    * retired. One scoring projection + a 4-row aggregate. */
+  val qualityMethodAgreement: Q = (s, d) => {
+    val feats = qcFeats(qcFeatureRows(documents(s, d)))
+    val w = standingWeights(s, d)
+    val cells = qcScore(feats, w)
+      .select(col("y").cast("int").as("rule_good"), col("pred").as("model_pred"))
+      .groupBy("rule_good", "model_pred")
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum("n").as("total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("rule_good"), col("model_pred"), col("n"),
+        expr("n * 1000000 div total").as("share_micro"))
+      .orderBy("rule_good", "model_pred")
+  }
+
   /** Annotation-batch size for [[sampleUncertainty]]. */
   private[ops] val UncK = 100
 
@@ -646,6 +670,7 @@ object ClassifierOps {
     "quality_classifier_incremental" -> qualityClassifierIncremental,
     "quality_model_diff" -> qualityModelDiff,
     "sample_uncertainty" -> sampleUncertainty,
+    "quality_method_agreement" -> qualityMethodAgreement,
     "corpus_curate_model" -> corpusCurateModel,
     "corpus_token_budget" -> corpusTokenBudget,
     "corpus_token_budget_eval" -> corpusTokenBudgetEval,
@@ -709,6 +734,19 @@ object ClassifierOps {
            ${trainChainSql("", "z", QcRounds, QcIncRounds, s"SELECT fid, wm FROM w$QcRounds")}
            SELECT w.fid, w.wm AS weight_standing_micro, z.wm AS weight_micro
            FROM w$QcRounds w JOIN zw$QcIncRounds z USING (fid) ORDER BY fid""",
+    "quality_method_agreement" ->
+      raw"""WITH ${featsSql("", "")},
+           ${trainSql("")},
+           ${scoreSql("")},
+           qma AS (SELECT CAST(y AS INT) AS rule_good,
+                     CAST(CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS INT) AS model_pred
+                   FROM sc),
+           qmg AS (SELECT rule_good, model_pred, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM qma GROUP BY 1, 2),
+           qmt AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM qmg)
+           SELECT rule_good, model_pred, n,
+             CAST(n * 1000000 // total AS BIGINT) AS share_micro
+           FROM qmg, qmt ORDER BY rule_good, model_pred""",
     "sample_uncertainty" ->
       raw"""WITH ${featsSql("", "")},
            ${trainSql("")},
