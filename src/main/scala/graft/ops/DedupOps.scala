@@ -453,6 +453,25 @@ object DedupOps {
     * default to ~10⁸ docs; see [[blockedPairsFrom]]). */
   val simhashPairs: Q = simhashPairsBlocked(4, 1)
 
+  /** Candidate pairs by hamming distance with cumulative mass at or
+    * below each distance — "what does moving the hamming threshold
+    * buy" without re-running the pipeline, the simhash sibling of
+    * [[thresholdHistogram]] (the jaccard family's decile table). Runs
+    * on the (6,2) pigeonhole generator, which is COMPLETE to
+    * [[MaxHamming]] = 3 by the pigeonhole bound (6 − 2 = 4 ≥ 3), so
+    * every count is exact, not a sample of the index. Fixed 4 rows at
+    * any corpus size; the cumulative window runs on the 4-row domain. */
+  val simhashHistogram: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("hamming")
+    val hist = blockedPairsFrom(fingerprints(s, d), 6, 2, MaxHamming)
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    s.range(0, MaxHamming + 1).select(col("id").as("hamming"))
+      .join(hist, Seq("hamming"), "left")
+      .select(col("hamming"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .withColumn("cum_pairs", sum("n_pairs").over(w))
+      .orderBy("hamming")
+  }
+
   /** Embedding-cosine near-dup pairs (threshold 0.3). Exact pairwise
     * baseline: broadcast nested-loop over the smaller side; at corpus
     * scale the same threshold query runs over sim_lsh buckets instead
@@ -1573,6 +1592,7 @@ object DedupOps {
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_simhash_pairs_blocked" -> simhashPairsBlocked(6, 2),
+    "dedup_simhash_histogram" -> simhashHistogram,
     "dedup_simhash_cluster" -> simhashCluster,
     "dedup_substring" -> substringWinnow,
     "dedup_substring_incremental" -> substringIncremental,
@@ -1889,6 +1909,7 @@ object DedupOps {
     // ≥ 3 agreeing blocks ⇒ some agreeing block PAIR), so its oracle is
     // byte-identical to the 4-block form's
     "dedup_simhash_pairs_blocked" -> SimhashPairsSql,
+    "dedup_simhash_histogram" -> SimhashHistogramSql,
     "dedup_simhash_cluster" ->
       s"""WITH $SimhashPairChainSql,
           ${ccRoundsCtes("spairs", "doc_a", "doc_b")}
@@ -2152,6 +2173,17 @@ object DedupOps {
   private lazy val SimhashPairsSql =
       s"""WITH $SimhashPairChainSql
           SELECT doc_a, doc_b, hamming FROM spairs ORDER BY doc_a, doc_b"""
+
+  private lazy val SimhashHistogramSql =
+      s"""WITH $SimhashPairChainSql,
+          shh AS (SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                  FROM spairs GROUP BY 1),
+          shg AS (SELECT CAST(unnest(generate_series(0, $MaxHamming)) AS BIGINT) AS hamming)
+          SELECT shg.hamming,
+            CAST(COALESCE(shh.n_pairs, 0) AS BIGINT) AS n_pairs,
+            CAST(SUM(COALESCE(shh.n_pairs, 0)) OVER (ORDER BY shg.hamming) AS BIGINT) AS cum_pairs
+          FROM shg LEFT JOIN shh ON shh.hamming = shg.hamming
+          ORDER BY shg.hamming"""
 
   /** The CAPPED jaccard pair chain as a standalone SELECT (for nesting
     * inside derived tables where CTE names would collide) — mirrors
