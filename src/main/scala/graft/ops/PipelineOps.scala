@@ -812,7 +812,10 @@ object PipelineOps {
     val toks = documents(s, d).select(col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
     val corp = toks.agg(count(lit(1)).as("n_docs"),
-      sum("toks").as("corpus_tokens"))
+      sum("toks").as("corpus_tokens"),
+      // cap-saturation honesty: docs past WbkCap all weigh the same, so
+      // above this fraction the draw is length-biased only UP TO the cap
+      sum(when(col("toks") > WbkCap, 1L).otherwise(0L)).as("n_capped"))
     val uagg = sampleBottomK(s, d).select("doc_id").join(toks, "doc_id")
       .agg(count(lit(1)).as("k_uniform"), sum("toks").as("uniform_tokens"))
     val wagg = sampleWeightedBottomK(s, d).select("doc_id").join(toks, "doc_id")
@@ -826,9 +829,11 @@ object PipelineOps {
         expr("weighted_tokens * 1000000 div k_weighted"))
       .withColumn("lift_micro",
         expr("weighted_mean_micro * 1000000 div corpus_mean_micro"))
-      .select("n_docs", "corpus_tokens", "k_uniform", "uniform_tokens",
-        "k_weighted", "weighted_tokens", "corpus_mean_micro",
-        "uniform_mean_micro", "weighted_mean_micro", "lift_micro")
+      .withColumn("capped_frac_micro", expr("n_capped * 1000000 div n_docs"))
+      .select("n_docs", "corpus_tokens", "n_capped", "capped_frac_micro",
+        "k_uniform", "uniform_tokens", "k_weighted", "weighted_tokens",
+        "corpus_mean_micro", "uniform_mean_micro", "weighted_mean_micro",
+        "lift_micro")
   }
 
   val sampleStratified: Q = (s, d) => {
@@ -2603,12 +2608,16 @@ object PipelineOps {
                      FROM documents) s1 JOIN ttoks t2 USING (doc_id)
                    WHERE s1.rku <= $BkK),
           corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                     CAST(SUM(toks) AS BIGINT) AS corpus_tokens FROM ttoks),
+                     CAST(SUM(toks) AS BIGINT) AS corpus_tokens,
+                     CAST(SUM(CASE WHEN toks > $WbkCap THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+                   FROM ttoks),
           uagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_uniform,
                      CAST(SUM(toks) AS BIGINT) AS uniform_tokens FROM usel),
           wagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_weighted,
                      CAST(SUM(toks) AS BIGINT) AS weighted_tokens FROM wsel)
-          SELECT n_docs, corpus_tokens, k_uniform, uniform_tokens,
+          SELECT n_docs, corpus_tokens, n_capped,
+            n_capped * 1000000 // n_docs AS capped_frac_micro,
+            k_uniform, uniform_tokens,
             k_weighted, weighted_tokens,
             corpus_tokens * 1000000 // n_docs AS corpus_mean_micro,
             uniform_tokens * 1000000 // k_uniform AS uniform_mean_micro,
