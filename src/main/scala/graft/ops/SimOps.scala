@@ -535,15 +535,13 @@ object SimOps {
     * 100 TB an eval suite of thousands of items is still
     * broadcast-sized; past that the RP/binary prefilter rungs compose
     * in front of this exact scoring. */
-  val contaminationSemantic: Q = (s, d) => {
-    graft.expressions.VectorExpressions.register(s)
-    val eval = DedupOps.EmbGate.clean(
-        embeddings(s, d).where(col("vec_id") < PipelineOps.NEvalDocs)
-          .select(col("vec_id"), col("embedding")), "e_nrm")
-      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
-        col("e_nrm"))
-    corpusWithNorm(s, d).where(col("vec_id") >= PipelineOps.NEvalDocs)
-      .join(broadcast(eval), lit(true))
+  /** The scoring tail of [[contaminationSemantic]] — corpus frame
+    * (vec_id, embedding, c_nrm) × broadcast eval frame (eval_id, e_emb,
+    * e_nrm) → per-doc verdicts. Shared with
+    * [[graft.streaming.SemContIngest]] (twin #38) so the gate at
+    * ingest can never diverge from the batch audit. */
+  private[graft] def semContVerdicts(corpus: DataFrame, eval: DataFrame): DataFrame =
+    corpus.join(broadcast(eval), lit(true))
       .withColumn("sim",
         expr("float_dot(embedding, e_emb)") / (col("c_nrm") * col("e_nrm")))
       .groupBy(col("vec_id").as("doc_id"))
@@ -551,6 +549,17 @@ object SimOps {
       .select(col("doc_id"), (lit(0L) - col("k.neg_id")).as("best_eval_id"),
         round(col("k.sim"), 6).as("best_sim_r"),
         (col("k.sim") >= lit(SemContThreshold)).as("contaminated"))
+
+  val contaminationSemantic: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
+    val eval = DedupOps.EmbGate.clean(
+        embeddings(s, d).where(col("vec_id") < PipelineOps.NEvalDocs)
+          .select(col("vec_id"), col("embedding")), "e_nrm")
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
+        col("e_nrm"))
+    semContVerdicts(
+      corpusWithNorm(s, d).where(col("vec_id") >= PipelineOps.NEvalDocs),
+      eval)
       .orderBy("doc_id")
   }
 
