@@ -720,6 +720,30 @@ object RefOps {
           .otherwise(round(col("total_v") / col("n_value").cast("double"), 6)))
       .orderBy("event_type")
 
+  /** Multi-level ROLLUP report — the one relational surface the
+    * registry hadn't exercised: (event_type, day) leaf cells, per-type
+    * subtotals, and the grand total in ONE aggregation pass (Spark
+    * expands the grouping sets map-side; no per-level re-scan).
+    * GROUPING() markers ride along so a rolled-up NULL can never be
+    * confused with a real group, and the roll-up labels are explicit
+    * '(all)' strings — the same null-discipline as
+    * [[eventsRevenueStats]]. Revenue sums in DECIMAL(18,6) for
+    * order-independent exactness, cast back for the report. */
+  val eventsRollup: Q = (s, d) =>
+    events(s, d)
+      .select(coalesce(col("event_type"), lit("unknown")).as("event_type"),
+        coalesce(to_date(col("ts")).cast("string"), lit("unknown")).as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .rollup("event_type", "day")
+      .agg(count(lit(1)).as("n"),
+        sum("v").cast("double").as("total_v"),
+        grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("day")).cast("int").as("g_day"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("day"), lit("(all)")).as("day"),
+        col("g_type"), col("g_day"), col("n"), col("total_v"))
+      .orderBy("g_type", "g_day", "event_type", "day")
+
   /** Props-key histogram — the schema-drift detector a JSON ingest runs
     * next to its decode: every key appearing in the `props` payloads,
     * with occurrence counts. Invalid or null JSON contributes nothing
@@ -786,6 +810,7 @@ object RefOps {
     "events_attribution" -> eventsAttribution,
     "events_path_topk" -> eventsPathTopk,
     "events_revenue_stats" -> eventsRevenueStats,
+    "events_rollup" -> eventsRollup,
     "events_props_keys" -> eventsPropsKeys,
   )
 
@@ -1078,5 +1103,18 @@ object RefOps {
          FROM (SELECT unnest(list_distinct(json_keys(props))) AS key FROM events
                WHERE props IS NOT NULL AND json_valid(props))
          GROUP BY key ORDER BY key""",
+    "events_rollup" ->
+      """WITH rev AS (SELECT coalesce(event_type, 'unknown') AS event_type,
+               coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'unknown') AS day,
+               CAST(value AS DECIMAL(18,6)) AS v
+             FROM events)
+         SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(day, '(all)') AS day,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           CAST(GROUPING(day) AS INT) AS g_day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS DOUBLE) AS total_v
+         FROM rev GROUP BY ROLLUP(event_type, day)
+         ORDER BY g_type, g_day, event_type, day""",
   )
 }
