@@ -744,6 +744,31 @@ object RefOps {
         col("g_type"), col("g_day"), col("n"), col("total_v"))
       .orderBy("g_type", "g_day", "event_type", "day")
 
+  /** The pivoted daily activity matrix — the other classic relational
+    * reshape beside [[eventsRollup]]: one row per day, one count column
+    * per event type. The type list is EXPLICIT (Spark's two-arg pivot),
+    * which is the scale-correct form twice over: the output schema is
+    * deterministic (an inferred pivot is a driver-side distinct scan
+    * BEFORE the plan even builds), and the aggregation stays one
+    * map-side-combining pass — each (day, type) cell folds into its
+    * column position with no per-type re-scan. Unknown/null types land
+    * nowhere by design; `n_total` rides along so that loss is visible. */
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val eventsPivot: Q = (s, d) =>
+    events(s, d)
+      .select(coalesce(to_date(col("ts")).cast("string"), lit("unknown")).as("day"),
+        col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+      .join(events(s, d)
+        .groupBy(coalesce(to_date(col("ts")).cast("string"), lit("unknown")).as("day"))
+        .agg(count(lit(1)).as("n_total")), Seq("day"))
+      .select(col("day") +: PivotTypes.map(t =>
+        coalesce(col(s"`$t`"), lit(0L)).as(s"n_$t")) :+ col("n_total"): _*)
+      .orderBy("day")
+
   /** Props-key histogram — the schema-drift detector a JSON ingest runs
     * next to its decode: every key appearing in the `props` payloads,
     * with occurrence counts. Invalid or null JSON contributes nothing
@@ -811,6 +836,7 @@ object RefOps {
     "events_path_topk" -> eventsPathTopk,
     "events_revenue_stats" -> eventsRevenueStats,
     "events_rollup" -> eventsRollup,
+    "events_pivot" -> eventsPivot,
     "events_props_keys" -> eventsPropsKeys,
   )
 
@@ -1116,5 +1142,14 @@ object RefOps {
            CAST(SUM(v) AS DOUBLE) AS total_v
          FROM rev GROUP BY ROLLUP(event_type, day)
          ORDER BY g_type, g_day, event_type, day""",
+    "events_pivot" ->
+      """SELECT coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'unknown') AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+         FROM events GROUP BY 1 ORDER BY 1""",
   )
 }
