@@ -836,6 +836,29 @@ object PipelineOps {
         "lift_micro")
   }
 
+  /** The mix-planner's governance table: docs and token mass per
+    * (source, quality) cell WITH per-source subtotals and the grand
+    * total in one ROLLUP pass — the table a training-mix session reads
+    * before setting [[StratRates]]-style keep rates (how much 'good'
+    * mass does each source actually hold). GROUPING() markers + '(all)'
+    * labels per the events_rollup discipline; quality comes from the
+    * single-sourced [[TextOps.withQuality]] gate so this can never
+    * disagree with the sampler/curator tiers. One map-side-combining
+    * aggregation; grouping-set expansion happens before the exchange. */
+  val corpusQualityMatrix: Q = (s, d) =>
+    TextOps.withQuality(documents(s, d))
+      .select(coalesce(col("source"), lit("unknown")).as("source"),
+        col("quality"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      .rollup("source", "quality")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        grouping(col("source")).cast("int").as("g_source"),
+        grouping(col("quality")).cast("int").as("g_quality"))
+      .select(coalesce(col("source"), lit("(all)")).as("source"),
+        coalesce(col("quality"), lit("(all)")).as("quality"),
+        col("g_source"), col("g_quality"), col("n_docs"), col("n_tokens"))
+      .orderBy("g_source", "g_quality", "source", "quality")
+
   val sampleStratified: Q = (s, d) => {
     val rate = StratRates.tail.foldLeft(
       when(col("quality") === StratRates.head._1, lit(StratRates.head._2))) {
@@ -1920,6 +1943,7 @@ object PipelineOps {
     "sample_weighted_bottomk" -> sampleWeightedBottomK,
     "sample_weighted_eval" -> sampleWeightedEval,
     "sample_weighted_incremental" -> sampleWeightedIncremental,
+    "corpus_quality_matrix" -> corpusQualityMatrix,
     "corpus_mix" -> corpusMix,
     "sample_temperature" -> sampleTemperature,
     "lang_id_eval" -> langIdEval,
@@ -2563,6 +2587,21 @@ object PipelineOps {
               CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS INT) AS rank
             FROM prio)
           SELECT rank, doc_id, w, priority FROM rk WHERE rank <= $WbkK ORDER BY rank""",
+    "corpus_quality_matrix" ->
+      s"""WITH qmb AS (SELECT doc_id, source, text, ${TextOps.QualityColsSql}
+             FROM documents),
+          qmq AS (SELECT coalesce(source, 'unknown') AS source,
+              ${TextOps.QualityCaseSql} AS quality,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+            FROM qmb)
+          SELECT coalesce(source, '(all)') AS source,
+            coalesce(quality, '(all)') AS quality,
+            CAST(GROUPING(source) AS INT) AS g_source,
+            CAST(GROUPING(quality) AS INT) AS g_quality,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(toks) AS BIGINT) AS n_tokens
+          FROM qmq GROUP BY ROLLUP(source, quality)
+          ORDER BY g_source, g_quality, source, quality""",
     "sample_weighted_incremental" ->
       s"""WITH iw AS (SELECT doc_id,
             CAST(least($WbkCap, greatest(1,
