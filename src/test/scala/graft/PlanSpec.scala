@@ -654,6 +654,34 @@ class PlanSpec extends SparkSpec {
     assert(!finalOnly.contains("CartesianProduct"), plan)
   }
 
+  test("events_rollup: one Expand + one partial-agg exchange, no per-level re-scan") {
+    val plan = finalPlan(graft.ops.RefOps.queries("events_rollup")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("Expand"),
+      s"rollup must expand grouping sets in one pass, not re-scan per level:\n$plan")
+    assert(finalOnly.contains("partial_count") || finalOnly.contains("partial_sum"),
+      s"the grouped aggregate must combine map-side:\n$plan")
+    // exactly one scan of the events table feeds the rollup
+    assert(finalOnly.linesIterator.count(_.contains("Scan parquet")) <= 1,
+      s"rollup must not re-scan per grouping level:\n$plan")
+  }
+
+  test("events_pivot: explicit-values pivot stays one map-side aggregation (no distinct pre-scan)") {
+    val plan = finalPlan(graft.ops.RefOps.queries("events_pivot")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("partial_"),
+      s"the pivot cells must fold map-side:\n$plan")
+    assert(!finalOnly.contains("CartesianProduct"), plan)
+  }
+
+  test("corpus_quality_matrix: grouping-set expansion before the exchange") {
+    val plan = finalPlan(
+      graft.ops.PipelineOps.queries("corpus_quality_matrix")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("Expand"), plan)
+    assert(finalOnly.contains("partial_count") || finalOnly.contains("partial_sum"), plan)
+  }
+
   test("pack_shuffle_layout: every window is shard-partitioned (no single-partition rank)") {
     val plan = finalPlan(graft.ops.PipelineOps.queries("pack_shuffle_layout")(spark, d))
     val finalOnly = plan.split("== Initial Plan ==").head
