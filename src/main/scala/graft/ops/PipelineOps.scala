@@ -755,15 +755,20 @@ object PipelineOps {
     * properties as [[sampleBottomK]]: corpus-order-independent,
     * reproducible, and mergeable (max-of-salted-hashes is per-doc
     * state; top-k of a union = top-k of the parts' top-ks). */
+  /** The A-ES priority expression over (doc_id, w) — single-sourced so
+    * the corpus-wide draw, the per-source draw, the churn report, and
+    * the ingest twin can never rank a document differently. */
+  private val WbkPriorityExpr =
+    "array_max(transform(sequence(1, w), " +
+      "j -> md5(concat('wbk:', CAST(doc_id AS STRING), ':', CAST(j AS STRING)))))"
+
   /** (doc_id, w, priority) of any frame with doc_id + text — shared by
     * the batch draw, the churn report, and
     * [[graft.streaming.WeightedSampleIngest]] so the three can never
     * rank a document differently. */
   private[graft] def weightedPriorities(df: DataFrame): DataFrame =
     df.select(col("doc_id"), wbkWeightCol.as("w"))
-      .withColumn("priority", expr(
-        "array_max(transform(sequence(1, w), " +
-          "j -> md5(concat('wbk:', CAST(doc_id AS STRING), ':', CAST(j AS STRING)))))"))
+      .withColumn("priority", expr(WbkPriorityExpr))
 
   /** The top-[[WbkK]] weighted draw of a frame (unranked). */
   private[graft] def weightedTopK(df: DataFrame): DataFrame =
@@ -776,6 +781,32 @@ object PipelineOps {
       .withColumn("rank", row_number().over(w).cast("int"))
       .select("rank", "doc_id", "w", "priority")
       .orderBy("rank")
+  }
+
+  /** Per-source sample size for [[sampleWeightedBySource]]. */
+  private[graft] val WbkSrcK = 50
+
+  /** Per-SOURCE weighted holdouts — the group-wise form of
+    * [[sampleWeightedBottomK]]: exactly [[WbkSrcK]] token-mass-weighted
+    * docs per source, the per-domain eval sets a mixture pipeline keeps
+    * (a corpus-wide draw underrepresents small sources by
+    * construction; per-source draws don't). Same single-sourced A-ES
+    * priority; the cut is a rank window per source, which Spark
+    * executes as WindowGroupLimit — a per-partition per-group top-k
+    * BEFORE the exchange, so the shuffle carries ≤ sources×k×partitions
+    * rows, never the corpus (pinned in PlanSpec). */
+  val sampleWeightedBySource: Q = (s, d) => {
+    val w = Window.partitionBy("source")
+      .orderBy(col("priority").desc, col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source"),
+        wbkWeightCol.as("w"))
+      .withColumn("priority", expr(WbkPriorityExpr))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= WbkSrcK)
+      .select("source", "rank", "doc_id", "w", "priority")
+      .orderBy("source", "rank")
   }
 
   /** Weighted-holdout churn report — the family's lambda form (evens
@@ -1944,6 +1975,7 @@ object PipelineOps {
     "sample_weighted_eval" -> sampleWeightedEval,
     "sample_weighted_incremental" -> sampleWeightedIncremental,
     "corpus_quality_matrix" -> corpusQualityMatrix,
+    "sample_weighted_by_source" -> sampleWeightedBySource,
     "corpus_mix" -> corpusMix,
     "sample_temperature" -> sampleTemperature,
     "lang_id_eval" -> langIdEval,
@@ -2602,6 +2634,21 @@ object PipelineOps {
             CAST(SUM(toks) AS BIGINT) AS n_tokens
           FROM qmq GROUP BY ROLLUP(source, quality)
           ORDER BY g_source, g_quality, source, quality""",
+    "sample_weighted_by_source" ->
+      s"""WITH swt AS (SELECT doc_id, coalesce(source, 'unknown') AS source,
+            CAST(least($WbkCap, greatest(1,
+              len(regexp_split_to_array(trim(text), '\\s+')))) AS INT) AS w
+            FROM documents),
+          swp AS (SELECT doc_id, source, w,
+              list_max(list_transform(range(1, CAST(w AS BIGINT) + 1),
+                j -> md5('wbk:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)))) AS priority
+            FROM swt),
+          swr AS (SELECT source, doc_id, w, priority,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY priority DESC, doc_id) AS INT) AS rank
+            FROM swp)
+          SELECT source, rank, doc_id, w, priority
+          FROM swr WHERE rank <= $WbkSrcK ORDER BY source, rank""",
     "sample_weighted_incremental" ->
       s"""WITH iw AS (SELECT doc_id,
             CAST(least($WbkCap, greatest(1,

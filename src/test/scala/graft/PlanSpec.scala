@@ -654,6 +654,14 @@ class PlanSpec extends SparkSpec {
     assert(!finalOnly.contains("CartesianProduct"), plan)
   }
 
+  test("sample_weighted_by_source: per-group top-k runs as WindowGroupLimit before the exchange") {
+    val plan = finalPlan(
+      graft.ops.PipelineOps.queries("sample_weighted_by_source")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("WindowGroupLimit"),
+      s"the per-source cut must prune per-partition before the shuffle:\n$plan")
+  }
+
   test("events_rollup: one Expand + one partial-agg exchange, no per-level re-scan") {
     val plan = finalPlan(graft.ops.RefOps.queries("events_rollup")(spark, d))
     val finalOnly = plan.split("== Initial Plan ==").head
