@@ -190,6 +190,26 @@ object PipelineOps {
       .orderBy(col("df").desc, col("sh"))
       .limit(TopN)
 
+  /** Per-SOURCE top word-3-grams — the domain-boilerplate detector:
+    * corpus-wide [[ngramTopK]] surfaces what dominates EVERYWHERE, but
+    * templated headers/footers are per-domain, and a source's own
+    * hot shingles are exactly what its df-cap / strip list should be
+    * calibrated against. Group-wise top-k as a rank window →
+    * WindowGroupLimit prunes per-partition before the exchange (the
+    * [[sampleWeightedBySource]] plan class), so the shuffle carries
+    * sources×TopN×partitions rows, never the shingle frame. */
+  val ngramTopKBySource: Q = (s, d) => {
+    val w = Window.partitionBy("source").orderBy(col("df").desc, col("sh"))
+    DedupOps.docShingles(s, d)
+      .join(documents(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source")), "doc_id")
+      .groupBy("source", "sh").agg(count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= TopN)
+      .select("source", "rank", "sh", "df")
+      .orderBy("source", "rank")
+  }
+
   private[ops] val NEvalDocs = 10
 
   /** Eval-set decontamination: flag corpus documents containing ≥ half of
@@ -1981,6 +2001,7 @@ object PipelineOps {
     "lang_id_eval" -> langIdEval,
     "corpus_stats" -> corpusStats,
     "text_ngram_topk" -> ngramTopK,
+    "text_ngram_topk_by_source" -> ngramTopKBySource,
     "text_contamination" -> contamination,
     "text_contamination_excise" -> contaminationExcise,
     "pack_sequences" -> packSequences,
@@ -2855,6 +2876,18 @@ object PipelineOps {
       s"""WITH ${DedupOps.ShinglesSql}
           SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
           ORDER BY df DESC, sh LIMIT $TopN""",
+    "text_ngram_topk_by_source" ->
+      s"""WITH ${DedupOps.ShinglesSql},
+          nsrc AS (SELECT s.sh, coalesce(d.source, 'unknown') AS source
+                   FROM sh s JOIN documents d USING (doc_id)),
+          ndf AS (SELECT source, sh, CAST(COUNT(*) AS BIGINT) AS df
+                  FROM nsrc GROUP BY 1, 2),
+          nrk AS (SELECT source, sh, df,
+                    CAST(row_number() OVER (PARTITION BY source
+                      ORDER BY df DESC, sh) AS INT) AS rank
+                  FROM ndf)
+          SELECT source, rank, sh, df
+          FROM nrk WHERE rank <= $TopN ORDER BY source, rank""",
     "text_contamination" ->
       s"""WITH ${DedupOps.ShinglesSql},
           ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id < $NEvalDocs),
