@@ -319,6 +319,36 @@ object ClassifierOps {
       .orderBy("fid")
   }
 
+  /** Held-out accuracy PER SOURCE — the model-health breakdown the
+    * corpus-wide [[qualityClassifierEval]] averages away: a classifier
+    * can read 0.93 overall while silently failing one domain, and the
+    * failing domain is exactly where its filter verdicts poison the
+    * mix. Same split/train chain as the eval key; scoring joins the
+    * source dimension and folds per source (majority baseline rides
+    * along per source, so a degenerate one-class domain can't be
+    * misread as model skill). */
+  val qualityClassifierEvalBySource: Q = (s, d) => {
+    val docs = documents(s, d)
+      .withColumn("bucket", PipelineOps.splitHash(col("doc_id")))
+    val trainFeats = qcFeats(qcFeatureRows(docs.where(col("bucket") < TrainBelow)))
+      .localCheckpoint()
+    val testFeats = qcFeats(qcFeatureRows(docs.where(col("bucket") >= TestFrom)))
+      .localCheckpoint()
+    val w = qcTrainWeights(s, trainFeats)
+    qcScore(testFeats, w)
+      .join(documents(s, d).select(col("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"),
+        sum("y").cast("long").as("n_pos"))
+      .withColumn("acc_micro",
+        expr("CAST(round(CAST(n_correct * 1000000 AS DOUBLE) / n_test, 0) AS BIGINT)"))
+      .withColumn("majority_micro",
+        expr("CAST(round(CAST(greatest(n_pos, n_test - n_pos) * 1000000 AS DOUBLE) / n_test, 0) AS BIGINT)"))
+      .orderBy("source")
+  }
+
   /** Model-version rollout gate — the question a pipeline asks BEFORE
     * swapping the refreshed model in: how much of the corpus changes
     * keep-verdict, and in which direction. Scores the FULL corpus under
@@ -669,6 +699,7 @@ object ClassifierOps {
     "quality_classifier_calibration" -> qualityClassifierCalibration,
     "quality_classifier_incremental" -> qualityClassifierIncremental,
     "quality_model_diff" -> qualityModelDiff,
+    "quality_classifier_eval_by_source" -> qualityClassifierEvalBySource,
     "sample_uncertainty" -> sampleUncertainty,
     "quality_method_agreement" -> qualityMethodAgreement,
     "corpus_curate_model" -> corpusCurateModel,
@@ -734,6 +765,22 @@ object ClassifierOps {
            ${trainChainSql("", "z", QcRounds, QcIncRounds, s"SELECT fid, wm FROM w$QcRounds")}
            SELECT w.fid, w.wm AS weight_standing_micro, z.wm AS weight_micro
            FROM w$QcRounds w JOIN zw$QcIncRounds z USING (fid) ORDER BY fid""",
+    "quality_classifier_eval_by_source" ->
+      raw"""WITH ${featsSql("", s"WHERE $SplitBucketSql < $TrainBelow")},
+           ${featsSql("t_", s"WHERE $SplitBucketSql >= $TestFrom")},
+           ${trainSql("")},
+           ${scoreSql("t_")},
+           bsrc AS (SELECT t.doc_id, t.y, t.p_micro,
+                      coalesce(d.source, 'unknown') AS source
+                    FROM t_sc t JOIN documents d USING (doc_id)),
+           bag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_test,
+                     CAST(SUM(CASE WHEN (p_micro >= 500000) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                     CAST(SUM(y) AS BIGINT) AS n_pos
+                   FROM bsrc GROUP BY 1)
+           SELECT source, n_test, n_correct, n_pos,
+             CAST(round(CAST(n_correct * 1000000 AS DOUBLE) / n_test, 0) AS BIGINT) AS acc_micro,
+             CAST(round(CAST(greatest(n_pos, n_test - n_pos) * 1000000 AS DOUBLE) / n_test, 0) AS BIGINT) AS majority_micro
+           FROM bag ORDER BY source""",
     "quality_method_agreement" ->
       raw"""WITH ${featsSql("", "")},
            ${trainSql("")},
