@@ -720,6 +720,37 @@ object RefOps {
           .otherwise(round(col("total_v") / col("n_value").cast("double"), 6)))
       .orderBy("event_type")
 
+  /** TPC-H Q3-shaped macro query — the canonical 3-way
+    * dim⋈fact⋈fact analytical shape over the harness star, exercising
+    * the planner decisions the single-operator keys pin in isolation,
+    * TOGETHER: segment filter pushed into the customer scan, the
+    * filtered dim broadcast against orders, the date predicates pushed
+    * into both fact scans, revenue summed in DECIMAL (exact under any
+    * shuffle order — the [[eventsRevenueStats]] discipline, here on a
+    * decimal PRODUCT), and the top-10 cut as TakeOrderedAndProject.
+    * At 100 TB this is the query AQE re-plans mid-flight; at the
+    * harness SFs it is the macro smoke that all those pieces compose. */
+  val q3ShippingPriority: Q = (s, d) => {
+    val cut = lit("1998-06-01").cast("timestamp")
+    val cust = graft.Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = graft.Tables.orders(s, d)
+      .where(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = graft.Tables.lineitem(s, d)
+      .where(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,6)") *
+          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+          .as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum("rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** Multi-level ROLLUP report — the one relational surface the
     * registry hadn't exercised: (event_type, day) leaf cells, per-type
     * subtotals, and the grand total in ONE aggregation pass (Spark
@@ -837,6 +868,7 @@ object RefOps {
     "events_revenue_stats" -> eventsRevenueStats,
     "events_rollup" -> eventsRollup,
     "events_pivot" -> eventsPivot,
+    "q3_shipping_priority" -> q3ShippingPriority,
     "events_props_keys" -> eventsPropsKeys,
   )
 
@@ -1151,5 +1183,17 @@ object RefOps {
            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
            CAST(COUNT(*) AS BIGINT) AS n_total
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q3_shipping_priority" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1998-06-01'
+           AND l.l_shipdate > TIMESTAMP '1998-06-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l.l_orderkey LIMIT 10""",
   )
 }
