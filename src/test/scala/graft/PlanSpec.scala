@@ -662,6 +662,21 @@ class PlanSpec extends SparkSpec {
       s"the per-source cut must prune per-partition before the shuffle:\n$plan")
   }
 
+  test("q3_shipping_priority: pushed date/segment filters, broadcast dim, partial agg, heap top-k") {
+    val plan = finalPlan(
+      graft.ops.RefOps.queries("q3_shipping_priority")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("PushedFilters: [") &&
+      finalOnly.contains("IsNotNull(c_mktsegment)"),
+      s"the segment filter must reach the customer scan:\n$plan")
+    assert(finalOnly.contains("BroadcastHashJoin"),
+      s"the filtered customer dim must broadcast:\n$plan")
+    assert(finalOnly.contains("partial_sum"),
+      s"revenue must combine map-side:\n$plan")
+    assert(finalOnly.contains("TakeOrderedAndProject"),
+      s"the top-10 must be per-partition heaps, not a global sort:\n$plan")
+  }
+
   test("events_rollup: one Expand + one partial-agg exchange, no per-level re-scan") {
     val plan = finalPlan(graft.ops.RefOps.queries("events_rollup")(spark, d))
     val finalOnly = plan.split("== Initial Plan ==").head
