@@ -720,6 +720,47 @@ object RefOps {
           .otherwise(round(col("total_v") / col("n_value").cast("double"), 6)))
       .orderBy("event_type")
 
+  /** TPC-H Q1-shaped pricing summary — the scan-bound macro companion
+    * to [[q3ShippingPriority]] (join-bound): one full fact scan, a
+    * pushed date predicate, and a 6-aggregate map-side-combining fold
+    * per (returnflag, linestatus) — the shape whose 100 TB cost is
+    * pure scan bandwidth, which is why every column not aggregated
+    * must be pruned at the reader (pinned). All money math in DECIMAL
+    * (sums exact under any shuffle order), cast back for the report;
+    * averages as micro-longs off the exact sums. */
+  val q1PricingSummary: Q = (s, d) =>
+    graft.Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      // scales sized to the data's true 2-decimal money grid so the
+      // TRIPLE product stays inside DECIMAL(38): price(12,2) ×
+      // (1-disc)(5,2) × (1+tax)(5,2) → (24,6) exact in both engines —
+      // at (18,6) inputs the product needs scale 18 and precision > 38,
+      // where Spark silently rounds (allowPrecisionLoss) and DuckDB
+      // truncates DIFFERENTLY (caught live: one low-order double bit)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_discount").cast("decimal(4,2)").as("disc"),
+        col("l_tax").cast("decimal(4,2)").as("tax"))
+      .groupBy("l_returnflag", "l_linestatus")
+      // sums published as exact micro-LONGS, not doubles: at sf1 the
+      // exact charge sum already needs > 53 mantissa bits, and the two
+      // engines round the decimal→double conversion differently by one
+      // ulp (caught live) — the micro grid sidesteps conversion
+      // entirely (headroom to ~9.2e18 micro ≈ 9.2e12 currency units
+      // per group)
+      .agg(
+        (sum("qty") * 1000000).cast("long").as("sum_qty_micro"),
+        (sum("price") * 1000000).cast("long").as("sum_base_price_micro"),
+        (sum(expr("price * (1 - disc)")) * 1000000).cast("long")
+          .as("sum_disc_price_micro"),
+        (sum(expr("price * (1 - disc) * (1 + tax)")) * 1000000).cast("long")
+          .as("sum_charge_micro"),
+        count(lit(1)).as("count_order"),
+        expr("CAST(round(CAST(sum(disc) AS DOUBLE) / count(1) * 1000000, 0) AS BIGINT)")
+          .as("avg_disc_micro"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** TPC-H Q3-shaped macro query — the canonical 3-way
     * dim⋈fact⋈fact analytical shape over the harness star, exercising
     * the planner decisions the single-operator keys pin in isolation,
@@ -869,6 +910,7 @@ object RefOps {
     "events_rollup" -> eventsRollup,
     "events_pivot" -> eventsPivot,
     "q3_shipping_priority" -> q3ShippingPriority,
+    "q1_pricing_summary" -> q1PricingSummary,
     "events_props_keys" -> eventsPropsKeys,
   )
 
@@ -1195,5 +1237,20 @@ object RefOps {
            AND l.l_shipdate > TIMESTAMP '1998-06-01'
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, l.l_orderkey LIMIT 10""",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 1000000 AS BIGINT) AS sum_qty_micro,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 1000000 AS BIGINT) AS sum_base_price_micro,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))) * 1000000 AS BIGINT) AS sum_disc_price_micro,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))
+             * (1 + CAST(l_tax AS DECIMAL(4,2)))) * 1000000 AS BIGINT) AS sum_charge_micro,
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           CAST(round(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             / COUNT(*) * 1000000, 0) AS BIGINT) AS avg_disc_micro
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }
