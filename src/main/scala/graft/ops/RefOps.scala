@@ -792,6 +792,32 @@ object RefOps {
       .limit(10)
   }
 
+  /** TPC-H Q18-shaped large-volume-customer query — completes the
+    * macro trio with the GROUP-HAVING + SEMI-reduction shape: find
+    * orders whose total quantity clears a threshold (a corpus-wide
+    * aggregate with a selective HAVING — the qualifying set is tiny,
+    * ~1 % of orders at the 250 cut), then enrich ONLY those through
+    * the customer dim. Scale plan: the heavy side aggregates FIRST
+    * (map-side partial sum per order key) and everything after runs on
+    * the qualifying keys — the dims join a ~1 % frame, never the fact;
+    * the qualifying frame broadcasts into the re-join with lineitem.
+    * Quantity is integral in the data; summed as DECIMAL and published
+    * micro-long per the Q1 lesson. */
+  val q18LargeVolume: Q = (s, d) => {
+    val qty = graft.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity").cast("decimal(12,2)").as("qty"))
+    val big = qty.groupBy("l_orderkey")
+      .agg((sum("qty") * 1000000).cast("long").as("total_qty_micro"))
+      .where(col("total_qty_micro") > 250L * 1000000L)
+    big.join(graft.Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty_micro"))
+      .orderBy(col("total_qty_micro").desc, col("o_orderkey"))
+  }
+
   /** Multi-level ROLLUP report — the one relational surface the
     * registry hadn't exercised: (event_type, day) leaf cells, per-type
     * subtotals, and the grand total in ONE aggregation pass (Spark
@@ -911,6 +937,7 @@ object RefOps {
     "events_pivot" -> eventsPivot,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q1_pricing_summary" -> q1PricingSummary,
+    "q18_large_volume" -> q18LargeVolume,
     "events_props_keys" -> eventsPropsKeys,
   )
 
@@ -1252,5 +1279,16 @@ object RefOps {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '2001-09-01'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q18_large_volume" ->
+      """WITH big AS (SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 1000000 AS BIGINT) AS total_qty_micro
+             FROM lineitem GROUP BY 1
+             HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 1000000 AS BIGINT) > 250000000)
+         SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           b.total_qty_micro
+         FROM big b
+         JOIN orders o ON b.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY b.total_qty_micro DESC, o.o_orderkey""",
   )
 }
