@@ -818,6 +818,29 @@ object RefOps {
       .orderBy(col("total_qty_micro").desc, col("o_orderkey"))
   }
 
+  /** TPC-H Q4-shaped order-priority check — the EXISTS / LEFT-SEMI
+    * shape, the one join type the registry hadn't demonstrated: count
+    * orders per priority having AT LEAST ONE late lineitem (shipped
+    * > 30 days after the order date — the harness's own columns).
+    * Semi join is the scale-correct spelling: the probe side emits
+    * each order at most once regardless of how many lineitems match
+    * (an inner join + distinct would shuffle the full match
+    * multiplicity first), and the late predicate rides inside the
+    * join condition so Spark evaluates it before materializing
+    * anything. */
+  val q4OrderPriority: Q = (s, d) => {
+    val ord = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = graft.Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Multi-level ROLLUP report — the one relational surface the
     * registry hadn't exercised: (event_type, day) leaf cells, per-type
     * subtotals, and the grand total in ONE aggregation pass (Spark
@@ -938,6 +961,7 @@ object RefOps {
     "q3_shipping_priority" -> q3ShippingPriority,
     "q1_pricing_summary" -> q1PricingSummary,
     "q18_large_volume" -> q18LargeVolume,
+    "q4_order_priority" -> q4OrderPriority,
     "events_props_keys" -> eventsPropsKeys,
   )
 
@@ -1290,5 +1314,12 @@ object RefOps {
          JOIN orders o ON b.l_orderkey = o.o_orderkey
          JOIN customer c ON o.o_custkey = c.c_custkey
          ORDER BY b.total_qty_micro DESC, o.o_orderkey""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+         GROUP BY 1 ORDER BY 1""",
   )
 }
