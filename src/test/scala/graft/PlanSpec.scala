@@ -677,6 +677,21 @@ class PlanSpec extends SparkSpec {
       s"the top-10 must be per-partition heaps, not a global sort:\n$plan")
   }
 
+  test("q4_order_priority: EXISTS runs as LeftSemi with the late predicate inside the join") {
+    val plan = finalPlan(graft.ops.RefOps.queries("q4_order_priority")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("LeftSemi"),
+      s"EXISTS must not materialize match multiplicity:\n$plan")
+  }
+
+  test("anti_churned_customers: NOT EXISTS runs as LeftAnti; date filter pushed to the orders scan") {
+    val plan = finalPlan(graft.ops.RefOps.queries("anti_churned_customers")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("LeftAnti"), plan)
+    assert(finalOnly.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate"),
+      s"the activity cut must reach the orders scan:\n$plan")
+  }
+
   test("events_rollup: one Expand + one partial-agg exchange, no per-level re-scan") {
     val plan = finalPlan(graft.ops.RefOps.queries("events_rollup")(spark, d))
     val finalOnly = plan.split("== Initial Plan ==").head
