@@ -861,6 +861,28 @@ object RefOps {
       .orderBy("c_custkey")
   }
 
+  /** TPC-H Q17-shaped small-quantity-order revenue — the CORRELATED
+    * AGGREGATE shape (lineitems below 20 % of their part's average
+    * quantity). The Spark side is written in the decorrelated form the
+    * optimizer would produce anyway — per-part (sum, count) once, then
+    * one equi-join back — while the oracle keeps the correlated
+    * subquery spelling and DuckDB decorrelates it itself; the compare
+    * pins that both roads meet. The threshold is EXACT integers:
+    * qty < 0.2·avg ⟺ 5·qty·cnt < sum (quantity is integral in the
+    * data), so no division or double ever enters the predicate; the
+    * revenue total is decimal→micro-long per the Q1 lesson. */
+  val q17SmallQuantity: Q = (s, d) => {
+    val li = graft.Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"))
+    val stats = li.groupBy("l_partkey")
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(stats, "l_partkey")
+      .where(col("qty") * 5L * col("cnt") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        (sum("price") * 1000000).cast("long").as("revenue_micro"))
+  }
+
   /** Multi-level ROLLUP report — the one relational surface the
     * registry hadn't exercised: (event_type, day) leaf cells, per-type
     * subtotals, and the grand total in ONE aggregation pass (Spark
@@ -983,6 +1005,7 @@ object RefOps {
     "q18_large_volume" -> q18LargeVolume,
     "q4_order_priority" -> q4OrderPriority,
     "anti_churned_customers" -> antiChurnedCustomers,
+    "q17_small_quantity" -> q17SmallQuantity,
     "events_props_keys" -> eventsPropsKeys,
   )
 
@@ -1349,5 +1372,13 @@ object RefOps {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderdate > TIMESTAMP '2001-01-01')
          ORDER BY c_custkey""",
+    "q17_small_quantity" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(12,2))) * 1000000 AS BIGINT) AS revenue_micro
+         FROM lineitem l1
+         WHERE CAST(l1.l_quantity AS BIGINT) * 5 *
+               (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+             < (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem l3
+                WHERE l3.l_partkey = l1.l_partkey)""",
   )
 }
