@@ -799,10 +799,12 @@ object RefOps {
     * ~1 % of orders at the 250 cut), then enrich ONLY those through
     * the customer dim. Scale plan: the heavy side aggregates FIRST
     * (map-side partial sum per order key) and everything after runs on
-    * the qualifying keys — the dims join a ~1 % frame, never the fact;
-    * the qualifying frame broadcasts into the re-join with lineitem.
-    * Quantity is integral in the data; summed as DECIMAL and published
-    * micro-long per the Q1 lesson. */
+    * the qualifying keys — the dims join a ~1 % frame, never the fact.
+    * No re-join with lineitem is needed at all: the aggregate's own
+    * `total_qty_micro` IS the reported quantity, so the fact is
+    * touched exactly once (PlanSpec pins the aggregate-before-any-join
+    * shape). Quantity is integral in the data; summed as DECIMAL and
+    * published micro-long per the Q1 lesson. */
   val q18LargeVolume: Q = (s, d) => {
     val qty = graft.Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_quantity").cast("decimal(12,2)").as("qty"))

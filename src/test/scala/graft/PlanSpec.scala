@@ -662,6 +662,71 @@ class PlanSpec extends SparkSpec {
       s"the per-source cut must prune per-partition before the shuffle:\n$plan")
   }
 
+  test("q1_pricing_summary: one pruned lineitem scan feeds the partial fold; one group exchange") {
+    val plan = finalPlan(
+      graft.ops.RefOps.queries("q1_pricing_summary")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    // scan-bound shape: exactly ONE fact scan — the 6 aggregates fold in
+    // a single pass, never a per-aggregate re-scan
+    assert(finalOnly.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"Q1 must read lineitem exactly once:\n$plan")
+    // the date cut reaches the reader...
+    assert(finalOnly.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"the shipdate predicate must reach the scan:\n$plan")
+    // ...and columns not aggregated are pruned there (100 TB cost is
+    // scan bandwidth; reading l_orderkey/l_comment would be paying for
+    // bytes the query never touches)
+    val readSchema = finalOnly.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_comment"),
+      s"the reader must prune to the 7 referenced columns:\n$readSchema")
+    // map-side combine, then exactly one hash exchange on the group keys
+    // (the trailing sort's range exchange moves 6 rows; the group
+    // exchange is the only one that sees data)
+    assert(finalOnly.contains("partial_sum"),
+      s"the 6-aggregate fold must combine map-side:\n$plan")
+    assert(finalOnly.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"one group-key exchange only:\n$plan")
+  }
+
+  test("q17_small_quantity: decorrelated to ONE equi-join — no cartesian, no per-row subquery") {
+    val plan = finalPlan(
+      graft.ops.RefOps.queries("q17_small_quantity")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    val joins = finalOnly.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(joins == 1,
+      s"the correlated aggregate must decorrelate to exactly one equi-join, saw $joins:\n$plan")
+    assert(!finalOnly.contains("CartesianProduct") &&
+      !finalOnly.contains("BroadcastNestedLoopJoin"),
+      s"no per-row subquery execution:\n$plan")
+    // the per-part (sum, count) stats combine map-side before their exchange
+    assert(finalOnly.contains("partial_sum"), plan)
+  }
+
+  test("q18_large_volume: lineitem aggregates BEFORE any join (dims join the qualifying frame, never the fact)") {
+    val plan = finalPlan(
+      graft.ops.RefOps.queries("q18_large_volume")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    val lines = finalOnly.linesIterator.toSeq
+    // tree text prints ancestors above descendants: the lineitem scan's
+    // NEAREST enclosing operator chain must hit the HashAggregate before
+    // any join — i.e. the last aggregate printed above the l_quantity
+    // scan sits BELOW (after) the last join printed above it
+    val scanIdx = lines.indexWhere(l => l.contains("Scan parquet") && l.contains("l_quantity"))
+    assert(scanIdx >= 0, s"no lineitem scan found:\n$plan")
+    val lastAggAbove = lines.take(scanIdx).lastIndexWhere(_.contains("HashAggregate"))
+    val lastJoinAbove = lines.take(scanIdx).lastIndexWhere(l =>
+      l.contains("Join") && !l.contains("ReusedExchange"))
+    assert(lastAggAbove >= 0, s"lineitem must feed a HashAggregate:\n$plan")
+    assert(lastJoinAbove < lastAggAbove,
+      s"the fact must aggregate to qualifying keys BEFORE joining dims:\n$plan")
+    assert(finalOnly.contains("partial_sum"),
+      s"the per-order quantity sum must combine map-side:\n$plan")
+    assert(!finalOnly.contains("CartesianProduct"), plan)
+  }
+
   test("q3_shipping_priority: pushed date/segment filters, broadcast dim, partial agg, heap top-k") {
     val plan = finalPlan(
       graft.ops.RefOps.queries("q3_shipping_priority")(spark, d))
