@@ -75,7 +75,7 @@ class DeterminismSpec extends SparkSpec {
     "events_hll_incremental", // full-outer register max-merge
     "dedup_pagerank",        // 8 unrolled integer-mass damped rounds
     "corpus_quantile_sketch", // bounded-cell CDF + integer interpolation
-    "text_bigram_nll",       // sorted transition fold over doubles
+    "text_bigram_nll",       // nano-grid integer transition fold
     "emb_project_rp_eval",   // in-row folds + integer micro mean
     "dedup_graph_stats",     // oriented-edge triangle joins, exact integers
     "dedup_method_agreement", // pair-set jaccards over three generators
