@@ -885,6 +885,83 @@ object RefOps {
         (sum("price") * 1000000).cast("long").as("revenue_micro"))
   }
 
+  /** Left-outer dim enrichment — the incomplete-dimension join every
+    * real pipeline runs daily (the dim snapshot lags the fact stream:
+    * late CDC, partial exports, new keys not yet in the warehouse).
+    * Here the customer snapshot holds only two segments, and every
+    * order must SURVIVE enrichment anyway: LEFT OUTER preserves the
+    * fact row, and the null discipline is explicit — coalesce to
+    * 'unknown'/'(none)' labels plus a `matched` flag, so downstream
+    * aggregations can both count the coverage gap and group on it
+    * (a raw null would sort NULLS FIRST in Spark / NULLS LAST in
+    * DuckDB, the [[eventsRevenueStats]] lesson). Scale plan: the dim
+    * side broadcasts (a filtered dim is the canonical broadcast
+    * candidate — even a 10⁹-row customer dim prunes to its snapshot
+    * segments before shipping); the fact never shuffles. PlanSpec pins
+    * LeftOuter + BroadcastHashJoin + no fact-side exchange. */
+  val joinLeftOuterEnrich: Q = (s, d) => {
+    val dim = graft.Tables.customer(s, d)
+      .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select("c_custkey", "c_name", "c_mktsegment")
+    graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey")
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_outer")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("c_name"), lit("unknown")).as("cust_name"),
+        coalesce(col("c_mktsegment"), lit("(none)")).as("segment"),
+        when(col("c_custkey").isNotNull, 1).otherwise(0).cast("int").as("matched"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Deterministic "refreshed" corpus twin for the set-op keys: the
+    * standing documents table after one simulated re-crawl — every
+    * tenth document decommissioned (dropped from the refresh) and every
+    * seventh re-extracted with revised content. Both mutations are
+    * doc_id arithmetic, so the oracle reproduces the twin exactly. */
+  private def refreshedDocs(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d)
+      .where(pmod(col("doc_id"), lit(10)) =!= 3)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+
+  /** Standing-vs-refreshed corpus reconciliation, the EXCEPT half — the
+    * set-subtract a training pipeline runs when a source re-crawls:
+    * which standing documents are GONE from the refresh (decommissioned
+    * or content-changed)? Spelled as a true set operation (EXCEPT
+    * DISTINCT → LeftAnti + aggregate under the hood, PlanSpec-pinned),
+    * not a manual anti join, because set semantics are the point: a
+    * document is in the delta by (id, content) membership, once,
+    * regardless of row multiplicity. Content is compared by md5
+    * FINGERPRINT, not raw text — the 100 TB spelling: the set-op
+    * shuffle keys on 32 hex chars per row instead of whole document
+    * bodies (the [[graft.ops.TextOps.fingerprint]] discipline; md5(NULL)
+    * is NULL in both engines and set ops treat NULLs as equal, so
+    * null-text documents reconcile correctly). ~23 % of the corpus at
+    * any SF (1/10 dropped + 6/70 revised) — non-vacuous by
+    * construction. */
+  val setExceptRefresh: Q = (s, d) => {
+    val standing = graft.Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val refreshed = refreshedDocs(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    standing.except(refreshed).select("doc_id").orderBy("doc_id")
+  }
+
+  /** The INTERSECT half of [[setExceptRefresh]]: documents UNCHANGED
+    * across the refresh — same id, same content fingerprint — the set
+    * every incremental pipeline skips re-processing (re-embedding,
+    * re-scoring) on. INTERSECT DISTINCT plans as LeftSemi + aggregate
+    * (PlanSpec-pinned); same md5-fingerprint key discipline as the
+    * EXCEPT half. ~77 % of the corpus at any SF. */
+  val setIntersectRefresh: Q = (s, d) => {
+    val standing = graft.Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val refreshed = refreshedDocs(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    standing.intersect(refreshed).select("doc_id").orderBy("doc_id")
+  }
+
   /** Multi-level ROLLUP report — the one relational surface the
     * registry hadn't exercised: (event_type, day) leaf cells, per-type
     * subtotals, and the grand total in ONE aggregation pass (Spark
@@ -1009,6 +1086,9 @@ object RefOps {
     "anti_churned_customers" -> antiChurnedCustomers,
     "q17_small_quantity" -> q17SmallQuantity,
     "events_props_keys" -> eventsPropsKeys,
+    "join_left_outer_enrich" -> joinLeftOuterEnrich,
+    "set_except_refresh" -> setExceptRefresh,
+    "set_intersect_refresh" -> setIntersectRefresh,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1300,6 +1380,36 @@ object RefOps {
          FROM (SELECT unnest(list_distinct(json_keys(props))) AS key FROM events
                WHERE props IS NOT NULL AND json_valid(props))
          GROUP BY key ORDER BY key""",
+    "join_left_outer_enrich" ->
+      """WITH dim AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
+               WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE'))
+         SELECT o_orderkey, o_custkey,
+           coalesce(c_name, 'unknown') AS cust_name,
+           coalesce(c_mktsegment, '(none)') AS segment,
+           CAST(CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS INT) AS matched
+         FROM orders LEFT JOIN dim ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    // the refreshed-corpus twin (every 10th doc dropped, every 7th
+    // revised) is doc_id arithmetic, reproduced verbatim in both set-op
+    // oracles; content compared by md5 fingerprint as in the Spark side
+    "set_except_refresh" ->
+      """WITH refreshed AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+             FROM documents WHERE doc_id % 10 <> 3)
+         SELECT doc_id FROM
+           (SELECT doc_id, md5(text) AS fp FROM documents
+            EXCEPT
+            SELECT doc_id, md5(text) AS fp FROM refreshed)
+         ORDER BY doc_id""",
+    "set_intersect_refresh" ->
+      """WITH refreshed AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+             FROM documents WHERE doc_id % 10 <> 3)
+         SELECT doc_id FROM
+           (SELECT doc_id, md5(text) AS fp FROM documents
+            INTERSECT
+            SELECT doc_id, md5(text) AS fp FROM refreshed)
+         ORDER BY doc_id""",
     "events_rollup" ->
       """WITH rev AS (SELECT coalesce(event_type, 'unknown') AS event_type,
                coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'unknown') AS day,

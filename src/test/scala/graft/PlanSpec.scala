@@ -757,6 +757,41 @@ class PlanSpec extends SparkSpec {
       s"the activity cut must reach the orders scan:\n$plan")
   }
 
+  test("join_left_outer_enrich: LeftOuter broadcast — the fact side never shuffles") {
+    val plan = finalPlan(
+      graft.ops.RefOps.queries("join_left_outer_enrich")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("BroadcastHashJoin") && finalOnly.contains("LeftOuter"),
+      s"the incomplete dim must broadcast into a LeftOuter join:\n$plan")
+    // only the broadcast exchange and the final sort's range exchange
+    // may appear — a hash exchange would mean the fact shuffled
+    assert(!finalOnly.contains("Exchange hashpartitioning"),
+      s"the fact side must not shuffle for a broadcast enrichment:\n$plan")
+    // the segment snapshot filter reaches the dim scan
+    assert(finalOnly.contains("In(c_mktsegment"),
+      s"the snapshot filter must reach the customer scan:\n$plan")
+  }
+
+  test("set_except_refresh: EXCEPT plans as LeftAnti + distinct aggregate, no cartesian") {
+    val plan = finalPlan(graft.ops.RefOps.queries("set_except_refresh")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("LeftAnti"),
+      s"EXCEPT must set-subtract as an anti join:\n$plan")
+    assert(finalOnly.contains("HashAggregate"),
+      s"EXCEPT DISTINCT needs its dedup aggregate:\n$plan")
+    assert(!finalOnly.contains("CartesianProduct"), plan)
+  }
+
+  test("set_intersect_refresh: INTERSECT plans as LeftSemi + distinct aggregate, no cartesian") {
+    val plan = finalPlan(graft.ops.RefOps.queries("set_intersect_refresh")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("LeftSemi"),
+      s"INTERSECT must membership-probe as a semi join:\n$plan")
+    assert(finalOnly.contains("HashAggregate"),
+      s"INTERSECT DISTINCT needs its dedup aggregate:\n$plan")
+    assert(!finalOnly.contains("CartesianProduct"), plan)
+  }
+
   test("events_rollup: one Expand + one partial-agg exchange, no per-level re-scan") {
     val plan = finalPlan(graft.ops.RefOps.queries("events_rollup")(spark, d))
     val finalOnly = plan.split("== Initial Plan ==").head
