@@ -564,6 +564,9 @@ object Bench {
     * diffed archives by hand — this makes the diff part of the artifact. */
   private val RegressionRatio =
     sys.env.get("SPARK_GRAFT_REGRESSION_RATIO").map(_.toDouble).getOrElse(2.0)
+  /** Test-visible copy of [[RegressionRatio]] (BenchGateSpec pins the
+    * masking scenario against the live threshold, not a stale copy). */
+  private[graft] def testRegressionRatio: Double = RegressionRatio
   private val RegressionMinSec = 0.3
   /** Past this many flagged keys the run exits nonzero: one or two keys
     * over 2× is usually honest suite growth (a new family warming a
@@ -572,9 +575,19 @@ object Bench {
   private val RegressionMax =
     sys.env.get("SPARK_GRAFT_REGRESSION_MAX").map(_.toInt).getOrElse(5)
 
-  /** Newest prior archive for this sf tag, searching the committed
-    * round shelf first, then this round's own target/ output. */
-  private[graft] def latestArchive(sfTag: String): Option[java.nio.file.Path] = {
+  /** How many recent same-sf archives the regression baseline pools.
+    * One archive is a single observation: a CONTENDED prior run (the r9
+    * judge measured 286.6 vs 201.7 s for identical code at different
+    * background load) would inflate every per-key baseline and let real
+    * regressions hide under it. Per-key MINIMA over the newest few
+    * archives make the baseline "the best this key has recently run",
+    * which a co-tenant can only tighten, never loosen. */
+  private val RegressionBaselineRuns =
+    sys.env.get("SPARK_GRAFT_REGRESSION_BASELINE_RUNS").map(_.toInt).getOrElse(3)
+
+  /** All prior archives for this sf tag, oldest→newest, searching the
+    * committed round shelf and this round's own target/ output. */
+  private[graft] def archivesFor(sfTag: String): Seq[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
     val pat = ("bench_" + java.util.regex.Pattern.quote(sfTag) +
       "_\\d{8}_\\d{6}\\.json").r
@@ -586,32 +599,45 @@ object Bench {
     }.filter(p => pat.pattern.matcher(p.getFileName.toString).matches())
     // the stamp is the filename suffix, so lexicographic order on it IS
     // chronological order regardless of which directory a file sits in
-    cands.sortBy(_.getFileName.toString.takeRight(20)).lastOption
+    cands.sortBy(_.getFileName.toString.takeRight(20))
   }
 
-  /** The PRIMARY pass's per-query medians from an archived full line:
-    * first `"queries":{...}` object (the scale pass's nested copy comes
-    * later in the line). Values are flat numbers, so the first `}` ends
-    * the object. */
+  /** Newest prior archive for this sf tag. */
+  private[graft] def latestArchive(sfTag: String): Option[java.nio.file.Path] =
+    archivesFor(sfTag).lastOption
+
+  /** The PRIMARY pass's per-query medians from an archived full line —
+    * the TOP-LEVEL `queries` object (the scale pass's copy is nested
+    * under `scale`, so a real JSON parse distinguishes them for free).
+    * Jackson (on the Spark classpath) replaced the r9 substring scan,
+    * which silently corrupted the baseline if any earlier field's
+    * serialized form ever contained `"queries":{`. */
   private[graft] def archiveMedians(path: java.nio.file.Path): Map[String, Double] = {
-    val line = new String(java.nio.file.Files.readAllBytes(path),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val tag = "\"queries\":{"
-    val i = line.indexOf(tag)
-    if (i < 0) Map.empty else {
-      val start = i + tag.length
-      val end = line.indexOf('}', start)
-      if (end < 0) Map.empty
-      else line.substring(start, end).split(',').toSeq.flatMap { kv =>
-        kv.split(':') match {
-          case Array(k, v) =>
-            try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
-            catch { case _: NumberFormatException => None }
-          case _ => None
-        }
-      }.toMap
-    }
+    import scala.jdk.CollectionConverters._
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(path))
+      val q = root.get("queries")
+      if (q == null || !q.isObject) Map.empty
+      else q.properties().asScala
+        .filter(_.getValue.isNumber)
+        .map(e => e.getKey -> e.getValue.asDouble())
+        .toMap
+    } catch { case _: java.io.IOException => Map.empty }
   }
+
+  /** Pooled per-key baseline: the MIN median per key across the given
+    * archives (non-positive entries are failed/skipped keys, never a
+    * baseline). See [[RegressionBaselineRuns]] for why min-of-recent
+    * beats newest-only. */
+  private[graft] def baselineMedians(
+      paths: Seq[java.nio.file.Path]): Map[String, Double] =
+    paths.map(archiveMedians).foldLeft(Map.empty[String, Double]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (k, v)) =>
+        if (v <= 0) a
+        else a.updated(k, a.get(k).fold(v)(math.min(_, v)))
+      }
+    }
 
   /** --quick inner-loop tier: one representative key per family prefix
     * (the segment before the first '_'), single pass, no gauges, no
@@ -651,10 +677,11 @@ object Bench {
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("unknown")
     val (regressionsJson, regressionCount) =
       if (quick) ("", 0)
-      else latestArchive(sfTag) match {
-        case None => (s""","regressions":{},"regressions_baseline":null""", 0)
-        case Some(base) =>
-          val prev = archiveMedians(base)
+      else {
+        val bases = archivesFor(sfTag).takeRight(RegressionBaselineRuns)
+        if (bases.isEmpty) (s""","regressions":{},"regressions_baseline":[]""", 0)
+        else {
+          val prev = baselineMedians(bases)
           val flagged = primary.results.collect {
             case (n, cur) if cur >= RegressionMinSec &&
                 prev.get(n).exists(p => p > 0 && cur / p > RegressionRatio) =>
@@ -665,8 +692,10 @@ object Bench {
               ",\"ratio\":" + String.format(java.util.Locale.ROOT, "%.2f",
                 Double.box(c / p)) + "}"
           }.mkString("{", ",", "}")
-          (s""","regressions":$json,"regressions_baseline":${jsonStr(base.toString)}""",
+          val baseList = bases.map(p => jsonStr(p.toString)).mkString("[", ",", "]")
+          (s""","regressions":$json,"regressions_baseline":$baseList""",
             flagged.size)
+        }
       }
 
     // ---- 10× scale curve --------------------------------------------

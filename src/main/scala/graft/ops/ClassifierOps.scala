@@ -222,16 +222,31 @@ object ClassifierOps {
     * fingerprint changes and the model retrains instead of silently
     * serving stale weights against a freshly-retrained oracle. */
   private def corpusFingerprint(d: String): String = {
+    // listFiles() returns NULL (not empty) on an unreadable dir or a
+    // concurrent delete; degrade to a path-only fingerprint rather than
+    // NPE before training starts — worst case the cache key is coarser
+    // for that dir, never wrong for a different one
     def ls(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(ls)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .toSeq.sortBy(_.getName).flatMap(ls)
       else Seq(f)
     val root = new java.io.File(d, "documents.parquet")
-    ls(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    val files = ls(root)
+    if (files.isEmpty) s"pathonly:${root.getPath}"
+    else files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString("|")
   }
 
   private def standingWeights(s: SparkSession, d: String): DataFrame = {
     val key = d + "#" + corpusFingerprint(d)
+    // one live model per corpus path: a regenerated temp dir (test
+    // suites churning fixtures) changes the fingerprint, and the
+    // superseded entry would otherwise live for the JVM — evict every
+    // other fingerprint for this dir before (possibly) training anew
+    weightsLazyCache.keys
+      .filter(k => k.startsWith(d + "#") && k != key)
+      .foreach(weightsLazyCache.remove)
     // putIfAbsent of a lazy thunk, not getOrElseUpdate: two concurrent
     // first callers (parallel bench/verify threads) must share ONE
     // 12-round GD training for the once-per-JVM cost claim to hold

@@ -26,8 +26,16 @@ import org.apache.spark.sql.functions._
   * touched, then two renames swap it in with the displaced log parked
   * at `<path>.old` until the swap completes. A crash leaves either the
   * old log, the old log plus a stale tmp (overwritten on retry), or
-  * the new log — never a half-log. Single-writer is the supported
-  * mode (the same assumption every ingest in this shelf states). */
+  * the new log — never a HALF-log — with one narrow exception the r9
+  * advisor caught: a crash BETWEEN the two renames leaves the store
+  * path empty and the intact old log parked at `.old`. That window is
+  * self-healing on the next compaction attempt
+  * ([[recoverIfInterrupted]] runs at swapIn entry and restores `.old`
+  * before touching anything); a reader hitting the window early can
+  * call [[recoverIfInterrupted]] itself — the restore is a single
+  * rename, idempotent, and never races the fold (single-writer is the
+  * supported mode, the same assumption every ingest in this shelf
+  * states). */
 object IndexCompaction {
 
   /** Parquet file count of a log directory (the gauge compaction
@@ -37,6 +45,25 @@ object IndexCompaction {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0
     else fs.listStatus(p).count(st => st.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Heal the between-renames crash window: if the live log is MISSING
+    * and an `.old` parking exists, a prior compaction died after
+    * parking the log and before swapping the fold in — restore the
+    * parked log (the fold attempt is abandoned; its `.compact` tmp, if
+    * any, is overwritten by the next attempt). Returns true when a
+    * restore happened. No-op in every healthy state, including "both
+    * exist" (a crash after the second rename, where the live log is
+    * already the new fold and `.old` is just un-deleted garbage). */
+  def recoverIfInterrupted(s: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bak = new Path(path + ".old")
+    if (!fs.exists(p) && fs.exists(bak)) {
+      if (!fs.rename(bak, p))
+        sys.error(s"compaction recovery: could not restore $bak to $path")
+      true
+    } else false
   }
 
   /** Write `folded` beside `path`, then swap it in atomically-enough:
@@ -68,6 +95,7 @@ object IndexCompaction {
   def compactTopK(s: SparkSession, path: String,
       order: Seq[org.apache.spark.sql.Column], k: Int,
       valueCols: Seq[String]): Unit = {
+    recoverIfInterrupted(s, path)
     val folded = s.read.parquet(path)
       .select(valueCols.map(col): _*).distinct()
       .orderBy(order: _*).limit(k)
@@ -91,6 +119,7 @@ object IndexCompaction {
     * an argument this harness can't check; the idempotent folds need
     * no such argument. */
   def compactMaxFold(s: SparkSession, path: String, valueCol: String): Unit = {
+    recoverIfInterrupted(s, path)
     val log = s.read.parquet(path)
     val keyCols = log.columns.filterNot(_ == valueCol).toSeq
     val folded = log.groupBy(keyCols.map(col): _*)
@@ -104,6 +133,7 @@ object IndexCompaction {
     * except `word` is part of the key, so the same code serves the
     * flat (word_idx) and sharded (shard, word_idx) layouts). */
   def compactBloomWords(s: SparkSession, path: String): Unit = {
+    recoverIfInterrupted(s, path)
     val log = s.read.parquet(path)
     val keyCols = log.columns.filterNot(_ == "word").toSeq
     val folded = log.groupBy(keyCols.map(col): _*)
