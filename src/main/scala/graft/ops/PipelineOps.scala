@@ -806,25 +806,42 @@ object PipelineOps {
   /** Per-source sample size for [[sampleWeightedBySource]]. */
   private[graft] val WbkSrcK = 50
 
+  /** (source, doc_id, w, priority) of any frame with doc_id + source +
+    * text — the per-source form of [[weightedPriorities]], shared by
+    * the batch draw and [[graft.streaming.WeightedBySourceIngest]] so
+    * the two can never rank a document differently (same single-sourced
+    * A-ES priority, same null-source coalesce). */
+  private[graft] def weightedSourcePriorities(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source"),
+        wbkWeightCol.as("w"))
+      .withColumn("priority", expr(WbkPriorityExpr))
+
+  /** The per-source top-[[WbkSrcK]] weighted draw of a frame
+    * (unranked). The cut is a rank window per source, which Spark
+    * executes as WindowGroupLimit — a per-partition per-group top-k
+    * BEFORE the exchange, so the shuffle carries ≤ sources×k×partitions
+    * rows, never the corpus (pinned in PlanSpec). */
+  private[graft] def weightedSourceTopK(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("priority").desc, col("doc_id"))
+    weightedSourcePriorities(df)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= WbkSrcK)
+      .select("source", "doc_id", "w", "priority")
+  }
+
   /** Per-SOURCE weighted holdouts — the group-wise form of
     * [[sampleWeightedBottomK]]: exactly [[WbkSrcK]] token-mass-weighted
     * docs per source, the per-domain eval sets a mixture pipeline keeps
     * (a corpus-wide draw underrepresents small sources by
-    * construction; per-source draws don't). Same single-sourced A-ES
-    * priority; the cut is a rank window per source, which Spark
-    * executes as WindowGroupLimit — a per-partition per-group top-k
-    * BEFORE the exchange, so the shuffle carries ≤ sources×k×partitions
-    * rows, never the corpus (pinned in PlanSpec). */
+    * construction; per-source draws don't). Cut + plan shape:
+    * [[weightedSourceTopK]]. */
   val sampleWeightedBySource: Q = (s, d) => {
     val w = Window.partitionBy("source")
       .orderBy(col("priority").desc, col("doc_id"))
-    documents(s, d)
-      .select(col("doc_id"),
-        coalesce(col("source"), lit("unknown")).as("source"),
-        wbkWeightCol.as("w"))
-      .withColumn("priority", expr(WbkPriorityExpr))
+    weightedSourceTopK(documents(s, d))
       .withColumn("rank", row_number().over(w).cast("int"))
-      .where(col("rank") <= WbkSrcK)
       .select("source", "rank", "doc_id", "w", "priority")
       .orderBy("source", "rank")
   }
@@ -849,6 +866,52 @@ object PipelineOps {
         coalesce(col("in_merged"), lit(false)).as("in_merged"))
       .withColumn("evicted", col("in_standing") && !col("in_merged"))
       .orderBy(col("priority").desc, col("doc_id"))
+  }
+
+  /** Churn-instrument sample size for
+    * [[sampleWeightedBySourceIncremental]] — deliberately SMALLER than
+    * [[WbkSrcK]]: the harness corpus carries exactly 25 docs per source
+    * at the verify SFs, so a k ≥ 25 per-source cut never engages there
+    * and a churn report against it would be structurally zero. k = 12
+    * keeps the instrument non-vacuous at every SF; churn RATE is what
+    * it measures, and that is k-independent to first order (expected
+    * churn ≈ k × batch token share within the source). */
+  private[graft] val WbkSrcChurnK = 12
+
+  /** Per-source weighted-holdout churn report — the group-wise lambda
+    * form of [[sampleWeightedIncremental]]: which standing per-source
+    * draw members the merged corpus EVICTED, per source. This is the
+    * drift gauge for the per-domain eval sets twin #39 maintains: a
+    * small source refreshed hard can churn 100 % while the corpus-wide
+    * churn number reads 5 % — per-source rates are exactly what the
+    * corpus report averages away. TWO deliberate deviations from the
+    * family's evens/odds lambda, both forced by the harness corpus and
+    * stated rather than hidden: the split is THIRDS (doc_id % 3 ≠ 1
+    * standing, % 3 = 1 the batch) because source assignment is
+    * parity-pure here (every source is all-even or all-odd doc_ids —
+    * an evens/odds lambda would give half the sources an empty standing
+    * draw and the other half a batch that adds nothing), and the cut is
+    * [[WbkSrcChurnK]] (see its scaladoc). Both draws are
+    * WindowGroupLimit cuts; the join is sources×k-domain. */
+  val sampleWeightedBySourceIncremental: Q = (s, d) => {
+    def cut(df: DataFrame) = {
+      val w = Window.partitionBy("source")
+        .orderBy(col("priority").desc, col("doc_id"))
+      weightedSourcePriorities(df)
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .where(col("rank") <= WbkSrcChurnK)
+        .select("source", "doc_id", "w", "priority")
+    }
+    val standing = cut(documents(s, d).where(pmod(col("doc_id"), lit(3)) =!= 1))
+      .withColumn("in_standing", lit(true))
+    val merged = cut(documents(s, d))
+      .withColumn("in_merged", lit(true))
+    standing.join(merged, Seq("source", "doc_id", "w", "priority"), "full_outer")
+      .select(col("source"), col("doc_id"), col("w"), col("priority"),
+        coalesce(col("in_standing"), lit(false)).as("in_standing"),
+        coalesce(col("in_merged"), lit(false)).as("in_merged"))
+      .withColumn("evicted", col("in_standing") && !col("in_merged"))
+      .orderBy(col("source"), col("priority").desc, col("doc_id"))
   }
 
   /** The size-bias audit of [[sampleWeightedBottomK]]: mean tokens per
@@ -1996,6 +2059,7 @@ object PipelineOps {
     "sample_weighted_incremental" -> sampleWeightedIncremental,
     "corpus_quality_matrix" -> corpusQualityMatrix,
     "sample_weighted_by_source" -> sampleWeightedBySource,
+    "sample_weighted_by_source_incremental" -> sampleWeightedBySourceIncremental,
     "corpus_mix" -> corpusMix,
     "sample_temperature" -> sampleTemperature,
     "lang_id_eval" -> langIdEval,
@@ -2670,6 +2734,36 @@ object PipelineOps {
             FROM swp)
           SELECT source, rank, doc_id, w, priority
           FROM swr WHERE rank <= $WbkSrcK ORDER BY source, rank""",
+    "sample_weighted_by_source_incremental" ->
+      s"""WITH csw AS (SELECT doc_id, coalesce(source, 'unknown') AS source,
+            CAST(least($WbkCap, greatest(1,
+              len(regexp_split_to_array(trim(text), '\\s+')))) AS INT) AS w
+            FROM documents),
+          csp AS (SELECT doc_id, source, w,
+              list_max(list_transform(range(1, CAST(w AS BIGINT) + 1),
+                j -> md5('wbk:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)))) AS priority
+            FROM csw),
+          cst AS (SELECT source, doc_id, w, priority FROM (
+                    SELECT source, doc_id, w, priority,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY priority DESC, doc_id) AS rk
+                    FROM csp WHERE doc_id % 3 <> 1) WHERE rk <= $WbkSrcChurnK),
+          cmg AS (SELECT source, doc_id, w, priority FROM (
+                    SELECT source, doc_id, w, priority,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY priority DESC, doc_id) AS rk
+                    FROM csp) WHERE rk <= $WbkSrcChurnK),
+          cj AS (SELECT COALESCE(cst.source, cmg.source) AS source,
+                   COALESCE(cst.doc_id, cmg.doc_id) AS doc_id,
+                   COALESCE(cst.w, cmg.w) AS w,
+                   COALESCE(cst.priority, cmg.priority) AS priority,
+                   cst.doc_id IS NOT NULL AS in_standing,
+                   cmg.doc_id IS NOT NULL AS in_merged
+                 FROM cst FULL OUTER JOIN cmg
+                   ON cst.source = cmg.source AND cst.doc_id = cmg.doc_id)
+          SELECT source, doc_id, w, priority, in_standing, in_merged,
+            (in_standing AND NOT in_merged) AS evicted
+          FROM cj ORDER BY source, priority DESC, doc_id""",
     "sample_weighted_incremental" ->
       s"""WITH iw AS (SELECT doc_id,
             CAST(least($WbkCap, greatest(1,

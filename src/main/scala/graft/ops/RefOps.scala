@@ -915,15 +915,23 @@ object RefOps {
 
   /** Deterministic "refreshed" corpus twin for the set-op keys: the
     * standing documents table after one simulated re-crawl — every
-    * tenth document decommissioned (dropped from the refresh) and every
-    * seventh re-extracted with revised content. Both mutations are
-    * doc_id arithmetic, so the oracle reproduces the twin exactly. */
+    * tenth document decommissioned (dropped from the refresh), every
+    * seventh re-extracted with revised content, and one NEWLY CRAWLED
+    * document per ~nine standing (keyed at -(doc_id+1): negative ids
+    * are disjoint from any non-negative standing id space at every SF,
+    * including ScaleUp's replica-shifted blocks — no magic offset to
+    * collide with). All three mutations are doc_id arithmetic, so the
+    * oracle reproduces the twin exactly. */
   private def refreshedDocs(s: SparkSession, d: String): DataFrame =
     graft.Tables.documents(s, d)
       .where(pmod(col("doc_id"), lit(10)) =!= 3)
       .select(col("doc_id"),
         when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" [rev2]")))
           .otherwise(col("text")).as("text"))
+      .unionByName(graft.Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(9)) === 4)
+        .select((-(col("doc_id") + lit(1L))).as("doc_id"),
+          concat(lit("fresh crawl: "), col("text")).as("text")))
 
   /** Standing-vs-refreshed corpus reconciliation, the EXCEPT half — the
     * set-subtract a training pipeline runs when a source re-crawls:
@@ -960,6 +968,39 @@ object RefOps {
     val refreshed = refreshedDocs(s, d)
       .select(col("doc_id"), md5(col("text")).as("fp"))
     standing.intersect(refreshed).select("doc_id").orderBy("doc_id")
+  }
+
+  /** The FULL OUTER completion of the reconciliation family: per-key
+    * change ATTRIBUTION, not just membership — every doc_id present on
+    * either side of the refresh, classified added / dropped / changed /
+    * unchanged. EXCEPT tells a pipeline what to re-process and
+    * INTERSECT what to skip; the diff is the operational ledger both
+    * derive from (and the only form that can see ADDITIONS — a set
+    * subtract is blind to the refresh's new documents by construction).
+    * Plan shape: both sides project to (doc_id, md5 fingerprint) before
+    * the join — the 100 TB discipline again, the full-outer shuffle
+    * keys on 32 hex chars, never document bodies — and the join is a
+    * single equi-key SortMergeJoin FullOuter (PlanSpec pins FullOuter +
+    * no cartesian). Fingerprints compare NULL-SAFELY (`<=>` /
+    * IS NOT DISTINCT FROM): two null-text crawls of the same doc are
+    * 'unchanged', not 'changed' — md5(NULL) is NULL in both engines and
+    * a naive `=` would misfile every null-text document. All four
+    * statuses are non-vacuous at every SF (1/10 dropped, ~6/70 changed,
+    * ~1/9 added, the rest unchanged). */
+  val setDiffRefresh: Q = (s, d) => {
+    val standing = graft.Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp_s"),
+        lit(true).as("in_s"))
+    val refreshed = refreshedDocs(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp_r"),
+        lit(true).as("in_r"))
+    standing.join(refreshed, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("in_s").isNull, lit("added"))
+          .when(col("in_r").isNull, lit("dropped"))
+          .when(col("fp_s") <=> col("fp_r"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .orderBy("doc_id")
   }
 
   /** Multi-level ROLLUP report — the one relational surface the
@@ -1089,6 +1130,7 @@ object RefOps {
     "join_left_outer_enrich" -> joinLeftOuterEnrich,
     "set_except_refresh" -> setExceptRefresh,
     "set_intersect_refresh" -> setIntersectRefresh,
+    "set_diff_refresh" -> setDiffRefresh,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1390,12 +1432,16 @@ object RefOps {
          FROM orders LEFT JOIN dim ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
     // the refreshed-corpus twin (every 10th doc dropped, every 7th
-    // revised) is doc_id arithmetic, reproduced verbatim in both set-op
+    // revised, one new crawl per ~nine standing at -(doc_id+1)) is
+    // doc_id arithmetic, reproduced verbatim in all three set-op
     // oracles; content compared by md5 fingerprint as in the Spark side
     "set_except_refresh" ->
       """WITH refreshed AS (SELECT doc_id,
                CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
-             FROM documents WHERE doc_id % 10 <> 3)
+             FROM documents WHERE doc_id % 10 <> 3
+             UNION ALL
+             SELECT -(doc_id + 1) AS doc_id, 'fresh crawl: ' || text AS text
+             FROM documents WHERE doc_id % 9 = 4)
          SELECT doc_id FROM
            (SELECT doc_id, md5(text) AS fp FROM documents
             EXCEPT
@@ -1404,11 +1450,29 @@ object RefOps {
     "set_intersect_refresh" ->
       """WITH refreshed AS (SELECT doc_id,
                CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
-             FROM documents WHERE doc_id % 10 <> 3)
+             FROM documents WHERE doc_id % 10 <> 3
+             UNION ALL
+             SELECT -(doc_id + 1) AS doc_id, 'fresh crawl: ' || text AS text
+             FROM documents WHERE doc_id % 9 = 4)
          SELECT doc_id FROM
            (SELECT doc_id, md5(text) AS fp FROM documents
             INTERSECT
             SELECT doc_id, md5(text) AS fp FROM refreshed)
+         ORDER BY doc_id""",
+    "set_diff_refresh" ->
+      """WITH refreshed AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+             FROM documents WHERE doc_id % 10 <> 3
+             UNION ALL
+             SELECT -(doc_id + 1) AS doc_id, 'fresh crawl: ' || text AS text
+             FROM documents WHERE doc_id % 9 = 4)
+         SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'dropped'
+                WHEN md5(a.text) IS NOT DISTINCT FROM md5(b.text)
+                  THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM documents a FULL JOIN refreshed b ON a.doc_id = b.doc_id
          ORDER BY doc_id""",
     "events_rollup" ->
       """WITH rev AS (SELECT coalesce(event_type, 'unknown') AS event_type,

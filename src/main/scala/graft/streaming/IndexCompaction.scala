@@ -104,6 +104,79 @@ object IndexCompaction {
     swapIn(s, path, folded)
   }
 
+  /** Compact a candidate log whose fold is a PER-GROUP top-k (the
+    * per-source holdouts): within each `partCols` group, keep the k
+    * best rows under `order`. Same fixed-point argument as
+    * [[compactTopK]], applied group-wise — priorities are static
+    * functions of content and batches only add candidates, so a row
+    * outside its group's current top-k can never re-enter any future
+    * per-group top-k. The cut runs as WindowGroupLimit (per-partition
+    * per-group pruning before the exchange), so the rewrite shuffles
+    * ≤ groups×k×partitions rows at any log size. */
+  def compactGroupTopK(s: SparkSession, path: String,
+      partCols: Seq[String], order: Seq[org.apache.spark.sql.Column],
+      k: Int, valueCols: Seq[String]): Unit = {
+    recoverIfInterrupted(s, path)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*).orderBy(order: _*)
+    val folded = s.read.parquet(path)
+      .select(valueCols.map(col): _*).distinct()
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).drop("__rk")
+      .withColumn("batch_id", lit(-1L))
+      .coalesce(1)
+    swapIn(s, path, folded)
+  }
+
+  /** Compact a membership log whose read fold is DISTINCT over the
+    * value columns plus the row's standing/ingested CLASS (batch_id
+    * == -1 vs ≥ 0) — the minhash band index. Collapsing batch ids
+    * WITHIN a class is invisible to the fold (the probe reads only the
+    * class, never the id); collapsing ACROSS classes would not be (a
+    * standing and an ingested row of the same band answer different
+    * partner questions — corpus-dup vs earlier-batch-dup), so the
+    * class survives the rewrite as min(batch_id) per (valueCols,
+    * class): -1 for standing rows, the earliest delivery for ingested
+    * ones. Content-derived like the candidate logs: a redelivered
+    * batch re-appends rows that land inside an already-kept class —
+    * the fixed-point argument needs no replay horizon. No coalesce:
+    * the fold is corpus-sized (docs × bands), so the rewrite keeps the
+    * shuffle's parallelism (AQE sizes it to the data) — the file count
+    * drops from O(batches) to O(partitions). */
+  def compactClassDistinct(s: SparkSession, path: String,
+      valueCols: Seq[String]): Unit = {
+    recoverIfInterrupted(s, path)
+    val folded = s.read.parquet(path)
+      .groupBy((valueCols.map(col) :+
+        (col("batch_id") === -1L).as("__st")): _*)
+      .agg(min("batch_id").as("batch_id"))
+      .select((valueCols.map(col) :+ col("batch_id")): _*)
+    swapIn(s, path, folded)
+  }
+
+  /** Compact a decision log whose read fold is first-delivery-wins —
+    * per key, the row of the MINIMUM batch id (the minhash decisions
+    * store's min_by fold). Keeping exactly that row, with its original
+    * batch id, is a fixed point: a future append carries either a new
+    * key (unaffected) or a batch id ≥ the kept minimum for an existing
+    * key (a replay can only redeliver an already-delivered batch), so
+    * min_by keeps electing the kept row. Rows tied on the kept batch
+    * id are byte-identical by the store's replay argument, so the
+    * within-tie pick is immaterial. Like the band fold, the output is
+    * corpus-sized (one row per ingested doc), so no coalesce — AQE
+    * sizes the rewrite's parallelism to the data. */
+  def compactFirstDelivery(s: SparkSession, path: String,
+      keyCols: Seq[String]): Unit = {
+    recoverIfInterrupted(s, path)
+    val log = s.read.parquet(path)
+    val rest = log.columns.filterNot(keyCols.contains).toSeq
+    val folded = log.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(rest.map(col): _*), col("batch_id")).as("__r"))
+      .select((keyCols.map(col) ++ rest.map(c => col(s"__r.$c").as(c))): _*)
+      .select(log.columns.map(col): _*)
+    swapIn(s, path, folded)
+  }
+
   /** Compact a register log whose fold is MAX per cell key — the HLL
     * class (idempotent like OR). Every column except `valueCol` is the
     * key, so the same code serves the flat (bucket) and segmented

@@ -101,6 +101,24 @@ object MinhashDedupIngest {
         processBatch(b.sparkSession, dir, b, id)
       }
 
+  /** Rewrite both logs to their folded forms — probe- and
+    * decision-invariant for every future read and append. The band
+    * index folds per (doc_id, band, bkey, standing-class)
+    * ([[IndexCompaction.compactClassDistinct]] — the read-time
+    * DISTINCT is the fold, and the probe reads the class, never the
+    * batch id); the decision log folds first-delivery-wins
+    * ([[IndexCompaction.compactFirstDelivery]] — exactly the
+    * [[decisionsFromDir]] min_by). At 100 TB this is the index family
+    * whose read cost grows fastest unbounded: every probe pays the
+    * band log's file listing + DISTINCT over O(batches) appends;
+    * compacted, both are O(state). */
+  def compact(s: SparkSession, dir: String): Unit = {
+    IndexCompaction.compactClassDistinct(s, dir + "/bands",
+      Seq("doc_id", "band", "bkey"))
+    IndexCompaction.compactFirstDelivery(s, dir + "/decisions",
+      Seq("doc_id"))
+  }
+
   /** The decision log, replay-folded: per doc_id, the row of the
     * MINIMUM batch id (min_by on the whole struct — first delivery
     * wins deterministically; within one batch id replays recompute

@@ -49,6 +49,23 @@ class CompactionSpec extends SparkSpec {
     assert(streaming.WeightedSampleIngest.sampleFromDir(spark, dir).collect().toSeq == before)
   }
 
+  test("per-source candidate log: compaction is fold-invariant per group and shrinks the log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_wsrc").toString
+    val docs3 = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    streaming.WeightedBySourceIngest.buildSampleIndex(
+      spark, docs3.where(col("doc_id") % 4 === 0), dir)
+    (1 to 3).foreach(i => streaming.WeightedBySourceIngest.processBatch(
+      spark, dir, docs3.where(col("doc_id") % 4 === i), i.toLong))
+    val before = streaming.WeightedBySourceIngest.sampleFromDir(spark, dir).collect().toSeq
+    val filesBefore = files(s"$dir/cands")
+    streaming.WeightedBySourceIngest.compact(spark, dir)
+    assert(streaming.WeightedBySourceIngest.sampleFromDir(spark, dir).collect().toSeq == before)
+    assert(files(s"$dir/cands") < filesBefore)
+    streaming.WeightedBySourceIngest.processBatch(spark, dir, docs3, 9L)
+    assert(streaming.WeightedBySourceIngest.sampleFromDir(spark, dir).collect().toSeq == before,
+      "re-appending already-seen candidates must not move any source's fold")
+  }
+
   test("hll register log: compaction is estimate-invariant and shrinks the log") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp_hll").toString
     graft.expressions.TextShingles.register(spark)
@@ -89,6 +106,44 @@ class CompactionSpec extends SparkSpec {
     java.nio.file.Files.move(cands, java.nio.file.Paths.get(dir, "cands.old"))
     assert(streaming.IndexCompaction.recoverIfInterrupted(spark, cands.toString))
     assert(streaming.BottomkSampleIngest.sampleFromDir(spark, dir).collect().toSeq == before)
+  }
+
+  test("minhash band index: compaction is probe- and decision-invariant and shrinks the log") {
+    // two stores, identical ingest history; A compacts midway, B never
+    // does — the NEXT batch must decide identically against both
+    val base = java.nio.file.Files.createTempDirectory("graft_cmp_mh").toString
+    val dirA = s"$base/a"; val dirB = s"$base/b"
+    val odds = docs2.where(col("doc_id") % 2 === 1)
+    def decisions(d: String) = streaming.MinhashDedupIngest
+      .decisionsFromDir(spark, d).orderBy("doc_id").collect().toSeq
+    for (d <- Seq(dirA, dirB)) {
+      streaming.MinhashDedupIngest.buildBandIndex(
+        spark, docs2.where(col("doc_id") % 2 === 0), d)
+      streaming.MinhashDedupIngest.processBatch(
+        spark, d, odds.where(col("doc_id") % 5 === 1), 0L)
+      streaming.MinhashDedupIngest.processBatch(
+        spark, d, odds.where(col("doc_id") % 5 === 3), 1L)
+    }
+    val beforeA = decisions(dirA)
+    assert(beforeA.nonEmpty)
+    val bandFilesBefore = files(s"$dirA/bands")
+    val decFilesBefore = files(s"$dirA/decisions")
+    streaming.MinhashDedupIngest.compact(spark, dirA)
+    assert(decisions(dirA) == beforeA,
+      "compaction must not move any recorded decision")
+    assert(files(s"$dirA/bands") < bandFilesBefore,
+      s"band log must shrink: $bandFilesBefore -> ${files(s"$dirA/bands")}")
+    assert(files(s"$dirA/decisions") < decFilesBefore)
+    // post-compaction probe parity: the next batch sees the identical
+    // distinct band set on both roads
+    for (d <- Seq(dirA, dirB)) streaming.MinhashDedupIngest.processBatch(
+      spark, d, odds.where(col("doc_id") % 5 === 0), 2L)
+    assert(decisions(dirA) == decisions(dirB),
+      "a batch probed against the compacted index must decide as against the raw log")
+    // a replay of the last batch after compaction is still invisible
+    streaming.MinhashDedupIngest.processBatch(
+      spark, dirA, odds.where(col("doc_id") % 5 === 0), 2L)
+    assert(decisions(dirA) == decisions(dirB))
   }
 
   test("join-bloom word log: compaction is probe-invariant and shrinks the log") {

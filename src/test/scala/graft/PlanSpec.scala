@@ -772,6 +772,18 @@ class PlanSpec extends SparkSpec {
       s"the snapshot filter must reach the customer scan:\n$plan")
   }
 
+  test("set_diff_refresh: one FullOuter equi-join over fingerprint projections, no cartesian") {
+    val plan = finalPlan(graft.ops.RefOps.queries("set_diff_refresh")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("FullOuter"),
+      s"the diff must preserve both sides (FULL OUTER):\n$plan")
+    assert(!finalOnly.contains("CartesianProduct"), plan)
+    // the 100 TB discipline: document bodies never reach the join —
+    // both sides reduce to (doc_id, 32-hex-char md5) before shuffling
+    assert(finalOnly.contains("md5("),
+      s"fingerprints must be computed below the join:\n$plan")
+  }
+
   test("set_except_refresh: EXCEPT plans as LeftAnti + distinct aggregate, no cartesian") {
     val plan = finalPlan(graft.ops.RefOps.queries("set_except_refresh")(spark, d))
     val finalOnly = plan.split("== Initial Plan ==").head
