@@ -2,7 +2,7 @@
 """Local pre-validation of SparkEntry oracles, mimicking the driver's
 DuckDB compare: run Verify output parquet vs oracle SQL on the same
 tables; columns sorted by name, values compared exactly."""
-import sys, os, json, math, argparse, threading
+import sys, os, json, math, argparse, threading, subprocess, re
 import duckdb
 import pandas as pd
 
@@ -25,7 +25,15 @@ def cells_equal(a, b) -> bool:
             return False
     return str(a) == str(b)
 
-def main(sf_dir: str, out_dir: str, skip=(), timeout_sec=0, only=None):
+def fresh_con(sf_dir: str):
+    """A new connection with the table views installed. One connection
+    PER QUERY, not per run: DuckDB holds buffer-pool state across
+    queries on a connection, and a 233-query replay accumulates past
+    the memory cap around query ~180 — after which every later query
+    (including trivial projections) dies with 'failed to allocate N
+    bytes'. Measured twice at the r10 sweep, once on a quiet box with
+    123 GB free; per-query connections bound the accumulation at one
+    query's footprint. View creation is lazy and costs nothing."""
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -44,6 +52,9 @@ def main(sf_dir: str, out_dir: str, skip=(), timeout_sec=0, only=None):
                     f"FROM '{p}'")
                 continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+def main(sf_dir: str, out_dir: str, skip=(), timeout_sec=0, only=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
@@ -55,6 +66,7 @@ def main(sf_dir: str, out_dir: str, skip=(), timeout_sec=0, only=None):
             print(f"SKIP {name} (exempted by --skip)")
             n_skip += 1
             continue
+        con = fresh_con(sf_dir)
         timer = None
         if timeout_sec:
             timer = threading.Timer(timeout_sec, con.interrupt)
@@ -68,6 +80,7 @@ def main(sf_dir: str, out_dir: str, skip=(), timeout_sec=0, only=None):
         finally:
             if timer:
                 timer.cancel()
+            con.close()
         pdir = f"{out_dir}/{name}"
         if not os.path.isdir(pdir):
             print(f"FAIL {name}: no spark output at {pdir}")
@@ -116,6 +129,44 @@ def main(sf_dir: str, out_dir: str, skip=(), timeout_sec=0, only=None):
     print(f"\n{n_pass} pass / {n_fail} fail{tail}")
     sys.exit(1 if n_fail else 0)
 
+def run_chunked(sf_dir, out_dir, chunk, skip, timeout_sec, only):
+    """Fan the replay out over child processes of `chunk` queries each.
+    Needed for full-registry sweeps at big SFs: DuckDB (and the
+    pandas conversion path) retain process-level memory across queries
+    that neither con.close() nor fresh connections return to the
+    allocator — the r10 233-query sf1 sweep died with 'failed to
+    allocate 2048 bytes' on a box with 123 GB free, twice, including
+    once with one connection per query. A child process exits after its
+    chunk, so retention is bounded at chunk size; the parent only
+    forwards output and sums the tallies."""
+    names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
+    if only is not None:
+        names = [n for n in names if n in only]
+    n_pass = n_fail = n_skip = 0
+    for i in range(0, len(names), chunk):
+        cmd = [sys.executable, os.path.abspath(__file__), sf_dir, out_dir,
+               "--chunk", "0", "--only", ",".join(names[i:i + chunk])]
+        if skip:
+            cmd += ["--skip", ",".join(sorted(skip))]
+        if timeout_sec:
+            cmd += ["--timeout-sec", str(timeout_sec)]
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        body = r.stdout.rsplit("\n\n", 1)
+        print(body[0], flush=True)
+        m = re.search(r"(\d+) pass / (\d+) fail(?: / (\d+) skipped)?",
+                      r.stdout)
+        if not m:
+            print(f"FAIL chunk {i // chunk}: no tally "
+                  f"(exit {r.returncode}): {r.stderr.strip()[-500:]}")
+            n_fail += len(names[i:i + chunk])
+            continue
+        n_pass += int(m.group(1))
+        n_fail += int(m.group(2))
+        n_skip += int(m.group(3) or 0)
+    tail = f" / {n_skip} skipped" if n_skip else ""
+    print(f"\n{n_pass} pass / {n_fail} fail{tail}")
+    sys.exit(1 if n_fail else 0)
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir")
@@ -126,8 +177,13 @@ if __name__ == "__main__":
                     help="per-query DuckDB timeout (interrupt -> FAIL)")
     ap.add_argument("--only", default="",
                     help="comma-separated oracle names to check (local fast loop)")
+    ap.add_argument("--chunk", type=int, default=40,
+                    help="queries per child process (0 = run in-process; "
+                         "default 40 bounds DuckDB's cross-query memory "
+                         "retention on full-registry sweeps)")
     a = ap.parse_args()
-    main(a.sf_dir, a.out_dir,
-         skip=frozenset(x for x in a.skip.split(",") if x),
-         timeout_sec=a.timeout_sec,
-         only=frozenset(x for x in a.only.split(",") if x) or None)
+    skip = frozenset(x for x in a.skip.split(",") if x)
+    only = frozenset(x for x in a.only.split(",") if x) or None
+    if a.chunk > 0:
+        run_chunked(a.sf_dir, a.out_dir, a.chunk, skip, a.timeout_sec, only)
+    main(a.sf_dir, a.out_dir, skip=skip, timeout_sec=a.timeout_sec, only=only)
