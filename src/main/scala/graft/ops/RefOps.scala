@@ -922,7 +922,7 @@ object RefOps {
     * including ScaleUp's replica-shifted blocks — no magic offset to
     * collide with). All three mutations are doc_id arithmetic, so the
     * oracle reproduces the twin exactly. */
-  private def refreshedDocs(s: SparkSession, d: String): DataFrame =
+  private[graft] def refreshedDocs(s: SparkSession, d: String): DataFrame =
     graft.Tables.documents(s, d)
       .where(pmod(col("doc_id"), lit(10)) =!= 3)
       .select(col("doc_id"),

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming corpus reconciliation (twin #40) — the production shape
+  * of `set_diff_refresh` (ops/RefOps.scala): a re-crawl never arrives
+  * as a complete corpus, it streams in batches, and the pipeline wants
+  * each arriving document CLASSIFIED on arrival (added / changed /
+  * unchanged vs the standing fingerprint registry) plus, at close, the
+  * one verdict only the end of the refresh can decide: dropped.
+  *
+  * State is a fingerprint registry (doc_id, fp, batch_id): standing
+  * rows seeded at batch_id −1, every arriving doc appends its own fp
+  * under its batch id (so a LATER re-crawl of the same doc compares
+  * against the latest observed content — CDC semantics, not
+  * snapshot). The probe for batch b folds the registry to each doc's
+  * fp of the MAXIMUM batch id STRICTLY BELOW b — the registry state
+  * the first delivery of b saw. That strict bound is the replay lever:
+  * a redelivered batch excludes its own earlier appends (without it, a
+  * replayed doc would compare against ITS OWN fp and every 'changed'
+  * would re-decide 'unchanged') and excludes later batches' appends,
+  * so the recompute is byte-identical to the first delivery;
+  * re-appended registry rows collapse under the (doc_id, fp,
+  * batch_id) DISTINCT read. Decisions additionally fold
+  * first-delivery-wins (min batch id per doc — the
+  * [[MinhashDedupIngest]] posture) so even an out-of-order replay
+  * cannot overwrite history.
+  *
+  * Fingerprints compare NULL-SAFELY (`<=>`) and presence is decided by
+  * registry membership, never fp nullability — the same two traps the
+  * batch operator documents (md5(NULL) is NULL; a null-text re-crawl
+  * of a null-text doc is 'unchanged', not 'changed').
+  *
+  * 'dropped' is NOT a per-batch verdict: absence is only decidable
+  * when the refresh closes. [[diffFromDir]] computes it as standing
+  * registry LeftAnti the arrived set — the one read that must wait for
+  * end-of-stream, stated rather than hidden (the batch operator gets
+  * it "for free" only because it sees the whole refresh at once). */
+object SetDiffIngest {
+
+  private def fp(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), md5(col("text")).as("fp"))
+
+  /** Seed the fingerprint registry with the standing corpus. */
+  def buildFpIndex(s: SparkSession, docs: DataFrame, dir: String): Unit =
+    fp(docs).withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").parquet(dir + "/fps")
+
+  /** Classify one arriving re-crawl batch against the registry state
+    * strictly before `batchId`, record the decisions, enroll the
+    * batch's fingerprints. */
+  def processBatch(s: SparkSession, dir: String, docs: DataFrame,
+      batchId: Long): Unit = {
+    val arriving = fp(docs).localCheckpoint(true)
+    val registry = s.read.parquet(dir + "/fps")
+      .where(col("batch_id") < batchId)
+      .select("doc_id", "fp", "batch_id").distinct()
+      .groupBy("doc_id")
+      .agg(max_by(col("fp"), col("batch_id")).as("known_fp"),
+        lit(true).as("known"))
+    val decisions = arriving
+      .join(registry, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("known").isNull, lit("added"))
+          .when(col("fp") <=> col("known_fp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .localCheckpoint(true) // decisions materialize before the append
+                             // below fattens the registry they read
+    decisions.withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(dir + "/decisions")
+    arriving.withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(dir + "/fps")
+  }
+
+  /** Caller supplies trigger + checkpoint and starts the query. */
+  def ingest(docs: DataFrame, dir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        processBatch(b.sparkSession, dir, b, id)
+      }
+
+  /** The reconciliation ledger after the refresh closes: every
+    * arriving doc's first-delivery verdict, plus 'dropped' for every
+    * standing doc the refresh never re-delivered — byte-identical to
+    * the batch `set_diff_refresh` over the same standing corpus and
+    * the union of the batches (pinned in SetDiffIngestSpec). */
+  def diffFromDir(s: SparkSession, dir: String): DataFrame = {
+    val dec = s.read.parquet(dir + "/decisions")
+      .groupBy("doc_id")
+      .agg(min_by(col("status"), col("batch_id")).as("status"))
+    val dropped = s.read.parquet(dir + "/fps")
+      .where(col("batch_id") === -1L).select("doc_id").distinct()
+      .join(dec.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("status", lit("dropped"))
+    dec.unionByName(dropped).orderBy("doc_id")
+  }
+}
