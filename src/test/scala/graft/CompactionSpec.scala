@@ -146,6 +146,23 @@ class CompactionSpec extends SparkSpec {
     assert(decisions(dirA) == decisions(dirB))
   }
 
+  test("set-diff decision log: compaction is ledger-invariant and shrinks the log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_sd").toString
+    val refreshed = graft.ops.RefOps.refreshedDocs(spark, sf)
+    streaming.SetDiffIngest.buildFpIndex(spark, docs2, dir)
+    (0 to 2).foreach(i => streaming.SetDiffIngest.processBatch(
+      spark, dir, refreshed.where(pmod(col("doc_id"), lit(3)) === i), i.toLong))
+    val before = streaming.SetDiffIngest.diffFromDir(spark, dir).collect().toSeq
+    val filesBefore = files(s"$dir/decisions")
+    streaming.SetDiffIngest.compact(spark, dir)
+    assert(streaming.SetDiffIngest.diffFromDir(spark, dir).collect().toSeq == before)
+    assert(files(s"$dir/decisions") < filesBefore)
+    // a post-compaction redelivery of the last batch is still invisible
+    streaming.SetDiffIngest.processBatch(
+      spark, dir, refreshed.where(pmod(col("doc_id"), lit(3)) === 2), 2L)
+    assert(streaming.SetDiffIngest.diffFromDir(spark, dir).collect().toSeq == before)
+  }
+
   test("join-bloom word log: compaction is probe-invariant and shrinks the log") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp_jb").toString
     val orders = Tables.orders(spark, sf)
