@@ -43,17 +43,40 @@ object SetDiffIngest {
   private def fp(df: DataFrame): DataFrame =
     df.select(col("doc_id"), md5(col("text")).as("fp"))
 
+  /** One fp per doc_id per batch, deterministically. A crawler CAN
+    * deliver the same doc twice in one batch with different bodies
+    * (redirect + canonical fetch); without this fold the registry
+    * would hold two rows at one batch_id, `max_by(fp, batch_id)`
+    * would tie nondeterministically, and the batch would emit two
+    * conflicting decision rows whose first-delivery min_by fold is
+    * also a tie — breaking the byte-identical-replay argument. The
+    * lexicographic-max fp is an arbitrary but DETERMINISTIC electee,
+    * so first delivery and every replay elect the same row. */
+  private def onePerDoc(fps: DataFrame): DataFrame =
+    fps.groupBy("doc_id").agg(max(col("fp")).as("fp"))
+
   /** Seed the fingerprint registry with the standing corpus. */
   def buildFpIndex(s: SparkSession, docs: DataFrame, dir: String): Unit =
-    fp(docs).withColumn("batch_id", lit(-1L))
+    onePerDoc(fp(docs)).withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").parquet(dir + "/fps")
 
   /** Classify one arriving re-crawl batch against the registry state
     * strictly before `batchId`, record the decisions, enroll the
-    * batch's fingerprints. */
+    * batch's fingerprints.
+    *
+    * PRECONDITION (same single-writer caveat as the ingest): batch ids
+    * must be MONOTONE over the store's lifetime — i.e. restarts must
+    * reuse the same checkpoint so Spark keeps numbering where it left
+    * off. Restarting against an existing registry with a FRESH
+    * checkpoint resets ids to 0: the strict `batch_id < b` probe then
+    * ignores every prior enrollment (all at ids ≥ 0), and the new
+    * decisions at smaller ids win the min_by first-delivery fold,
+    * silently overwriting recorded history. A new refresh campaign
+    * over an existing standing corpus needs a NEW store dir (re-seed
+    * via [[buildFpIndex]]), not a reset checkpoint. */
   def processBatch(s: SparkSession, dir: String, docs: DataFrame,
       batchId: Long): Unit = {
-    val arriving = fp(docs).localCheckpoint(true)
+    val arriving = onePerDoc(fp(docs)).localCheckpoint(true)
     val registry = s.read.parquet(dir + "/fps")
       .where(col("batch_id") < batchId)
       .select("doc_id", "fp", "batch_id").distinct()
@@ -74,7 +97,10 @@ object SetDiffIngest {
       .write.mode("append").parquet(dir + "/fps")
   }
 
-  /** Caller supplies trigger + checkpoint and starts the query. */
+  /** Caller supplies trigger + checkpoint and starts the query. The
+    * checkpoint must be the SAME across restarts of a campaign (see
+    * [[processBatch]] — a fresh checkpoint resets batch ids and breaks
+    * the strict-below probe and the first-delivery fold). */
   def ingest(docs: DataFrame, dir: String): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")

@@ -779,9 +779,19 @@ class PlanSpec extends SparkSpec {
       s"the diff must preserve both sides (FULL OUTER):\n$plan")
     assert(!finalOnly.contains("CartesianProduct"), plan)
     // the 100 TB discipline: document bodies never reach the join —
-    // both sides reduce to (doc_id, 32-hex-char md5) before shuffling
-    assert(finalOnly.contains("md5("),
+    // both sides reduce to (doc_id, 32-hex-char md5) before shuffling.
+    // Position-checked, not just contains: tree text prints ancestors
+    // above descendants (the q18 precedent), so every md5 projection
+    // must print BELOW the FullOuter join line — an md5 computed above
+    // the join would mean full text shuffled through it.
+    val lines = finalOnly.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("FullOuter"))
+    val md5Idxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("md5(") => i }
+    assert(md5Idxs.nonEmpty,
       s"fingerprints must be computed below the join:\n$plan")
+    assert(md5Idxs.forall(_ > joinIdx),
+      s"md5 fingerprint projections must sit in the join's child subtrees, not above it:\n$plan")
   }
 
   test("set_except_refresh: EXCEPT plans as LeftAnti + distinct aggregate, no cartesian") {

@@ -45,6 +45,31 @@ class SetDiffIngestSpec extends SparkSpec {
     assert(got(dir) == batchDiff)
   }
 
+  test("intra-batch duplicate doc_id elects ONE deterministic fp (replay byte-identical)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdiff4").toString
+    streaming.SetDiffIngest.buildFpIndex(spark,
+      Seq((1L, "old body")).toDF("doc_id", "text"), dir)
+    // a crawler delivering the same doc twice in one batch with
+    // different bodies (redirect + canonical fetch) — without the
+    // per-batch fold this enrolls two fps at one batch_id and the
+    // probe's max_by ties nondeterministically
+    val dup = Seq((1L, "body A"), (1L, "body B"), (2L, "fresh"))
+      .toDF("doc_id", "text")
+    streaming.SetDiffIngest.processBatch(spark, dir, dup, 0L)
+    val first = got(dir)
+    assert(first.count(_.getLong(0) == 1L) == 1,
+      "duplicate delivery must fold to ONE decision row")
+    assert(first.map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "changed", 2L -> "added"))
+    // registry holds exactly one fp for doc 1 at batch 0
+    val enrolled = spark.read.parquet(dir + "/fps")
+      .where(col("batch_id") === 0L && col("doc_id") === 1L).collect()
+    assert(enrolled.length == 1)
+    streaming.SetDiffIngest.processBatch(spark, dir, dup, 0L) // redelivery
+    assert(got(dir) == first, "replay of the duplicate batch must be byte-identical")
+  }
+
   test("set-diff ingest (twin #40): chunked file stream, killed between chunks == batch op") {
     import java.nio.file.{Files => JFiles}
     val base = JFiles.createTempDirectory("graft_sdiff3").toString

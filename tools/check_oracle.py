@@ -2,7 +2,7 @@
 """Local pre-validation of SparkEntry oracles, mimicking the driver's
 DuckDB compare: run Verify output parquet vs oracle SQL on the same
 tables; columns sorted by name, values compared exactly."""
-import sys, os, json, math, argparse, threading, subprocess, re
+import sys, os, json, math, argparse, threading, subprocess
 import duckdb
 import pandas as pd
 
@@ -127,6 +127,12 @@ def main(sf_dir: str, out_dir: str, skip=(), timeout_sec=0, only=None):
             n_pass += 1
     tail = f" / {n_skip} skipped" if n_skip else ""
     print(f"\n{n_pass} pass / {n_fail} fail{tail}")
+    # Machine-readable tally as the LAST line — the chunked parent
+    # anchors its parse here instead of regex-searching the whole
+    # stdout (where a 'N pass / M fail' string inside a FAIL diff
+    # block would be misparsed as the tally).
+    print("TALLY " + json.dumps(
+        {"pass": n_pass, "fail": n_fail, "skip": n_skip}))
     sys.exit(1 if n_fail else 0)
 
 def run_chunked(sf_dir, out_dir, chunk, skip, timeout_sec, only):
@@ -151,18 +157,34 @@ def run_chunked(sf_dir, out_dir, chunk, skip, timeout_sec, only):
         if timeout_sec:
             cmd += ["--timeout-sec", str(timeout_sec)]
         r = subprocess.run(cmd, capture_output=True, text=True)
-        body = r.stdout.rsplit("\n\n", 1)
-        print(body[0], flush=True)
-        m = re.search(r"(\d+) pass / (\d+) fail(?: / (\d+) skipped)?",
-                      r.stdout)
-        if not m:
+        lines = r.stdout.rstrip("\n").split("\n")
+        # The child's tally is ONLY trusted as its final line (a JSON
+        # 'TALLY {...}' sentinel): a crash mid-chunk leaves no final
+        # tally, and a FAIL diff block containing tally-shaped text
+        # can never be mistaken for one.
+        tally = None
+        if lines and lines[-1].startswith("TALLY "):
+            try:
+                tally = json.loads(lines[-1][len("TALLY "):])
+            except json.JSONDecodeError:
+                tally = None
+        print("\n".join(l for l in lines
+                        if not l.startswith("TALLY ")), flush=True)
+        if tally is None:
+            # Child died mid-chunk. Credit the PASS/SKIP lines it DID
+            # print (per-query lines are emitted as each query
+            # finishes), fail everything unaccounted for.
+            seen_pass = sum(1 for l in lines if l.startswith("PASS "))
+            seen_skip = sum(1 for l in lines if l.startswith("SKIP "))
             print(f"FAIL chunk {i // chunk}: no tally "
                   f"(exit {r.returncode}): {r.stderr.strip()[-500:]}")
-            n_fail += len(names[i:i + chunk])
+            n_pass += seen_pass
+            n_skip += seen_skip
+            n_fail += len(names[i:i + chunk]) - seen_pass - seen_skip
             continue
-        n_pass += int(m.group(1))
-        n_fail += int(m.group(2))
-        n_skip += int(m.group(3) or 0)
+        n_pass += tally["pass"]
+        n_fail += tally["fail"]
+        n_skip += tally["skip"]
     tail = f" / {n_skip} skipped" if n_skip else ""
     print(f"\n{n_pass} pass / {n_fail} fail{tail}")
     sys.exit(1 if n_fail else 0)
