@@ -973,6 +973,42 @@ object PipelineOps {
         col("g_source"), col("g_quality"), col("n_docs"), col("n_tokens"))
       .orderBy("g_source", "g_quality", "source", "quality")
 
+  /** The CUBE completion of the governance family (ROLLUP →
+    * [[corpusQualityMatrix]], PIVOT → RefOps.eventsPivot): docs and
+    * token mass over EVERY subset of {source, quality, lang} — all 8
+    * grouping sets — because the mix-planner's questions cross the
+    * hierarchy ("how much good-quality German mass, any source?" is a
+    * (quality, lang) cell no rollup of (source, quality, lang) holds).
+    * GROUPING() markers + '(all)' labels per the established
+    * discipline, so a cubed-out NULL can never be confused with a real
+    * group; quality comes from the single-sourced
+    * [[TextOps.withQuality]] gate. Scale shape: CUBE is ONE Expand pass
+    * — each input row fans to 8 grouping-set rows map-side, partial
+    * aggregates collapse them BEFORE the single exchange
+    * (PlanSpec-pinned: one Expand, partial_count, ≤1 scan). The fan-out
+    * factor is the set count (8), constant in corpus size, and the
+    * post-aggregate cardinality is Σ|dims-subset products| — at 100 TB
+    * the Expand costs 8× the row stream map-side but the shuffle
+    * carries only group cells, which is why CUBE beats 8 separate
+    * groupBy passes (1 scan vs 8). */
+  val corpusGovernanceCube: Q = (s, d) =>
+    TextOps.withQuality(documents(s, d))
+      .select(coalesce(col("source"), lit("unknown")).as("source"),
+        col("quality"),
+        coalesce(col("lang"), lit("unknown")).as("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      .cube("source", "quality", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        grouping(col("source")).cast("int").as("g_source"),
+        grouping(col("quality")).cast("int").as("g_quality"),
+        grouping(col("lang")).cast("int").as("g_lang"))
+      .select(coalesce(col("source"), lit("(all)")).as("source"),
+        coalesce(col("quality"), lit("(all)")).as("quality"),
+        coalesce(col("lang"), lit("(all)")).as("lang"),
+        col("g_source"), col("g_quality"), col("g_lang"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy("g_source", "g_quality", "g_lang", "source", "quality", "lang")
+
   val sampleStratified: Q = (s, d) => {
     val rate = StratRates.tail.foldLeft(
       when(col("quality") === StratRates.head._1, lit(StratRates.head._2))) {
@@ -2058,6 +2094,7 @@ object PipelineOps {
     "sample_weighted_eval" -> sampleWeightedEval,
     "sample_weighted_incremental" -> sampleWeightedIncremental,
     "corpus_quality_matrix" -> corpusQualityMatrix,
+    "corpus_governance_cube" -> corpusGovernanceCube,
     "sample_weighted_by_source" -> sampleWeightedBySource,
     "sample_weighted_by_source_incremental" -> sampleWeightedBySourceIncremental,
     "corpus_mix" -> corpusMix,
@@ -2719,6 +2756,24 @@ object PipelineOps {
             CAST(SUM(toks) AS BIGINT) AS n_tokens
           FROM qmq GROUP BY ROLLUP(source, quality)
           ORDER BY g_source, g_quality, source, quality""",
+    "corpus_governance_cube" ->
+      s"""WITH cgb AS (SELECT doc_id, source, lang, text, ${TextOps.QualityColsSql}
+             FROM documents),
+          cgq AS (SELECT coalesce(source, 'unknown') AS source,
+              ${TextOps.QualityCaseSql} AS quality,
+              coalesce(lang, 'unknown') AS lang,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+            FROM cgb)
+          SELECT coalesce(source, '(all)') AS source,
+            coalesce(quality, '(all)') AS quality,
+            coalesce(lang, '(all)') AS lang,
+            CAST(GROUPING(source) AS INT) AS g_source,
+            CAST(GROUPING(quality) AS INT) AS g_quality,
+            CAST(GROUPING(lang) AS INT) AS g_lang,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(toks) AS BIGINT) AS n_tokens
+          FROM cgq GROUP BY CUBE(source, quality, lang)
+          ORDER BY g_source, g_quality, g_lang, source, quality, lang""",
     "sample_weighted_by_source" ->
       s"""WITH swt AS (SELECT doc_id, coalesce(source, 'unknown') AS source,
             CAST(least($WbkCap, greatest(1,

@@ -1003,6 +1003,30 @@ object RefOps {
       .orderBy("doc_id")
   }
 
+  /** The UNION completion of the reconciliation family — the MERGE the
+    * refresh pipeline actually materializes: every (doc_id, content
+    * fingerprint) version observed on EITHER side of the re-crawl,
+    * dedup-collapsed. Set semantics are again the point: an unchanged
+    * document collapses to ONE row no matter how many times both sides
+    * carry it, while a changed document legitimately appears twice —
+    * once per observed content version — which is exactly what a
+    * version-retaining corpus store enrolls ([[graft.streaming.SetDiffIngest]]'s
+    * fp registry is this union accumulated batch-wise). UNION DISTINCT
+    * plans as Union + one distinct HashAggregate (PlanSpec-pinned) —
+    * NO join at all, the cheapest member of the family: one shuffle on
+    * (doc_id, 32-hex fingerprint), never document bodies, and the
+    * map-side partial aggregate collapses same-content rows before the
+    * exchange. NULL discipline as the siblings: md5(NULL) is NULL in
+    * both engines and set ops treat NULLs as equal, so a null-text doc
+    * carried by both sides still collapses to one row. */
+  val setUnionRefresh: Q = (s, d) => {
+    val standing = graft.Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val refreshed = refreshedDocs(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    standing.union(refreshed).distinct().orderBy("doc_id", "fp")
+  }
+
   /** Multi-level ROLLUP report — the one relational surface the
     * registry hadn't exercised: (event_type, day) leaf cells, per-type
     * subtotals, and the grand total in ONE aggregation pass (Spark
@@ -1131,6 +1155,7 @@ object RefOps {
     "set_except_refresh" -> setExceptRefresh,
     "set_intersect_refresh" -> setIntersectRefresh,
     "set_diff_refresh" -> setDiffRefresh,
+    "set_union_refresh" -> setUnionRefresh,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1474,6 +1499,18 @@ object RefOps {
                 ELSE 'changed' END AS status
          FROM documents a FULL JOIN refreshed b ON a.doc_id = b.doc_id
          ORDER BY doc_id""",
+    "set_union_refresh" ->
+      """WITH refreshed AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+             FROM documents WHERE doc_id % 10 <> 3
+             UNION ALL
+             SELECT -(doc_id + 1) AS doc_id, 'fresh crawl: ' || text AS text
+             FROM documents WHERE doc_id % 9 = 4)
+         SELECT doc_id, fp FROM
+           (SELECT doc_id, md5(text) AS fp FROM documents
+            UNION
+            SELECT doc_id, md5(text) AS fp FROM refreshed)
+         ORDER BY doc_id, fp""",
     "events_rollup" ->
       """WITH rev AS (SELECT coalesce(event_type, 'unknown') AS event_type,
                coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'unknown') AS day,

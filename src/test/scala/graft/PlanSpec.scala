@@ -814,6 +814,40 @@ class PlanSpec extends SparkSpec {
     assert(!finalOnly.contains("CartesianProduct"), plan)
   }
 
+  test("set_union_refresh: UNION DISTINCT plans as Union + one distinct aggregate, no join") {
+    val plan = finalPlan(graft.ops.RefOps.queries("set_union_refresh")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("Union"),
+      s"the merge must be a Union, not a join:\n$plan")
+    assert(finalOnly.contains("HashAggregate"),
+      s"UNION DISTINCT needs its dedup aggregate:\n$plan")
+    assert(!finalOnly.contains("Join") || finalOnly.linesIterator
+      .filter(_.contains("Join")).forall(_.contains("ReusedExchange")),
+      s"no join may appear in a pure set union:\n$plan")
+    assert(!finalOnly.contains("CartesianProduct"), plan)
+    // fingerprints below the Union: the distinct shuffle keys on
+    // (doc_id, 32-hex md5), never document bodies
+    val lines = finalOnly.linesIterator.toSeq
+    val unionIdx = lines.indexWhere(_.contains("Union"))
+    val md5Idxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("md5(") => i }
+    assert(md5Idxs.nonEmpty && md5Idxs.forall(_ > unionIdx),
+      s"md5 projections must sit below the Union:\n$plan")
+  }
+
+  test("corpus_governance_cube: all 8 grouping sets in ONE Expand pass, partial agg, one scan") {
+    val plan = finalPlan(
+      graft.ops.PipelineOps.queries("corpus_governance_cube")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
+    assert(finalOnly.contains("Expand"),
+      s"cube must expand grouping sets in one pass, not re-scan per subset:\n$plan")
+    assert(finalOnly.contains("partial_count") || finalOnly.contains("partial_sum"),
+      s"the cubed aggregate must combine map-side before the exchange:\n$plan")
+    assert(finalOnly.linesIterator.count(_.contains("Scan parquet")) <= 1,
+      s"cube must not re-scan per grouping set:\n$plan")
+    assert(!finalOnly.contains("CartesianProduct"), plan)
+  }
+
   test("events_rollup: one Expand + one partial-agg exchange, no per-level re-scan") {
     val plan = finalPlan(graft.ops.RefOps.queries("events_rollup")(spark, d))
     val finalOnly = plan.split("== Initial Plan ==").head
