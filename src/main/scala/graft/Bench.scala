@@ -128,19 +128,25 @@ object Bench {
     * over-bar ratio for one of these reads as the documented cost
     * model, not as contention or a plan regression. (They still
     * reprobe: the reprobed number separates the model from any noise
-    * on top of it — with one caveat: a cache-backed BUILD query
-    * reprobes over the scale pass's warm JVM-wide codebook cache, so
-    * its ratio_reprobed measures the post-train encode only and reads
-    * LOW (measured 1.9× vs the honest raw 16×). For these the RAW
-    * ratio is the number to read, which is exactly why the cost model
-    * rides in the artifact next to it.) Currently only the PQ offline
-    * BUILD: encode work is n·k(n) = n^1.5 while the corpus-clamped
-    * codebook grows (sf0.1 k=22 → sf1 k=70 ⇒ ~32× expected work for
-    * 10× rows); k caps at 256 from ~262k vectors, past which the
-    * build is linear — the clamp trades a bounded super-linear window
-    * at toy scale for production ADC resolution. */
+    * on top of it — with one caveat for a cache-backed BUILD query:
+    * the r11 child-JVM reprobe runs COLD, so its ratio_reprobed is the
+    * full train+encode at sf1 against the WARM in-session sf0.1
+    * median — a cold/warm mismatch that OVERSTATES the curve (the
+    * in-process reprobe it replaced had the opposite bias: it reused
+    * the scale pass's warm JVM-wide codebook cache and read the
+    * post-train encode only, 1.9× vs the honest raw 16×). Neither
+    * ratio is the cost model; the model below is, which is exactly why
+    * it rides in the artifact next to both numbers.) Currently only
+    * the PQ offline BUILD: encode work is n·k(n) = n^1.5 while the
+    * corpus-clamped codebook grows (sf0.1 k=22 → sf1 k=70 ⇒ ~32×
+    * expected work for 10× rows); k caps at 256 from ~262k vectors,
+    * past which the build is linear — the clamp trades a bounded
+    * super-linear window at toy scale for production ADC resolution. */
   private val ExpectedSuperlinear = Map(
-    "emb_pq_codes" -> "PQ build: n*k(n)=n^1.5 until k caps at 256 (~262k vectors), linear after",
+    "emb_pq_codes" -> ("PQ build: n*k(n)=n^1.5 until k caps at 256 (~262k vectors), linear " +
+      "after; the child-JVM reprobe is a COLD full build vs the warm in-session sf0.1 " +
+      "median, so ratio_reprobed overstates the curve (r11 official: 51x reprobed vs the " +
+      "~32x the model predicts for 10x rows)"),
     // CC label propagation runs until the deepest component's pointer
     // chains collapse; ScaleUp's mutated 10x corpus links its near-dup
     // groups into one ~20k-node component, so round count grows with
