@@ -129,24 +129,25 @@ object Bench {
     * model, not as contention or a plan regression. (They still
     * reprobe: the reprobed number separates the model from any noise
     * on top of it — with one caveat for a cache-backed BUILD query:
-    * the r11 child-JVM reprobe runs COLD, so its ratio_reprobed is the
-    * full train+encode at sf1 against the WARM in-session sf0.1
-    * median — a cold/warm mismatch that OVERSTATES the curve (the
-    * in-process reprobe it replaced had the opposite bias: it reused
-    * the scale pass's warm JVM-wide codebook cache and read the
-    * post-train encode only, 1.9× vs the honest raw 16×). Neither
-    * ratio is the cost model; the model below is, which is exactly why
-    * it rides in the artifact next to both numbers.) Currently only
-    * the PQ offline BUILD: encode work is n·k(n) = n^1.5 while the
-    * corpus-clamped codebook grows (sf0.1 k=22 → sf1 k=70 ⇒ ~32×
-    * expected work for 10× rows); k caps at 256 from ~262k vectors,
-    * past which the build is linear — the clamp trades a bounded
-    * super-linear window at toy scale for production ADC resolution. */
+    * the child reprobe's run1/run2-min discipline measures the warm
+    * STEADY-STATE (the same regime as the in-session numbers it
+    * adjudicates), so its ratio_reprobed reads the post-train encode
+    * only and sits LOW (~2×) while the bounded cold-build window
+    * stays in the RAW ratio. Neither number alone is the cost model;
+    * the model below is, which is exactly why it rides in the
+    * artifact next to both. A single-run cold child was tried first
+    * and read phantom 50-95× — a cold/warm mismatch, not a curve.)
+    * Currently only the PQ offline BUILD: encode work is
+    * n·k(n) = n^1.5 while the corpus-clamped codebook grows (sf0.1
+    * k=22 → sf1 k=70 ⇒ ~32× expected work for 10× rows); k caps at
+    * 256 from ~262k vectors, past which the build is linear — the
+    * clamp trades a bounded super-linear window at toy scale for
+    * production ADC resolution. */
   private val ExpectedSuperlinear = Map(
     "emb_pq_codes" -> ("PQ build: n*k(n)=n^1.5 until k caps at 256 (~262k vectors), linear " +
-      "after; the child-JVM reprobe is a COLD full build vs the warm in-session sf0.1 " +
-      "median, so ratio_reprobed overstates the curve (r11 official: 51x reprobed vs the " +
-      "~32x the model predicts for 10x rows)"),
+      "after; the raw in-run ratio carries this bounded build window (~32x expected work " +
+      "for 10x rows), while the warm run1/run2-min child reprobe measures the post-train " +
+      "encode only and reads LOW (~2x) - read the model, not either ratio alone"),
     // CC label propagation runs until the deepest component's pointer
     // chains collapse; ScaleUp's mutated 10x corpus links its near-dup
     // groups into one ~20k-node component, so round count grows with

@@ -22,11 +22,21 @@ package graft
   * (Spark logs, progress) goes to stderr; the parent only trusts
   * REPROBE-prefixed lines.
   *
-  * Timing discipline matches the in-process loop it replaces: same
-  * session confs as the suite ([[Bench.newSession]]), one untimed
-  * warmup, `count()` as the timed action, sub-[[Bench.ReprobeRerunBelowSec]]
-  * results re-run once keeping the minimum (first execution pays that
-  * query's codegen), checkpoint blocks dropped between queries. */
+  * Timing discipline: same session confs as the suite
+  * ([[Bench.newSession]]), one untimed generic warmup, `count()` as
+  * the timed action, checkpoint blocks dropped between queries — and
+  * EVERY query runs twice, keeping the minimum (the [[IsolatedProbe]]
+  * run1/run2 convention). The first execution is that query's own
+  * warmup: it pays its codegen AND any JVM-wide model/codebook cache
+  * its plan trains (k-means centroids, PQ codebooks, classifier
+  * weights). The reprobe adjudicates CONTENTION in the raw in-session
+  * ratio, whose sf0.1 denominator and sf1 numerator both ran over
+  * warm caches — so the isolated re-measure must measure the same
+  * warm regime, or a cache-backed key reads as a phantom 50-95×
+  * (measured: emb_pq_codes cold child 95.5× vs warm steady-state
+  * ~2×, sim_knn_graph cold 12.7×). The bounded cold-build window
+  * stays visible where it belongs: in the RAW ratio and in the
+  * ExpectedSuperlinear cost model riding beside it. */
 object ReprobeChild {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -50,7 +60,10 @@ object ReprobeChild {
           System.err.println(s"REPROBE-CHILD: query $n failed at $dir: $e")
           false
         }
-      if (ok && sec < Bench.ReprobeRerunBelowSec)
+      // run2 is the number to quote (object scaladoc): run1 absorbed
+      // this query's codegen and any model/codebook cache its plan
+      // trains, matching the warm regime of the ratio being adjudicated
+      if (ok)
         sec = math.min(sec, try once() catch { case _: Throwable => sec })
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
