@@ -383,41 +383,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("text_unigram_nll: no cartesian except the 1-row totals frame; model join partial-aggregates") {
+  test("text_unigram_nll: aggregated probe frame, broadcast model, no cartesian beyond totals") {
+    // the scan/pre-aggregate shape lives on the BUILD plan of the
+    // materialized fact frame (the registered query localCheckpoints
+    // it — r11): hot tokens collapse per-document map-side before the
+    // (doc_id, tok) exchange, reading only (doc_id, text)
+    val build = finalPlan(graft.ops.TextOps.ugDocTok(spark, d))
+    assert(build.contains("partial_count"), build)
+    assert("hashpartitioning\\(doc_id#\\d+L?, tok#\\d+".r.findFirstIn(build).isDefined,
+      s"probe side must be the (doc_id, tok) aggregate, not raw occurrences:\n$build")
+    assert(build.contains("ReadSchema: struct<doc_id:bigint,text:string>"), build)
+    // the scoring plan: vocab model BROADCASTS into the fact frame
+    // (the ship-the-LM posture — a shuffle join on tok would put every
+    // document's "the" row on one reducer), only the 1-row totals
+    // frame nested-loops, and the fact never sort-merges
     val plan = finalPlan(graft.ops.TextOps.queries("text_unigram_nll")(spark, d))
     val finalOnly = plan.split("== Initial Plan ==").head
-    // the (doc_id, tok) pre-aggregate partial-aggregates map-side before
-    // its shuffle — hot tokens collapse per-document before any exchange
-    assert(finalOnly.contains("partial_count"), plan)
-    // the model-join probe side is the aggregated (doc_id, tok, cnt_d)
-    // frame, never the raw occurrence stream: its exchange hashes on the
-    // composite (doc_id, tok) key, which only exists post-aggregation
-    assert("hashpartitioning\\(doc_id#\\d+L?, tok#\\d+".r.findFirstIn(finalOnly).isDefined,
-      s"probe side must be the (doc_id, tok) aggregate, not raw occurrences:\n$plan")
-    // the only nested-loop join is the 1-row totals crossJoin — never
-    // a corpus-sized cartesian
+    assert(finalOnly.contains("BroadcastHashJoin"),
+      s"the vocab model must broadcast:\n$plan")
+    assert(!finalOnly.contains("SortMergeJoin"),
+      s"the fact frame must not sort-merge against the model:\n$plan")
     assert("BroadcastNestedLoopJoin".r.findAllIn(finalOnly).size <= 1, plan)
-    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
 
-  test("text_bigram_nll: transition pre-aggregate before every model join; model broadcasts; fact never sort-merges") {
-    val plan = finalPlan(graft.ops.TextOps.queries("text_bigram_nll")(spark, d))
-    val finalOnly = plan.split("== Initial Plan ==").head
-    // the (doc_id, bigram) pre-aggregate collapses hot transitions
-    // ("of the") per document map-side before any exchange — the
-    // unigram Zipf lesson applied to pairs (r11: the pair key is the
-    // native text_shingles_all 2-gram string, split to (wp, wc) only
-    // after the aggregate)
-    assert(finalOnly.contains("partial_count"), plan)
-    assert("hashpartitioning\\(doc_id#\\d+L?, bg#\\d+".r.findFirstIn(finalOnly).isDefined,
-      s"probe side must be the (doc_id, bigram) aggregate, not raw transitions:\n$plan")
-    // the native one-pass shingle expression feeds the transition
-    // stream — the interpreted transform/lambda form is banned here
-    assert(finalOnly.contains("text_shingles"),
-      s"transitions must come from the native shingle expression:\n$plan")
-    // r11 scoring shape: the df-capped model and the vocab floor both
+  test("text_bigram_nll: shingle-fed transition pre-aggregate; model broadcasts; fact never sort-merges") {
+    // build plan of the materialized transition frame (the registered
+    // query localCheckpoints it — r11): the (doc_id, bigram)
+    // pre-aggregate collapses hot transitions ("of the") per document
+    // map-side before any exchange — the unigram Zipf lesson applied
+    // to pairs, with the pair key the NATIVE text_shingles_all 2-gram
+    // string (the interpreted transform/lambda form is banned here),
+    // split to (wp, wc) only after the aggregate
+    val build = finalPlan(graft.ops.TextOps.bgDocTrans(spark, d))
+    assert(build.contains("partial_count"), build)
+    assert("hashpartitioning\\(doc_id#\\d+L?, bg#\\d+".r.findFirstIn(build).isDefined,
+      s"probe side must be the (doc_id, bigram) aggregate, not raw transitions:\n$build")
+    assert(build.contains("text_shingles"),
+      s"transitions must come from the native shingle expression:\n$build")
+    assert(build.contains("ReadSchema: struct<doc_id:bigint,text:string>"), build)
+    // scoring plan: the df-capped model and the vocab floor both
     // BROADCAST into the fact frame (the CCNet ship-the-pruned-LM
     // posture) — the fact side must never pay a sort-merge exchange
+    val plan = finalPlan(graft.ops.TextOps.queries("text_bigram_nll")(spark, d))
+    val finalOnly = plan.split("== Initial Plan ==").head
     assert(finalOnly.contains("BroadcastHashJoin") && finalOnly.contains("LeftOuter"),
       s"the pruned model must broadcast into a LeftOuter join:\n$plan")
     assert(!finalOnly.contains("SortMergeJoin"),
@@ -425,7 +433,6 @@ class PlanSpec extends SparkSpec {
     // the 1-row totals frame is the only nested-loop shape — once
     // under the model mixture, once under the vocab floor
     assert("BroadcastNestedLoopJoin".r.findAllIn(finalOnly).size <= 2, plan)
-    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
 
   test("vocab_bpe_train: the word-frequency cap is a two-phase top-k, text-only scan") {
