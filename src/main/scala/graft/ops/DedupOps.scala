@@ -1168,14 +1168,18 @@ object DedupOps {
     * The token join touches only removed docs; totals are one
     * broadcast row; everything after is 3-row method domain. */
   val savings: Q = (s, d) => {
+    // materialized once: four consumers (totals + three method rows)
+    // would otherwise each re-run the scan+tokenize pass (the NLL
+    // recompute-tax lesson — no exchange reuse fires across subtrees)
     val toks = documents(s, d).select(col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+      .localCheckpoint(true)
     val totals = toks.agg(count(lit(1)).as("docs_total"),
       sum("ntok").as("tokens_total"))
-    val exactRemoved = documents(s, d)
-      .select(col("doc_id"), md5(col("text")).as("ch"))
-      .join(documents(s, d).groupBy(md5(col("text")).as("ch"))
-        .agg(min("doc_id").as("keeper")), Seq("ch"))
+    val ch = documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("ch")).localCheckpoint(true)
+    val exactRemoved = ch
+      .join(ch.groupBy("ch").agg(min("doc_id").as("keeper")), Seq("ch"))
       .where(col("doc_id") =!= col("keeper")).select("doc_id")
     val jacRemoved = connectedComponents(
         ngramJaccardCapped(s, d).select("doc_a", "doc_b"))._1
