@@ -70,7 +70,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 object EnrichIngest {
 
   /** Seed empty fact/dim registries (the campaign may instead pre-seed
-    * dims with a standing snapshot at batch −1 via [[enrollDims]]). */
+    * dims with a standing snapshot at batch −1 via [[enrollDims]]).
+    * The LEDGER is overwritten-empty too: re-initializing a previously
+    * used store dir must not carry stale emissions into the new
+    * campaign — old rows sit at old batch ids and would WIN the
+    * min-batch election over everything the new campaign emits. */
   def init(s: SparkSession, dir: String): Unit = {
     s.range(0).select(col("id").as("c_custkey"),
       lit("").as("c_name"), lit("").as("c_mktsegment"),
@@ -79,6 +83,10 @@ object EnrichIngest {
     s.range(0).select(col("id").as("o_orderkey"), col("id").as("o_custkey"),
       col("id").as("batch_id"))
       .write.mode("overwrite").parquet(dir + "/facts")
+    s.range(0).select(col("id").as("o_orderkey"), col("id").as("o_custkey"),
+      lit("").as("cust_name"), lit("").as("segment"),
+      lit(0).cast("int").as("matched"), col("id").as("batch_id"))
+      .write.mode("overwrite").parquet(dir + "/ledger")
   }
 
   /** Enroll a standing dim snapshot at batch −1 (visible to every
@@ -88,6 +96,25 @@ object EnrichIngest {
     dims.select("c_custkey", "c_name", "c_mktsegment")
       .withColumn("batch_id", lit(-1L))
       .write.mode("append").parquet(dir + "/dims")
+
+  /** One deterministic dim version per key. The dim stream is CDC: the
+    * same c_custkey can arrive twice in one batch (intra-batch
+    * duplicate) or re-arrive later with NEW attributes (an update) —
+    * un-folded, a fact joining it emits two matched rows at one
+    * batch_id and the ledger's min_by election ties nondeterministically
+    * (the [[SetDiffIngest]] onePerDoc hazard, here for dims). Election:
+    * the MINIMUM (batch_id, c_name, c_mktsegment) row —
+    * first-enrolled-version-wins, the same preference direction as the
+    * ledger's min-batch election (a fact matched at batch 2 and a fact
+    * arriving at batch 9 must see the SAME version of their shared
+    * dim), with the lexicographic attribute struct breaking intra-batch
+    * ties deterministically. Replay-stable: the fold's input under a
+    * redelivered batch is byte-identical (strict-below registry rows
+    * plus the batch's own arrivals), so its output is too. */
+  private def oneDimPerKey(dims: DataFrame): DataFrame =
+    dims.groupBy("c_custkey")
+      .agg(min(struct(col("batch_id"), col("c_name"), col("c_mktsegment"))).as("r"))
+      .select(col("c_custkey"), col("r.c_name"), col("r.c_mktsegment"))
 
   private def enriched(facts: DataFrame, dims: DataFrame): DataFrame =
     facts.join(broadcast(dims), col("o_custkey") === col("c_custkey"), "left_outer")
@@ -105,14 +132,27 @@ object EnrichIngest {
     val facts = env.where(col("kind") === "fact")
       .select(col("o_orderkey"), col("o_custkey"))
       .distinct().localCheckpoint(true)
-    val dims = env.where(col("kind") === "dim")
-      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .distinct().localCheckpoint(true)
-    val priorDims = s.read.parquet(dir + "/dims")
+    // arriving dims fold to one row per key BEFORE anything joins them
+    // (intra-batch duplicate keys with differing attributes would
+    // otherwise double-emit — oneDimPerKey's doc); batch_id is the
+    // arriving batch, so the fold is the same election the state fold
+    // below runs
+    val dims = oneDimPerKey(
+        env.where(col("kind") === "dim")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .withColumn("batch_id", lit(batchId)))
+      .localCheckpoint(true)
+    val priorDimRows = s.read.parquet(dir + "/dims")
       .where(col("batch_id") < batchId)
-      .select("c_custkey", "c_name", "c_mktsegment").distinct()
-    val dimState = priorDims.unionByName(dims).distinct()
-    val newDims = dims.join(priorDims.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment", "batch_id")
+    // the dim state visible at b: prior enrollments ∪ this batch's
+    // arrivals, elected to one version per key (a CDC update enrolled
+    // at a later batch loses to the first enrollment — every fact,
+    // whenever it arrives, sees the same version of a dim)
+    val dimState = oneDimPerKey(
+      priorDimRows.unionByName(dims.withColumn("batch_id", lit(batchId))))
+    val newDims = dims.join(
+      priorDimRows.select("c_custkey").distinct(), Seq("c_custkey"), "left_anti")
     val priorFacts = s.read.parquet(dir + "/facts")
       .where(col("batch_id") < batchId)
       .select("o_orderkey", "o_custkey").distinct()

@@ -116,4 +116,59 @@ class EnrichIngestSpec extends SparkSpec {
     assert(got(dirA) == got(dirB), "compacted and never-compacted stores must agree")
     assert(got(dirA) == batchResult)
   }
+
+  test("dim versions fold deterministically: intra-batch duplicates and cross-batch CDC updates") {
+    import spark.implicits._
+    def env(fs: Seq[(Long, Long)], ds: Seq[(Long, String, String)]) = envOf(
+      fs.toDF("o_orderkey", "o_custkey"),
+      ds.toDF("c_custkey", "c_name", "c_mktsegment"))
+    def run(dir: String): Unit = {
+      streaming.EnrichIngest.init(spark, dir)
+      // batch 0: fact 1 + TWO versions of dim 10 in the same batch —
+      // un-folded this emits two matched rows at one batch_id and the
+      // ledger election ties nondeterministically
+      streaming.EnrichIngest.processBatch(spark, dir,
+        env(Seq((1L, 10L)), Seq((10L, "v-b", "SEG-B"), (10L, "v-a", "SEG-A"))), 0L)
+      // batch 1: a CDC UPDATE of dim 10 (new attributes) + a LATE fact
+      // on the same key — the late fact must see the batch-0 elected
+      // version, not the update (first-enrolled-version-wins, the
+      // ledger's own min-batch preference direction)
+      streaming.EnrichIngest.processBatch(spark, dir,
+        env(Seq((2L, 10L)), Seq((10L, "v-z", "SEG-Z"))), 1L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_enr5").toString
+    run(dir)
+    val rows = got(dir)
+    assert(rows.map(_.getLong(0)) == Seq(1L, 2L))
+    // both facts: exactly one row each, matched, the lexicographic-min
+    // intra-batch version of batch 0
+    assert(rows.forall(r => r.getInt(4) == 1 && r.getString(2) == "v-a" &&
+      r.getString(3) == "SEG-A"), rows.toString)
+    // the raw ledger itself carries ONE emission per (fact, batch) —
+    // the double-emit hazard, pinned at the log level, replay included
+    streaming.EnrichIngest.processBatch(spark, dir,
+      env(Seq((1L, 10L)), Seq((10L, "v-b", "SEG-B"), (10L, "v-a", "SEG-A"))), 0L) // replay
+    val perBatch = spark.read.parquet(dir + "/ledger")
+      .groupBy("o_orderkey", "batch_id", "o_custkey", "cust_name", "segment", "matched")
+      .count().where(col("o_orderkey") === 1L && col("batch_id") === 0L).collect()
+    assert(perBatch.length == 1 && perBatch.head.getLong(6) == 2L,
+      s"replayed batch must re-emit the byte-identical single row: ${perBatch.toSeq}")
+    // determinism across an independent campaign
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_enr5b").toString
+    run(dir2)
+    assert(got(dir2) == rows)
+  }
+
+  test("init into a previously used store dir clears the ledger") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_enr6").toString
+    streaming.EnrichIngest.init(spark, dir)
+    streaming.EnrichIngest.processBatch(spark, dir, envOf(
+      Seq((1L, 10L)).toDF("o_orderkey", "o_custkey"),
+      Seq((10L, "n", "SEG")).toDF("c_custkey", "c_name", "c_mktsegment")), 0L)
+    assert(got(dir).nonEmpty)
+    streaming.EnrichIngest.init(spark, dir) // new campaign, same dir
+    assert(got(dir).isEmpty,
+      "a re-initialized store must not carry the old campaign's emissions")
+  }
 }
