@@ -258,8 +258,8 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
-  private[ops] val NShards = 8
-  private[ops] val CtxTokens = 512
+  private[graft] val NShards = 8
+  private[graft] val CtxTokens = 512
 
   /** Sequence packing: assign documents to fixed token-budget bins for
     * pretraining batches. Deterministic shard-parallel form: docs hash to
