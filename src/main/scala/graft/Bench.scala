@@ -181,6 +181,21 @@ object Bench {
     // string-struct shuffle; bigram joins the composed model once
     // instead of shuffling the fact frame three times), which cuts the
     // constant - the remaining ratio is the token stream itself.
+    // Corpus-wide k-NN graph: EVERY vector probes its nprobe lists, so
+    // candidate work is Sigma list^2 = nprobe*n^2/L; with L = sqrt(n/4)
+    // lists that is ~6*n^1.5 - a 10x corpus is ~31.6x candidate work BY
+    // COST MODEL (SimOps.knnGraph scaladoc), the sub-quadratic price of
+    // "neighbors for everyone" on an IVF index (sf0.1 still amortizes
+    // fixed overhead, so the wall ratio reads lower). r11 judge reprobe:
+    // 22.2 s sf1 / 10.79x per 10x on the pair-sized-rejoin form; r12
+    // scores inside the list-id join (pair frame crosses the wire once,
+    // 24 B/row) - measured fresh-child sf1 ~5 s / ~3x. sim_label_purity
+    // consumes this frame and inherits the same model (r11 reprobe
+    // 3.26x).
+    "sim_knn_graph" -> ("corpus-wide IVF probe: Sigma list^2 = ~6*n^1.5 candidate work " +
+      "(every vector queries nprobe lists of ~sqrt(n) rows) - ~31.6x per 10x by cost " +
+      "model; r11 pair-rejoin form measured 10.79x (22.2 s sf1), r12 score-in-join form " +
+      "reprobes ~3x (~5 s sf1)"),
     "text_unigram_nll" -> ("per-doc LM scoring is Theta(corpus tokens) by definition " +
       "(a row per document, every token folds); model type frame adds Heaps-law growth; " +
       "r9 sorted-struct fold measured 6.93x per 10x, r10 nano-grid integer fold measured " +
@@ -619,8 +634,17 @@ object Bench {
     * cannot run or produced nothing parseable — callers fall back to
     * the in-process path and stamp `"isolation":"in-process"` so the
     * artifact records which regime measured each number. */
+  /** `estSecs` are the names' already-measured (contended) wall times —
+    * the child budget is sized from them: per query, two timed runs at
+    * a generous 10× cold-child allowance plus the bounded quiet gate,
+    * plus session startup. A child that exceeds the budget is KILLED
+    * and whatever it measured before hanging is kept (unfinished
+    * queries keep the −1 unadjudicated convention) — a deadlocked
+    * query must not block the bench forever with no artifact written,
+    * and falling back to an in-process re-measure of the same query
+    * would hang the parent on the same deadlock. */
   private def childReprobe(dir: String, cpus: String,
-      names: Seq[String]): Option[Map[String, ChildProbe]] =
+      names: Seq[String], estSecs: Seq[Double]): Option[Map[String, ChildProbe]] =
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths.get(
@@ -642,14 +666,31 @@ object Bench {
       val pb = new ProcessBuilder(cmd)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
-      // drain stdout BEFORE waitFor: a filled pipe buffer would deadlock
-      val out = scala.io.Source.fromInputStream(
-        proc.getInputStream, "UTF-8").getLines().toList
-      proc.waitFor()
-      val parsed = out.flatMap(parseReprobeLine).toMap
-      if (parsed.isEmpty) {
+      // drain stdout on a daemon thread (a filled pipe buffer would
+      // deadlock the child), bound waitFor by the budget above
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val drainer = new Thread(() =>
+        try scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+          .getLines().foreach(out.add)
+        catch { case _: Throwable => () })
+      drainer.setDaemon(true)
+      drainer.start()
+      val budgetSec = (120.0 + names.size * ChildQuietWaitMaxSec +
+        estSecs.map(s => math.max(60.0, 20.0 * s)).sum).toLong
+      val finished = proc.waitFor(budgetSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
         System.err.println(
-          s"BENCH: child reprobe produced no parseable lines (exit ${proc.exitValue()})")
+          s"BENCH: child reprobe exceeded its ${budgetSec}s budget - killed " +
+            s"(queries: ${names.mkString(",")}); keeping partial results")
+        proc.destroyForcibly()
+        proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      drainer.join(5000)
+      val parsed = out.iterator().asScala.flatMap(parseReprobeLine).toMap
+      if (parsed.isEmpty) {
+        val exit = try proc.exitValue().toString catch { case _: Throwable => "killed" }
+        System.err.println(
+          s"BENCH: child reprobe produced no parseable lines (exit $exit)")
         None
       } else Some(parsed)
     } catch {
@@ -820,7 +861,16 @@ object Bench {
             if (flagged.isEmpty) Map.empty
             else {
               awaitQuietWindow()
-              childReprobe(sfDir, cpus, flagged.map(_._1)).getOrElse(Map.empty)
+              // NOTE the regime asymmetry, recorded per entry as
+              // reprobe_parent_alive: this child runs while the primary
+              // SparkSession is STILL alive (its results frame is still
+              // being assembled) and inherits the parent's -Xmx, so
+              // parent heap + child heap can overcommit the box — a
+              // pressure bias toward FALSE CONFIRMATION, never false
+              // clearing. The scale-path reprobe stops spark1 first and
+              // carries no such stamp.
+              childReprobe(sfDir, cpus, flagged.map(_._1),
+                flagged.map(_._3)).getOrElse(Map.empty)
             }
           def confirmed(n: String, p: Double): Boolean =
             regressionConfirmed(p, adjud.get(n))
@@ -829,7 +879,7 @@ object Bench {
               s""","sec_reprobed":${cp.sec},"ratio_reprobed":${
                 if (cp.sec >= 0) String.format(java.util.Locale.ROOT, "%.2f",
                   Double.box(cp.sec / p)) else "-1"
-              },"reprobe_loadavg":${loadJson(cp.load)},"reprobe_contaminated":${cp.contaminated},"confirmed":${confirmed(n, p)}"""
+              },"reprobe_loadavg":${loadJson(cp.load)},"reprobe_contaminated":${cp.contaminated},"reprobe_parent_alive":true,"confirmed":${confirmed(n, p)}"""
             }.getOrElse(""","confirmed":true""")
             "\"" + n + "\":{\"prev\":" + p + ",\"cur\":" + c +
               ",\"ratio\":" + String.format(java.util.Locale.ROOT, "%.2f",
@@ -976,7 +1026,7 @@ object Bench {
           // context was gated
           def runBatch(batch: Seq[(String, Double)]): Seq[SR] = {
             awaitQuietWindow()
-            childReprobe(scaleDir, cpus, batch.map(_._1)) match {
+            childReprobe(scaleDir, cpus, batch.map(_._1), batch.map(_._2)) match {
               case Some(m) => batch.map { case (n, raw) =>
                 m.get(n) match {
                   case Some(cp) => SR(n, raw, cp.sec,
