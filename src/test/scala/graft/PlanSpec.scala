@@ -575,6 +575,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("bit_count"), plan)
   }
 
+  test("k-means codebook cap: the family's one driver collect stays bounded at MaxCentroids") {
+    // the cap is the driver-surface bound of the whole k-means/IVF/PQ
+    // family (MaxCentroids scaladoc: per-Lloyd-round collect+broadcast
+    // is k x dim floats; past the cap a deployment shards instead of
+    // raising it) - a silent raise must fail here, not on a cluster
+    assert(graft.ops.SimOps.MaxCentroids == 256)
+    assert(graft.ops.SimOps.nCentroids(500L) == 16, "verify-SF floor")
+    assert(graft.ops.SimOps.nCentroids(1_000_000_000L) == 256, "capped at any corpus size")
+    assert(graft.ops.SimOps.pqKsub(1_000_000_000L) == 256, "PQ codebook shares the cap")
+  }
+
+  test("corpus_dsir_buckets build: hot buckets collapse map-side, scan reads only (doc_id, lang, text)") {
+    // the scan/pre-aggregate shape lives on the BUILD plan of the
+    // materialized bucket frame (docWeights localCheckpoints it — r12,
+    // the NLL materialization lesson applied to the DSIR family: five
+    // un-shared consumers re-ran the tokenize+hash corpus pass)
+    val build = finalPlan(graft.ops.SelectOps.docBuckets(spark, d))
+    assert(build.contains("partial_count"), build)
+    assert("hashpartitioning\\(doc_id#\\d+L?, lang#\\d+".r.findFirstIn(build).isDefined,
+      s"probe side must be the (doc_id, lang, b) aggregate, not raw tokens:\n$build")
+    assert(build.contains("ReadSchema: struct<doc_id:bigint,lang:string,text:string>") ||
+      build.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"), build)
+  }
+
   test("corpus_dsir_select: bucket model broadcasts; weights partial-aggregate; top-K is bounded heaps") {
     val plan = finalPlan(graft.ops.SelectOps.queries("corpus_dsir_select")(spark, d))
     // the <= DsirB-row model ships to the scorer (no doc x vocab work)

@@ -2,7 +2,7 @@
 """Local pre-validation of SparkEntry oracles, mimicking the driver's
 DuckDB compare: run Verify output parquet vs oracle SQL on the same
 tables; columns sorted by name, values compared exactly."""
-import sys, os, json, math, argparse, threading, subprocess
+import sys, os, re, json, math, argparse, threading, subprocess
 import duckdb
 import pandas as pd
 
@@ -55,11 +55,14 @@ def fresh_con(sf_dir: str):
     return con
 
 def main(sf_dir: str, out_dir: str, skip=(), timeout_sec=0, only=None):
+    import time
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    times = {}  # per-key oracle wall seconds -> TALLY, for sweep diffing
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
             continue
+        t0 = time.monotonic()
         if name in skip:
             # loud, never silent: a skipped oracle is an exemption the
             # caller must justify, not a pass
@@ -125,6 +128,7 @@ def main(sf_dir: str, out_dir: str, skip=(), timeout_sec=0, only=None):
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
+        times[name] = round(time.monotonic() - t0, 3)
     tail = f" / {n_skip} skipped" if n_skip else ""
     print(f"\n{n_pass} pass / {n_fail} fail{tail}")
     # Machine-readable tally as the LAST line — the chunked parent
@@ -132,10 +136,10 @@ def main(sf_dir: str, out_dir: str, skip=(), timeout_sec=0, only=None):
     # stdout (where a 'N pass / M fail' string inside a FAIL diff
     # block would be misparsed as the tally).
     print("TALLY " + json.dumps(
-        {"pass": n_pass, "fail": n_fail, "skip": n_skip}))
+        {"pass": n_pass, "fail": n_fail, "skip": n_skip, "sec": times}))
     sys.exit(1 if n_fail else 0)
 
-def run_chunked(sf_dir, out_dir, chunk, skip, timeout_sec, only):
+def run_chunked(sf_dir, out_dir, chunk, skip, timeout_sec, only, times_out=None):
     """Fan the replay out over child processes of `chunk` queries each.
     Needed for full-registry sweeps at big SFs: DuckDB (and the
     pandas conversion path) retain process-level memory across queries
@@ -149,6 +153,7 @@ def run_chunked(sf_dir, out_dir, chunk, skip, timeout_sec, only):
     if only is not None:
         names = [n for n in names if n in only]
     n_pass = n_fail = n_skip = 0
+    times = {}
     for i in range(0, len(names), chunk):
         cmd = [sys.executable, os.path.abspath(__file__), sf_dir, out_dir,
                "--chunk", "0", "--only", ",".join(names[i:i + chunk])]
@@ -173,9 +178,21 @@ def run_chunked(sf_dir, out_dir, chunk, skip, timeout_sec, only):
         if tally is None:
             # Child died mid-chunk. Credit the PASS/SKIP lines it DID
             # print (per-query lines are emitted as each query
-            # finishes), fail everything unaccounted for.
-            seen_pass = sum(1 for l in lines if l.startswith("PASS "))
-            seen_skip = sum(1 for l in lines if l.startswith("SKIP "))
+            # finishes), fail everything unaccounted for. Each credit is
+            # anchored to the exact per-query line format for a name IN
+            # THIS CHUNK — a FAIL diff body line that merely starts with
+            # 'PASS '/'SKIP ' must not inflate the credit — and a name
+            # is credited at most once (a diff body echoing a real PASS
+            # line would otherwise double-count it).
+            chunk_names = set(names[i:i + chunk])
+            pass_re = re.compile(r"PASS (\S+) \(\d+ rows\)$")
+            skip_re = re.compile(r"SKIP (\S+) \(exempted by --skip\)$")
+            seen_pass = len({m.group(1) for l in lines
+                             if (m := pass_re.fullmatch(l))
+                             and m.group(1) in chunk_names})
+            seen_skip = len({m.group(1) for l in lines
+                             if (m := skip_re.fullmatch(l))
+                             and m.group(1) in chunk_names})
             print(f"FAIL chunk {i // chunk}: no tally "
                   f"(exit {r.returncode}): {r.stderr.strip()[-500:]}")
             n_pass += seen_pass
@@ -185,6 +202,20 @@ def run_chunked(sf_dir, out_dir, chunk, skip, timeout_sec, only):
         n_pass += tally["pass"]
         n_fail += tally["fail"]
         n_skip += tally["skip"]
+        times.update(tally.get("sec", {}))
+    if times_out:
+        # merged per-key oracle seconds, plus the Spark side's
+        # verify_times.json when present -> ONE sweep artifact a later
+        # round diffs by key instead of re-running the sweep
+        spark_times = {}
+        vt = f"{out_dir}/verify_times.json"
+        if os.path.exists(vt):
+            spark_times = json.load(open(vt))
+        json.dump({"sf_dir": sf_dir, "pass": n_pass, "fail": n_fail,
+                   "skip": n_skip, "oracle_sec": times,
+                   "spark_sec": spark_times},
+                  open(times_out, "w"), indent=1)
+        print(f"sweep times -> {times_out}")
     tail = f" / {n_skip} skipped" if n_skip else ""
     print(f"\n{n_pass} pass / {n_fail} fail{tail}")
     sys.exit(1 if n_fail else 0)
@@ -203,9 +234,13 @@ if __name__ == "__main__":
                     help="queries per child process (0 = run in-process; "
                          "default 40 bounds DuckDB's cross-query memory "
                          "retention on full-registry sweeps)")
+    ap.add_argument("--times-out", default="",
+                    help="write merged per-key sweep times (oracle + "
+                         "spark verify_times.json) to this JSON path")
     a = ap.parse_args()
     skip = frozenset(x for x in a.skip.split(",") if x)
     only = frozenset(x for x in a.only.split(",") if x) or None
     if a.chunk > 0:
-        run_chunked(a.sf_dir, a.out_dir, a.chunk, skip, a.timeout_sec, only)
+        run_chunked(a.sf_dir, a.out_dir, a.chunk, skip, a.timeout_sec, only,
+                    times_out=a.times_out or None)
     main(a.sf_dir, a.out_dir, skip=skip, timeout_sec=a.timeout_sec, only=only)
