@@ -602,8 +602,16 @@ object Bench {
 
   // ---- fresh-child-JVM reprobe spawn --------------------------------
   /** One measured query from a [[ReprobeChild]] worker. */
+  /** `selfShare` is the child JVM's fraction of every busy CPU jiffy
+    * on the box during the kept run (−1 when unreadable or from an
+    * older child): the quiet gate samples loadavg at the START, so a
+    * co-tenant burst arriving MID-measurement is invisible to it —
+    * but /proc/stat aggregates namespaced tenants the process table
+    * hides, and a share well under ~0.9 proves someone else ate the
+    * box during exactly this number. Self-inflicted waits (GC,
+    * shuffle I/O) keep the share high. */
   private[graft] case class ChildProbe(sec: Double, load: Seq[Double],
-      contaminated: Boolean, quietWait: Double)
+      contaminated: Boolean, quietWait: Double, selfShare: Double = -1.0)
 
   /** Parse one child stdout line; None unless it is a well-formed
     * `REPROBE {json}` record (Spark/log noise on stdout is ignored by
@@ -618,7 +626,8 @@ object Bench {
         j.get("sec").asDouble(),
         j.get("loadavg").elements().asScala.map(_.asDouble()).toSeq,
         j.get("contaminated").asBoolean(),
-        j.get("quiet_wait_sec").asDouble()))
+        j.get("quiet_wait_sec").asDouble(),
+        Option(j.get("cpu_self_share")).map(_.asDouble()).getOrElse(-1.0)))
     } catch { case _: Throwable => None }
 
   /** Spawn a [[ReprobeChild]] JVM over `names` at `dir` and collect its
@@ -879,7 +888,7 @@ object Bench {
               s""","sec_reprobed":${cp.sec},"ratio_reprobed":${
                 if (cp.sec >= 0) String.format(java.util.Locale.ROOT, "%.2f",
                   Double.box(cp.sec / p)) else "-1"
-              },"reprobe_loadavg":${loadJson(cp.load)},"reprobe_contaminated":${cp.contaminated},"reprobe_parent_alive":true,"confirmed":${confirmed(n, p)}"""
+              },"reprobe_loadavg":${loadJson(cp.load)},"cpu_self_share":${cp.selfShare},"reprobe_contaminated":${cp.contaminated},"reprobe_parent_alive":true,"confirmed":${confirmed(n, p)}"""
             }.getOrElse(""","confirmed":true""")
             "\"" + n + "\":{\"prev\":" + p + ",\"cur\":" + c +
               ",\"ratio\":" + String.format(java.util.Locale.ROOT, "%.2f",
@@ -979,7 +988,8 @@ object Bench {
         // survives only as a spawn-failure fallback, and every entry
         // records which regime measured it (`isolation`).
         case class SR(n: String, raw: Double, sec: Double, ratio: Double,
-            load: Seq[Double], contaminated: Boolean, isolation: String)
+            load: Seq[Double], contaminated: Boolean, isolation: String,
+            selfShare: Double = -1.0)
         val reprobes: Seq[SR] = if (batches.isEmpty) Seq.empty else {
           // release the scale-pass session first: the parent's heap is
           // pure residue once s1 is collected, and the adjudication
@@ -1031,7 +1041,7 @@ object Bench {
                 m.get(n) match {
                   case Some(cp) => SR(n, raw, cp.sec,
                     if (cp.sec >= 0) cp.sec / p(n) else -1.0,
-                    cp.load, cp.contaminated, "child-jvm")
+                    cp.load, cp.contaminated, "child-jvm", cp.selfShare)
                   // the child died before reaching this query — a -1
                   // ratio keeps the convention for an unadjudicated entry
                   case None => SR(n, raw, -1.0, -1.0, Seq.empty, false, "child-jvm")
@@ -1071,7 +1081,7 @@ object Bench {
           val body = reprobes.map { t =>
             val expected = ExpectedSuperlinear.get(t.n)
               .map(why => s""","expected_superlinear":${jsonStr(why)}""").getOrElse("")
-            "\"" + t.n + s"""\":{"ratio":${t.raw},"sec_reprobed":${t.sec},"ratio_reprobed":${t.ratio},"loadavg":${loadJson(t.load)},"contaminated":${t.contaminated},"isolation":"${t.isolation}"$expected}"""
+            "\"" + t.n + s"""\":{"ratio":${t.raw},"sec_reprobed":${t.sec},"ratio_reprobed":${t.ratio},"loadavg":${loadJson(t.load)},"cpu_self_share":${t.selfShare},"contaminated":${t.contaminated},"isolation":"${t.isolation}"$expected}"""
           }.mkString(",\"reprobe\":{", ",", "}")
           // every over-bar entry is adjudicated under the batched sweep —
           // the field stays so artifact readers can assert it; any

@@ -38,6 +38,26 @@ package graft
   * stays visible where it belongs: in the RAW ratio and in the
   * ExpectedSuperlinear cost model riding beside it. */
 object ReprobeChild {
+
+  /** (selfJiffies, busyJiffies) from /proc/self/stat (utime+stime,
+    * this process only) and /proc/stat (all-cpu non-idle time, every
+    * process on the box — namespaced co-tenants INCLUDED, which is the
+    * point). (-1, -1) off-Linux. */
+  private def cpuSample(): (Long, Long) =
+    try {
+      val self = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat"))).trim
+      // fields 14/15 (1-based utime/stime) count from AFTER the comm
+      // field, which may itself contain spaces — skip past the ')'
+      val afterComm = self.substring(self.lastIndexOf(')') + 2).split("\\s+")
+      val selfJ = afterComm(11).toLong + afterComm(12).toLong
+      val cpu = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat"))).linesIterator
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L) // idle+iowait
+      (selfJ, cpu.sum - idle)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val cpus = args(1)
@@ -48,14 +68,31 @@ object ReprobeChild {
       val waited = Bench.awaitQuietWindow(Bench.ChildQuietWaitMaxSec)
       val la = Bench.loadAvg
       val contaminated = la.headOption.exists(_ > Bench.quietLoadThreshold)
-      def once(): Double = {
+      def once(): (Double, Double) = {
+        val c0 = cpuSample()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val c1 = cpuSample()
+        // cpu_self_share: this JVM's share of every busy jiffy on the
+        // box during the run. The quiet gate samples 1-min loadavg at
+        // the START; a co-tenant burst arriving MID-measurement (the
+        // r10 "loadavg with an empty process table" phenomenon — the
+        // tenant is namespaced, so ps can't see it, but /proc/stat
+        // aggregates it) is invisible to the gate yet lands here: the
+        // share drops below ~0.9 exactly when someone else ate the
+        // box. Self-inflicted waits (shuffle I/O, GC) keep the share
+        // HIGH — other processes aren't burning the jiffies — so a low
+        // share is contention, not plan behavior.
+        val share =
+          if (c0._1 < 0 || c1._1 < 0 || c1._2 <= c0._2) -1.0
+          else (c1._1 - c0._1).toDouble / (c1._2 - c0._2).toDouble
+        (wall, share)
       }
       var sec = -1.0
+      var share = -1.0
       val ok =
-        try { sec = once(); true }
+        try { val r = once(); sec = r._1; share = r._2; true }
         catch { case e: Throwable =>
           System.err.println(s"REPROBE-CHILD: query $n failed at $dir: $e")
           false
@@ -63,14 +100,19 @@ object ReprobeChild {
       // run2 is the number to quote (object scaladoc): run1 absorbed
       // this query's codegen and any model/codebook cache its plan
       // trains, matching the warm regime of the ratio being adjudicated
-      if (ok)
-        sec = math.min(sec, try once() catch { case _: Throwable => sec })
+      if (ok) {
+        try {
+          val r = once()
+          if (r._1 < sec) { sec = r._1; share = r._2 }
+        } catch { case _: Throwable => () }
+      }
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       // Double.toString is locale-independent (the f-interpolator is
       // not — a comma-decimal default locale would break the JSON)
       println(s"""REPROBE {"name":"$n","sec":${if (ok) sec else -1.0},""" +
         s""""loadavg":${la.mkString("[", ",", "]")},""" +
+        s""""cpu_self_share":$share,""" +
         s""""quiet_wait_sec":$waited,"contaminated":$contaminated}""")
     }
     spark.stop()
