@@ -611,7 +611,8 @@ object Bench {
     * box during exactly this number. Self-inflicted waits (GC,
     * shuffle I/O) keep the share high. */
   private[graft] case class ChildProbe(sec: Double, load: Seq[Double],
-      contaminated: Boolean, quietWait: Double, selfShare: Double = -1.0)
+      contaminated: Boolean, quietWait: Double, selfShare: Double = -1.0,
+      memAvailMb: Long = -1L)
 
   /** Parse one child stdout line; None unless it is a well-formed
     * `REPROBE {json}` record (Spark/log noise on stdout is ignored by
@@ -627,7 +628,8 @@ object Bench {
         j.get("loadavg").elements().asScala.map(_.asDouble()).toSeq,
         j.get("contaminated").asBoolean(),
         j.get("quiet_wait_sec").asDouble(),
-        Option(j.get("cpu_self_share")).map(_.asDouble()).getOrElse(-1.0)))
+        Option(j.get("cpu_self_share")).map(_.asDouble()).getOrElse(-1.0),
+        Option(j.get("mem_avail_mb")).map(_.asLong()).getOrElse(-1L)))
     } catch { case _: Throwable => None }
 
   /** Spawn a [[ReprobeChild]] JVM over `names` at `dir` and collect its
@@ -888,7 +890,7 @@ object Bench {
               s""","sec_reprobed":${cp.sec},"ratio_reprobed":${
                 if (cp.sec >= 0) String.format(java.util.Locale.ROOT, "%.2f",
                   Double.box(cp.sec / p)) else "-1"
-              },"reprobe_loadavg":${loadJson(cp.load)},"cpu_self_share":${cp.selfShare},"reprobe_contaminated":${cp.contaminated},"reprobe_parent_alive":true,"confirmed":${confirmed(n, p)}"""
+              },"reprobe_loadavg":${loadJson(cp.load)},"cpu_self_share":${cp.selfShare},"mem_avail_mb":${cp.memAvailMb},"reprobe_contaminated":${cp.contaminated},"reprobe_parent_alive":true,"confirmed":${confirmed(n, p)}"""
             }.getOrElse(""","confirmed":true""")
             "\"" + n + "\":{\"prev\":" + p + ",\"cur\":" + c +
               ",\"ratio\":" + String.format(java.util.Locale.ROOT, "%.2f",
@@ -989,7 +991,7 @@ object Bench {
         // records which regime measured it (`isolation`).
         case class SR(n: String, raw: Double, sec: Double, ratio: Double,
             load: Seq[Double], contaminated: Boolean, isolation: String,
-            selfShare: Double = -1.0)
+            selfShare: Double = -1.0, memAvailMb: Long = -1L)
         val reprobes: Seq[SR] = if (batches.isEmpty) Seq.empty else {
           // release the scale-pass session first: the parent's heap is
           // pure residue once s1 is collected, and the adjudication
@@ -1041,7 +1043,8 @@ object Bench {
                 m.get(n) match {
                   case Some(cp) => SR(n, raw, cp.sec,
                     if (cp.sec >= 0) cp.sec / p(n) else -1.0,
-                    cp.load, cp.contaminated, "child-jvm", cp.selfShare)
+                    cp.load, cp.contaminated, "child-jvm", cp.selfShare,
+                    cp.memAvailMb)
                   // the child died before reaching this query — a -1
                   // ratio keeps the convention for an unadjudicated entry
                   case None => SR(n, raw, -1.0, -1.0, Seq.empty, false, "child-jvm")
@@ -1081,7 +1084,7 @@ object Bench {
           val body = reprobes.map { t =>
             val expected = ExpectedSuperlinear.get(t.n)
               .map(why => s""","expected_superlinear":${jsonStr(why)}""").getOrElse("")
-            "\"" + t.n + s"""\":{"ratio":${t.raw},"sec_reprobed":${t.sec},"ratio_reprobed":${t.ratio},"loadavg":${loadJson(t.load)},"cpu_self_share":${t.selfShare},"contaminated":${t.contaminated},"isolation":"${t.isolation}"$expected}"""
+            "\"" + t.n + s"""\":{"ratio":${t.raw},"sec_reprobed":${t.sec},"ratio_reprobed":${t.ratio},"loadavg":${loadJson(t.load)},"cpu_self_share":${t.selfShare},"mem_avail_mb":${t.memAvailMb},"contaminated":${t.contaminated},"isolation":"${t.isolation}"$expected}"""
           }.mkString(",\"reprobe\":{", ",", "}")
           // every over-bar entry is adjudicated under the batched sweep —
           // the field stays so artifact readers can assert it; any

@@ -58,6 +58,23 @@ object ReprobeChild {
       (selfJ, cpu.sum - idle)
     } catch { case _: Throwable => (-1L, -1L) }
 
+  /** MemAvailable (MB) from /proc/meminfo; −1 off-Linux. The CPU share
+    * catches co-tenant CPU theft; this catches the OTHER contention
+    * axis — memory pressure (a resident parent heap, a co-tenant's
+    * RSS, an evicted page cache): a slow number with share ≈ 1.0 and
+    * LOW available memory was measured under I/O starvation, not CPU
+    * contention, and both stamps make that diagnosis readable from
+    * the artifact instead of re-derived by hand (observed live: the
+    * same sf1 key reading 11.5 s in a standalone child vs 31 s in a
+    * bench-spawned child at share 1.01 — the 64g parent was still
+    * resident). */
+  private def memAvailMb(): Long =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/meminfo"))).linesIterator
+      .find(_.startsWith("MemAvailable:"))
+      .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
+    catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val cpus = args(1)
@@ -112,7 +129,7 @@ object ReprobeChild {
       // not — a comma-decimal default locale would break the JSON)
       println(s"""REPROBE {"name":"$n","sec":${if (ok) sec else -1.0},""" +
         s""""loadavg":${la.mkString("[", ",", "]")},""" +
-        s""""cpu_self_share":$share,""" +
+        s""""cpu_self_share":$share,"mem_avail_mb":${memAvailMb()},""" +
         s""""quiet_wait_sec":$waited,"contaminated":$contaminated}""")
     }
     spark.stop()
