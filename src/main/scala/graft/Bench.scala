@@ -160,6 +160,19 @@ object Bench {
     "dedup_cluster" -> ("CC rounds grow with component chain depth; the mutated sf1 corpus " +
       "collapses to one giant component by construction (per-round work stays pair-bounded); " +
       "isolated quiet-box ratio 3.04 at r8"),
+    // Same family as dedup_cluster's tag, measured at a SECOND decade in
+    // r12's sf10 probe: ScaleUp's composed replicas thicken LSH band
+    // buckets as replicas of near-dup groups land in shared bands, so
+    // pair volume per bucket grows with corpus depth ON THIS CORPUS
+    // (first decade reads 1.9x, second decade 13.3x: sf1 15.0 s ->
+    // sf10 198.8 s, fresh child JVMs). The df cap + BandBucketCap=10
+    // hot-bucket cap bound the worst bucket; r13 measured the bind on
+    // the sf10 corpus (see DedupOps.bandBucketStats) so the cap's slack
+    // is a number in the artifact, not an assumption.
+    "dedup_keep_central" -> ("LSH-pair-bounded graph build + 8-round PageRank: ScaleUp's " +
+      "replicas thicken band buckets at the second decade (sf10 probe: 13.3x per 10x, " +
+      "sf1 15.0 s -> sf10 198.8 s; first decade 1.9x) - bucket density on the mutated " +
+      "corpus, bounded by the df/hot-bucket caps, not a plan defect"),
     // the audit joins the truth side on UNWINNOWED grams - (W+1)/2 x
     // the operator's fingerprint volume by design (the price of
     // measuring the winnowing guarantee, stated in its scaladoc); the
@@ -256,21 +269,48 @@ object Bench {
       .mkString("{", ",", "}")
   }
 
+  /** Seconds between intra-pass interim flushes ([[runSuite]]'s
+    * `onInterim`): frequent enough that a SIGKILL anywhere in a
+    * ~43-minute exposure loses at most a minute of measurements, rare
+    * enough that the artifact write (a few KB, atomic rename) is noise. */
+  private val InterimFlushSec = 60.0
+
   /** Time every registered query at `sfDir` (median of `nRuns`), then
     * measure ANN recall/fraction there. `only` restricts the timed set
     * (the --quick tier); `gauges=false` skips the ANN/quality block
-    * (meaningless on a subset that may omit its input queries). */
+    * (meaningless on a subset that may omit its input queries).
+    * `onInterim(phase, resultsSoFar)` fires after every completed pass
+    * AND every [[InterimFlushSec]] within a pass, with best-available
+    * medians — the kill-survivability hook: the r12 driver run was
+    * SIGKILLed 2604 s in and left NO artifact because everything was
+    * written only at the very end. */
   private def runSuite(spark: SparkSession, sfDir: String, nRuns: Int,
       floorTag: String, floors: Map[String, Double] = RecallFloors,
-      only: Option[Set[String]] = None, gauges: Boolean = true): Suite = {
+      only: Option[Set[String]] = None, gauges: Boolean = true,
+      onInterim: (String, Seq[(String, Double)]) => Unit = (_, _) => ()): Suite = {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // a query that throws must not show up as a plausible median — track
     // it by name, report it in the JSON line, and exit nonzero (same
     // loud-failure path as a recall-floor breach)
     val failedQueries = scala.collection.mutable.SortedSet[String]()
-    val samples = (1 to nRuns).map { _ =>
-      names.map { name =>
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    // best-available per-key numbers right now: medians over completed
+    // passes, plus the in-flight pass's single samples for keys no
+    // completed pass has yet measured (run 1's long tail)
+    def interim(cur: Map[String, Double]): Seq[(String, Double)] =
+      names.flatMap { n =>
+        if (failedQueries.contains(n)) Some(n -> -1.0)
+        else {
+          val xs = passes.flatMap(_.get(n)).toSeq
+          if (xs.nonEmpty) Some(n -> median(xs))
+          else cur.get(n).map(n -> _)
+        }
+      }
+    var lastFlush = System.nanoTime()
+    for (run <- 1 to nRuns) {
+      val cur = scala.collection.mutable.Map.empty[String, Double]
+      for (name <- names) {
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -288,13 +328,20 @@ object Bench {
         // doc-heavy ops in the sf1 tail of a 370-query session)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
-        name -> dt
-      }.toMap
+        cur(name) = dt
+        if ((System.nanoTime() - lastFlush) / 1e9 > InterimFlushSec) {
+          lastFlush = System.nanoTime()
+          onInterim(s"pass_$run", interim(cur.toMap))
+        }
+      }
+      passes += cur.toMap
+      onInterim(s"pass_${run}_complete", interim(Map.empty))
     }
     // a failed query's elapsed time is meaningless — pin it to -1 so it
     // can never read as a plausible median in cross-round comparisons
     val results = names.map(n =>
-      n -> (if (failedQueries.contains(n)) -1.0 else median(samples.map(_(n)))))
+      n -> (if (failedQueries.contains(n)) -1.0
+        else median(passes.map(_(n)).toSeq)))
     // ANN quality: recall@3 of the bucketed variants against the exact
     // brute-force top-3, so an index change that silently tanks quality is
     // visible next to its speedup; candidate fraction alongside, because
@@ -645,23 +692,39 @@ object Bench {
     * cannot run or produced nothing parseable — callers fall back to
     * the in-process path and stamp `"isolation":"in-process"` so the
     * artifact records which regime measured each number. */
-  /** `estSecs` are the names' already-measured (contended) wall times —
-    * the child budget is sized from them: per query, two timed runs at
-    * a generous 10× cold-child allowance plus the bounded quiet gate,
-    * plus session startup. A child that exceeds the budget is KILLED
-    * and whatever it measured before hanging is kept (unfinished
-    * queries keep the −1 unadjudicated convention) — a deadlocked
-    * query must not block the bench forever with no artifact written,
-    * and falling back to an in-process re-measure of the same query
-    * would hang the parent on the same deadlock. */
+  /** Outcome of a child-reprobe spawn, distinguishing the two failure
+    * regimes the callers must treat differently: [[ChildSpawnFailed]]
+    * means the child never ran (bad classpath, fork failure) — the
+    * in-process fallback is safe because nothing has hung yet;
+    * [[ChildRan]] carries whatever the child measured, POSSIBLY EMPTY —
+    * a child that ran but was budget-killed before emitting anything
+    * (deadlock on query 1) must NOT be retried in-process, where the
+    * same deadlock would hang the parent with no artifact written
+    * (the exact scenario the kill budget exists to prevent); its
+    * queries keep the −1 unadjudicated convention instead. */
+  private[graft] sealed trait ChildOutcome
+  private[graft] case object ChildSpawnFailed extends ChildOutcome
+  private[graft] case class ChildRan(probes: Map[String, ChildProbe]) extends ChildOutcome
+
+  /** `estSecs` are the names' already-measured (contended) WALL SECONDS
+    * at the reprobe dir — the child budget is sized from them: per
+    * query, two timed runs at a generous 10× cold-child allowance plus
+    * the bounded quiet gate, plus session startup. (The scale path must
+    * pass sf1 wall seconds, not sf1/sf0.1 ratios: an expensive key with
+    * a moderate ratio would otherwise be under-budgeted and killed
+    * mid-measurement, leaving its over-bar ratio unadjudicated.) A
+    * child that exceeds the budget is KILLED and whatever it measured
+    * before hanging is kept (unfinished queries keep the −1
+    * unadjudicated convention) — a deadlocked query must not block the
+    * bench forever with no artifact written. */
   private def childReprobe(dir: String, cpus: String,
-      names: Seq[String], estSecs: Seq[Double]): Option[Map[String, ChildProbe]] =
+      names: Seq[String], estSecs: Seq[Double]): ChildOutcome =
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths.get(
         System.getProperty("java.home"), "bin", "java").toString
       val cp = System.getProperty("java.class.path")
-      if (cp == null || cp.isEmpty) return None
+      if (cp == null || cp.isEmpty) return ChildSpawnFailed
       val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.filter(a =>
           a.startsWith("-Xmx") || a.startsWith("-Xms") ||
@@ -700,14 +763,18 @@ object Bench {
       val parsed = out.iterator().asScala.flatMap(parseReprobeLine).toMap
       if (parsed.isEmpty) {
         val exit = try proc.exitValue().toString catch { case _: Throwable => "killed" }
+        // the child RAN and produced nothing — likely a hang the budget
+        // killed; report that regime so the caller records unadjudicated
+        // entries instead of re-running the same hang in-process
         System.err.println(
-          s"BENCH: child reprobe produced no parseable lines (exit $exit)")
-        None
-      } else Some(parsed)
+          s"BENCH: child reprobe produced no parseable lines (exit $exit) - " +
+            "recording its queries unadjudicated")
+      }
+      ChildRan(parsed)
     } catch {
       case e: Throwable =>
         System.err.println(s"BENCH: child reprobe spawn failed: $e")
-        None
+        ChildSpawnFailed
     }
 
   // ---- carried-key regression gate ----------------------------------
@@ -820,6 +887,46 @@ object Bench {
         .groupBy(_.takeWhile(_ != '_')).values.map(_.head).toSet
     }
 
+  /** Atomically (over)write the official artifact path. Called after
+    * every completed phase AND on an intra-pass cadence, so a SIGKILL
+    * anywhere in the exposure leaves the driver a parsed artifact with
+    * partial-run provenance (`"partial"`) instead of `parsed: null` —
+    * the r12 failure mode (exit 137 at 2604 s, no artifact, the round's
+    * bench evidence surviving only in a builder-side archive). The tmp +
+    * ATOMIC_MOVE dance means a kill mid-write can never leave half a
+    * JSON either. */
+  private[graft] def writeArtifact(line: String,
+      file: String = "bench.json"): Unit =
+    try {
+      val out = java.nio.file.Paths.get("target", file)
+      java.nio.file.Files.createDirectories(out.getParent)
+      val tmp = out.resolveSibling(file + ".tmp")
+      java.nio.file.Files.write(tmp,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH: artifact write failed: $e") }
+
+  /** A valid, final-shaped metric line from whatever has been measured
+    * so far. `phase` stamps the provenance (which pass/phase was in
+    * flight); `scalePart` carries a (possibly partial) scale block once
+    * the run reaches it. Shares the final line's field names so any
+    * parser of the final artifact parses a partial one identically —
+    * test-pinned in BenchGateSpec. */
+  private[graft] def partialLine(sfDir: String, phase: String, runs: Int,
+      results: Seq[(String, Double)], scalePart: String = ""): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""partial":${jsonStr(phase)},"failed":$failedJson,""" +
+      s""""queries":$qJson$scalePart,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -827,6 +934,24 @@ object Bench {
       sys.env.get("SPARK_GRAFT_QUICK").contains("1")
     val nRuns =
       if (quick) 1 else sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // --quick never touches the official artifact (its own file), and
+    // partial flushes follow the same routing
+    val artifactFile = if (quick) "bench_quick.json" else "bench.json"
+    // one short stdout breadcrumb per completed phase (NOT per interim —
+    // a bounded log tail must keep room for the final lines): a kill
+    // leaves the driver's log tail a parseable metric line with a
+    // "partial" stamp, and target/bench.json always holds the full
+    // current state
+    def flushPartial(phase: String, runs: Int,
+        results: Seq[(String, Double)], scalePart: String = "",
+        breadcrumb: Boolean = false): Unit = {
+      val l = partialLine(sfDir, phase, runs, results, scalePart)
+      writeArtifact(l, artifactFile)
+      if (breadcrumb)
+        println(s"""{"metric":"total","value":${
+          results.map(_._2).filter(_ >= 0).sum},"unit":"sec","runs":$runs,""" +
+          s""""partial":${jsonStr(phase)},"sf":"$sfDir","full":"target/$artifactFile"}""")
+    }
     val spark = newSession(cpus)
     warmup(spark, sfDir)
     // the 3-run median absorbs single spikes but not a whole contended
@@ -835,8 +960,12 @@ object Bench {
     val quietPrimarySec = awaitQuietWindow()
     val loadPrimary0 = loadAvg
     val primary = runSuite(spark, sfDir, nRuns, s"sf=$sfDir",
-      only = if (quick) Some(quickKeys()) else None, gauges = !quick)
+      only = if (quick) Some(quickKeys()) else None, gauges = !quick,
+      onInterim = (phase, res) =>
+        flushPartial(s"primary_$phase", nRuns, res,
+          breadcrumb = phase.endsWith("_complete")))
     val loadPrimary1 = loadAvg
+    flushPartial("primary_complete", nRuns, primary.results, breadcrumb = true)
 
     // ---- carried-key regression gate --------------------------------
     // diff this pass's medians against the pooled minima of recent
@@ -881,7 +1010,10 @@ object Bench {
               // clearing. The scale-path reprobe stops spark1 first and
               // carries no such stamp.
               childReprobe(sfDir, cpus, flagged.map(_._1),
-                flagged.map(_._3)).getOrElse(Map.empty)
+                flagged.map(_._3)) match {
+                case ChildRan(m) => m
+                case ChildSpawnFailed => Map.empty[String, ChildProbe]
+              }
             }
           def confirmed(n: String, p: Double): Boolean =
             regressionConfirmed(p, adjud.get(n))
@@ -901,6 +1033,7 @@ object Bench {
             flagged.count { case (n, p, _) => confirmed(n, p) })
         }
       }
+    flushPartial("regression_gate_complete", nRuns, primary.results)
 
     // ---- 10× scale curve --------------------------------------------
     val scaleWanted = !quick &&
@@ -933,10 +1066,24 @@ object Bench {
         // default exists to fix), not a production path
         val quietWaitSec = awaitQuietWindow()
         val loadScale0 = loadAvg
+        // mid-scale partial flushes nest under "scale" like the final
+        // line, so a kill during the ~15-minute sf1 pass still leaves
+        // the completed primary numbers plus the sf1 coverage so far
+        def scaleFrag(phase: String, res: Seq[(String, Double)]): String = {
+          val qJson = res.map { case (k, v) => "\"" + k + "\":" + v }
+            .mkString("{", ",", "}")
+          s""","scale":{"dir":"$scaleDir","partial":${jsonStr(phase)},""" +
+            s""""total":${res.map(_._2).filter(_ >= 0).sum},"queries":$qJson}"""
+        }
         val s1 = runSuite(spark1, scaleDir, 1, s"sf1=$scaleDir",
-          floors = RecallFloors - "sim_lsh_noprobe_baseline_topk")
+          floors = RecallFloors - "sim_lsh_noprobe_baseline_topk",
+          onInterim = (phase, res) =>
+            flushPartial("scale_pass", nRuns, primary.results,
+              scaleFrag(phase, res), breadcrumb = phase.endsWith("_complete")))
         val loadScale1 = loadAvg
         scale = Some(s1)
+        flushPartial("scale_reprobes_pending", nRuns, primary.results,
+          scaleFrag("suite_complete", s1.results))
         val p = primary.results.toMap
         val ratios = s1.results.collect {
           case (n, v) if v >= 0 && p.getOrElse(n, -1.0) > 0 => n -> v / p(n)
@@ -1038,19 +1185,27 @@ object Bench {
           // context was gated
           def runBatch(batch: Seq[(String, Double)]): Seq[SR] = {
             awaitQuietWindow()
-            childReprobe(scaleDir, cpus, batch.map(_._1), batch.map(_._2)) match {
-              case Some(m) => batch.map { case (n, raw) =>
+            // estSecs must be WALL SECONDS (the childReprobe budget
+            // contract): batch carries (name, raw sf1/sf0.1 RATIO), and
+            // p(n) * ratio reconstructs the measured sf1 wall exactly —
+            // passing the ratio itself under-budgeted any expensive key
+            // with a moderate ratio and got it killed mid-measurement
+            childReprobe(scaleDir, cpus, batch.map(_._1),
+                batch.map { case (n, r) => p(n) * r }) match {
+              case ChildRan(m) => batch.map { case (n, raw) =>
                 m.get(n) match {
                   case Some(cp) => SR(n, raw, cp.sec,
                     if (cp.sec >= 0) cp.sec / p(n) else -1.0,
                     cp.load, cp.contaminated, "child-jvm", cp.selfShare,
                     cp.memAvailMb)
                   // the child died before reaching this query — a -1
-                  // ratio keeps the convention for an unadjudicated entry
+                  // ratio keeps the convention for an unadjudicated
+                  // entry (NEVER re-run in-process: if the child hung on
+                  // this query, the parent would hang on it too)
                   case None => SR(n, raw, -1.0, -1.0, Seq.empty, false, "child-jvm")
                 }
               }
-              case None => inProcessBatch(batch)
+              case ChildSpawnFailed => inProcessBatch(batch)
             }
           }
           val first = batches.flatMap(runBatch)
@@ -1116,12 +1271,10 @@ object Bench {
     try {
       // --quick mirrors to its own file: target/bench.json is the
       // OFFICIAL artifact the driver and the regression baseline read,
-      // and an inner-loop subset line must never shadow it
-      val out = java.nio.file.Paths.get("target",
-        if (quick) "bench_quick.json" else "bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // and an inner-loop subset line must never shadow it. This final
+      // write REPLACES the partial-phase flushes (no "partial" field —
+      // a complete artifact is distinguishable from a killed run's).
+      writeArtifact(line, artifactFile)
       // immutable per-run copy: target/bench.json is overwritten by the
       // next run, so cross-round regression deltas were computable only
       // when a round's full artifact happened to survive — the history

@@ -111,4 +111,40 @@ class BenchGateSpec extends AnyFunSuite {
     assert(qk.size == families.size)
     assert(qk.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("partialLine is parsed by the SAME reader as a final artifact (kill-survivability)") {
+    // a SIGKILL mid-exposure must leave target/bench.json holding a line
+    // that archiveMedians (and any driver-side json.loads) reads exactly
+    // like a final one: primary medians at the top level, failures as -1,
+    // provenance in "partial"
+    val line = Bench.partialLine("/data/sf0.1", "primary_pass_2", 3,
+      Seq("a_q" -> 1.25, "b_q" -> -1.0, "c_q" -> 0.5),
+      scalePart = ""","scale":{"dir":"t","partial":"pass_1","total":9.0,"queries":{"a_q":9.0}}""")
+    val p = JFiles.createTempFile("bench_partial", ".json")
+    JFiles.write(p, (line + "\n").getBytes(UTF_8))
+    val m = Bench.archiveMedians(p)
+    assert(m == Map("a_q" -> 1.25, "b_q" -> -1.0, "c_q" -> 0.5), m)
+    // the whole line is one well-formed JSON object with the provenance
+    // stamp and the failed list populated from the -1 convention
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(JFiles.readAllBytes(p))
+    assert(root.get("partial").asText() == "primary_pass_2")
+    assert(root.get("metric").asText() == "total")
+    assert(root.get("failed").toString == """["b_q"]""")
+    assert(root.get("scale").get("partial").asText() == "pass_1")
+  }
+
+  test("writeArtifact replaces atomically and round-trips") {
+    val f = s"bench_spec_${System.nanoTime()}.json"
+    try {
+      Bench.writeArtifact("""{"metric":"total","value":1}""", f)
+      Bench.writeArtifact("""{"metric":"total","value":2}""", f)
+      val p = java.nio.file.Paths.get("target", f)
+      val s = new String(JFiles.readAllBytes(p), UTF_8).trim
+      assert(s == """{"metric":"total","value":2}""", s)
+      assert(!JFiles.exists(p.resolveSibling(f + ".tmp")))
+    } finally {
+      JFiles.deleteIfExists(java.nio.file.Paths.get("target", f))
+    }
+  }
 }
