@@ -103,6 +103,38 @@ object DedupOps {
     jaccardFromShingles(sh0.join(broadcast(hot), Seq("sh"), "left_anti"))
   }
 
+  /** Cap-bind diagnostics for the pair-generator caps (r13, the
+    * keep_central second-decade follow-up): one row with the shingle-df
+    * distribution against [[DfCap]] (the bound on every jaccard-family
+    * pair generator: work ∝ Σ df² over KEPT shingles) and the minhash
+    * band-bucket distribution against [[BandBucketCap]]. Read: if
+    * `kept_df2_sum` grows ≳10× per decade while `n_hot_shingles` stays
+    * ~0, the cap is NOT binding on that corpus — the growth is
+    * sub-cap bucket thickening (many shingles drifting toward the cap),
+    * and tightening the cap is the lever, priced by `n_hot_*` (what a
+    * tighter cap would drop). Instrument, not a registry key: its
+    * consumers are the scale probes and the bench addendum. */
+  private[graft] def capBindStats(s: SparkSession, d: String): DataFrame = {
+    val df = docShingles(s, d).groupBy("sh").agg(count(lit(1)).as("df"))
+    val sh = df.agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("df") > DfCap, 1L).otherwise(0L)).as("n_hot_shingles"),
+      sum(when(col("df") <= DfCap, col("df") * col("df")).otherwise(0L))
+        .as("kept_df2_sum"),
+      max(when(col("df") <= DfCap, col("df"))).as("max_kept_df"),
+      max(col("df")).as("max_df"))
+    val bk = bandFrame(minhashSignatures(s, d))
+      .groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_band_buckets"),
+        sum(when(col("n") > BandBucketCap, 1L).otherwise(0L))
+          .as("n_capped_buckets"),
+        sum(when(col("n") <= BandBucketCap, col("n") * col("n")).otherwise(0L))
+          .as("kept_bucket2_sum"),
+        max(col("n")).as("max_bucket"))
+    sh.crossJoin(bk)
+  }
+
   /** Asymmetric shingle containment C(A→B) = |A∩B| / |A|: detects a
     * document whose content is (mostly) a SUBSET of another — quotes,
     * excerpts, re-posts with added boilerplate — which symmetric jaccard

@@ -445,11 +445,20 @@ object SimOps {
     * harder, which on structureless data only sharpens the fraction
     * bound. 3 iterations is converged-enough and cheapest. */
   private[ops] def kmeansCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Float])] =
-    centroidCache.getOrElseUpdate(d, {
+    kmeansCentroidsK(s, d, nCentroids(gatedCount(s, d)))
+
+  /** The same Lloyd loop at an explicit codebook size — shared by the
+    * single-level index (k = [[nCentroids]]) and the two-level index's
+    * COARSE quantizer (k = [[nCoarse2]]), which wants far fewer cells
+    * than a flat codebook would use at the same corpus size. Cached per
+    * (dir, k): the two callers at different k must not alias. */
+  private[ops] def kmeansCentroidsK(s: SparkSession, d: String,
+      k0: Int): Seq[(Long, Seq[Float])] =
+    centroidCache.getOrElseUpdate(s"$d#k=$k0", {
       graft.expressions.VectorExpressions.register(s)
       import s.implicits._
       val corpus = gatedVecs(s, d).select(col("vec_id"), col("embedding"))
-      val k = nCentroids(gatedCount(s, d))
+      val k = k0
       var cents: Seq[(Long, Seq[Float])] = corpus
         .where(col("vec_id") < k).orderBy("vec_id").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
@@ -775,10 +784,24 @@ object SimOps {
     * nprobe partition directories it probes and never touches the
     * original corpus table. Closure-replicated vectors appear in every
     * list they straddle — that is the index, not duplication. */
+  /** Train + persist the coarse codebook ONLY — the offline TRAINING
+    * step of the streaming-ingest lambda ([[graft.streaming
+    * .IvfIndexIngest]], twin #43): centroids are fixed up front, lists
+    * arrive entirely from the stream via [[appendToIvfIndex]]. The
+    * fully-offline [[buildIvfIndex]] is this plus a one-shot append of
+    * the whole corpus. */
+  private[graft] def buildIvfCodebook(s: SparkSession, d: String, dir: String): Unit =
+    centroidFrame(s, d).write.mode("overwrite").parquet(dir + "/centroids")
+
   def buildIvfIndex(s: SparkSession, d: String, dir: String): Unit = {
     val cents = centroidFrame(s, d)
     cents.write.mode("overwrite").parquet(dir + "/centroids")
+    // repartition ON the partition key first: a partitionBy write from T
+    // shuffle tasks otherwise emits up to T files per list directory
+    // (T × L small files — measured as the dominant build cost), while
+    // hash-clustering by list_id bounds it at ~one file per list
     ivfLists(s, d, cents).join(corpusWithNorm(s, d), "vec_id")
+      .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(dir + "/lists")
   }
 
@@ -808,6 +831,7 @@ object SimOps {
       batch.select(col("vec_id"), col("embedding")), "c_nrm")
     closureAssign(cents, withNrm.select("vec_id", "embedding"))
       .join(withNrm, "vec_id")
+      .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(dir + "/lists")
   }
 
@@ -856,10 +880,55 @@ object SimOps {
     * meets a query once per shared probed list with IDENTICAL sim
     * (same floats, same expression), so max() is an exact dedup that
     * partial-aggregates before the exchange. */
+  /** Build-once-per-JVM persisted single-level index ([[buildIvfIndex]]
+    * under a deterministic per-corpus path): the r12 sweep showed
+    * sim_label_purity re-paying sim_knn_graph's full closure-assignment
+    * cost because every registry key rebuilt the lists from scratch —
+    * the persisted index is the deployment shape anyway (offline build,
+    * online probe), so the keys now SERVE from it. Overwrite on first
+    * touch per JVM: a stale on-disk index from an older code version
+    * can never serve. */
+  private val ivfIndexDirCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def ensureIvfIndex(s: SparkSession, d: String): String =
+    ivfIndexDirCache.getOrElseUpdate(d, {
+      val out = "target/ivf_index/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      buildIvfIndex(s, d, out)
+      out
+    })
+
+  /** The registry form: serves from the PERSISTED index
+    * ([[ensureIvfIndex]]) — the lists parquet already carries the
+    * vector payload, so the per-key cost is probe + score, not closure
+    * re-assignment. Result-identical to [[knnGraphInMemory]]
+    * (IvfIndexSpec pins it; floats round-trip parquet exactly). */
   val knnGraph: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
+    // an all-gated (or empty) corpus writes an EMPTY partitioned
+    // parquet, which cannot be read back (no schema to infer) — the
+    // in-memory form degrades to an empty result instead
+    if (gatedCount(s, d) == 0) knnGraphInMemory(s, d)
+    else {
+      val dir = ensureIvfIndex(s, d)
+      val listsE = s.read.parquet(dir + "/lists")
+      knnGraphScore(s, d, listsE)
+    }
+  }
+
+  /** The pre-r13 in-memory form — the build and the query fused in one
+    * plan. Kept for the index-parity pin. */
+  private[graft] def knnGraphInMemory(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     val cents = centroidFrame(s, d)
     val listsE = ivfLists(s, d, cents).join(corpusWithNorm(s, d), "vec_id")
+    knnGraphScore(s, d, listsE)
+  }
+
+  /** The probe + score-in-join tail shared by the persisted and
+    * in-memory graph forms. */
+  private def knnGraphScore(s: SparkSession, d: String,
+      listsE: DataFrame): DataFrame = {
+    val cents = centroidFrame(s, d)
     val wq = Window.partitionBy("q_id").orderBy(col("c_dist").asc, col("c_id").asc)
     val probesE = withCentDist(cents, qset2(s, d), "q_emb")
       .withColumn("c_rank", row_number().over(wq))
@@ -880,6 +949,277 @@ object SimOps {
     corpusWithNorm(s, d)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("c_nrm").as("q_nrm"))
+
+  // -------------------------------------------------------------------
+  // Two-level IVF — the post-MaxCentroids scale path. The single-level
+  // index clamps its list count at MaxCentroids = 256 (the codebook is
+  // driver-collected and broadcast every Lloyd round, so it MUST stay
+  // small), which binds from n ≈ 262k vectors; past the clamp a probe
+  // costs nprobe·n/256 — linear again — and the corpus-wide kNN graph
+  // degrades to n²/256. This index keeps the driver surface bounded at
+  // the SAME MaxCentroids while the list count keeps growing sqrt-style
+  // to 256² = 65 536: a COARSE quantizer of k1 ≤ 256 cells (the one and
+  // only collected codebook) splits the corpus, and a FINE per-cell
+  // k-means of k2 centroids runs entirely as DataFrame ops SHUFFLED on
+  // the coarse id — fine centroids live in a (g_id, f_id, c_emb) frame
+  // end-to-end, never on the driver, and each Lloyd round's assignment
+  // joins a vector only with its own cell's k2 candidates (build cost
+  // O(n·(k1+k2)) instead of the flat codebook's O(n·k1·k2)). Lists are
+  // closure-assigned at BOTH levels with the same ClosureEps, so a
+  // vector near a coarse boundary still lands in the neighbor cell's
+  // lists. At n = 10⁹ (the 100 TB corpus): L = √(n/4) ≈ 15 800 lists
+  // from k1 = 126 × k2 = 126, probe cost ~nprobe·√n per query, and the
+  // corpus-wide graph stays Σ list² ≈ n^1.5 — the regime the
+  // MaxCentroids scaladoc prescribes. L itself caps at 65 536 (n ≈
+  // 1.7×10¹⁰), four orders of magnitude past the single-level knee;
+  // beyond THAT a third level composes the same way.
+  // -------------------------------------------------------------------
+
+  private[graft] val MaxLists2 = MaxCentroids * MaxCentroids
+  /** Total two-level list target — the SAME sqrt rule as [[nCentroids]]
+    * with the cap lifted to [[MaxLists2]]. */
+  private[graft] def nLists2(n: Long): Int =
+    math.max(16, math.min(MaxLists2, math.sqrt(n / 4.0).toInt))
+  /** Coarse cell count: √L, clamped to the broadcastable range — the
+    * only codebook the driver ever holds. */
+  private[graft] def nCoarse2(lists: Int): Int =
+    math.max(4, math.min(MaxCentroids, math.ceil(math.sqrt(lists.toDouble)).toInt))
+  /** Fine centroids per coarse cell (ceil division, so k1·k2 ≥ L). */
+  private[graft] def nFine2(lists: Int, k1: Int): Int = (lists + k1 - 1) / k1
+  /** Coarse cells probed per query before the fine ranking: the fine
+    * top-[[NProbe]] is chosen from the UNION of these cells' fine
+    * centroids, so a query near a coarse boundary still reaches the
+    * neighbor cell's lists (the query-side mirror of the build-side
+    * coarse closure). Constant, like [[NProbe]]: a probe count that
+    * grew with the codebook would put per-query cost back at O(n). */
+  private val NProbeCoarse = 3
+
+  /** Squared euclidean distance between two array<float> columns on the
+    * codegen'd float_dot — the one distance expression every k-means /
+    * IVF path shares (bit-identical across engines by the established
+    * float_dot parity). */
+  private def distExpr(a: String, b: String) =
+    expr(s"float_dot($a, $a) + float_dot($b, $b) - 2 * float_dot($a, $b)")
+
+  /** The coarse codebook as a broadcastable frame (g_id, g_emb) — the
+    * [[kmeansCentroidsK]] Lloyd loop at k1 cells (same deterministic
+    * init/fold/rounding as the single-level codebook, so the oracle
+    * chain replays it with only the k parameter changed). */
+  private def coarseFrame(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    import s.implicits._
+    val k1 = nCoarse2(nLists2(gatedCount(s, d)))
+    kmeansCentroidsK(s, d, k1).toDF("g_id", "g_emb")
+      .select(col("g_id"), col("g_emb").cast("array<float>").as("g_emb"))
+  }
+
+  /** Rank-1 coarse assignment of every corpus vector — the TRAINING
+    * partition for the fine k-means (closure replication is a list
+    * property, not a training property: each vector trains exactly one
+    * cell's centroids, ties to the smaller g_id like every assignment
+    * in the family). Map-side: the ×k1 blowup collapses in the partial
+    * min_by before any exchange. */
+  private def coarseAssigned(s: SparkSession, d: String,
+      coarse: DataFrame): DataFrame =
+    gatedVecs(s, d).select(col("vec_id"), col("embedding"))
+      .join(broadcast(coarse), lit(true))
+      .withColumn("g_dist", distExpr("embedding", "g_emb"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("g_id"), col("embedding")),
+        struct(col("g_dist"), col("g_id"))).as("m"))
+      .select(col("vec_id"), col("m.g_id").as("g_id"),
+        col("m.embedding").as("embedding"))
+
+  /** Per-cell fine k-means with the codebook as a DATAFRAME end-to-end —
+    * the piece that makes 65k lists possible with zero new driver
+    * surface. Same deterministic discipline as [[kmeansCentroidsK]],
+    * re-expressed distributed: init is each cell's k2 smallest vec_ids;
+    * each Lloyd round is (a) an assignment join ON g_id — a vector
+    * meets only its own cell's ≤ k2 candidates, tie-break (dist, f_id) —
+    * and (b) a per-(cell, centroid, dim) mean via the ORDER BY vec_id
+    * sorted double fold, rounded back to float4, empty centroids
+    * carried forward. localCheckpoint per round cuts the
+    * join-per-iteration lineage (the DSIR/PageRank discipline); values
+    * are deterministic, so the checkpoint never changes a bit. */
+  private def fineCentroids(s: SparkSession, d: String,
+      assigned: DataFrame, k2: Int): DataFrame = {
+    val wInit = Window.partitionBy("g_id").orderBy("vec_id")
+    var cents = assigned
+      .withColumn("rn", row_number().over(wInit))
+      .where(col("rn") <= k2)
+      .select(col("g_id"), (col("rn") - 1).cast("long").as("f_id"),
+        col("embedding").as("c_emb"))
+      .localCheckpoint()
+    for (_ <- 1 to KMeansIters) {
+      val a = assigned.join(cents, "g_id")
+        .withColumn("f_dist", distExpr("embedding", "c_emb"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("g_id"), col("f_id"), col("embedding")),
+          struct(col("f_dist"), col("f_id"))).as("m"))
+        .select(col("m.g_id").as("g_id"), col("m.f_id").as("f_id"),
+          col("vec_id"), col("m.embedding").as("embedding"))
+      val upd = a
+        .select(col("g_id"), col("f_id"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("g_id", "f_id", "dim")
+        .agg(
+          aggregate(array_sort(collect_list(struct(col("vec_id"), col("v")))),
+            lit(0.0), (acc, x) => acc + x.getField("v").cast("double")).as("sm"),
+          count(lit(1)).as("n"))
+        .withColumn("m", col("sm") / col("n"))
+        .groupBy("g_id", "f_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("g_id"), col("f_id"),
+          expr("transform(dm, x -> CAST(x.m AS FLOAT))").as("n_emb"))
+      cents = cents.join(upd, Seq("g_id", "f_id"), "left")
+        .select(col("g_id"), col("f_id"),
+          coalesce(col("n_emb"), col("c_emb")).cast("array<float>").as("c_emb"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Two-level closure lists (vec_id, g_id, f_id): coarse closure first
+    * (every cell within (1+ε) of the vector's nearest — same ε and
+    * clamp as [[closureAssign]]), then fine closure over the UNION of
+    * those cells' fine centroids, with the min taken globally across
+    * cells so replication happens only at genuine boundaries. The fine
+    * join is ON g_id — the shuffled-not-broadcast assignment the
+    * MaxCentroids scaladoc prescribes (at 65k × 768-dim the fine
+    * codebook is ~200 MB: broadcastable nowhere, shuffleable
+    * everywhere). */
+  private def ivf2Lists(s: SparkSession, d: String,
+      coarse: DataFrame, fine: DataFrame): DataFrame = {
+    val vecs = gatedVecs(s, d).select(col("vec_id"), col("embedding"))
+    val gd = vecs.join(broadcast(coarse), lit(true))
+      .withColumn("g_dist", distExpr("embedding", "g_emb"))
+      .select(col("vec_id"), col("g_id"), col("g_dist"))
+    val gmin = gd.groupBy("vec_id").agg(min("g_dist").as("min_g"))
+    val gcl = gd.join(gmin, "vec_id")
+      .where(col("g_dist") <= greatest(col("min_g"), lit(0.0)) * (1.0 + ClosureEps))
+      .select(col("vec_id"), col("g_id"))
+    val fd = vecs.join(gcl, "vec_id").join(fine, "g_id")
+      .withColumn("f_dist", distExpr("embedding", "c_emb"))
+      .select(col("vec_id"), col("g_id"), col("f_id"), col("f_dist"))
+    val fmin = fd.groupBy("vec_id").agg(min("f_dist").as("min_f"))
+    fd.join(fmin, "vec_id")
+      .where(col("f_dist") <= greatest(col("min_f"), lit(0.0)) * (1.0 + ClosureEps))
+      .select(col("vec_id"), col("g_id"), col("f_id"))
+  }
+
+  /** The [[NProbe]] probed fine lists of each probe-side row, chosen
+    * from the union of its [[NProbeCoarse]] nearest coarse cells.
+    * `payload` columns ride through both rankings (the corpus-wide
+    * graph carries q_emb/q_nrm so scoring happens inside the list
+    * join). Both windows have BOUNDED fan-in per key (≤ k1, then
+    * ≤ NProbeCoarse·k2 rows), never corpus-wide state. */
+  private def probeLists2(coarse: DataFrame, fine: DataFrame,
+      probes: DataFrame, payload: Seq[String]): DataFrame = {
+    val wg = Window.partitionBy("q_id").orderBy(col("g_dist").asc, col("g_id").asc)
+    val qg = probes.join(broadcast(coarse), lit(true))
+      .withColumn("g_dist", distExpr("q_emb", "g_emb"))
+      .withColumn("g_rank", row_number().over(wg))
+      .where(col("g_rank") <= NProbeCoarse)
+      .select((Seq("q_id", "q_emb") ++ payload).map(col) :+ col("g_id"): _*)
+    val wf = Window.partitionBy("q_id")
+      .orderBy(col("f_dist").asc, col("g_id").asc, col("f_id").asc)
+    qg.join(fine, "g_id")
+      .withColumn("f_dist", distExpr("q_emb", "c_emb"))
+      .withColumn("f_rank", row_number().over(wf))
+      .where(col("f_rank") <= NProbe)
+      .select((Seq("q_id", "q_emb") ++ payload).map(col) ++
+        Seq(col("g_id").as("p_g"), col("f_id").as("p_f")): _*)
+  }
+
+  /** Build-once-per-JVM persisted two-level index (the offline-build /
+    * online-query separation [[buildIvfIndex]] established): `fine` is
+    * the (g_id, f_id, c_emb) codebook frame, `lists` the closure lists
+    * joined with the vector payload, partitioned by (g_id, f_id) so a
+    * query materializes only probed list directories. Overwrite on
+    * first touch per JVM — a stale on-disk index from an older code
+    * version can never serve. */
+  private val ivf2DirCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def ensureIvf2Index(s: SparkSession, d: String): String =
+    ivf2DirCache.getOrElseUpdate(d, {
+      graft.expressions.VectorExpressions.register(s)
+      val out = "target/ivf2_index/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val coarse = coarseFrame(s, d)
+      val n = gatedCount(s, d)
+      val lT = nLists2(n)
+      val k2 = nFine2(lT, nCoarse2(lT))
+      val fine = fineCentroids(s, d, coarseAssigned(s, d, coarse), k2)
+      fine.write.mode("overwrite").parquet(out + "/fine")
+      val fineR = s.read.parquet(out + "/fine")
+      // same small-file bound as buildIvfIndex: cluster by the partition
+      // key so each (g_id, f_id) directory gets ~one file, not one per
+      // upstream shuffle task
+      ivf2Lists(s, d, coarse, fineR).join(corpusWithNorm(s, d), "vec_id")
+        .repartition(col("g_id"), col("f_id"))
+        .write.mode("overwrite").partitionBy("g_id", "f_id")
+        .parquet(out + "/lists")
+      out
+    })
+
+  /** The (fine codebook, payload-carrying lists) pair — persisted via
+    * [[ensureIvf2Index]] on any real corpus; built in memory when the
+    * gated corpus is EMPTY (an empty partitioned parquet cannot be read
+    * back — the in-memory frames degrade to empty results instead). */
+  private def ivf2Frames(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    if (gatedCount(s, d) == 0) {
+      val coarse = coarseFrame(s, d)
+      val n = gatedCount(s, d)
+      val lT = nLists2(n)
+      val fine = fineCentroids(s, d, coarseAssigned(s, d, coarse),
+        nFine2(lT, nCoarse2(lT)))
+      (fine, ivf2Lists(s, d, coarse, fine).join(corpusWithNorm(s, d), "vec_id"))
+    } else {
+      val dir = ensureIvf2Index(s, d)
+      (s.read.parquet(dir + "/fine"), s.read.parquet(dir + "/lists"))
+    }
+
+  /** Two-level IVF top-k for the query set — [[ivfTopK]] semantics on
+    * the [[ensureIvf2Index]] lists. */
+  val ivf2TopK: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
+    val coarse = coarseFrame(s, d)
+    val (fine, listsE) = ivf2Frames(s, d)
+    val lists = listsE.select(col("vec_id"), col("g_id"), col("f_id"))
+    val q = probeLists2(coarse, fine,
+      qset(s, d).select(col("q_id"), col("q_emb")), Seq.empty)
+    val pairs = lists.join(broadcast(q),
+        col("g_id") === col("p_g") && col("f_id") === col("p_f") &&
+          col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    rankTopK(
+      pairs.join(corpusWithNorm(s, d), "vec_id")
+        .join(broadcast(qset(s, d)), "q_id")
+        .withColumn("sim",
+          expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm"))),
+      3)
+  }
+
+  /** Corpus-wide k-NN graph on the TWO-LEVEL index — [[knnGraph]]'s
+    * score-in-join shape (payloads ride the one (g_id, f_id)-keyed
+    * shuffle, sim is a projection of the join output, closure-dedup
+    * folds map-side via max on identical floats) over [[ensureIvf2Index]]
+    * lists. This is the form a 10⁹-vector corpus runs: candidate work
+    * stays Σ list² ≈ n^1.5 past the single-level 262k-vector knee,
+    * because L keeps growing √n-style to 65 536 instead of clamping at
+    * 256. */
+  val ivf2KnnGraph: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
+    val coarse = coarseFrame(s, d)
+    val (fine, listsE) = ivf2Frames(s, d)
+    val probesE = probeLists2(coarse, fine, qset2(s, d), Seq("q_nrm"))
+    val scored = listsE.join(probesE,
+        col("g_id") === col("p_g") && col("f_id") === col("p_f") &&
+          col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        expr("float_dot(q_emb, embedding)") / (col("q_nrm") * col("c_nrm")))
+      .groupBy("q_id", "vec_id").agg(max(col("sim")).as("sim"))
+    rankTopK(scored, 3)
+  }
 
   /** The scored-candidate frame of the IVF index (query × probed-list
     * members) — exposed so Bench can report the candidate fraction. */
@@ -1851,6 +2191,8 @@ object SimOps {
     "sim_ivf_q8_topk" -> ivfQ8TopK,
     "sim_label_purity" -> labelPurity,
     "sim_knn_graph" -> knnGraph,
+    "sim_ivf2_topk" -> ivf2TopK,
+    "sim_ivf2_knn_graph" -> ivf2KnnGraph,
     "emb_pq_codes" -> pqCodesQuery,
     "sim_pq_topk" -> pqTopK,
     "sim_ivf_pq_topk" -> ivfPqTopK,
@@ -1925,6 +2267,84 @@ object SimOps {
                  FROM q_d) t WHERE rn <= $NProbe),
         pairs AS (SELECT DISTINCT q.q_id, l.vec_id
                   FROM lists l JOIN q ON l.list_id = q.probe_list AND l.vec_id <> q.q_id)"""
+  /** Two-level IVF CTE chain, mirroring [[ensureIvf2Index]] +
+    * [[probeLists2]] bit for bit: l/k1/k2 params from the table, the
+    * coarse Lloyd chain via [[kmeansCtesSqlPfx]] (prefix `g`), rank-1
+    * coarse training assignment, per-cell fine k-means with the same
+    * deterministic init/fold/rounding/carry-forward, two-level closure
+    * lists, coarse-then-fine probe ranking — ending in
+    * `pairs(q_id, vec_id)`. MATERIALIZED on every CTE referenced more
+    * than once (the BPE/semdedup re-inlining lesson). */
+  private def ivf2CtesWhere(probeWhere: String): String = {
+    def d2(a: String, b: String) =
+      s"${dot(a, a)} + ${dot(b, b)} - 2 * ${dot(a, b)}"
+    val sb = new StringBuilder(
+      s"""l2param AS (SELECT GREATEST(16, LEAST($MaxLists2,
+            CAST(floor(sqrt(COUNT(*) / 4.0)) AS INT))) AS l FROM embeddings),
+          k1param AS (SELECT GREATEST(4, LEAST($MaxCentroids,
+            CAST(ceil(sqrt(CAST(l AS DOUBLE))) AS INT))) AS k1 FROM l2param),
+          k2param AS (SELECT (l + k1 - 1) // k1 AS k2 FROM l2param, k1param),
+          ${kmeansCtesSqlPfx(KMeansIters, "g", "SELECT k1 AS k FROM k1param")},
+          gc AS MATERIALIZED (SELECT c_id AS g_id, c_emb AS g_emb FROM gcents$KMeansIters),
+          gasg AS MATERIALIZED (SELECT vec_id, g_id, embedding FROM (
+            SELECT e.vec_id, g.g_id, e.embedding,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${d2("e.embedding", "g.g_emb")}, g.g_id) AS rn
+            FROM embeddings e CROSS JOIN gc g) t WHERE rn = 1),
+          f0 AS MATERIALIZED (SELECT g_id, CAST(rn - 1 AS BIGINT) AS f_id, c_emb FROM (
+            SELECT g_id, embedding AS c_emb,
+              row_number() OVER (PARTITION BY g_id ORDER BY vec_id) AS rn
+            FROM gasg) t WHERE rn <= (SELECT k2 FROM k2param))""")
+    for (i <- 1 to KMeansIters) {
+      val p = s"f${i - 1}"
+      sb.append(s""",
+        fa$i AS MATERIALIZED (SELECT vec_id, g_id, f_id FROM (
+          SELECT a.vec_id, a.g_id, c.f_id,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ${d2("a.embedding", "c.c_emb")}, c.f_id) AS rn
+          FROM gasg a JOIN $p c ON c.g_id = a.g_id) t WHERE rn = 1),
+        fu$i AS (SELECT a.g_id, a.f_id, d.i AS dim,
+            list_sum(list(CAST(e.embedding[d.i] AS DOUBLE) ORDER BY e.vec_id)) / COUNT(*) AS m
+          FROM fa$i a JOIN embeddings e ON e.vec_id = a.vec_id
+          CROSS JOIN generate_series(1, 64) d(i)
+          GROUP BY a.g_id, a.f_id, d.i),
+        fn$i AS (SELECT g_id, f_id, list(CAST(m AS FLOAT4) ORDER BY dim) AS c_emb
+          FROM fu$i GROUP BY g_id, f_id),
+        f$i AS MATERIALIZED (SELECT p.g_id, p.f_id, COALESCE(n.c_emb, p.c_emb) AS c_emb
+          FROM $p p LEFT JOIN fn$i n USING (g_id, f_id))""")
+    }
+    sb.append(s""",
+        fcents AS MATERIALIZED (SELECT g_id, f_id, c_emb FROM f$KMeansIters),
+        gd AS MATERIALIZED (SELECT e.vec_id, g.g_id,
+            ${d2("e.embedding", "g.g_emb")} AS g_dist
+          FROM embeddings e CROSS JOIN gc g),
+        gmd AS (SELECT vec_id, MIN(g_dist) AS min_g FROM gd GROUP BY vec_id),
+        gcl AS MATERIALIZED (SELECT d.vec_id, d.g_id FROM gd d JOIN gmd USING (vec_id)
+          WHERE d.g_dist <= greatest(gmd.min_g, 0.0) * (1.0 + $ClosureEps)),
+        fd AS MATERIALIZED (SELECT c.vec_id, f.g_id, f.f_id,
+            ${d2("e.embedding", "f.c_emb")} AS f_dist
+          FROM gcl c JOIN embeddings e ON e.vec_id = c.vec_id
+          JOIN fcents f ON f.g_id = c.g_id),
+        fmd AS (SELECT vec_id, MIN(f_dist) AS min_f FROM fd GROUP BY vec_id),
+        lists2 AS MATERIALIZED (SELECT d.vec_id, d.g_id, d.f_id
+          FROM fd d JOIN fmd USING (vec_id)
+          WHERE d.f_dist <= greatest(fmd.min_f, 0.0) * (1.0 + $ClosureEps)),
+        qg AS MATERIALIZED (SELECT q_id, q_emb, g_id FROM (
+          SELECT e.vec_id AS q_id, e.embedding AS q_emb, g.g_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${d2("e.embedding", "g.g_emb")}, g.g_id) AS rn
+          FROM embeddings e CROSS JOIN gc g $probeWhere) t WHERE rn <= $NProbeCoarse),
+        qf AS MATERIALIZED (SELECT q_id, g_id AS p_g, f_id AS p_f FROM (
+          SELECT q.q_id, f.g_id, f.f_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${d2("q.q_emb", "f.c_emb")}, f.g_id, f.f_id) AS rn
+          FROM qg q JOIN fcents f ON f.g_id = q.g_id) t WHERE rn <= $NProbe),
+        pairs AS (SELECT DISTINCT q.q_id, l.vec_id
+          FROM lists2 l JOIN qf q
+            ON l.g_id = q.p_g AND l.f_id = q.p_f AND l.vec_id <> q.q_id)""")
+    sb.toString
+  }
+
   /** DuckDB spelling of [[tableBucketExpr]] — the same integer sign
     * bucket, bit for bit. */
   private def tableBucketSql(e: String, cfg: LshCfg, t: Int): String =
@@ -1990,32 +2410,40 @@ object SimOps {
     * (dist, c_id) assignment tie-break, same ORDER BY vec_id double fold
     * for the means, same float4 rounding, same empty-cluster
     * carry-forward. */
-  private def kmeansCtesSql(iters: Int): String = {
+  private def kmeansCtesSql(iters: Int): String =
+    // k mirrors nCentroids(n) — max(16, min(256, floor(sqrt(n/4)))) —
+    // computed from the table, so the oracle replays at ANY corpus
+    // size, not just the verify SFs where the rule lands on its floor
+    // of 16. floor() before CAST: DuckDB CAST(double AS INT) rounds,
+    // Scala .toInt truncates. Raw COUNT(*) matches the Spark side's
+    // gated count on every parity corpus (all-clean; EmbGate's doc).
+    kmeansCtesSqlPfx(iters, "",
+      s"""SELECT GREATEST(16, LEAST($MaxCentroids,
+            CAST(floor(sqrt(COUNT(*) / 4.0)) AS INT))) AS k FROM embeddings""")
+
+  /** The Lloyd chain with prefixed CTE names and a caller-supplied
+    * `<pfx>kparam` body — mirrors [[kmeansCentroidsK]] at any k, so the
+    * two-level oracle replays the coarse quantizer (k from its own
+    * param CTEs) with the same unrolled blocks the flat codebook uses. */
+  private def kmeansCtesSqlPfx(iters: Int, pfx: String, kparamBody: String): String = {
     val sb = new StringBuilder(
-      // k mirrors nCentroids(n) — max(16, min(256, floor(sqrt(n/4)))) —
-      // computed from the table, so the oracle replays at ANY corpus
-      // size, not just the verify SFs where the rule lands on its floor
-      // of 16. floor() before CAST: DuckDB CAST(double AS INT) rounds,
-      // Scala .toInt truncates. Raw COUNT(*) matches the Spark side's
-      // gated count on every parity corpus (all-clean; EmbGate's doc).
-      s"""kparam AS (SELECT GREATEST(16, LEAST($MaxCentroids,
-            CAST(floor(sqrt(COUNT(*) / 4.0)) AS INT))) AS k FROM embeddings),
-          cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-                     WHERE vec_id < (SELECT k FROM kparam))""")
+      s"""${pfx}kparam AS ($kparamBody),
+          ${pfx}cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+                     WHERE vec_id < (SELECT k FROM ${pfx}kparam))""")
     for (i <- 1 to iters) {
-      val p = s"cents${i - 1}"
+      val p = s"${pfx}cents${i - 1}"
       val d2 = s"${dot("e.embedding", "e.embedding")} + ${dot("c.c_emb", "c.c_emb")} - 2 * ${dot("e.embedding", "c.c_emb")}"
       sb.append(s""",
-        a$i AS (SELECT e.vec_id, c.c_id FROM embeddings e CROSS JOIN $p c
+        ${pfx}a$i AS (SELECT e.vec_id, c.c_id FROM embeddings e CROSS JOIN $p c
                 QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2, c.c_id) = 1),
-        u$i AS (SELECT a.c_id, d.i AS dim,
+        ${pfx}u$i AS (SELECT a.c_id, d.i AS dim,
                   list_sum(list(CAST(e.embedding[d.i] AS DOUBLE) ORDER BY e.vec_id)) / COUNT(*) AS m
-                FROM a$i a JOIN embeddings e ON e.vec_id = a.vec_id
+                FROM ${pfx}a$i a JOIN embeddings e ON e.vec_id = a.vec_id
                 CROSS JOIN generate_series(1, 64) d(i)
                 GROUP BY a.c_id, d.i),
-        n$i AS (SELECT c_id, list(CAST(m AS FLOAT4) ORDER BY dim) AS c_emb FROM u$i GROUP BY c_id),
-        cents$i AS (SELECT p.c_id, COALESCE(n.c_emb, p.c_emb) AS c_emb
-                    FROM $p p LEFT JOIN n$i n USING (c_id))""")
+        ${pfx}n$i AS (SELECT c_id, list(CAST(m AS FLOAT4) ORDER BY dim) AS c_emb FROM ${pfx}u$i GROUP BY c_id),
+        ${pfx}cents$i AS (SELECT p.c_id, COALESCE(n.c_emb, p.c_emb) AS c_emb
+                    FROM $p p LEFT JOIN ${pfx}n$i n USING (c_id))""")
     }
     sb.toString
   }
@@ -2466,6 +2894,30 @@ object SimOps {
           FROM lab GROUP BY q_label ORDER BY label""",
     "sim_knn_graph" ->
       s"""WITH ${ivfPairsCtesWhere("")},
+          scored AS (SELECT p.q_id, p.vec_id,
+                       ${cos("qe.embedding", "ce.embedding")} AS sim
+                     FROM pairs p
+                     JOIN embeddings ce ON ce.vec_id = p.vec_id
+                     JOIN embeddings qe ON qe.vec_id = p.q_id),
+          ranked AS (SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+          FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
+    "sim_ivf2_topk" ->
+      s"""WITH ${ivf2CtesWhere(s"WHERE e.vec_id < $NQueries")},
+          scored AS (SELECT p.q_id, p.vec_id,
+                       ${cos("qe.embedding", "ce.embedding")} AS sim
+                     FROM pairs p
+                     JOIN embeddings ce ON ce.vec_id = p.vec_id
+                     JOIN embeddings qe ON qe.vec_id = p.q_id),
+          ranked AS (SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+          FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""",
+    "sim_ivf2_knn_graph" ->
+      s"""WITH ${ivf2CtesWhere("")},
           scored AS (SELECT p.q_id, p.vec_id,
                        ${cos("qe.embedding", "ce.embedding")} AS sim
                      FROM pairs p

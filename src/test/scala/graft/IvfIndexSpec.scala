@@ -79,4 +79,66 @@ class IvfIndexSpec extends SparkSpec {
     assert(after2 == before2,
       "a replayed append must be invisible to queries (read-time dedup)")
   }
+
+  test("registry sim_knn_graph serves from the persisted index, result-identical to the fused form") {
+    // r13: label_purity was re-paying the full closure-assignment cost
+    // because each key rebuilt the lists — the registry key now reads
+    // ensureIvfIndex's parquet; floats round-trip parquet exactly, so
+    // the two forms must agree to the last bit
+    val fromIndex = SparkEntry.queries("sim_knn_graph")(spark, D)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val fused = SimOps.knnGraphInMemory(spark, D)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(fromIndex == fused,
+      s"index-served graph diverged from the fused form")
+    assert(fromIndex.nonEmpty)
+    // and the index it served from is on disk, list-partitioned
+    val dir = SimOps.ensureIvfIndex(spark, D)
+    assert(new java.io.File(dir + "/lists").listFiles()
+      .exists(_.getName.startsWith("list_id=")))
+  }
+
+  test("two-level index: fine codebook is a DataFrame-resident grid, lists partitioned by (g_id, f_id)") {
+    // the two-level layout's contract: no driver collect anywhere in the
+    // fine path (the coarse codebook is the family's ONE collect), the
+    // fine grid bounded by k1*k2, and the on-disk lists partitioned so a
+    // probe touches only its (g_id, f_id) directories
+    val dir = SimOps.ensureIvf2Index(spark, D)
+    val fine = spark.read.parquet(dir + "/fine")
+    val n = Tables.embeddings(spark, D).count()
+    val lT = SimOps.nLists2(n)
+    val k1 = SimOps.nCoarse2(lT)
+    val k2 = SimOps.nFine2(lT, k1)
+    val cells = fine.select("g_id").distinct().count()
+    assert(cells <= k1, s"fine grid has $cells cells > k1=$k1")
+    assert(fine.count() <= k1.toLong * k2, "fine grid exceeds k1*k2")
+    val perCell = fine.groupBy("g_id").count().collect().map(_.getLong(1))
+    assert(perCell.forall(_ <= k2), s"a cell exceeds k2=$k2 fine centroids")
+    val gDirs = new java.io.File(dir + "/lists").listFiles()
+      .filter(_.getName.startsWith("g_id="))
+    assert(gDirs.nonEmpty, "lists must be partitioned by g_id first")
+    assert(gDirs.exists(_.listFiles().exists(_.getName.startsWith("f_id="))),
+      "each coarse directory must nest f_id partitions")
+    // every emitted list belongs to the fine grid (no orphan ids)
+    val fineKeys = fine.select("g_id", "f_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val listKeys = spark.read.parquet(dir + "/lists")
+      .select(col("g_id").cast("long"), col("f_id").cast("long")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(listKeys.subsetOf(fineKeys), s"orphan lists: ${listKeys -- fineKeys}")
+  }
+
+  test("two-level graph: every clean vector gets neighbors, closure dedup exact") {
+    val g = SparkEntry.queries("sim_ivf2_knn_graph")(spark, D)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = Tables.embeddings(spark, D).count()
+    // every vector is a query (corpus >> nprobe lists at sf0.001, so
+    // everyone has >= 3 candidates), ranks dense 1..3, no self-loops
+    assert(g.map(_._1).distinct.length == n, "every vector must appear as a query")
+    assert(g.groupBy(_._1).values.forall(_.map(_._2).sorted.sameElements(Seq(1, 2, 3))))
+    assert(g.forall(t => t._1 != t._3), "self-loops must be excluded")
+    // a (q, neighbor) pair appears ONCE even when the pair shares
+    // several probed lists (the map-side max dedup)
+    assert(g.map(t => (t._1, t._3)).distinct.length == g.length)
+  }
 }

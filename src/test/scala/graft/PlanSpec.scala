@@ -586,6 +586,26 @@ class PlanSpec extends SparkSpec {
     assert(graft.ops.SimOps.pqKsub(1_000_000_000L) == 256, "PQ codebook shares the cap")
   }
 
+  test("two-level IVF: driver surface stays MaxCentroids while lists keep growing sqrt-style") {
+    import graft.ops.SimOps.{nLists2, nCoarse2, nFine2, MaxLists2}
+    // the post-262k-vector regime the single-level cap degrades in: the
+    // two-level layout must keep L ~ sqrt(n/4) there with BOTH codebook
+    // dimensions inside the driver-safe cap
+    assert(MaxLists2 == 256 * 256)
+    assert(nLists2(500L) == 16, "verify-SF floor (same as the flat rule)")
+    val n9 = 1_000_000_000L
+    val l9 = nLists2(n9)
+    assert(l9 > 15_000 && l9 <= 16_000, s"sqrt(n/4) rule at 1e9: $l9")
+    val k1 = nCoarse2(l9)
+    assert(k1 <= 256, "coarse codebook (the ONLY collect) stays broadcastable")
+    assert(k1.toLong * nFine2(l9, k1) >= l9, "k1*k2 covers the list target")
+    // past n ~ 1.7e10 the grid caps at 65 536 — four decades beyond the
+    // single-level knee, and a third level composes the same way
+    assert(nLists2(100_000_000_000L) == MaxLists2)
+    // verify-SF grid: 4x4 — the shape the oracle CTEs replay
+    assert(nCoarse2(16) == 4 && nFine2(16, 4) == 4)
+  }
+
   test("corpus_dsir_buckets build: hot buckets collapse map-side, scan reads only (doc_id, lang, text)") {
     // the scan/pre-aggregate shape lives on the BUILD plan of the
     // materialized bucket frame (docWeights localCheckpoints it — r12,
