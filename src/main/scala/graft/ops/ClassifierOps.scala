@@ -137,9 +137,25 @@ object ClassifierOps {
 
   /** [[QcRounds]] unrolled rounds over a checkpointed feature frame;
     * returns the 1-row weights frame (wm: array<bigint> micros, length
-    * [[QcWidth]]). Weights localCheckpoint per round — the 1-row frame is
-    * referenced twice per round (margin pass + update) and unbounded
-    * lineage re-derives all prior rounds (the MMR lesson). */
+    * [[QcWidth]]).
+    *
+    * r13 shape (guide §1.2 "per-task work" + §5 driver discipline): the
+    * distributed work per round is exactly ONE job — the margin/gradient
+    * pass over the checkpointed feature frame, partial-aggregated to
+    * ≤ [[QcWidth]] (fid, gm) rows (a named model constant, the bounded-
+    * collect convention standingWeights already uses). The weight UPDATE
+    * is O(QcWidth) driver arithmetic replicating the previous Spark
+    * expression bit-for-bit: Spark's `round(x, 0)` on DOUBLE is
+    * BigDecimal(x).setScale(0, HALF_UP) (RoundBase), which
+    * `scala.math.BigDecimal(x)` reproduces exactly (both route through
+    * java.math.BigDecimal.valueOf). The class-balance constants are
+    * likewise computed ONCE and embedded as literals — the previous loop
+    * re-ran that aggregate through `broadcast(n)` every round (16 extra
+    * passes over the feature frame per training at 100 TB scale), and
+    * each round also paid a broadcast build + a 1-row localCheckpoint
+    * job; all three per-round costs are gone. ClassifierSpec pins the
+    * trained weights against an independent reference weight-for-weight,
+    * so any arithmetic drift here fails loudly. */
   private[graft] def qcTrainWeights(s: SparkSession, feats: DataFrame,
       rounds: Int = QcRounds, roundOffset: Int = 0,
       init: Option[DataFrame] = None): DataFrame = {
@@ -149,35 +165,44 @@ object ClassifierOps {
     // rate, collapsing to the majority class (measured: acc_micro ==
     // majority_micro with tn = fn = 0 before balancing). Denominators
     // floored at 1 so a one-class corpus stays finite.
-    val n = feats.agg(greatest(count(lit(1)), lit(1L)).as("n"),
+    val nRow = feats.agg(greatest(count(lit(1)), lit(1L)).as("n"),
         coalesce(sum("y"), lit(0L)).as("n_pos"))
-      .select(col("n"), col("n_pos"),
+      .select(col("n"),
         expr("CAST(n AS DOUBLE) / CAST(2 * greatest(n_pos, 1) AS DOUBLE)").as("cw_pos"),
         expr("CAST(n AS DOUBLE) / CAST(2 * greatest(n - n_pos, 1) AS DOUBLE)").as("cw_neg"))
-    var w = init.getOrElse(s.range(1).select(
-      expr(s"transform(sequence(0, ${QcWidth - 1}), f -> CAST(0 AS BIGINT))").as("wm")))
+      .head()
+    val nDocs = nRow.getLong(0)
+    val cwPos = nRow.getDouble(1)
+    val cwNeg = nRow.getDouble(2)
+    var wm: Array[Long] = init match {
+      case Some(df) => df.head().getSeq[Long](0).toArray
+      case None => Array.fill(QcWidth)(0L)
+    }
     for (r0 <- 0 until rounds) {
       val r = roundOffset + r0 // step schedule continues across phases
-      val scored = feats.crossJoin(broadcast(w))
+      val gm: Map[Int, Long] = feats
+        .withColumn("wm", typedLit(wm.toSeq))
         .withColumn("m", expr(MarginExpr))
         .withColumn("p", expr(SigmoidExpr))
-      val grads = scored.crossJoin(broadcast(n))
+        .withColumn("cw_pos", lit(cwPos))
+        .withColumn("cw_neg", lit(cwNeg))
         .select(col("p"), col("y"), col("cw_pos"), col("cw_neg"),
           explode(col("fv")).as("t"))
         .select(col("t.fid").as("fid"),
           expr("CAST(round((p - y) * (CASE WHEN y = 1 THEN cw_pos ELSE cw_neg END) * t.x * 1000000, 0) AS BIGINT)").as("g"))
         .groupBy("fid").agg(sum("g").as("gm"))
-      val gRow = grads
-        .agg(expr("array_sort(collect_list(struct(fid, gm)))").as("gl"))
-        .crossJoin(broadcast(n))
-      w = w.crossJoin(broadcast(gRow)).select(expr(
-        s"""transform(sequence(0, ${QcWidth - 1}), f ->
-              element_at(wm, f + 1) - CAST(round((${qcStep(r)} * CAST(
-                aggregate(filter(gl, e -> e.fid = f), CAST(0 AS BIGINT),
-                  (a, e) -> a + e.gm) AS DOUBLE)) / n, 0) AS BIGINT))""").as("wm"))
-        .localCheckpoint()
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      val step = qcStep(r)
+      wm = Array.tabulate(QcWidth) { f =>
+        // element_at(wm, f+1) - CAST(round((step * CAST(g AS DOUBLE)) / n, 0) AS BIGINT)
+        val g = gm.getOrElse(f, 0L)
+        val x = (step * g.toDouble) / nDocs.toDouble
+        wm(f) - scala.math.BigDecimal(x)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble.toLong
+      }
     }
-    w
+    s.range(1).select(typedLit(wm.toSeq).as("wm"))
   }
 
   /** Score a feature frame under trained weights: appends m, p,

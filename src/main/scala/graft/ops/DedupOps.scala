@@ -925,9 +925,17 @@ object DedupOps {
     * lineage cut by checkpoint mid-loop (the CC discipline). No global
     * sort, no per-node driver work. */
   private[graft] def pagerankFrom(pairs: DataFrame): DataFrame = {
-    val edges = pairs
+    // materialize the (possibly expensive) pair-producing lineage ONCE
+    // before the symmetrizing union references it twice — Spark has no
+    // cross-branch CSE, so the previous shape (checkpoint AFTER the
+    // union) ran the capped-jaccard self-join twice per call (guide
+    // §2.4: remove recomputation before tuning anything else). Callers
+    // that already hold a checkpointed pair frame pay one cheap cached
+    // copy here, nothing more.
+    val p = pairs.localCheckpoint()
+    val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nRow = deg.agg(count(lit(1)).as("n_nodes"))
@@ -962,7 +970,15 @@ object DedupOps {
     * [[cluster]]; the per-cluster argmax is the same tiny
     * partial-agg-friendly struct-max as [[keepBest]]. */
   val keepCentral: Q = (s, d) => {
+    // ONE capped pair generation feeds both the CC and the PageRank
+    // branch (r13, guide §2.4): unmaterialized, the Σdf² shingle
+    // self-join lineage ran once inside connectedComponents' internal
+    // checkpoint and TWICE more inside pagerankFrom's symmetrizing
+    // union — 3× the family's dominant cost for one logical frame
+    // (the keepCentralIncremental lambda already checkpointed its
+    // shared generator; this applies the same discipline here).
     val pairs = ngramJaccardCapped(s, d).select("doc_a", "doc_b")
+      .localCheckpoint()
     val labels = connectedComponents(pairs)._1
     val pr = pagerankFrom(pairs)
     labels.join(pr, "doc_id")

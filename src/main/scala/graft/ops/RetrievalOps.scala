@@ -352,10 +352,18 @@ object RetrievalOps {
         .withColumn("mmr",
           round(lit(0.7) * col("rel_r") - lit(0.3) * col("ms"), 6))
       val wi = Window.partitionBy("q_id").orderBy(col("mmr").desc, col("doc_id"))
+      // checkpoint each round's selection (r13): round i references
+      // round i−1's frame three times (anti-join, b_id join, union), so
+      // the un-truncated lineage fans out 3^(K−1) logical subtrees —
+      // measured as a 690 KB explain() and seconds of pure
+      // planning/codegen per action even with rel/ps checkpointed. The
+      // per-round frame is ≤ |Q|·i rows; cutting it keeps the plan
+      // linear in K for the cost of K−1 tiny jobs.
       selected = selected.unionByName(
         cand.withColumn("rn", row_number().over(wi)).where(col("rn") === 1)
           .select(col("q_id"), col("doc_id"), lit(i).as("rank"),
             col("mmr").as("mmr_r")))
+        .localCheckpoint()
     }
     selected
       .select(col("q_id"), col("rank"), col("doc_id").as("neighbor_id"),
