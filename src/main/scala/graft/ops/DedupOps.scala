@@ -979,8 +979,12 @@ object DedupOps {
     // shared generator; this applies the same discipline here).
     val pairs = ngramJaccardCapped(s, d).select("doc_a", "doc_b")
       .localCheckpoint()
-    val labels = connectedComponents(pairs)._1
-    val pr = pagerankFrom(pairs)
+    // CC's star rounds and PageRank's 8 power rounds are independent
+    // chains over the same checkpointed frame; overlapped so each
+    // chain's stage tail back-fills the other's idle cores (Par §2.6)
+    val Seq(labels, pr) = Par.run(
+      () => connectedComponents(pairs)._1,
+      () => pagerankFrom(pairs))
     labels.join(pr, "doc_id")
       .groupBy(col("cluster_keeper").as("cluster_id"))
       .agg(max(struct(col("pr_mass"), (lit(0L) - col("doc_id")).as("neg_id"))).as("k"),
@@ -1030,8 +1034,10 @@ object DedupOps {
     // shingle self-join lineage runs once, not once per branch below
     val all = ngramJaccardCapped(s, d).select("doc_a", "doc_b").localCheckpoint()
     val even = all.where(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
-    val labels = connectedComponents(even)._1 // (doc_id, cluster_keeper)
-    val pr = pagerankFrom(even)               // (doc_id, deg, pr_mass)
+    // independent chains over the cached frame, overlapped (Par §2.6)
+    val Seq(labels, pr) = Par.run(
+      () => connectedComponents(even)._1, // (doc_id, cluster_keeper)
+      () => pagerankFrom(even))           // (doc_id, deg, pr_mass)
     val standingCentral = labels.join(pr, "doc_id")
       .groupBy(col("cluster_keeper").as("cluster_id"))
       .agg(max(struct(col("pr_mass"), (lit(0L) - col("doc_id")).as("neg_id"))).as("k"))
@@ -1181,19 +1187,32 @@ object DedupOps {
     * instrument should say so rather than assume it). All counts are
     * exact integers; the only divisions are final micro roundings. */
   val methodAgreement: Q = (s, d) => {
-    val jp = ngramJaccardCapped(s, d).select("doc_a", "doc_b").localCheckpoint()
-    val sp = blockedPairsFrom(fingerprints(s, d), 4, 1, MaxHamming)
-      .select("doc_a", "doc_b").localCheckpoint()
-    val cp = cosineLshPairs(s, d)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).localCheckpoint()
-    def n(df: DataFrame, c: String) = broadcast(df.agg(count(lit(1)).as(c)))
-    def inter(a: DataFrame, b: DataFrame, c: String) =
-      broadcast(a.join(b, Seq("doc_a", "doc_b")).agg(count(lit(1)).as(c)))
+    // the three pair generators are fully independent corpus passes —
+    // materialized concurrently so each one's reduce tail back-fills
+    // the others' idle cores (Par §2.6)
+    val Seq(jp, sp, cp) = Par.run(
+      () => ngramJaccardCapped(s, d).select("doc_a", "doc_b").localCheckpoint(),
+      () => blockedPairsFrom(fingerprints(s, d), 4, 1, MaxHamming)
+        .select("doc_a", "doc_b").localCheckpoint(),
+      () => cosineLshPairs(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).localCheckpoint())
+    // six 1-row aggregates over the three cached pair frames: as
+    // broadcast-crossJoin subtrees of one plan they executed strictly
+    // sequentially at action time (each BroadcastExchange materializes
+    // on its own); collected as bounded scalars CONCURRENTLY instead
+    // (six 1-row jobs — the bounded-collect convention; the agree_*
+    // micro arithmetic below is unchanged and still evaluated by Spark)
+    def cnt(df: DataFrame): Long = df.agg(count(lit(1))).head().getLong(0)
+    val Seq(nJ, nS, nC, iJS, iJC, iSC) = Par.run(
+      () => cnt(jp), () => cnt(sp), () => cnt(cp),
+      () => cnt(jp.join(sp, Seq("doc_a", "doc_b"))),
+      () => cnt(jp.join(cp, Seq("doc_a", "doc_b"))),
+      () => cnt(sp.join(cp, Seq("doc_a", "doc_b"))))
     def agree(i: String, a: String, b: String) =
       expr(s"CASE WHEN $a + $b - $i = 0 THEN CAST(0 AS BIGINT) ELSE ($i * 1000000) div ($a + $b - $i) END")
-    n(jp, "n_jaccard").crossJoin(n(sp, "n_simhash")).crossJoin(n(cp, "n_cosine"))
-      .crossJoin(inter(jp, sp, "i_js")).crossJoin(inter(jp, cp, "i_jc"))
-      .crossJoin(inter(sp, cp, "i_sc"))
+    s.range(1).select(
+        lit(nJ).as("n_jaccard"), lit(nS).as("n_simhash"), lit(nC).as("n_cosine"),
+        lit(iJS).as("i_js"), lit(iJC).as("i_jc"), lit(iSC).as("i_sc"))
       .select(col("n_jaccard"), col("n_simhash"), col("n_cosine"),
         col("i_js"), col("i_jc"), col("i_sc"),
         agree("i_js", "n_jaccard", "n_simhash").as("agree_js_micro"),
@@ -1219,22 +1238,29 @@ object DedupOps {
     // materialized once: four consumers (totals + three method rows)
     // would otherwise each re-run the scan+tokenize pass (the NLL
     // recompute-tax lesson — no exchange reuse fires across subtrees)
-    val toks = documents(s, d).select(col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
-      .localCheckpoint(true)
+    // the four corpus-touching inputs (token counts, content hashes,
+    // jaccard CC, simhash CC) are fully independent — materialized
+    // concurrently (Par §2.6); everything below consumes their cached
+    // output lazily exactly as before
+    val Seq(toks, ch, jacLabels, simLabels) = Par.run(
+      () => documents(s, d).select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+        .localCheckpoint(true),
+      () => documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("ch")).localCheckpoint(true),
+      () => connectedComponents(
+        ngramJaccardCapped(s, d).select("doc_a", "doc_b"))._1,
+      () => connectedComponents(
+        blockedPairsFrom(fingerprints(s, d), 4, 1, MaxHamming)
+          .select("doc_a", "doc_b"))._1)
     val totals = toks.agg(count(lit(1)).as("docs_total"),
       sum("ntok").as("tokens_total"))
-    val ch = documents(s, d)
-      .select(col("doc_id"), md5(col("text")).as("ch")).localCheckpoint(true)
     val exactRemoved = ch
       .join(ch.groupBy("ch").agg(min("doc_id").as("keeper")), Seq("ch"))
       .where(col("doc_id") =!= col("keeper")).select("doc_id")
-    val jacRemoved = connectedComponents(
-        ngramJaccardCapped(s, d).select("doc_a", "doc_b"))._1
+    val jacRemoved = jacLabels
       .where(col("doc_id") =!= col("cluster_keeper")).select("doc_id")
-    val simRemoved = connectedComponents(
-        blockedPairsFrom(fingerprints(s, d), 4, 1, MaxHamming)
-          .select("doc_a", "doc_b"))._1
+    val simRemoved = simLabels
       .where(col("doc_id") =!= col("cluster_keeper")).select("doc_id")
     def methodRow(m: String, removed: DataFrame): DataFrame =
       removed.join(toks, "doc_id")

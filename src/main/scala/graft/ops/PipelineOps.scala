@@ -544,13 +544,23 @@ object PipelineOps {
     * the batch operator and the streaming twin's read-time report, so
     * twin equality is structural (the DriftIngest discipline). */
   private[graft] def funnelCore(meta0: DataFrame, pairs: DataFrame): DataFrame = {
-    val raw0 = meta0.localCheckpoint()
-    val qual = raw0.where(col("is_good")).localCheckpoint()
-    val exact = qual.groupBy("content_hash")
-      .agg(min("doc_id").as("doc_id")).select("doc_id")
-      .join(qual.select("doc_id", "source", "n_tok"), "doc_id")
-      .localCheckpoint()
-    val labels = DedupOps.connectedComponents(pairs)._1
+    // the per-doc meta chain (scan → quality gate → exact dedup) and the
+    // near-dup CC over the pair graph are independent until the near_dup
+    // stage joins them — overlapped (Par §2.6) so the CC star rounds
+    // back-fill the meta chain's stage tails
+    val Seq(metaFrames, ccFrames) = Par.run(
+      () => {
+        val raw0 = meta0.localCheckpoint()
+        val qual = raw0.where(col("is_good")).localCheckpoint()
+        val exact = qual.groupBy("content_hash")
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+          .join(qual.select("doc_id", "source", "n_tok"), "doc_id")
+          .localCheckpoint()
+        Seq(raw0, qual, exact)
+      },
+      () => Seq(DedupOps.connectedComponents(pairs)._1))
+    val Seq(raw0, qual, exact) = metaFrames
+    val labels = ccFrames.head
     val withCk = exact.join(labels, Seq("doc_id"), "left")
       .withColumn("ck", coalesce(col("cluster_keeper"), col("doc_id")))
     val near = withCk.groupBy("ck").agg(min("doc_id").as("doc_id"))
