@@ -69,7 +69,9 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  val ngramJaccard: Q = (s, d) => jaccardFromShingles(docShingles(s, d))
+  val ngramJaccard: Q = (s, d) =>
+    // one-checkpoint shingle discipline (r13, see cappedPairsFromShingles)
+    jaccardFromShingles(docShingles(s, d).localCheckpoint())
 
   /** Document-frequency cap for the capped jaccard variant: shingles seen
     * in more than this many documents are dropped before pair generation.
@@ -94,13 +96,19 @@ object DedupOps {
     * accumulated shingle state. */
   private[graft] def cappedPairsFromShingles(sh0: DataFrame): DataFrame = {
     // the shingle frame feeds four branches (df aggregate + sizes + both
-    // self-join sides) and is recomputed per branch — measured (r9,
-    // isolated sf0.1): checkpointing sh + the anti-joined frame reads
-    // 2.97 s vs 2.73 s recomputed; the one-pass TextShingles expression
-    // is cheaper than materializing its output, so recompute wins
-    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+    // self-join sides). r9 measured checkpointing BOTH sh and the
+    // anti-joined frame (2.97 s vs 2.73 s recomputed) and kept
+    // recompute; r13 re-measured with ONE checkpoint of the raw shingle
+    // frame only (every branch then derives by a cheap broadcast
+    // anti-join from cache, and AQE exchange-reuse still dedupes the
+    // hot/sizes aggregates): 3.67 -> 2.79 s isolated sf0.1, and every
+    // jaccard-graph consumer (cluster/keep_*/savings/funnel/split/...)
+    // inherits the cut because the 3-4 shingle Generate passes were
+    // their shared floor
+    val sh = sh0.localCheckpoint()
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > DfCap).select("sh")
-    jaccardFromShingles(sh0.join(broadcast(hot), Seq("sh"), "left_anti"))
+    jaccardFromShingles(sh.join(broadcast(hot), Seq("sh"), "left_anti"))
   }
 
   /** Cap-bind diagnostics for the pair-generator caps (r13, the
@@ -145,7 +153,8 @@ object DedupOps {
     * that clear the 0.8 threshold — integer-math gate, ratio rounded
     * only for display. */
   val ngramContainment: Q = (s, d) => {
-    val sh = docShingles(s, d)
+    // one-checkpoint shingle discipline (r13, see cappedPairsFromShingles)
+    val sh = docShingles(s, d).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -689,13 +698,17 @@ object DedupOps {
     val (sampled, step) = sampledCleanEmbeddings(s, d)
     val a = sampled.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = sampled.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    val exact = a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("sim", expr("float_dot(ea, eb)") / (col("na") * col("nb")))
-      .where(col("sim") > 0.3)
-      .select("vec_a", "vec_b")
-    val lsh = cosineLshPairs(s, d)
-      .where(pmod(col("vec_a"), lit(step)) === 0 && pmod(col("vec_b"), lit(step)) === 0)
-      .select("vec_a", "vec_b")
+    // r13: both pair sets fed two aggregates each (count + the
+    // intersection) — materialized once, concurrently (Par §2.6), so
+    // the O(EvalCap²) exact scoring and the LSH index pass each run once
+    val Seq(exact, lsh) = Par.run(
+      () => a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("sim", expr("float_dot(ea, eb)") / (col("na") * col("nb")))
+        .where(col("sim") > 0.3)
+        .select("vec_a", "vec_b").localCheckpoint(),
+      () => cosineLshPairs(s, d)
+        .where(pmod(col("vec_a"), lit(step)) === 0 && pmod(col("vec_b"), lit(step)) === 0)
+        .select("vec_a", "vec_b").localCheckpoint())
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
     val nBoth = exact.join(lsh, Seq("vec_a", "vec_b"), "left_semi")
@@ -1291,7 +1304,9 @@ object DedupOps {
     * the histogram domain is 10 rows at any corpus size. Integer math:
     * decile = (10·inter) div union (exact), no floats anywhere. */
   val thresholdHistogram: Q = (s, d) => {
-    val sh = docShingles(s, d)
+    // same one-checkpoint discipline as cappedPairsFromShingles (r13):
+    // the shingle Generate passes were the shared floor of every branch
+    val sh = docShingles(s, d).localCheckpoint()
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > DfCap).select("sh")
     val kept = sh.join(broadcast(hot), Seq("sh"), "left_anti")
@@ -1641,10 +1656,17 @@ object DedupOps {
       .agg(count(lit(1)).as("run_len"))
       .where(col("run_len") >= 2 * SubW)
       .select("doc_a", "doc_b").distinct()
-    val win = substringWinnow(s, d).select("doc_a", "doc_b")
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    // r13: the truth chain fed two aggregates (count + intersection) and
+    // so did the detector chain — each full (W+1)/2× gram pipeline ran
+    // TWICE per query. Materialize both pair sets once, concurrently
+    // (independent chains, Par §2.6); the three tiny aggregates below
+    // read the cached frames.
+    val Seq(truthC, win) = Par.run(
+      () => truth.localCheckpoint(),
+      () => substringWinnow(s, d).select("doc_a", "doc_b").localCheckpoint())
+    val nTruth = truthC.agg(count(lit(1)).as("n_truth"))
     val nWin = win.agg(count(lit(1)).as("n_winnow"))
-    val nBoth = truth.join(win, Seq("doc_a", "doc_b"), "left_semi")
+    val nBoth = truthC.join(win, Seq("doc_a", "doc_b"), "left_semi")
       .agg(count(lit(1)).as("n_both"))
     nTruth.crossJoin(nWin).crossJoin(nBoth)
       .select(col("n_truth"), col("n_winnow"), col("n_both"),
