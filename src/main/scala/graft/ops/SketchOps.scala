@@ -428,27 +428,43 @@ object SketchOps {
   private[ops] val CmsW = 16384
   private val CmsTopN = 20
 
-  /** (r, c, cnt) sketch cells over the corpus shingle stream — the same
-    * doc-distinct word-3-gram stream the exact
-    * [[PipelineOps.ngramTopK]] counts, so est(g) approximates that
-    * query's df exactly. */
-  private def cmsCells(sh: DataFrame): DataFrame =
-    sh.select(explode(expr(
+  /** Cells from a (sh, <weight>) DISTINCT-gram frame: each gram hashes
+    * once per row r (4 md5s per DISTINCT gram) and contributes its
+    * occurrence count to its cell — cnt = Σ df per cell is arithmetic-
+    * identical to counting occurrences (integer sum, order-free), while
+    * the md5 work drops from 4× the corpus shingle VOLUME to 4× the
+    * distinct-gram count (r13, guide §1.2 per-task work: ~30× less
+    * hashing at sf0.1). */
+  private def cellsFromGramDf(gramDf: DataFrame, w: String): DataFrame =
+    gramDf.select(col(w).as("w"), explode(expr(
       s"""transform(sequence(0, ${CmsD - 1}), r -> named_struct(
             'r', r,
             'c', CAST(conv(substring(md5(concat('cms', CAST(r AS STRING), ':', sh)), 1, 8), 16, 10) AS BIGINT) % $CmsW))"""))
       .as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("w").as("cnt"))
+
+  /** (r, c, cnt) sketch cells over the corpus shingle stream — the same
+    * doc-distinct word-3-gram stream the exact
+    * [[PipelineOps.ngramTopK]] counts, so est(g) approximates that
+    * query's df exactly. The per-gram aggregate runs first (map-side
+    * partials on the gram key) so the hash work is per DISTINCT gram —
+    * see [[cellsFromGramDf]]. */
+  private def cmsCells(sh: DataFrame): DataFrame =
+    cellsFromGramDf(sh.groupBy("sh").agg(count(lit(1)).as("df")), "df")
 
   /** (sh, df_true, df_est): every distinct gram's exact df beside its
     * sketch estimate (min over the d cells it hashes to). The join side
     * is the d·w = 4·16384 = 65536-cell sketch — still broadcast-sized
     * (≤ 64k longs), never a shuffle of the gram frame. */
   private def cmsEstimates(s: SparkSession, d: String): DataFrame = {
-    val sh = DedupOps.docShingles(s, d)
-    val cells = cmsCells(sh)
-    sh.groupBy("sh").agg(count(lit(1)).as("df_true"))
+    // ONE shingle pass + per-gram aggregate feeds both the sketch build
+    // and the truth side (r13 — the two branches each re-ran the
+    // corpus-wide Generate before)
+    val gramDf = DedupOps.docShingles(s, d)
+      .groupBy("sh").agg(count(lit(1)).as("df_true")).localCheckpoint()
+    val cells = cellsFromGramDf(gramDf, "df_true")
+    gramDf
       .select(col("sh"), col("df_true"), explode(expr(
         s"""transform(sequence(0, ${CmsD - 1}), r -> named_struct(
               'r', r,
