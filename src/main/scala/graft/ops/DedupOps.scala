@@ -220,7 +220,10 @@ object DedupOps {
     // fixed-width md5 hex (no ambiguity), but a separator keeps distinct
     // signature tuples from ever concatenating to the same key if the
     // scheme changes width
-    val bands = bandFrame(sig)
+    // one-checkpoint discipline (r13, see cappedPairsFromShingles): the
+    // md5-heavy signature pipeline under this frame otherwise re-runs
+    // for the hot-bucket aggregate and both self-join sides
+    val bands = bandFrame(sig).localCheckpoint()
     // hot-band cap (same posture as the shingle DfCap): a band bucket of
     // n docs costs n² in the self-join, and a bucket every templated doc
     // falls into is boilerplate, not near-duplication — dropping buckets
@@ -279,6 +282,10 @@ object DedupOps {
     * [[graft.streaming.MinhashDedupIngest]] (standing band index on
     * disk, batch-id append log, read-time dedup). */
   val minhashIncremental: Q = (s, d) => {
+    // the union below references the pair pipeline twice, but its
+    // upstream bands are already cached inside bandPairs — an output
+    // checkpoint here re-measured slightly WORSE (1.95 vs 1.80 s), so
+    // only the bands-level cache stays (r13)
     val pairs = bandPairs(minhashSignatures(s, d), Some(BandBucketCap))
     val dirp = pairs.select(col("doc_a").as("v"), col("doc_b").as("partner"))
       .unionByName(pairs.select(col("doc_b").as("v"), col("doc_a").as("partner")))
@@ -619,6 +626,10 @@ object DedupOps {
     * consumer must not pay a global sort it immediately discards. */
   private def cosineLshPairs(s: SparkSession, d: String,
       candidateFilter: Column = lit(true)): DataFrame = {
+    // deliberately NOT checkpointed (r13 negative result): e is a cheap
+    // columnar scan + norm projection; materializing it measured FLAT on
+    // the lsh key and +8-11% on the cluster consumers (the barrier costs
+    // more than re-scanning 5 MB of parquet 4×)
     val e = cleanEmbeddings(s, d)
     val bk = e.select(col("vec_id"),
       posexplode(pairBuckets("embedding")).as(Seq("t", "bucket")))
@@ -656,8 +667,10 @@ object DedupOps {
     * decision is exact-verified (the LSH step only proposes). */
   val embeddingIncremental: Q = (s, d) => {
     val isBatch = (c: Column) => c % 2 === 1
+    // checkpointed: the symmetrizing union below references the pair
+    // pipeline twice (r13, the pagerankFrom lesson)
     val pairs = cosineLshPairs(s, d,
-      isBatch(col("vec_a")) || isBatch(col("vec_b")))
+      isBatch(col("vec_a")) || isBatch(col("vec_b"))).localCheckpoint()
     val matches = pairs.select(col("vec_a").as("v"), col("vec_b").as("partner"))
       .unionByName(pairs.select(col("vec_b").as("v"), col("vec_a").as("partner")))
     val perVec = matches.where(isBatch(col("v")))
