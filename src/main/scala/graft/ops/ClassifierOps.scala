@@ -246,7 +246,7 @@ object ClassifierOps {
     * the corpus behind a dir changes between runs in one JVM, the
     * fingerprint changes and the model retrains instead of silently
     * serving stale weights against a freshly-retrained oracle. */
-  private def corpusFingerprint(d: String): String = {
+  private[ops] def corpusFingerprint(d: String): String = {
     // listFiles() returns NULL (not empty) on an unreadable dir or a
     // concurrent delete; degrade to a path-only fingerprint rather than
     // NPE before training starts — worst case the cache key is coarser

@@ -667,10 +667,14 @@ object DedupOps {
     * decision is exact-verified (the LSH step only proposes). */
   val embeddingIncremental: Q = (s, d) => {
     val isBatch = (c: Column) => c % 2 === 1
-    // checkpointed: the symmetrizing union below references the pair
-    // pipeline twice (r13, the pagerankFrom lesson)
+    // deliberately NOT checkpointed (r13): the union below references
+    // the pair pipeline twice, but in-session the whole pipeline costs
+    // ~0.35 s and the materialization barrier ~0.5 s — the bench
+    // session (the official metric) measured the checkpoint at +0.69 s
+    // while the isolated cold probe read it as neutral; the barrier
+    // only pays where the duplicated compute exceeds it
     val pairs = cosineLshPairs(s, d,
-      isBatch(col("vec_a")) || isBatch(col("vec_b"))).localCheckpoint()
+      isBatch(col("vec_a")) || isBatch(col("vec_b")))
     val matches = pairs.select(col("vec_a").as("v"), col("vec_b").as("partner"))
       .unionByName(pairs.select(col("vec_b").as("v"), col("vec_a").as("partner")))
     val perVec = matches.where(isBatch(col("v")))

@@ -551,7 +551,9 @@ object PipelineOps {
     val Seq(metaFrames, ccFrames) = Par.run(
       () => {
         val raw0 = meta0.localCheckpoint()
-        val qual = raw0.where(col("is_good")).localCheckpoint()
+        // qual is a trivial filter over the cached raw0 — a checkpoint
+        // here was pure barrier overhead (r13)
+        val qual = raw0.where(col("is_good"))
         val exact = qual.groupBy("content_hash")
           .agg(min("doc_id").as("doc_id")).select("doc_id")
           .join(qual.select("doc_id", "source", "n_tok"), "doc_id")
@@ -1593,9 +1595,29 @@ object PipelineOps {
       .where(col("piece") =!= "")
       .groupBy("piece").agg(sum("cnt").as("n"))
 
+  /** One unigram-LM training per sf dir per JVM (the bpeMergeCache /
+    * standingWeights convention): the trained vocabulary is a bounded
+    * (piece, n) list — chars + [[UgKeepMulti]] rows — so consumer keys
+    * after the first rebuild the cost frame from plain cached data
+    * instead of re-running [[UgEmRounds]] Viterbi E-steps. ugCosts over
+    * identical (piece, n) rows is deterministic, so cached and fresh
+    * states are value-identical. */
+  private val ugVocabCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, Long)]]
+
   /** Train state after [[UgEmRounds]] rounds: the final (piece, n, cost)
     * frame plus its lookup lists. Shared by train and tokenize. */
   private def ugTrainedCosts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val key = d + "#" + ClassifierOps.corpusFingerprint(d)
+    ugVocabCache.keys
+      .filter(k => k.startsWith(d + "#") && k != key)
+      .foreach(ugVocabCache.remove)
+    ugVocabCache.get(key) match {
+      case Some(rows) =>
+        import s.implicits._
+        return ugCosts(rows.toDF("piece", "n"))
+      case None => ()
+    }
     // ONE corpus-touching job (the word-frequency frame), checkpointed:
     // every later stage re-reads word types, not documents
     val wf = wpWordFreq(s, d).localCheckpoint()
@@ -1631,6 +1653,10 @@ object PipelineOps {
       v = keptChars.unionByName(keptMulti)
       state = ugCosts(v)
     }
+    // bounded collect (chars + UgKeepMulti rows — named model constants):
+    // the trained vocabulary becomes the per-JVM standing model
+    ugVocabCache.put(key,
+      v.collect().toSeq.map(r => (r.getString(0), r.getLong(1))))
     state
   }
 
@@ -1770,6 +1796,18 @@ object PipelineOps {
   /** The shared train loop: returns the merge table AND the final
     * per-word symbol frame (word, cnt, seq) — [[vocabBpeTrain]] reports
     * the former, [[vocabBpeApply]] aggregates the latter. */
+  /** One BPE training per sf dir per JVM (the standingWeights /
+    * centroidCache convention): the merge table is deterministic plain
+    * data, so every consumer key (train/apply/tokenize/fertility)
+    * after the first REPLAYS the cached merges over the word-frequency
+    * frame lazily — one corpus aggregate instead of
+    * [[BpeTrainRounds]]+1 driver-gated jobs. The fingerprint key (the
+    * ClassifierOps discipline) retrains on any corpus change; replayed
+    * and fresh symbol frames are byte-identical because the replace
+    * chain is the same expression sequence. */
+  private val bpeMergeCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Int, String, String, String, Long)]]
+
   private def bpeTrain(s: SparkSession, d: String):
       (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val wf = documents(s, d)
@@ -1781,36 +1819,50 @@ object PipelineOps {
       // reused by all N rounds — checkpoint so round k doesn't recompute
       // the corpus aggregate k times
       .localCheckpoint()
-    var syms = wf.withColumn("seq",
+    val sym0 = wf.withColumn("seq",
       concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    var round = 1
-    var converged = false
-    while (round <= BpeTrainRounds && !converged) {
-      val top = syms
-        .select(col("cnt"), split(trim(col("seq")), " ").as("w"))
-        .where(size(col("w")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(w) - 1), j -> struct(element_at(w, j) AS lhs, element_at(w, j + 1) AS rhs))"))
-          .as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum("cnt").as("n"))
-        .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1)
-        .collect()
-      top.headOption match {
-        case Some(r) =>
-          val (l, rr, n) = (r.getString(0), r.getString(1), r.getLong(2))
-          merges += ((round, l, rr, l + rr, n))
-          syms = syms.withColumn("seq",
-            expr(s"replace(seq, ' $l $rr ', ' $l$rr ')"))
-        case None =>
-          // no pairs left (every word fully merged / single-char corpus):
-          // the vocabulary is converged — later rounds would be identical
-          converged = true
+    def replay(ms: Seq[(Int, String, String, String, Long)]): DataFrame =
+      ms.foldLeft(sym0) { case (sy, (_, l, rr, _, _)) =>
+        sy.withColumn("seq", expr(s"replace(seq, ' $l $rr ', ' $l$rr ')"))
       }
-      round += 1
+    val key = d + "#" + ClassifierOps.corpusFingerprint(d)
+    bpeMergeCache.keys
+      .filter(k => k.startsWith(d + "#") && k != key)
+      .foreach(bpeMergeCache.remove)
+    bpeMergeCache.get(key) match {
+      case Some(ms) => (ms, replay(ms))
+      case None =>
+        var syms = sym0
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+        var round = 1
+        var converged = false
+        while (round <= BpeTrainRounds && !converged) {
+          val top = syms
+            .select(col("cnt"), split(trim(col("seq")), " ").as("w"))
+            .where(size(col("w")) >= 2)
+            .select(col("cnt"), explode(expr(
+              "transform(sequence(1, size(w) - 1), j -> struct(element_at(w, j) AS lhs, element_at(w, j + 1) AS rhs))"))
+              .as("p"))
+            .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+            .agg(sum("cnt").as("n"))
+            .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1)
+            .collect()
+          top.headOption match {
+            case Some(r) =>
+              val (l, rr, n) = (r.getString(0), r.getString(1), r.getLong(2))
+              merges += ((round, l, rr, l + rr, n))
+              syms = syms.withColumn("seq",
+                expr(s"replace(seq, ' $l $rr ', ' $l$rr ')"))
+            case None =>
+              // no pairs left (every word fully merged / single-char corpus):
+              // the vocabulary is converged — later rounds would be identical
+              converged = true
+          }
+          round += 1
+        }
+        bpeMergeCache.put(key, merges.toSeq)
+        (merges.toSeq, syms)
     }
-    (merges.toSeq, syms)
   }
 
   val vocabBpeTrain: Q = (s, d) => {
