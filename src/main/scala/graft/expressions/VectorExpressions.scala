@@ -116,6 +116,59 @@ case class IntDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared L2 distance over two `array<double>` columns,
+  * accumulating strictly left-to-right in double — bit-identical to the
+  * declarative `aggregate(sequence(0, n-1), 0d, (acc, i) ->
+  * acc + (a[i]-b[i])*(a[i]-b[i]))` it replaces (same IEEE ops in the
+  * same order), minus the per-element interpreted-lambda cost (r13: the
+  * RP shortlist scores n×|Q| candidate rows through this form — the
+  * same rationale as [[FloatDotProduct]]). */
+case class DoubleL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(e =>
+      e.dataType.isInstanceOf[ArrayType] &&
+        e.dataType.asInstanceOf[ArrayType].elementType == DoubleType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"l2_sq requires array<double> inputs, got ${left.dataType}, ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val dd = x.getDouble(i) - y.getDouble(i)
+      acc += dd * dd
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int ${ev.value}_n = Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_acc = 0.0;
+         |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+         |  double ${ev.value}_d = $a.getDouble(${ev.value}_i) - $b.getDouble(${ev.value}_i);
+         |  ${ev.value}_acc += ${ev.value}_d * ${ev.value}_d;
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Register SQL-callable vector functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
@@ -123,5 +176,7 @@ object VectorExpressions {
       "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "int_dot", exprs => IntDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_sq", exprs => DoubleL2Sq(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -77,7 +77,7 @@ object RetrievalOps {
     * — the declarative `shingles()` spelling evaluates the lambda
     * interpreter per window (~11 s per derivation at 5k docs vs ~1 s;
     * RetrievalSpec pins the two forms row-identical). */
-  private def docToks(s: SparkSession, d: String): DataFrame =
+  private[graft] def docToks(s: SparkSession, d: String): DataFrame =
     shingleFrame(s, documents(s, d))
 
   /** The df cap: `max(20, n_docs div 20)` — relative so it engages at

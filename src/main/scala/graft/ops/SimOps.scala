@@ -1433,13 +1433,15 @@ object SimOps {
     * preserve norms' direction the way it preserves pairwise
     * distances). */
   val rpTopK: Q = (s, d) => {
+    graft.expressions.VectorExpressions.register(s)
     val pz = projected(s, d)
     val qs = pz.select(col("vec_id").as("q_id"), col("p").as("qp"))
       .where(col("q_id") < NQueries)
+    // codegen'd l2_sq (r13): bit-identical accumulation order to the
+    // aggregate(sequence(...)) lambda it replaces, evaluated compiled
+    // instead of interpreted per element on the n×|Q| candidate frame
     val dist = pz.join(broadcast(qs), col("vec_id") =!= col("q_id"))
-      .withColumn("sim", -expr(
-        s"""aggregate(sequence(0, ${RpK - 1}), CAST(0 AS DOUBLE), (acc, i) ->
-             acc + (p[i] - qp[i]) * (p[i] - qp[i]))"""))
+      .withColumn("sim", -expr("l2_sq(p, qp)"))
     val short = rankTopK(dist, rpShortlist(gatedCount(s, d)))
       .select(col("q_id"), col("neighbor_id").as("vec_id"))
     rankTopK(

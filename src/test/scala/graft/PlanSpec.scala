@@ -482,7 +482,11 @@ class PlanSpec extends SparkSpec {
       s"partition-local top-k should sit below the q_id exchange:\n$plan")
     // term aggregation partial-aggregates map-side before its exchange
     assert(finalOnly.contains("partial_count"), plan)
-    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+    // the posting frame is checkpointed once (r13: the tokenize Generate
+    // fed every exchange key), so the text-only scan pin targets the
+    // feeding frame itself — the qcFeatureRows pin convention
+    val dtPlan = finalPlan(graft.ops.RetrievalOps.docToks(spark, d))
+    assert(dtPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), dtPlan)
   }
 
   test("text_tfidf_topterms: hot-phrase prune is a broadcast anti join; keyword window partitions per doc") {
@@ -497,8 +501,10 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("LeftAnti"), plan)
     // the rank window's only partition key is doc_id (per-doc state, no
-    // global window)
-    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+    // global window). Scan pin targets the checkpointed feeding frame
+    // (r13, see the bm25 pin)
+    val dtPlan = finalPlan(graft.ops.RetrievalOps.docToks(spark, d))
+    assert(dtPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), dtPlan)
   }
 
   test("corpus_drift: the head is a map-side top-k; the divergence fold consumes head ∪ OOV, never the corpus vocabulary") {
@@ -557,8 +563,12 @@ class PlanSpec extends SparkSpec {
   test("text_ngram_cms_topk: cells broadcast to the gram probe; the cut is TakeOrderedAndProject") {
     val plan = finalPlan(graft.ops.SketchOps.queries("text_ngram_cms_topk")(spark, d))
     // cell counts partial-aggregate map-side (at most d*w rows per task
-    // regardless of vocabulary — the sketch's whole point)
-    assert(plan.contains("partial_count"), plan)
+    // regardless of vocabulary — the sketch's whole point). r13: cells
+    // sum per-DISTINCT-gram df weights instead of counting occurrences
+    // (arithmetic-identical), so the map-side partial is a partial_sum;
+    // the occurrence count itself lives behind the checkpointed gram
+    // frame
+    assert(plan.contains("partial_sum"), plan)
     // the d*w-bounded sketch joins broadcast; the gram frame never shuffles for it
     assert(plan.contains("BroadcastHashJoin"), plan)
     // fixed-K cut = per-partition heaps, never a global sort
