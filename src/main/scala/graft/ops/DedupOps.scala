@@ -215,15 +215,21 @@ object DedupOps {
   /** Deduped candidate pairs of the banded signature index (no output
     * sort) — shared by the LSH query and the estimate audit, so the two
     * can never silently disagree on what a candidate is. */
-  private def bandPairs(sig: DataFrame, bucketCap: Option[Int] = None): DataFrame = {
+  private def bandPairs(sig: DataFrame, bucketCap: Option[Int] = None,
+      materialize: Boolean = true): DataFrame = {
     // delimited join key (inside bandFrame): today's signatures are
     // fixed-width md5 hex (no ambiguity), but a separator keeps distinct
     // signature tuples from ever concatenating to the same key if the
     // scheme changes width
     // one-checkpoint discipline (r13, see cappedPairsFromShingles): the
     // md5-heavy signature pipeline under this frame otherwise re-runs
-    // for the hot-bucket aggregate and both self-join sides
-    val bands = bandFrame(sig).localCheckpoint()
+    // for the hot-bucket aggregate and both self-join sides. The one
+    // caller whose in-session cost was BELOW the materialization
+    // barrier (minhashIncremental, 0.22 s lazy vs 0.72 s cached — the
+    // r13 official bench's own regression gate flagged and confirmed
+    // it) opts out and keeps the lazy AQE-reused shape.
+    val bands0 = bandFrame(sig)
+    val bands = if (materialize) bands0.localCheckpoint() else bands0
     // hot-band cap (same posture as the shingle DfCap): a band bucket of
     // n docs costs n² in the self-join, and a bucket every templated doc
     // falls into is boilerplate, not near-duplication — dropping buckets
@@ -282,11 +288,13 @@ object DedupOps {
     * [[graft.streaming.MinhashDedupIngest]] (standing band index on
     * disk, batch-id append log, read-time dedup). */
   val minhashIncremental: Q = (s, d) => {
-    // the union below references the pair pipeline twice, but its
-    // upstream bands are already cached inside bandPairs — an output
-    // checkpoint here re-measured slightly WORSE (1.95 vs 1.80 s), so
-    // only the bands-level cache stays (r13)
-    val pairs = bandPairs(minhashSignatures(s, d), Some(BandBucketCap))
+    // fully lazy (r13): this key's in-session cost without any
+    // materialization is ~0.22 s — BOTH checkpoint levels measured
+    // worse (pairs: 1.95 s probe; bands: 0.72 s in-session, confirmed
+    // by the official bench's regression reprobe), so the union's two
+    // references stay deduped by AQE exchange reuse instead
+    val pairs = bandPairs(minhashSignatures(s, d), Some(BandBucketCap),
+      materialize = false)
     val dirp = pairs.select(col("doc_a").as("v"), col("doc_b").as("partner"))
       .unionByName(pairs.select(col("doc_b").as("v"), col("doc_a").as("partner")))
       .where(col("v") % 2 === 1)
