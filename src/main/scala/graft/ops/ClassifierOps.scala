@@ -130,9 +130,16 @@ object ClassifierOps {
     rows.groupBy("doc_id", "y")
       .agg(expr("array_sort(collect_list(struct(fid, x)))").as("fv"))
 
-  private val MarginExpr =
-    "aggregate(fv, CAST(0.0 AS DOUBLE), (acc, t) -> " +
-      "acc + t.x * (CAST(element_at(wm, t.fid + 1) AS DOUBLE) / 1000000))"
+  /** Codegen'd margin ([[graft.expressions.QcMargin]]) — bit-identical
+    * to the interpreted `aggregate(fv, 0d, (acc, t) -> acc + t.x *
+    * (CAST(element_at(wm, t.fid + 1) AS DOUBLE) / 1000000))` it
+    * replaced (same IEEE ops in fv order; ClassifierSpec pins the
+    * trained weights weight-for-weight so drift fails loudly). The
+    * higher-order-function form was evaluated interpreted per element
+    * AND blocked whole-stage codegen for the enclosing operator — on
+    * the hot path this runs once per doc per GD round (16 rounds per
+    * training) plus once per scoring pass (r13, guide §4). */
+  private val MarginExpr = "qc_margin(fv, wm)"
   private val SigmoidExpr = "0.5 + m / (2.0 * (1.0 + abs(m)))"
 
   /** [[QcRounds]] unrolled rounds over a checkpointed feature frame;
@@ -159,6 +166,7 @@ object ClassifierOps {
   private[graft] def qcTrainWeights(s: SparkSession, feats: DataFrame,
       rounds: Int = QcRounds, roundOffset: Int = 0,
       init: Option[DataFrame] = None): DataFrame = {
+    graft.expressions.VectorExpressions.register(s) // qc_margin
     // class-balanced error weights (n/(2·n_class), King & Zeng's
     // correction): the tier labels run ~7:1 positive and an unweighted
     // full-batch GD spends its fixed round budget learning the base
@@ -207,13 +215,15 @@ object ClassifierOps {
 
   /** Score a feature frame under trained weights: appends m, p,
     * p_micro (BIGINT — doubles never reach the compare), pred. */
-  private[graft] def qcScore(feats: DataFrame, w: DataFrame): DataFrame =
+  private[graft] def qcScore(feats: DataFrame, w: DataFrame): DataFrame = {
+    graft.expressions.VectorExpressions.register(feats.sparkSession) // qc_margin
     feats.crossJoin(broadcast(w))
       .withColumn("m", expr(MarginExpr))
       .withColumn("p", expr(SigmoidExpr))
       .withColumn("p_micro", expr("CAST(round(p * 1000000, 0) AS BIGINT)"))
       .withColumn("pred",
         when(col("p_micro") >= 500000, 1).otherwise(0))
+  }
 
   /** The trained model: (fid, weight_micro), QcWidth rows. */
   val qualityClassifierTrain: Q = (s, d) => {

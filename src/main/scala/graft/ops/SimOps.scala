@@ -1358,14 +1358,12 @@ object SimOps {
   private[ops] val RpK = 16
   private[ops] val RpDim = 64
 
-  /** ±1 from the first md5 byte's parity per (out-dim, in-dim). */
-  private lazy val RpSigns: Array[Array[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(RpK, RpDim) { (j, i) =>
-      md.reset()
-      if ((md.digest(s"rp:$j:$i".getBytes("UTF-8"))(0) & 1) == 0) 1 else -1
-    }
-  }
+  /** ±1 from the first md5 byte's parity per (out-dim, in-dim) — the
+    * shared matrix ([[graft.expressions.RpProjectSigns]]) the codegen'd
+    * rp_project expression also reads, so the Spark and oracle sides
+    * can never drift. */
+  private lazy val RpSigns: Array[Array[Int]] =
+    graft.expressions.RpProjectSigns.matrix
 
   /** The dim-j projection as a literal ± chain over `c` (0-based Spark
     * subscripts; `oneBased` flips to DuckDB's). */
@@ -1417,11 +1415,19 @@ object SimOps {
         expr("sum_ratio div greatest(n_pairs, 1)").as("mean_ratio_micro"))
   }
 
-  /** (vec_id, p): the corpus in projected space. */
-  private def projected(s: SparkSession, d: String): DataFrame =
+  /** (vec_id, p): the corpus in projected space. rp_project is the
+    * codegen'd form of the 16 inlined ± chains (bit-identical
+    * accumulation — see [[graft.expressions.RpProject]]): rp_topk
+    * references the projection on BOTH join sides, and the inlined
+    * 16×64-term Add trees put ~95 KB of plan through analysis +
+    * whole-stage codegen per run, dominating the key's wall time
+    * (r13 measured; emb_project_rp/eval reference it once and keep
+    * the inline spelling). */
+  private def projected(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
     gatedVecs(s, d).select(col("vec_id"),
-      array((0 until RpK).map(j =>
-        expr(rpExpr(j, "embedding", oneBased = false))): _*).as("p"))
+      expr("rp_project(embedding)").as("p"))
+  }
 
   /** Two-stage search in PROJECTED space — the RP rung's deployable
     * payoff, completing the pattern every compression rung carries
